@@ -1,0 +1,78 @@
+"""SparkSession construction tuned for both local testing and scale.
+
+Local mode is a single JVM (``local[N]``); on a real cluster the same
+conf holds except memory sizing. Scale-relevant choices:
+
+- AQE on (runtime coalesce, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE fixes it.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  this should be ~2-3× total executor cores (AQE coalesces down).
+- Arrow enabled — every pandas UDF (gzip codec, multimodal decode)
+  moves data in vectorized Arrow batches, not pickled rows.
+- Session timezone pinned UTC: the reference interprets zoneless
+  ``LocalDateTime`` in the JVM default TZ (SURVEY §1.3); pinning UTC
+  makes timestamp semantics deterministic and DuckDB-comparable.
+- ``TIMESTAMP_MILLIS`` parquet output to match the reference's
+  physical type (reference: ParameterRecord.avsc timestamp-millis).
+- ``nanosAsLong`` so parquet TIMESTAMP(NANOS) inputs (events table)
+  are readable; the registry converts to timestamp_ntz.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "trace-parquet-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to a session we did not build.
+
+    The driver harness hands us its own SparkSession; these conf keys
+    are all runtime-settable and required for deterministic semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be static in some builds
+        pass
+    return spark

