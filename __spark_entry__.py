@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()``
+maps every implemented operator (SURVEY.md §2 + north-star
+extensions) to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()``
+carries the DuckDB-equivalent SQL for the correctness gate. Column
+aliases match on both sides by construction (each module keeps the
+Spark plan and its oracle SQL adjacent).
 """
 
 from __future__ import annotations
@@ -13,26 +14,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H-Q1-shaped pricing summary at sf0.001."""
+    from trace_parquet_spark.session import ensure_engine_conf
+    from trace_parquet_spark.plans.relational import q1_pricing_summary
+
+    ensure_engine_conf(spark)
+    return q1_pricing_summary(spark, SF0001)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from trace_parquet_spark.session import ensure_engine_conf
+
+        ensure_engine_conf(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from trace_parquet_spark.plans import relational
+    from trace_parquet_spark.plans import temporal
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for mod in (relational, temporal):
+        for name, fn in mod.QUERIES.items():
+            out[name] = _wrap(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from trace_parquet_spark.plans import relational
+    from trace_parquet_spark.plans import temporal
+
+    out: dict[str, str] = {}
+    for mod in (relational, temporal):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Self-check harness mirroring the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and (order-insensitively) values.
+Floats must match exactly after the queries' own rounding — if they
+don't, the per-column max abs diff is printed so the rounding can be
+tightened.
+
+Usage: python tools/check_oracle.py [query ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"rowcount spark={len(spark_df)} oracle={len(oracle_df)}")
+    sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if sc != oc:
+        problems.append(f"columns spark={sc} oracle={oc}")
+        return problems
+    if problems:
+        return problems
+    s, o = norm_frame(spark_df), norm_frame(oracle_df)
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            an = a.astype(float).to_numpy()
+            bn = b.astype(float).to_numpy()
+            same = np.array_equal(an, bn, equal_nan=True)
+            if not same:
+                diff = np.nanmax(np.abs(an - bn)) if len(an) == len(bn) else float("inf")
+                problems.append(f"col {c}: float mismatch, max|Δ|={diff:.3g}")
+        else:
+            if not a.equals(b):
+                neq = (a != b) & ~(a.isna() & b.isna())
+                idx = neq[neq].index[:3].tolist()
+                examples = [(c, i, a[i], b[i]) for i in idx]
+                problems.append(f"col {c}: {int(neq.sum())} diffs, e.g. {examples}")
+        # dtype drift worth knowing about even when values match
+        if a.dtype != b.dtype:
+            problems.append(f"col {c}: dtype spark={a.dtype} oracle={b.dtype}")
+    return problems
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    import __spark_entry__ as entry_mod
+    from trace_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args or list(qs)
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        if name not in qs:
+            print(f"?? {name}: no such query")
+            continue
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows-only check, {len(sdf)} rows")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {type(exc).__name__}: {str(exc)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"    {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,626 @@
+"""Relational operator suite over the star-schema test tables.
+
+The reference implements exactly one query (scan + IN-list + time range
++ sort; reference: repository/ParameterDataRepository.java:58-69) and
+none of joins/aggregations/windows/set-ops (SURVEY §2.3-§2.7). This
+module provides the full relational surface the north star requires,
+every operator a declarative DataFrame plan so Catalyst handles
+pushdown, join strategy selection, and AQE re-planning.
+
+Conventions (driver correctness gate):
+- every query here has a DuckDB oracle in ``ORACLES`` with identical
+  column aliases;
+- double aggregates are ``round()``-ed on both sides so cross-engine
+  summation-order noise cannot flip the value hash;
+- ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads µs-truncated
+  (registry), so oracles always use ``CAST(ts AS TIMESTAMP)`` (DuckDB's
+  truncating ns→µs cast) for identical values;
+- window-function outputs (row_number, sums of ints) are cast to BIGINT
+  on whichever side is narrower.
+
+Scale notes are per-query docstrings; the common ones: dimension joins
+(region/nation/supplier) are broadcast — no shuffle of the fact table;
+aggregations are partial (map-side combine) by construction; top-k is
+``orderBy().limit(k)`` which Spark executes as TakeOrdered (no global
+sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# --------------------------------------------------------------------------
+# TPC-H-style headline queries
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    Plan: parquet scan (shipdate filter pushed down) → partial hash agg
+    → exchange on (returnflag, linestatus) [6 groups] → final agg.
+    At 100 TB the exchange carries only 6 grouped rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k.
+
+    customer is the small side → broadcast; lineitem↔orders is the big
+    join, shuffled on the order key; top-10 via TakeOrdered.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a co-location predicate
+    (customer nation == supplier nation). region/nation/supplier/
+    customer broadcast; only lineitem↔orders shuffles.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# The reference's query shape, on the events table
+# --------------------------------------------------------------------------
+
+_TRACE_IDS = [1, 2, 3, 5, 8, 13, 21, 34]
+
+
+def trace_filter_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The faithful core's relational shape (SURVEY §2 P1-P3, O1):
+    IN-list + inclusive BETWEEN on the time column only, projection,
+    composite-key order. Both predicates push down to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("user_id").isin(_TRACE_IDS)
+            & F.col("ts").between(
+                F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
+            )
+        )
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+TRACE_FILTER_SQL = f"""
+SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM events
+WHERE user_id IN ({", ".join(str(i) for i in _TRACE_IDS)})
+  AND CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                                AND TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY user_id, ts, event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: executed as TakeOrderedAndProject — each partition
+    keeps k rows, driver merges; no global sort at any scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment (ranking window)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("rank_in_segment", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rank_in_segment")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT c_mktsegment, rank_in_segment, c_custkey, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank_in_segment
+  FROM customer
+)
+WHERE rank_in_segment <= 3
+ORDER BY c_mktsegment, rank_in_segment
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag per customer order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(frame), 2).alias("running_total"),
+            F.round(
+                F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+            ).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 0), 2)             AS prev_price
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: rollup / cube
+# --------------------------------------------------------------------------
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals; grouping() folded into 'ALL' labels so the
+    output is plain strings (stable across engines)."""
+    df = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            # grouping() is only resolvable inside the Aggregate node
+            F.when(F.grouping("r_name") == 1, F.lit("ALL"))
+            .otherwise(F.col("r_name"))
+            .alias("region_name"),
+            F.when(F.grouping("n_name") == 1, F.lit("ALL"))
+            .otherwise(F.col("n_name"))
+            .alias("nation_name"),
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select("region_name", "nation_name", "n_customers", "total_acctbal")
+        .orderBy("region_name", "nation_name")
+    )
+
+
+ROLLUP_SQL = """
+SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
+       CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation_name,
+       count(*)                  AS n_customers,
+       round(sum(c_acctbal), 2)  AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region_name, nation_name
+"""
+
+
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.when(F.grouping("l_returnflag") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.grouping("l_linestatus") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("returnflag", "linestatus", "sum_qty", "n_rows")
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over customer vs supplier nations,
+    tagged and stacked into one relation."""
+    ck = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sk = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = ck.intersect(sk).select(F.lit("both").alias("tag"), "nationkey")
+    cust_only = ck.exceptAll(sk).select(
+        F.lit("customer_only").alias("tag"), "nationkey"
+    )
+    union_all = (
+        ck.union(sk).distinct().select(F.lit("union").alias("tag"), "nationkey")
+    )
+    return both.unionAll(cust_only).unionAll(union_all).orderBy("tag", "nationkey")
+
+
+SETOPS_SQL = """
+WITH ck AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sk AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM ck INTERSECT SELECT nationkey FROM sk)
+UNION ALL
+SELECT 'customer_only' AS tag, nationkey FROM (SELECT nationkey FROM ck EXCEPT SELECT nationkey FROM sk)
+UNION ALL
+SELECT 'union' AS tag, nationkey FROM (SELECT nationkey FROM ck UNION SELECT nationkey FROM sk)
+ORDER BY tag, nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins
+# --------------------------------------------------------------------------
+
+
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one 400k+ order (EXISTS → left_semi);
+    the filtered orders side broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    return (
+        cust.join(
+            F.broadcast(big), cust.c_custkey == big.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def anti_join_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order (NOT EXISTS → left_anti)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON payload extraction (the opened trace payload, SURVEY §7 Phase 3)
+# --------------------------------------------------------------------------
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload → typed column → relational agg, the
+    extension the reference deliberately skips (it ships JSON opaque;
+    reference: service/ParquetConversionService.java:100-106)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)       AS avg_k,
+       count(*)                                                               AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted by status. Spark's .pivot() with explicit
+    value list → same plan as CASE WHEN aggregation, no value scan."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_fulfilled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates
+# --------------------------------------------------------------------------
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (Spark expands to multiple
+    aggregates; the approximate variant is `approx_distinct`, checked
+    rows-only since HLL sketches are engine-specific)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+DISTINCT_SQL = """
+SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT l_suppkey)  AS n_suppliers,
+       count(*)                   AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key. No oracle (sketch internals are
+    engine-specific); driver records a rows-only check, and the pytest
+    suite asserts the estimate is within rsd of the exact count."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "trace_filter_export": trace_filter_export,
+    "topk_orders": topk_orders,
+    "topk_per_group": topk_per_group,
+    "window_running_total": window_running_total,
+    "rollup_region_nation": rollup_region_nation,
+    "cube_returnflag_status": cube_returnflag_status,
+    "setops_nation_keys": setops_nation_keys,
+    "semi_join_big_spenders": semi_join_big_spenders,
+    "anti_join_no_urgent": anti_join_no_urgent,
+    "json_extract_events": json_extract_events,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "distinct_counts": distinct_counts,
+    "approx_distinct": approx_distinct,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "trace_filter_export": TRACE_FILTER_SQL,
+    "topk_orders": TOPK_ORDERS_SQL,
+    "topk_per_group": TOPK_PER_GROUP_SQL,
+    "window_running_total": WINDOW_RUNNING_SQL,
+    "rollup_region_nation": ROLLUP_SQL,
+    "cube_returnflag_status": CUBE_SQL,
+    "setops_nation_keys": SETOPS_SQL,
+    "semi_join_big_spenders": SEMI_JOIN_SQL,
+    "anti_join_no_urgent": ANTI_JOIN_SQL,
+    "json_extract_events": JSON_EXTRACT_SQL,
+    "pivot_status_by_priority": PIVOT_SQL,
+    "distinct_counts": DISTINCT_SQL,
+    # approx_distinct: deliberately no oracle (rows-only check)
+}

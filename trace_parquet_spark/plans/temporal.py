@@ -1,0 +1,105 @@
+"""Temporal operator queries: sessionization, as-of join, time windows.
+
+Thin (spark, sf_dir) wrappers around the operators in
+``operators/{sessionize,asof,time_rollup}.py`` with their DuckDB
+oracles. All oracles CAST(ts AS TIMESTAMP) — see plans/relational.py
+header for the TIMESTAMP(NANOS) story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..operators.sessionize import SESSION_STATS_SQL_TEMPLATE, session_stats
+from ..operators.time_rollup import (
+    SESSION_WINDOW_SQL,
+    SLIDING_SQL,
+    TUMBLING_SQL,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from ..sources.registry import load_table
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts", gap_minutes=30)
+
+
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before
+    the purchase time (backward as-of join, union-window plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts"],
+        tiebreak="event_id",
+        inner=True,
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_ts").alias("click_ts"),
+    ).orderBy("user_id", "event_id")
+
+
+ASOF_SQL = """
+WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click')
+SELECT user_id, event_id, ts, click_event_id, click_ts
+FROM (
+  SELECT p.user_id, p.event_id, p.ts,
+         c.event_id AS click_event_id, c.ts AS click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+WHERE rn = 1
+ORDER BY user_id, event_id
+"""
+
+
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "asof_click_before_purchase": asof_click_before_purchase,
+    "tumbling_window_events": tumbling_window_events,
+    "sliding_window_events": sliding_window_events,
+    "session_window_events": session_window_events,
+}
+
+ORACLES = {
+    "sessionize_events": SESSION_STATS_SQL_TEMPLATE.format(gap_seconds=30 * 60),
+    "asof_click_before_purchase": ASOF_SQL,
+    "tumbling_window_events": TUMBLING_SQL,
+    "sliding_window_events": SLIDING_SQL,
+    "session_window_events": SESSION_WINDOW_SQL,
+}

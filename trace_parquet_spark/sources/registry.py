@@ -44,11 +44,12 @@ def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: double division would round the ~1.7e18
+            # epoch-nanos value (53-bit mantissa) and drift ±1µs off
+            # DuckDB's truncating ns→µs cast
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(
-                    (F.col("ts") / F.lit(1000)).cast("long")
-                ).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
         return df
     return spark.read.parquet(path)
