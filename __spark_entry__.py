@@ -36,22 +36,28 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from trace_parquet_spark.plans import relational
-    from trace_parquet_spark.plans import temporal
+def _modules():
+    from trace_parquet_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        text_analysis,
+    )
+    from trace_parquet_spark.plans import relational, temporal
 
+    return (relational, temporal, text_analysis, dedup, similarity, multimodal)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
-    for mod in (relational, temporal):
+    for mod in _modules():
         for name, fn in mod.QUERIES.items():
             out[name] = _wrap(fn)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from trace_parquet_spark.plans import relational
-    from trace_parquet_spark.plans import temporal
-
     out: dict[str, str] = {}
-    for mod in (relational, temporal):
+    for mod in _modules():
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line with per-query wall seconds.
+
+Each query is forced end-to-end with the no-op sink (full computation,
+no output cost) so lazy plans can't hide work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "trace_filter_export",
+    "window_running_total",
+    "sessionize_events",
+    "asof_click_before_purchase",
+    "tumbling_window_events",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_docs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry_mod
+    from trace_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    # JVM/codegen warmup on the smallest table so q1 isn't penalized
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

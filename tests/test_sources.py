@@ -1,0 +1,76 @@
+"""File-format source/sink round-trips (SURVEY §2.1 S8) and the
+scale-path ordered writer."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.sources.files import (
+    read_table,
+    write_partitioned_sorted,
+    write_single_parquet_file,
+    write_table,
+)
+from trace_parquet_spark.sources.kafka import KafkaUnavailableError, read_stream
+from trace_parquet_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+def test_roundtrip_formats(spark, nation, tmp_path, fmt):
+    path = str(tmp_path / f"nation_{fmt}")
+    write_table(nation, fmt, path)
+    schema = "n_nationkey int, n_name string, n_regionkey int" if fmt in ("csv", "json") else None
+    back = read_table(spark, fmt, path, schema=schema)
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_partition_by_column(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_part")
+    write_table(nation, "parquet", path, partition_by=["n_regionkey"])
+    back = spark.read.parquet(path)
+    assert back.count() == nation.count()
+    # partition pruning: filter on the partition col reads 1 dir
+    pruned = back.filter(F.col("n_regionkey") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_single_file_sink(spark, nation, tmp_path):
+    path = str(tmp_path / "single")
+    write_single_parquet_file(nation.orderBy("n_nationkey"), path)
+    files = [f for f in __import__("os").listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+
+
+def test_partitioned_sorted_sink(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned_sorted(orders, path, ["o_orderkey"], num_partitions=4)
+    # each file is internally sorted and files are range-disjoint
+    import os
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    ranges = []
+    for f in files:
+        col = pq.read_table(f, columns=["o_orderkey"]).column(0).to_pylist()
+        assert col == sorted(col)
+        if col:
+            ranges.append((col[0], col[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+
+
+def test_kafka_gated(spark):
+    with pytest.raises(KafkaUnavailableError):
+        read_stream(spark, "localhost:9092", "trace")

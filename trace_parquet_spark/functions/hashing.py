@@ -38,6 +38,26 @@ def stable_hash_seeded_sql(expr: str, seed: int) -> str:
     return stable_hash32_sql(f"'{seed}:' || {expr}")
 
 
+def stable_hash32_x4(col: Column | str, seed: int) -> list[Column]:
+    """Four independent 32-bit hashes from ONE md5 evaluation (the
+    128-bit digest split into 8-hex chunks) — 4× less hashing work for
+    minhash-style signature families."""
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), c))
+    return [
+        F.conv(F.substring(digest, 1 + 8 * k, 8), 16, 10).cast("long")
+        for k in range(4)
+    ]
+
+
+def stable_hash32_x4_sql(expr: str, seed: int) -> list[str]:
+    digest = f"md5('{seed}:' || {expr})"
+    return [
+        f"CAST(('0x' || substring({digest}, {1 + 8 * k}, 8)) AS BIGINT)"
+        for k in range(4)
+    ]
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Full 128-bit content fingerprint as hex string."""
     c = F.col(col) if isinstance(col, str) else col

@@ -107,20 +107,26 @@ def quality_score_sql(expr: str) -> str:
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>) of normalized text.
-
-    Built entirely from higher-order functions: sequence over start
-    positions, slice + concat per position. Docs shorter than n words
-    yield a single shingle of the whole text.
-    """
-    toks = tokens(col)
+def shingles_from(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. ``toks`` must be a column reference, not a fresh
+    ``tokens(...)`` expression: expressions inside higher-order-function
+    lambdas are re-evaluated per element, so an inline split would cost
+    O(tokens²) per document. Docs shorter than n words yield a single
+    shingle of the whole text."""
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     )
     return F.transform(
         starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from text — convenience form for small inputs;
+    prefer projecting ``tokens(col)`` then ``shingles_from`` in hot
+    paths (see shingles_from for why)."""
+    return shingles_from(tokens(col), n)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

@@ -1,0 +1,395 @@
+"""Deduplication — the flagship training-data-pipeline stage.
+
+Four flavors, each with a different scale/recall trade-off:
+
+- **exact** (`dedup_exact`): hash-groupBy on a content fingerprint.
+  One shuffle on the 128-bit hash; the canonical 100 TB first pass.
+- **n-gram Jaccard** (`dedup_ngram_pairs`): exact set similarity via a
+  shingle self-join. Quadratic in per-shingle frequency — correct but
+  only viable after the shingle-frequency tail is capped; kept as the
+  ground-truth oracle for the LSH variant.
+- **MinHash + LSH** (`dedup_minhash_lsh`): the scale path. 16 md5-family
+  min-hashes per doc → 4 bands × 4 rows → banded bucket join only
+  produces candidate pairs (collision probability s^4 per band) →
+  exact Jaccard verification on candidates. All JVM-side; the band
+  join shuffles only (band_id, signature) pairs.
+- **SimHash** (`simhash_docs`): 32-bit bitwise-majority signature per
+  doc; near-dups differ in few bits. Signature computation is one
+  explode + 32 conditional sums (single aggregation pass).
+
+Every variant is deterministic (md5 hash family from
+functions/hashing.py) and has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    fingerprint_md5,
+    fingerprint_md5_sql,
+    stable_hash32,
+    stable_hash32_sql,
+    stable_hash32_x4,
+    stable_hash32_x4_sql,
+)
+from ..functions.text import (
+    norm_text,
+    norm_text_sql,
+    shingles_from,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.registry import load_table, load_table_parallel
+
+SHINGLE_N = 3
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by content fingerprint; keep the smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_md5(norm_text("text")).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("content_fp")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {fingerprint_md5_sql(norm_text_sql("text"))} AS content_fp,
+       min(doc_id) AS keep_doc_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY content_fp
+"""
+
+
+# --------------------------------------------------------------------------
+# shared shingle relation
+# --------------------------------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs. Tokens are materialized in a
+    separate projection so the shingle lambda slices an attribute
+    reference instead of re-splitting the text per position."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from(F.col("toks"), SHINGLE_N))
+        ).alias("s"),
+    )
+
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest({shingles_sql("text", SHINGLE_N)}) AS s
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold (exact)."""
+    sh = _doc_shingles(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz x ON doc_a = x.doc_id
+JOIN sz y ON doc_b = y.doc_id
+WHERE round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _hash_family(col: F.Column) -> list[F.Column]:
+    """N_HASHES hash columns from N_HASHES/4 md5 digests (each digest
+    yields four 32-bit chunks; Catalyst CSEs the repeated md5)."""
+    out: list[F.Column] = []
+    for g in range(N_HASHES // 4):
+        out.extend(stable_hash32_x4(col, g))
+    return out
+
+
+def _hash_family_sql(expr: str) -> list[str]:
+    out: list[str] = []
+    for g in range(N_HASHES // 4):
+        out.extend(stable_hash32_x4_sql(expr, g))
+    return out
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) distinct shingles → doc_id + minhash cols mh0..mh15
+    in one aggregation pass."""
+    hashes = _hash_family(F.col("s"))
+    proj = sh.select(
+        "doc_id", *[h.alias(f"h{i}") for i, h in enumerate(hashes)]
+    )
+    return proj.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_HASHES)]
+    )
+
+
+def _band_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig): md5 over the band's minhashes."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_sig")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates (band-bucket join) verified by exact Jaccard.
+
+    The verification joins shingle sets of CANDIDATE docs only (semi-
+    join pruning) — the whole point of LSH at scale: exact similarity
+    is computed on O(candidates), never on all pairs. The shingle
+    relation is cached because signatures and verification both read it.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    bands = _band_signatures(minhash_signatures(sh))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .cache()  # feeds both the verification join and cand_docs pruning
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ca = sh_c.alias("ca")
+    cb = sh_c.alias("cb")
+    inter = (
+        ca.join(
+            cb,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+    verified = (
+        candidates.join(inter, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+def _minhash_cte() -> str:
+    band_rows = []
+    for i, h in enumerate(_hash_family_sql("s")):
+        band_rows.append(f"min({h}) AS mh{i}")
+    mh_cols = ",\n         ".join(band_rows)
+    band_sigs = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        concat = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_sigs.append(f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM sig")
+    bands_union = "\n  UNION ALL\n  ".join(band_sigs)
+    return f"""
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+  GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+)
+"""
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_cte()},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sz x ON doc_a = x.doc_id
+  JOIN sz y ON doc_b = y.doc_id
+  WHERE round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT c.doc_a, c.doc_b, e.jaccard
+FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash per document (token-frequency weighted)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).withColumn("h", stable_hash32(F.col("t")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(
+        "doc_id", sim.alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    bit_aggs = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {stable_hash32_sql('t')} AS h
+  FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS t FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_aggs}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {recombine} AS simhash
+FROM bits
+ORDER BY doc_id
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_pairs": dedup_ngram_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_docs": simhash_docs,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "simhash_docs": SIMHASH_SQL,
+}

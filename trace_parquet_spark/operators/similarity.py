@@ -1,0 +1,250 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+- **brute-force top-k** (`cosine_topk`): the correctness baseline.
+  Query set broadcast against all candidates; cosine via higher-order
+  functions (JVM-side); per-query top-k via ranking window. At scale
+  this is one broadcast + one narrow pass over the candidate
+  partitions — no shuffle of the big side (ranking shuffles only the
+  q×candidate scored pairs, capped by the query count).
+- **near-dup pairs** (`embedding_neardup_pairs`): all pairs above a
+  cosine threshold within a bounded id range (the exact ground truth
+  for the LSH variant).
+- **LSH-bucketed ANN** (`ann_lsh_topk`): the 100 TB path. Deterministic
+  random-hyperplane signature (plane matrix derived from the md5
+  family, inlined as literals on both engines) → candidates share a
+  bucket → exact cosine re-rank inside buckets. Sub-linear candidate
+  generation; recall measured against brute force in tests.
+
+Ranking determinism: cosines are rounded to 9 decimals BEFORE ranking
+(both engines) so f64 summation noise can't flip a rank, then to 6 in
+the output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, cosine_sql
+from ..sources.registry import load_table, load_table_parallel
+
+N_QUERIES = 5
+TOP_K = 3
+NEARDUP_MAX_ID = 300
+NEARDUP_THRESHOLD = 0.4
+N_TABLES = 4          # LSH tables (OR-amplification: union of candidates)
+BITS_PER_TABLE = 4    # hyperplanes per table (AND-amplification)
+N_PLANES = N_TABLES * BITS_PER_TABLE
+DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane ∈ [-1, 1)^DIM from the
+    md5 family — reproducible in any engine, no RNG state."""
+    out = []
+    for j in range(DIM):
+        h = int(hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[:8], 16)
+        out.append(h / 2**31 - 1.0)
+    return out
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select("vec_id", "embedding")
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos9", F.round(cosine("qv", "embedding"), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", F.round("cos9", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({cosine_sql('q.qv', 'c.embedding')}, 9) AS cos9
+  FROM embeddings c JOIN q ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos9 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cos9, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEARDUP_MAX_ID
+    ).repartition(32, "vec_id")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos9", F.round(cosine("ea", "eb"), 9))
+        .filter(F.col("cos9") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos9", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEARDUP_MAX_ID})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(round({cosine_sql('a.embedding', 'b.embedding')}, 9), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 9) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _table_bucket_col(vec_col: str, table: int) -> F.Column:
+    """Bucket id within one LSH table: sign bit per plane, packed."""
+    sig = F.lit(0).cast("long")
+    for b in range(BITS_PER_TABLE):
+        plane = PLANES[table * BITS_PER_TABLE + b]
+        arr = F.array(*[F.lit(w) for w in plane])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), arr, lambda x, wgt: x.cast("double") * wgt
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def _with_table_buckets(df: DataFrame, vec_col: str) -> DataFrame:
+    """Explode each vector into (table_id, bucket) membership rows —
+    OR-amplified multi-table LSH."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _table_bucket_col(vec_col, t).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return df.select("*", F.explode(entries).alias("tb")).select(
+        *df.columns, "tb.table_id", "tb.bucket"
+    )
+
+
+def _table_bucket_sql(vec_expr: str, table: int) -> str:
+    terms = []
+    for b in range(BITS_PER_TABLE):
+        plane = PLANES[table * BITS_PER_TABLE + b]
+        lit = "[" + ", ".join(f"{w!r}" for w in plane) + "]::DOUBLE[]"
+        d = (
+            f"list_aggregate(list_transform(list_zip(CAST({vec_expr} AS DOUBLE[]), {lit}), "
+            f"pr -> pr[1] * pr[2]), 'sum')"
+        )
+        terms.append(f"CASE WHEN ({d}) >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: a candidate must share at least one table's
+    bucket with the query (multi-table random-hyperplane LSH), then
+    exact cosine re-rank over the candidate union. The bucket join
+    shuffles only (table_id, bucket) membership rows — sub-linear
+    candidate generation vs the full cross product."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    buckets = _with_table_buckets(emb, "embedding")
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("table_id").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    candidates = (
+        buckets.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = candidates.withColumn("cos9", F.round(cosine("qv", "embedding"), 9))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", F.round("cos9", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _buckets_sql() -> str:
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, embedding, {t} AS table_id, "
+        f"{_table_bucket_sql('embedding', t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return per_table
+
+
+ANN_LSH_SQL = f"""
+WITH buckets AS (
+  {_buckets_sql()}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, table_id AS qt, bucket AS qb
+      FROM buckets WHERE vec_id < {N_QUERIES}),
+candidates AS (
+  SELECT DISTINCT q.query_id, q.qv, c.vec_id, c.embedding
+  FROM buckets c JOIN q
+    ON c.table_id = q.qt AND c.bucket = q.qb AND c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round({cosine_sql('qv', 'embedding')}, 9) AS cos9
+  FROM candidates
+),
+ranked AS (
+  SELECT query_id, vec_id, cos9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos9 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cos9, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "cosine_topk": COSINE_TOPK_SQL,
+    "embedding_neardup_pairs": NEARDUP_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+}

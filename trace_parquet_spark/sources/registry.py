@@ -55,6 +55,18 @@ def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_table_parallel(
+    spark: SparkSession, base_dir: str, name: str, key: str
+) -> DataFrame:
+    """Like load_table, but hash-repartitioned on ``key`` to the
+    session's shuffle parallelism. Use for CPU-heavy per-row operators
+    (tokenization, hashing, UDF featurization): the local test files
+    are single-partition, so without this the whole stage runs on one
+    core; on a cluster the same call co-locates downstream per-key work."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return load_table(spark, base_dir, name).repartition(n, key)
+
+
 def register_views(spark: SparkSession, base_dir: str) -> None:
     """Register every test table as a temp view for spark.sql use."""
     for name in TABLES:
