@@ -38,14 +38,24 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 def _modules():
     from trace_parquet_spark.operators import (
+        corpus_pipeline,
         dedup,
         multimodal,
         similarity,
         text_analysis,
     )
-    from trace_parquet_spark.plans import relational, temporal
+    from trace_parquet_spark.plans import relational, relational_extras, temporal
 
-    return (relational, temporal, text_analysis, dedup, similarity, multimodal)
+    return (
+        relational,
+        relational_extras,
+        temporal,
+        text_analysis,
+        dedup,
+        similarity,
+        multimodal,
+        corpus_pipeline,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -32,6 +32,9 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "multimodal_features",
+    "corpus_clean",
+    "window_frames",
+    "percentiles_by_group",
 ]
 
 

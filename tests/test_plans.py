@@ -1,0 +1,66 @@
+"""Physical-plan shape guards: the properties that make these queries
+scale (pushdown, broadcast, TakeOrdered) asserted on .explain output
+so regressions fail loudly instead of silently costing a shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_trace_filter_pushdown(spark, sf_dir, qs):
+    plan = _plan(qs["trace_filter_export"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "In(user_id" in plan
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir, qs):
+    plan = _plan(qs["q1_pricing_summary"](spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # partial (map-side) aggregation before the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_q3_broadcasts_customer(spark, sf_dir, qs):
+    plan = _plan(qs["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir, qs):
+    plan = _plan(qs["q5_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_is_take_ordered(spark, sf_dir, qs):
+    plan = _plan(qs["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir, qs):
+    plan = _plan(qs["topk_orders"](spark, sf_dir))
+    # only the 3 projected columns are read from the file
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir, qs):
+    plan = _plan(qs["semi_join_big_spenders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_in_relational_hot_path(spark, sf_dir, qs):
+    """Relational queries must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes) — UDFs are reserved for gzip + multimodal."""
+    for name in ("q1_pricing_summary", "q3_shipping_priority",
+                 "sessionize_events", "dedup_minhash_lsh", "cosine_topk"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
