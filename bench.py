@@ -38,6 +38,52 @@ HEADLINE = [
 ]
 
 
+def _trace_fixture(spark, sf_dir: str, sf: str) -> str:
+    """Build (once per sf) a trace_param table from documents texts,
+    gzipped by the engine's own compress UDF — then the timed query is
+    the faithful core end-to-end: pushdown filter → gunzip pandas UDF
+    → global sort."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.functions.gzip_codec import gzip_compress
+    from trace_parquet_spark.sources.registry import load_table
+
+    path = os.path.join(tempfile.gettempdir(), f"trace_fixture_sf{sf}.parquet")
+    if not os.path.exists(path):
+        docs = load_table(spark, sf_dir, "documents")
+        reps = spark.range(12).select(F.col("id").alias("rep"))
+        base = docs.crossJoin(reps).select(
+            (F.col("doc_id") % 256).alias("paramIndex"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                     F.col("doc_id") * 7 + F.col("rep") * 61)
+            ).alias("startTime"),
+            F.col("text"),
+        )
+        base.select(
+            "paramIndex",
+            "startTime",
+            (F.col("startTime") + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(10))).alias("endTime"),
+            gzip_compress(F.col("text")).alias("traceData"),
+        ).repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _bench_trace_export(spark, sf_dir: str, sf: str) -> float:
+    from trace_parquet_spark.operators.trace_export import export_trace
+
+    path = _trace_fixture(spark, sf_dir, sf)
+    df = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    export_trace(
+        df, list(range(0, 200)), "2024-01-01 00:00:00", "2026-01-01 00:00:00"
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -52,6 +98,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    timings["trace_export_gzip"] = _bench_trace_export(spark, sf_dir, sf)
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

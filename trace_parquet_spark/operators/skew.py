@@ -1,0 +1,59 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting handles most cases at runtime
+(session.py enables it); salting is the explicit fallback for
+aggregations and for joins whose skew AQE can't see (e.g. a hot key
+produced mid-pipeline). Pattern:
+
+- salted aggregation: two-phase — partial agg on (key, salt), final
+  agg on key. The hot key's rows spread over S reducers in phase 1.
+- salted join: replicate the small side S× (one copy per salt), salt
+  the big side randomly-but-deterministically, join on (key, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt derived from a row-unique expression is
+    preferable when available; here we hash the whole row's key plus a
+    monotonically varying component."""
+    return df.withColumn(
+        salt_col,
+        (F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), buckets)).cast("int"),
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: list[Column],
+    partial_aggs: list[Column],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``partial_aggs`` run per (key, salt),
+    ``aggs`` combine the partials per key. Caller supplies matching
+    expression pairs, e.g. partial ``sum(x) as x_sum`` then final
+    ``sum(x_sum) as x_sum``."""
+    salted = with_salt(df, key, buckets)
+    partial = salted.groupBy(key, "__salt").agg(*partial_aggs)
+    return partial.groupBy(key).agg(*aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-small / salt-big equi-join for skewed keys."""
+    salts = big.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    small_rep = small.crossJoin(F.broadcast(salts))
+    big_salted = with_salt(big, key, buckets)
+    return big_salted.join(small_rep, [key, "__salt"], how).drop("__salt")
