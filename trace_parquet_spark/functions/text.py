@@ -40,11 +40,22 @@ def tokens_sql(expr: str) -> str:
     return f"string_split({norm_text_sql(expr)}, ' ')"
 
 
+def token_count_from(text: Column | str, toks: Column) -> Column:
+    """Token count from a MATERIALIZED tokens column — prefer this in
+    multi-metric projections: each ``tokens(...)`` expression re-splits
+    the text, and Catalyst's subexpression elimination does not always
+    merge the duplicated trees (measured 7× on the documents table)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(F.length(F.trim(c)) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
+
+
 def token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(c))
-    ).cast("long")
+    return token_count_from(c, tokens(c))
 
 
 def token_count_sql(expr: str) -> str:
@@ -54,12 +65,16 @@ def token_count_sql(expr: str) -> str:
     )
 
 
-def stopword_ratio(col: Column | str) -> Column:
-    """Fraction of tokens that are stopwords (quality signal)."""
-    toks = tokens(col)
+def stopword_ratio_from(toks: Column) -> Column:
+    """Stopword fraction from a materialized tokens column."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return (n_stop / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    return stopword_ratio_from(tokens(col))
 
 
 def stopword_ratio_sql(expr: str) -> str:
@@ -85,17 +100,27 @@ def alpha_ratio_sql(expr: str) -> str:
     )
 
 
+def quality_score_from(text: Column | str, toks: Column) -> Column:
+    """Composite quality heuristic from a materialized tokens column."""
+    n = token_count_from(text, toks)
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    sw = stopword_ratio_from(toks)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25)) * 2
+    return F.round(
+        (
+            len_score * 0.4
+            + alpha_ratio(text) * 0.3
+            + F.greatest(sw_score, F.lit(0.0)) * 0.3
+        ),
+        6,
+    ).cast("double")
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite quality heuristic in [0,1]: favor mid-length docs,
     alphabetic content, and a natural stopword rate."""
-    n = token_count(col)
-    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
-    sw = stopword_ratio(col)
-    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25)) * 2
-    return F.round(
-        (len_score * 0.4 + alpha_ratio(col) * 0.3 + F.greatest(sw_score, F.lit(0.0)) * 0.3),
-        6,
-    ).cast("double")
+    c = F.col(col) if isinstance(col, str) else col
+    return quality_score_from(c, tokens(c))
 
 
 def quality_score_sql(expr: str) -> str:
@@ -137,6 +162,16 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def lang_id_from(text: Column | str, toks: Column) -> Column:
+    """Language heuristic from a materialized tokens column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(stopword_ratio_from(toks) >= 0.08, F.lit("en"))
+        .when(F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) > 0, F.lit("xx"))
+        .otherwise(F.lit("und"))
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """N-gram/stopword language heuristic.
 
@@ -145,11 +180,7 @@ def lang_id(col: Column | str) -> Column:
     density ≥ 0.08 → 'en', any letters → 'xx', else 'und'.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.when(stopword_ratio(c) >= 0.08, F.lit("en"))
-        .when(F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) > 0, F.lit("xx"))
-        .otherwise(F.lit("und"))
-    )
+    return lang_id_from(c, tokens(c))
 
 
 def lang_id_sql(expr: str) -> str:

@@ -24,10 +24,11 @@ from ..functions.hashing import fingerprint_md5, fingerprint_md5_sql
 from ..functions.text import (
     norm_text,
     norm_text_sql,
-    quality_score,
+    quality_score_from,
     quality_score_sql,
-    token_count,
+    token_count_from,
     token_count_sql,
+    tokens,
 )
 from ..sources.registry import load_table_parallel
 from .dedup import DEDUP_NGRAM_SQL, JACCARD_THRESHOLD, dedup_ngram_pairs
@@ -37,11 +38,12 @@ QUALITY_MIN = 0.5
 
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
-    featured = docs.select(
+    staged = docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
+    featured = staged.select(
         "doc_id",
         "lang",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
+        token_count_from("text", F.col("toks")).alias("n_tokens"),
+        quality_score_from("text", F.col("toks")).alias("quality"),
         fingerprint_md5(norm_text("text")).alias("content_fp"),
     )
     quality_ok = featured.filter(F.col("quality") >= QUALITY_MIN)

@@ -23,15 +23,15 @@ from ..functions.hashing import (
 from ..functions.text import (
     alpha_ratio,
     alpha_ratio_sql,
-    lang_id,
+    lang_id_from,
     lang_id_sql,
     norm_text,
     norm_text_sql,
-    quality_score,
+    quality_score_from,
     quality_score_sql,
-    stopword_ratio,
+    stopword_ratio_from,
     stopword_ratio_sql,
-    token_count,
+    token_count_from,
     token_count_sql,
     tokens,
     tokens_sql,
@@ -63,13 +63,14 @@ def rolling_hash_sql(expr: str) -> str:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
-    return docs.select(
+    staged = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    return staged.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count_from("text", F.col("toks")).alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_raw"),
         F.round(alpha_ratio("text"), 6).alias("alpha_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
+        F.round(stopword_ratio_from(F.col("toks")), 6).alias("stopword_ratio"),
+        quality_score_from("text", F.col("toks")).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -87,8 +88,9 @@ ORDER BY doc_id
 
 def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    staged = docs.select("text", tokens("text").alias("toks"))
     return (
-        docs.select(lang_id("text").alias("lang_pred"))
+        staged.select(lang_id_from("text", F.col("toks")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_pred")
