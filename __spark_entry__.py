@@ -44,11 +44,17 @@ def _modules():
         similarity,
         text_analysis,
     )
-    from trace_parquet_spark.plans import relational, relational_extras, temporal
+    from trace_parquet_spark.plans import (
+        relational,
+        relational_extras,
+        relational_more,
+        temporal,
+    )
 
     return (
         relational,
         relational_extras,
+        relational_more,
         temporal,
         text_analysis,
         dedup,

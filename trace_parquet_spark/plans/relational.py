@@ -32,6 +32,32 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
+
+def grid_sum(term, decimals: int):
+    """Exact cross-engine sum of terms that sit on a 10^-decimals grid
+    (e.g. price×(1−discount) with 2-decimal inputs → 4-decimal grid):
+    quantize each TERM to an integer with floor(x·q + 0.5) — engine-
+    identical since the double is within ~1e-10 of the grid point —
+    sum as BIGINT, divide once. ``round(sum(...), 2)`` instead would
+    sit exactly on the .005 rounding boundary whenever the true sum has
+    a half-cent component, where Spark (HALF_UP on shortest decimal
+    repr) and DuckDB (half-away on the binary value) systematically
+    disagree."""
+    from pyspark.sql import functions as _F
+
+    q = 10**decimals
+    return _F.sum(
+        _F.floor(term * q + _F.lit(0.5)).cast("long")
+    ) / _F.lit(float(q))
+
+
+def grid_sum_sql(expr: str, decimals: int) -> str:
+    q = 10**decimals
+    return f"sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) / {q}.0"
+
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
 # --------------------------------------------------------------------------
 # TPC-H-style headline queries
 # --------------------------------------------------------------------------
@@ -52,8 +78,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # emitted at full grid precision: re-rounding to 2 would sit
+            # ON the .005 boundary whenever the exact sum ends in x.xx50
+            grid_sum(disc_price, 4).alias("sum_disc_price"),
+            grid_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -63,12 +91,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                        AS sum_qty,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       {grid_sum_sql("l_extendedprice * (1 - l_discount)", 4)}          AS sum_disc_price,
+       {grid_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
        round(avg(l_extendedprice), 4)                                   AS avg_price,
        round(avg(l_discount), 4)                                        AS avg_disc,
@@ -100,8 +128,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            grid_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -109,9 +137,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {grid_sum_sql(_REVENUE, 4)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -150,17 +178,17 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            grid_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {grid_sum_sql(_REVENUE, 4)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
