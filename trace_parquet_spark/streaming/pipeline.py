@@ -113,6 +113,30 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Exactly-once parquet sink via foreachBatch: each micro-batch
+    writes to a batch-id-addressed subdirectory, so a replayed batch
+    (after failure/restart) overwrites its own output instead of
+    duplicating — idempotent by construction. The checkpoint dir
+    carries source offsets; restarting with the same checkpoint resumes
+    where the previous run stopped."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
