@@ -41,8 +41,10 @@ def _modules():
         corpus_pipeline,
         dedup,
         multimodal,
+        sampling,
         similarity,
         text_analysis,
+        udaf,
     )
     from trace_parquet_spark.plans import (
         relational,
@@ -61,6 +63,8 @@ def _modules():
         similarity,
         multimodal,
         corpus_pipeline,
+        sampling,
+        udaf,
     )
 
 

@@ -56,6 +56,27 @@ def grid_sum_sql(expr: str, decimals: int) -> str:
     return f"sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) / {q}.0"
 
 
+def exact_avg(term, decimals: int):
+    """Cross-engine-exact mean of grid-aligned terms: exact integer sum
+    (see grid_sum) divided by count·10^d in ONE double division — both
+    operands exactly representable, so the result is bit-identical in
+    any IEEE engine. Avoids ``round(avg(x), d)`` whose value can land
+    exactly on the rounding boundary (e.g. a half-cent mean)."""
+    from pyspark.sql import functions as _F
+
+    q = 10**decimals
+    s = _F.sum(_F.floor(term * q + _F.lit(0.5)).cast("long")).cast("double")
+    return s / (_F.count(_F.lit(1)) * _F.lit(q))
+
+
+def exact_avg_sql(expr: str, decimals: int) -> str:
+    q = 10**decimals
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / (count(*) * {q})"
+    )
+
+
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
 # --------------------------------------------------------------------------
@@ -82,9 +103,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ON the .005 boundary whenever the exact sum ends in x.xx50
             grid_sum(disc_price, 4).alias("sum_disc_price"),
             grid_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_avg(F.col("l_quantity"), 0).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -97,9 +118,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
        {grid_sum_sql("l_extendedprice * (1 - l_discount)", 4)}          AS sum_disc_price,
        {grid_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
+       {exact_avg_sql("l_quantity", 0)}                                 AS avg_qty,
+       {exact_avg_sql("l_extendedprice", 2)}                            AS avg_price,
+       {exact_avg_sql("l_discount", 2)}                                 AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -457,14 +478,14 @@ def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            exact_avg(F.col("c_acctbal"), 2).alias("avg_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
 
 
-SEMI_JOIN_SQL = """
-SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+SEMI_JOIN_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_customers, {exact_avg_sql("c_acctbal", 2)} AS avg_acctbal
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
@@ -514,17 +535,17 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            exact_avg(F.col("k"), 0).alias("avg_k"),
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
     )
 
 
-JSON_EXTRACT_SQL = """
+JSON_EXTRACT_SQL = f"""
 SELECT event_type,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)       AS avg_k,
+       {exact_avg_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS avg_k,
        count(*)                                                               AS n_events
 FROM events
 GROUP BY event_type

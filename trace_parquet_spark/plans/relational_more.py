@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from .relational import _REVENUE, grid_sum, grid_sum_sql
+from .relational import _REVENUE, exact_avg, exact_avg_sql, grid_sum, grid_sum_sql
 
 
 def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -21,7 +21,7 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            exact_avg(F.col("c_acctbal"), 2).alias("avg_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
     )
@@ -30,11 +30,11 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment", "stat")
 
 
-UNPIVOT_SQL = """
+UNPIVOT_SQL = f"""
 WITH wide AS (
   SELECT c_mktsegment,
          round(min(c_acctbal), 2) AS min_bal,
-         round(avg(c_acctbal), 2) AS avg_bal,
+         {exact_avg_sql("c_acctbal", 2)} AS avg_bal,
          round(max(c_acctbal), 2) AS max_bal
   FROM customer GROUP BY c_mktsegment
 )
@@ -115,16 +115,16 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_fast_shipments"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
     )
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_SQL = f"""
 SELECT o_orderpriority,
        count(*) AS n_fast_shipments,
-       round(avg(l_extendedprice), 4) AS avg_price
+       {exact_avg_sql("l_extendedprice", 2)} AS avg_price
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
