@@ -40,6 +40,7 @@ def _modules():
     from trace_parquet_spark.operators import (
         corpus_pipeline,
         dedup,
+        ivf,
         multimodal,
         sampling,
         similarity,
@@ -65,6 +66,7 @@ def _modules():
         corpus_pipeline,
         sampling,
         udaf,
+        ivf,
     )
 
 

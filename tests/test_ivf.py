@@ -1,0 +1,42 @@
+"""IVF ANN: deterministic training, cluster integrity, and recall
+against brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.operators import ivf, similarity
+from trace_parquet_spark.sources.registry import load_table
+
+
+def test_centroids_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = ivf.train_centroids(emb)
+    c2 = ivf.train_centroids(emb)
+    assert c1 == c2
+    assert len(c1) == ivf.K and len(c1[0]) == 64
+
+
+def test_assignment_covers_all_vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.train_centroids(emb)
+    assigned = ivf._assign(emb, "embedding", cents)
+    assert assigned.filter(F.col("cluster").isNull()).count() == 0
+    n_clusters = assigned.select("cluster").distinct().count()
+    assert 2 <= n_clusters <= ivf.K
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf.ann_ivf_topk(spark, sf_dir).collect()
+    }
+    # k-means on near-uniform synthetic vectors is a coarse filter;
+    # demand structural sanity + meaningful overlap
+    assert len(approx) > 0
+    recall = len(approx & brute) / len(brute)
+    assert recall >= 0.2, f"recall {recall}"

@@ -189,6 +189,37 @@ ORDER BY c_mktsegment
 """
 
 
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein is built-in on both
+    engines) — the string-similarity cousin of the dedup operators."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .select("key_a", "key_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )
+
+
+FUZZY_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 100 AND b.p_partkey < 100
+  AND levenshtein(a.p_name, b.p_name) <= 8
+ORDER BY key_a, key_b
+"""
+
+
 def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql(...) surface over raw parquet paths — same
     Catalyst plan as the DataFrame API, exercised explicitly."""
@@ -221,6 +252,7 @@ QUERIES = {
     "like_regex_filters": like_regex_filters,
     "percentiles_by_group": percentiles_by_group,
     "sql_entry_point": sql_entry_point,
+    "fuzzy_part_pairs": fuzzy_part_pairs,
 }
 
 ORACLES = {
@@ -230,4 +262,5 @@ ORACLES = {
     "like_regex_filters": LIKE_REGEX_SQL,
     "percentiles_by_group": PERCENTILES_SQL,
     "sql_entry_point": SQL_ENTRY_SQL,
+    "fuzzy_part_pairs": FUZZY_SQL,
 }
