@@ -31,8 +31,6 @@ from ..functions.hashing import (
     fingerprint_md5_sql,
     stable_hash32,
     stable_hash32_sql,
-    stable_hash32_x4,
-    stable_hash32_x4_sql,
 )
 from ..functions.text import (
     norm_text,
@@ -163,20 +161,39 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------------
 
 
+# Universal-hash family over ONE md5 base hash: h_i = (a_i·h + b_i) mod p.
+# One string hash per shingle instead of N_HASHES/4 md5 digests; the
+# derivations are exact 64-bit integer ops, identical in any engine.
+# p = 2^31 - 1 keeps a_i·h < 2^62 (no BIGINT overflow); a_i/b_i are
+# fixed pseudo-random constants derived from the md5 family itself.
+_MERSENNE_P = 2**31 - 1
+
+
+def _uh_constants(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"uh-a:{i}".encode()).hexdigest()[:8], 16) % (_MERSENNE_P - 1) + 1
+    b = int(hashlib.md5(f"uh-b:{i}".encode()).hexdigest()[:8], 16) % _MERSENNE_P
+    return a, b
+
+
+_UH = [_uh_constants(i) for i in range(N_HASHES)]
+
+
 def _hash_family(col: F.Column) -> list[F.Column]:
-    """N_HASHES hash columns from N_HASHES/4 md5 digests (each digest
-    yields four 32-bit chunks; Catalyst CSEs the repeated md5)."""
-    out: list[F.Column] = []
-    for g in range(N_HASHES // 4):
-        out.extend(stable_hash32_x4(col, g))
-    return out
+    base = stable_hash32(col) % F.lit(_MERSENNE_P)
+    return [
+        (base * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+        for a, b in _UH
+    ]
 
 
 def _hash_family_sql(expr: str) -> list[str]:
-    out: list[str] = []
-    for g in range(N_HASHES // 4):
-        out.extend(stable_hash32_x4_sql(expr, g))
-    return out
+    base = f"({stable_hash32_sql(expr)} % {_MERSENNE_P})"
+    return [
+        f"(({base} * {a} + {b}) % {_MERSENNE_P})"
+        for a, b in _UH
+    ]
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
