@@ -70,6 +70,37 @@ ORDER BY n_regionkey
 """
 
 
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-operation semantics — intersectAll/exceptAll
+    keep duplicate multiplicity, unlike the distinct forms in
+    setops_nation_keys. Exercised on order-priority multisets of two
+    customer cohorts."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_custkey") % 2 == 0).select("o_orderpriority")
+    b = orders.filter(F.col("o_custkey") % 3 == 0).select("o_orderpriority")
+    inter = a.intersectAll(b).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    exc = a.exceptAll(b).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    return inter.unionByName(exc).orderBy("op", "o_orderpriority")
+
+
+SETOPS_MULTISET_SQL = """
+WITH a AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 0),
+     b AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0)
+SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS n
+FROM (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b)
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'except_all' AS op, o_orderpriority, count(*) AS n
+FROM (SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b)
+GROUP BY o_orderpriority
+ORDER BY op, o_orderpriority
+"""
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest dedup: one row per key by recency (the windowed,
     deterministic form of dropDuplicates)."""
@@ -239,6 +270,7 @@ QUERIES = {
     "range_join_shipments": range_join_shipments,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
+    "setops_multiset": setops_multiset,
 }
 
 ORACLES = {
@@ -248,4 +280,5 @@ ORACLES = {
     "range_join_shipments": RANGE_JOIN_SQL,
     "q7_nation_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,
+    "setops_multiset": SETOPS_MULTISET_SQL,
 }
