@@ -68,14 +68,32 @@ def export_trace_to_file(
     out_path: str,
 ) -> int:
     """Full reference lifecycle incl. the empty→404 contract (E1):
-    zero rows raises NoDataFoundError, nothing is written
-    (reference: controller/DataExportController.java:48-52)."""
+    zero rows raises NoDataFoundError and the output path is removed
+    (reference: controller/DataExportController.java:48-52).
+
+    Single-job execution: the filter→gunzip→sort plan runs ONCE (the
+    write); the row count is then derived from the committed parquet
+    footers (metadata-only second job — Spark's count(*) over parquet
+    never rescans data pages). A count()-before-write would run the
+    most expensive pipeline in the system twice.
+    """
+    spark = df.sparkSession
     result = export_trace(df, ids, start, end)
-    n = result.count()
-    if n == 0:
-        raise NoDataFoundError()
     result.coalesce(1).write.mode("overwrite").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+    if n == 0:
+        _delete_path(spark, out_path)
+        raise NoDataFoundError()
     return n
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Remove a written output via the Hadoop FileSystem API (works for
+    any configured FS, not just local disk)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
 
 
 def open_payload(df: DataFrame) -> DataFrame:

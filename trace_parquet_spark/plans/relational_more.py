@@ -45,8 +45,14 @@ ORDER BY c_mktsegment, stat
 """
 
 
-def collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list / collect_set as deterministic sorted arrays."""
+def collect_aggregates_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set as deterministic sorted arrays.
+
+    Array-typed output — exercised in pytest (tests compare element-wise);
+    the driver-facing ``collect_aggregates`` serializes these to strings
+    because the harness canonicalizer sorts/hashes pandas frames and
+    array cells are unhashable.
+    """
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
@@ -59,11 +65,35 @@ def collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set, serialized to '|'-joined strings so the
+    result is flat-hashable cross-engine (arrays sorted before joining for
+    determinism)."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("n_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("nation_keys"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 COLLECT_AGG_SQL = """
 SELECT n_regionkey,
-       list_sort(list(n_name))                 AS nations,
-       list_sort(list(DISTINCT n_nationkey))   AS nation_keys,
-       count(*)                                AS n
+       array_to_string(list_sort(list(n_name)), '|')                  AS nations,
+       array_to_string(list_sort(list(DISTINCT n_nationkey)), '|')    AS nation_keys,
+       count(*)                                                       AS n
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
