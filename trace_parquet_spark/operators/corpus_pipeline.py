@@ -5,14 +5,18 @@ plan (each stage reuses the engine's operators, Catalyst fuses them):
 
 1. quality gate   — drop low-quality docs (quality_score < τq);
 2. exact dedup    — keep the min doc_id per content fingerprint;
-3. near-dup sweep — among surviving docs, drop the higher-id member of
-   every Jaccard-≥-τj pair (greedy by id, the standard corpus rule);
+3. near-dup sweep — among the docs surviving stages 1-2, drop the
+   higher-id member of every Jaccard-≥-τj pair (greedy by id, the
+   standard corpus rule). Pairs come from the banded-LSH candidate
+   generator (dedup.dedup_minhash_lsh) — the scale default: candidate
+   pairs are bucket-collisions only, never all-pairs — and are
+   restricted to survivors on BOTH sides, so a doc is only dropped
+   because of a duplicate that is itself still in the corpus.
 4. emit the clean corpus with its features.
 
-Stage 3 reuses the exact n-gram pair relation; swapping in the
-banded-LSH candidate generator (dedup.dedup_minhash_lsh) is a
-one-line change and the scale default — exact pairs keep the oracle
-fully SQL-expressible here.
+The DuckDB oracle mirrors the full LSH pair derivation (minhash
+signatures → bands → candidates → exact verification), so the gate
+checks the scale path itself, not a simplified stand-in.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.registry import load_table_parallel
-from .dedup import DEDUP_NGRAM_SQL, JACCARD_THRESHOLD, dedup_ngram_pairs
+from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
 
 QUALITY_MIN = 0.5
 
@@ -53,19 +57,27 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = quality_ok.join(exact_keep, ["content_fp", "doc_id"], "inner")
 
-    near_pairs = dedup_ngram_pairs(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
+    # Near-dup pairs via banded LSH; both endpoints must be survivors
+    # (semi-joins — survivor ids are a pruned set, broadcastable at the
+    # per-partition corpus granularity this stage runs at).
+    survivor_ids = survivors.select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = pairs.join(
+        survivor_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).join(
+        survivor_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
     )
-    cleaned = survivors.join(near_pairs, "doc_id", "left_anti")
+    drop_ids = pairs.select(F.col("doc_b").alias("doc_id"))
+    cleaned = survivors.join(drop_ids, "doc_id", "left_anti")
 
     return cleaned.select(
         "doc_id", "lang", "n_tokens", F.round("quality", 6).alias("quality")
     ).orderBy("doc_id")
 
 
-# The near-dup pair subquery is the body of DEDUP_NGRAM_SQL minus its
+# The near-dup pair subquery is the body of DEDUP_MINHASH_SQL minus its
 # ORDER BY (DuckDB CTEs reject a trailing order-by-in-subquery anyway).
-_PAIRS_SQL = DEDUP_NGRAM_SQL.rsplit("ORDER BY", 1)[0]
+_PAIRS_SQL = DEDUP_MINHASH_SQL.rsplit("ORDER BY", 1)[0]
 
 CORPUS_CLEAN_SQL = f"""
 WITH featured AS (
@@ -85,10 +97,15 @@ survivors AS (
 ),
 near_pairs AS (
   {_PAIRS_SQL}
+),
+surv_pairs AS (
+  SELECT p.* FROM near_pairs p
+  WHERE p.doc_a IN (SELECT doc_id FROM survivors)
+    AND p.doc_b IN (SELECT doc_id FROM survivors)
 )
 SELECT s.doc_id, s.lang, s.n_tokens, round(s.quality, 6) AS quality
 FROM survivors s
-WHERE NOT EXISTS (SELECT 1 FROM near_pairs p WHERE p.doc_b = s.doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM surv_pairs p WHERE p.doc_b = s.doc_id)
 ORDER BY s.doc_id
 """
 

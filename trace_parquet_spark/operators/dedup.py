@@ -5,9 +5,10 @@ Four flavors, each with a different scale/recall trade-off:
 - **exact** (`dedup_exact`): hash-groupBy on a content fingerprint.
   One shuffle on the 128-bit hash; the canonical 100 TB first pass.
 - **n-gram Jaccard** (`dedup_ngram_pairs`): exact set similarity via a
-  shingle self-join. Quadratic in per-shingle frequency — correct but
-  only viable after the shingle-frequency tail is capped; kept as the
-  ground-truth oracle for the LSH variant.
+  shingle self-join over the DF-CAPPED shingle relation (shingles
+  appearing in > SHINGLE_DF_CAP docs are dropped as stopword-shingles
+  before any pairing — a hot boilerplate shingle shared by S docs
+  would otherwise fan out S² join rows). Ground truth for LSH.
 - **MinHash + LSH** (`dedup_minhash_lsh`): the scale path. 16 md5-family
   min-hashes per doc → 4 bands × 4 rows → banded bucket join only
   produces candidate pairs (collision probability s^4 per band) →
@@ -47,6 +48,12 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
+# Shingles appearing in more than this many documents are dropped
+# before ANY pairing/signature work (stopword-shingle rule). This is
+# the scale guard: without it one boilerplate shingle shared by S
+# docs makes S² pairs in the exact self-join. Semantics are mirrored
+# exactly in the DuckDB oracle CTE, so parity is unaffected.
+SHINGLE_DF_CAP = 100
 
 
 # --------------------------------------------------------------------------
@@ -96,11 +103,35 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle relation minus hot shingles (document frequency >
+    SHINGLE_DF_CAP). The hot set is the heavy-hitter tail — small by
+    construction (≤ |shingles|/cap), so it broadcasts and the removal
+    is a broadcast anti-join, not a shuffle. All pairing, minhash
+    signatures, and Jaccard sizes downstream use this capped relation,
+    so similarity is computed over the same universe in both engines.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
 _SHINGLES_CTE = f"""
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id,
          unnest({shingles_sql("text", SHINGLE_N)}) AS s
   FROM documents
+),
+hot AS (
+  SELECT s FROM sh_all GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP}
+),
+sh AS (
+  SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)
 )
 """
 
@@ -111,8 +142,9 @@ sh AS (
 
 
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold (exact)."""
-    sh = _doc_shingles(spark, sf_dir)
+    """All pairs with shingle-set Jaccard >= threshold (exact over the
+    df-capped shingle universe — see SHINGLE_DF_CAP)."""
+    sh = _doc_shingles_capped(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -230,9 +262,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification joins shingle sets of CANDIDATE docs only (semi-
     join pruning) — the whole point of LSH at scale: exact similarity
     is computed on O(candidates), never on all pairs. The shingle
-    relation is cached because signatures and verification both read it.
+    relation (df-capped — hot shingles carry no similarity signal and
+    would dominate both signatures and the verification join) is
+    persisted serialized because signatures and verification both read
+    it; PySpark's MEMORY_AND_DISK level is serialized-in-memory, which
+    keeps the working set compact and spills instead of evicting under
+    pressure.
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
+    from pyspark import StorageLevel
+
+    sh = _doc_shingles_capped(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = _band_signatures(minhash_signatures(sh))
     a = bands.alias("a")
     b = bands.alias("b")

@@ -109,13 +109,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode_features(attach_blob(docs)).orderBy("doc_id")
 
 
+# first_byte is BYTE-based and NULL for empty payloads, exactly like
+# the pandas extractor (int(b[0]) / None) — ascii(substring(text,1,1))
+# would return the first CHARACTER's code point (and 0 for empty),
+# diverging on any non-ASCII leading char. The fraction uses the same
+# floor(x*1e6+0.5) half-up grid as the Python side, not round().
 MULTIMODAL_SQL = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT)            AS byte_len,
-       CAST(ascii(substring(text, 1, 1)) AS BIGINT)          AS first_byte,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+            ELSE CAST(CAST(('0x' || left(hex(encode(text)), 2)) AS INT) AS BIGINT)
+       END                                                   AS first_byte,
        CAST((octet_length(encode(text)) + {CHUNK - 1}) // {CHUNK} AS BIGINT) AS n_chunks,
-       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-             / greatest(octet_length(encode(text)), 1), 6)   AS ascii_lower_frac
+       floor(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / greatest(octet_length(encode(text)), 1) * 1e6 + 0.5) / 1e6
+                                                             AS ascii_lower_frac
 FROM documents
 ORDER BY doc_id
 """

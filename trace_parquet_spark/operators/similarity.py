@@ -176,21 +176,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _with_table_buckets(emb, "embedding")
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
         F.col("table_id").alias("qt"),
         F.col("bucket").alias("qb"),
     )
-    candidates = (
+    # Dedup candidates on (query_id, vec_id) ONLY — the multi-table
+    # union dedup must not shuffle rows carrying the full DIM-wide
+    # embedding arrays; vectors are re-attached after the distinct.
+    cand_ids = (
         buckets.join(
             F.broadcast(q),
             (F.col("table_id") == F.col("qt"))
             & (F.col("bucket") == F.col("qb"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qv", "vec_id", "embedding")
+        .select("query_id", "vec_id")
         .distinct()
     )
-    scored = candidates.withColumn("cos9", F.round(cosine("qv", "embedding"), 9))
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cand_ids.join(emb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos9", F.round(cosine("qv", "embedding"), 9))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos9"), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -17,13 +17,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt derived from a row-unique expression is
-    preferable when available; here we hash the whole row's key plus a
-    monotonically varying component."""
+def with_salt(
+    df: DataFrame,
+    key: str,
+    buckets: int,
+    salt_col: str = "__salt",
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Content-derived salt: hash of ``salt_on`` columns (default: every
+    column). Stable across task retries/stage recomputation — a salt fed
+    into a shuffle key MUST be deterministic per row, or a fetch-failure
+    retry can recompute rows into different buckets and silently drop or
+    duplicate them (the classic nondeterministic-repartition hazard;
+    monotonically_increasing_id/rand are both unsafe here). Exact
+    duplicate rows share a salt, which only narrows spreading for
+    identical rows — harmless for correctness."""
+    cols = salt_on if salt_on is not None else df.columns
     return df.withColumn(
         salt_col,
-        (F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), buckets)).cast("int"),
+        F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int"),
     )
 
 

@@ -35,8 +35,12 @@ def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
     sxy = sum(x * y for x, y in zip(xs, ys))
     den = n * sxx - sx * sx
     num = n * sxy - sx * sy
-    # y is cents → /100; x in seconds → slope in value-units/second
-    slope = 0.0 if den == 0 else (num / den) / 100.0
+    # y is cents → /100; x in seconds → slope in value-units/second.
+    # Round num and den to double BEFORE dividing — the oracle computes
+    # CAST(num AS DOUBLE)/CAST(den AS DOUBLE), and Python's exact int
+    # division (single rounding) can differ in the last ulp once the
+    # products exceed 2^53.
+    slope = 0.0 if den == 0 else (float(num) / float(den)) / 100.0
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],

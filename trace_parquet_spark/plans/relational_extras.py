@@ -189,10 +189,58 @@ ORDER BY c_mktsegment
 """
 
 
+FUZZY_EDIT_MAX = 2
+FUZZY_Q = 3
+FUZZY_KEY_MAX = 500
+# q-gram count-filter theorem: ed(a,b) <= d implies the names share at
+# least max(|a|,|b|) - q + 1 - d*q q-grams. The bound is vacuous only
+# when max(|a|,|b|) <= q - 1 + d*q, so pairs of strings that short must
+# be checked directly — everything longer MUST collide on >= 1 q-gram.
+_FUZZY_SHORT_LEN = FUZZY_Q - 1 + FUZZY_EDIT_MAX * FUZZY_Q
+
+
 def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (levenshtein is built-in on both
-    engines) — the string-similarity cousin of the dedup operators."""
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    """Edit-distance fuzzy matching, BLOCKED: candidate pairs come from
+    a shared-3-gram join (plus the provably-required all-pairs fallback
+    among strings too short for the count filter to bind), and
+    levenshtein runs on candidates only — never on the full cross
+    product. The blocking is lossless for the threshold (count-filter
+    theorem above), so the exact all-pairs DuckDB oracle hash-matches.
+
+    Scale shape: the gram join shuffles (gram, key) pairs; the short
+    fallback is quadratic only in the count of sub-9-char strings.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < FUZZY_KEY_MAX)
+        .select("p_partkey", "p_name")
+    )
+    grams = part.select(
+        F.col("p_partkey").alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(p_name) - {FUZZY_Q - 1}, 1)),"
+                    f" i -> substring(p_name, i, {FUZZY_Q}))"
+                )
+            )
+        ).alias("g"),
+    )
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    cand_grams = (
+        ga.join(
+            gb,
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.k") < F.col("gb.k")),
+        )
+        .select(F.col("ga.k").alias("key_a"), F.col("gb.k").alias("key_b"))
+        .distinct()
+    )
+    short = part.filter(F.length("p_name") <= _FUZZY_SHORT_LEN)
+    sa = short.select(F.col("p_partkey").alias("key_a"))
+    sb = short.select(F.col("p_partkey").alias("key_b"))
+    cand_short = sa.join(F.broadcast(sb), F.col("key_a") < F.col("key_b"))
+    cands = cand_grams.union(cand_short).distinct()
     a = part.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
     )
@@ -200,22 +248,23 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
     )
     return (
-        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        cands.join(F.broadcast(a), "key_a")
+        .join(F.broadcast(b), "key_b")
         .withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
         )
-        .filter(F.col("edit_dist") <= 8)
+        .filter(F.col("edit_dist") <= FUZZY_EDIT_MAX)
         .select("key_a", "key_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
 
 
-FUZZY_SQL = """
+FUZZY_SQL = f"""
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-WHERE a.p_partkey < 100 AND b.p_partkey < 100
-  AND levenshtein(a.p_name, b.p_name) <= 8
+WHERE a.p_partkey < {FUZZY_KEY_MAX} AND b.p_partkey < {FUZZY_KEY_MAX}
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_EDIT_MAX}
 ORDER BY key_a, key_b
 """
 
