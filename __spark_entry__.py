@@ -46,8 +46,10 @@ def _modules():
         similarity,
         text_analysis,
         udaf,
+        udtf,
     )
     from trace_parquet_spark.plans import (
+        grouping_sets,
         relational,
         relational_extras,
         relational_more,
@@ -59,6 +61,7 @@ def _modules():
         relational_extras,
         relational_more,
         temporal,
+        grouping_sets,
         text_analysis,
         dedup,
         similarity,
@@ -66,6 +69,7 @@ def _modules():
         corpus_pipeline,
         sampling,
         udaf,
+        udtf,
         ivf,
     )
 

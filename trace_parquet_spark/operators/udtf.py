@@ -1,0 +1,90 @@
+"""Python UDTF surface (SURVEY §2.10 — the one user-function shape the
+round-1 engine didn't demonstrate; Spark 4 ``@udtf``).
+
+A UDTF is the table-valued extension point: one input row → many
+output rows with a declared schema, registered and invoked from SQL
+(LATERAL-style). Demonstrated here as a token exploder over
+``documents``: (doc_id, text) → (doc_id, pos, token) rows, using the
+SAME normalization as functions/text.py so the DuckDB oracle (zipped
+unnest of token list + position list) hash-matches.
+
+Scale note: UDTFs are a per-row Python path — correct tool when the
+row fan-out logic genuinely needs Python (custom parsers, generators).
+For anything expressible as explode(arrays) stay JVM-side; the engine's
+other operators do exactly that. This module is the API-coverage
+demonstration, deliberately bounded to a doc_id slice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+UDTF_DOC_MAX = 100
+# Mirrors functions/text.py norm_text: lower + trim + collapse \s+.
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm_tokens(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    norm = _WS_RE.sub(" ", text.strip().lower())
+    if not norm:
+        return []
+    return norm.split(" ")
+
+
+class ExplodeTokens:
+    """UDTF body: eval() yields one row per token with its 1-based
+    position (reference has no UDF framework at all — SURVEY §2.10;
+    this is the north-star extension surface)."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: A002 - Spark UDTF signature
+        for pos, tok in enumerate(_norm_tokens(text), start=1):
+            yield doc_id, pos, tok
+
+
+def explode_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    exploder = udtf(
+        ExplodeTokens, returnType="doc_id bigint, pos bigint, token string"
+    )
+    spark.udtf.register("explode_tokens", exploder)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < UDTF_DOC_MAX
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM udtf_docs d,
+             LATERAL explode_tokens(d.doc_id, d.text) t
+        ORDER BY t.doc_id, t.pos
+        """
+    )
+
+
+# DuckDB: multiple unnests in one SELECT are zipped positionally, which
+# pairs each token with its 1-based position.
+UDTF_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+  WHERE doc_id < {UDTF_DOC_MAX} AND length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+       unnest(toks) AS token
+FROM t
+ORDER BY doc_id, pos
+"""
+
+
+QUERIES = {"explode_tokens_udtf": explode_tokens_udtf}
+ORACLES = {"explode_tokens_udtf": UDTF_TOKENS_SQL}
