@@ -54,12 +54,14 @@ def _modules():
         relational_extras,
         relational_more,
         temporal,
+        tpch_more,
     )
 
     return (
         relational,
         relational_extras,
         relational_more,
+        tpch_more,
         temporal,
         grouping_sets,
         text_analysis,
