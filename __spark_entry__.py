@@ -42,6 +42,7 @@ def _modules():
         dedup,
         ivf,
         multimodal,
+        ranking,
         sampling,
         similarity,
         text_analysis,
@@ -65,6 +66,7 @@ def _modules():
         temporal,
         grouping_sets,
         text_analysis,
+        ranking,
         dedup,
         similarity,
         multimodal,

@@ -64,3 +64,18 @@ def test_no_python_in_relational_hot_path(spark, sf_dir, qs):
                  "sessionize_events", "dedup_minhash_lsh", "cosine_topk"):
         plan = _plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in plan, name
+
+
+def test_bm25_topk_is_take_ordered_and_jvm_side(spark, sf_dir, qs):
+    plan = _plan(qs["bm25_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_pairs_blocked_no_cartesian_on_part(spark, sf_dir, qs):
+    """The gram-blocking join must carry the candidate generation; the
+    only cross product allowed is the bounded short-string fallback."""
+    plan = _plan(qs["fuzzy_part_pairs"](spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
