@@ -113,6 +113,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop re-deliveries of the
+    same event_id arriving within the watermark horizon
+    (dropDuplicatesWithinWatermark — state for a key expires once the
+    watermark passes it, so state size is bounded by the late-data
+    window, not by stream history; plain dropDuplicates on a stream
+    would keep every key forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to a prior click by
+    the same user within ``horizon``. Both sides carry watermarks and
+    the join condition carries the time band — that pair is what lets
+    Spark expire buffered rows (state is bounded by watermark +
+    horizon; an unbounded stream-stream join would buffer forever).
+    The streaming twin of operators/asof.py's batch as-of join.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )
+
+
 def write_stream_exactly_once(
     stream_df: DataFrame,
     out_dir: str,
