@@ -40,6 +40,7 @@ def _modules():
     from trace_parquet_spark.operators import (
         corpus_pipeline,
         dedup,
+        dedup_clusters,
         ivf,
         multimodal,
         ranking,
@@ -68,6 +69,7 @@ def _modules():
         text_analysis,
         ranking,
         dedup,
+        dedup_clusters,
         similarity,
         multimodal,
         corpus_pipeline,

@@ -63,3 +63,22 @@ def test_udtf_rows_align_with_jvm_tokens(spark, sf_dir):
     assert len(got) == len(jvm)
     for r in got:
         assert r.n == r.maxpos == jvm[r.doc_id]
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from trace_parquet_spark.operators.dedup_clusters import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # isolated pair
+        "src long, dst long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}

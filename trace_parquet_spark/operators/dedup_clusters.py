@@ -1,0 +1,125 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pairs.
+
+Pair generation (exact n-gram, minhash LSH, simhash) leaves a graph of
+doc↔doc edges; the corpus rule "keep one representative per duplicate
+CLUSTER" needs its connected components — pairwise greedy drops can
+orphan chains (a~b, b~c but a!~c: dropping b's pairs alone may keep
+both a and c even though they belong to one cluster through b).
+
+Spark side: iterative min-label propagation — each round every node
+takes the min label among itself and its neighbors; converges in
+O(graph diameter) rounds. Each round is one join + one aggregation on
+the (small) edge relation, the standard large-graph CC shape
+(GraphFrames does the same under the hood); the vertex relation is
+checkpoint-truncated each round via localCheckpoint to keep the plan
+from growing.
+
+Oracle: DuckDB WITH RECURSIVE reachability — label(v) = min(doc_id)
+over all docs reachable from v — a genuinely different algorithm
+arriving at the same fixpoint, which makes the hash match strong
+evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
+
+MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+    """(src, dst) undirected edges → (doc_id, cluster_id) with
+    cluster_id = min doc_id in the component. Nodes appear only if
+    they touch an edge."""
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # converged? (cheap: both sides are |V| rows)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        # truncate lineage so the iterative plan doesn't snowball
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the banded-LSH pair relation: one row per
+    clustered doc with its component representative and size."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+_PAIRS_BODY = DEDUP_MINHASH_SQL.rsplit("ORDER BY", 1)[0]
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_PAIRS_BODY}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, r.r
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+ORDER BY l.doc_id
+"""
+
+
+QUERIES = {"dedup_clusters": dedup_clusters}
+ORACLES = {"dedup_clusters": DEDUP_CLUSTERS_SQL}
