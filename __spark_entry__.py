@@ -51,6 +51,7 @@ def _modules():
         udtf,
     )
     from trace_parquet_spark.plans import (
+        analytics_extras,
         grouping_sets,
         relational,
         relational_extras,
@@ -66,6 +67,7 @@ def _modules():
         tpch_more,
         temporal,
         grouping_sets,
+        analytics_extras,
         text_analysis,
         ranking,
         dedup,

@@ -1,0 +1,176 @@
+"""Fifth relational batch: time-series gap-fill/resample, analytic
+window suite (ntile/percent_rank/cume_dist/lag-delta), and value
+histograms — the telemetry-dashboard shapes a trace store serves
+(reference data model is interval sensor readings; SURVEY §1.1).
+
+Conventions as in plans/relational.py. ts casts per the
+TIMESTAMP(NANOS) rule (memory: oracle-parity-rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+GAPFILL_USER_MAX = 20
+HIST_LO, HIST_HI, HIST_BUCKETS = 900, 1000, 10
+
+
+def gapfill_daily_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized daily per-user series: missing days between each
+    user's first and last activity appear with zero counts (the
+    resample/gap-fill primitive every time-series rollup needs).
+
+    Scale shape: the dense day spine is generated per user from a
+    2-column aggregate (sequence + explode — rows ∝ users × span
+    days, never materialized on the driver) and the left join back to
+    the daily aggregate is key-partitioned; nothing is quadratic.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAPFILL_USER_MAX
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # emitted as midnight timestamps: pandas maps Spark DATE to
+            # python date objects, which the driver canonicalizer hashes
+            # differently from DuckDB's datetime64 DATE column
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+GAPFILL_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events WHERE user_id < {GAPFILL_USER_MAX}
+  GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+       coalesce(d.n_events, 0)      AS n_events,
+       coalesce(d.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""
+
+
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window family in one query: ntile
+    quartiles, percent_rank, cume_dist, and lag-delta, all over the
+    same per-customer partition (one Exchange serves all four)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 50
+    )
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    by_date = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(by_price).cast("long").alias("price_quartile"),
+            F.percent_rank().over(by_price).alias("price_pct_rank"),
+            F.cume_dist().over(by_price).alias("price_cume_dist"),
+            F.round(
+                F.col("o_totalprice")
+                - F.lag("o_totalprice", 1, 0.0).over(by_date),
+                2,
+            ).alias("delta_vs_prev_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_SUITE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w_price AS BIGINT) AS price_quartile,
+       percent_rank() OVER w_price           AS price_pct_rank,
+       cume_dist()    OVER w_price           AS price_cume_dist,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w_date, 2)
+                                             AS delta_vs_prev_order
+FROM orders
+WHERE o_custkey < 50
+WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+       w_date  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def histogram_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via explicit bucket arithmetic
+    (identical floor expression in both engines; DuckDB lacks
+    width_bucket). Equal-width histograms are one aggregation pass —
+    the profiling primitive for choosing partition bounds at scale."""
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("p_retailprice") - HIST_LO) / F.lit(width)) + 1,
+        F.lit(HIST_BUCKETS),
+    ).cast("long")
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.min("p_retailprice"), 2).alias("lo"),
+            F.round(F.max("p_retailprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT CAST(least(floor((p_retailprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BUCKETS!r}) + 1,
+                  {HIST_BUCKETS}) AS BIGINT) AS bucket,
+       count(*) AS n_parts,
+       round(min(p_retailprice), 2) AS lo,
+       round(max(p_retailprice), 2) AS hi
+FROM part
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "gapfill_daily_user_counts": gapfill_daily_user_counts,
+    "window_analytics_suite": window_analytics_suite,
+    "histogram_part_prices": histogram_part_prices,
+}
+
+ORACLES = {
+    "gapfill_daily_user_counts": GAPFILL_SQL,
+    "window_analytics_suite": WINDOW_SUITE_SQL,
+    "histogram_part_prices": HISTOGRAM_SQL,
+}
