@@ -41,11 +41,13 @@ def _modules():
         corpus_pipeline,
         dedup,
         dedup_clusters,
+        indexing,
         ivf,
         multimodal,
         ranking,
         sampling,
         similarity,
+        skew,
         text_analysis,
         udaf,
         udtf,
@@ -76,6 +78,8 @@ def _modules():
         multimodal,
         corpus_pipeline,
         sampling,
+        skew,
+        indexing,
         udaf,
         udtf,
         ivf,

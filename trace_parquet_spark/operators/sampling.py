@@ -66,5 +66,52 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
-QUERIES = {"hash_sample_events": hash_sample_events}
-ORACLES = {"hash_sample_events": HASH_SAMPLE_SQL}
+STRATA_PCT_EN = 10   # downsample the dominant language
+STRATA_PCT_OTHER = 50
+
+
+def stratified_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling: per-stratum rates via the
+    hash rule (en docs kept at 10%, other languages at 50% — the
+    rebalancing move every multilingual corpus needs), reproducible
+    and engine-independent unlike RNG sampleBy. Per-stratum counts and
+    id extrema evidence the exact selected set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.when(F.col("lang") == "en", F.lit(STRATA_PCT_EN)).otherwise(
+        F.lit(STRATA_PCT_OTHER)
+    )
+    kept = docs.filter(
+        stable_hash32(F.col("doc_id").cast("string")) % 100 < pct
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT lang,
+       count(*) AS n_sampled,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+WHERE {stable_hash32_sql("CAST(doc_id AS VARCHAR)")} % 100
+      < CASE WHEN lang = 'en' THEN {STRATA_PCT_EN} ELSE {STRATA_PCT_OTHER} END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "hash_sample_events": hash_sample_events,
+    "stratified_hash_sample_docs": stratified_hash_sample_docs,
+}
+ORACLES = {
+    "hash_sample_events": HASH_SAMPLE_SQL,
+    "stratified_hash_sample_docs": STRATIFIED_SQL,
+}

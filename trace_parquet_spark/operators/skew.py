@@ -13,8 +13,10 @@ produced mid-pipeline). Pattern:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
 
 
 def with_salt(
@@ -69,3 +71,44 @@ def salted_join(
     small_rep = small.crossJoin(F.broadcast(salts))
     big_salted = with_salt(big, key, buckets)
     return big_salted.join(small_rep, [key, "__salt"], how).drop("__salt")
+
+
+def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof that salted two-phase aggregation equals the
+    direct groupBy: orders aggregated by the 5-value (maximally hot)
+    o_orderpriority key through the salt → partial → final pipeline,
+    hash-checked against the oracle's plain GROUP BY. Money summed on
+    the cent grid as longs so the two-phase reassociation is exact."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__cents", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    out = salted_agg(
+        orders,
+        "o_orderpriority",
+        partial_aggs=[
+            F.count("*").alias("n_part"),
+            F.sum("__cents").alias("cents_part"),
+        ],
+        aggs=[
+            F.sum("n_part").alias("n_orders"),
+            (F.sum("cents_part") / F.lit(100.0)).alias("total_price"),
+        ],
+    )
+    return out.select(
+        "o_orderpriority", F.col("n_orders").cast("long").alias("n_orders"),
+        "total_price",
+    ).orderBy("o_orderpriority")
+
+
+SALTED_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {"salted_agg_orders": salted_agg_orders}
+ORACLES = {"salted_agg_orders": SALTED_AGG_SQL}
