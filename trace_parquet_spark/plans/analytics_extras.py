@@ -163,14 +163,61 @@ ORDER BY bucket
 """
 
 
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: readings voided by a quality
+    rule (here: 'error' events) are filled from the user's most recent
+    valid reading — the null-handling workhorse for sensor/trace
+    streams (the reference's data model, SURVEY §1.1). Exercises
+    deterministic NULL creation, last_value(ignoreNulls) frames, and
+    NULL-last ordering semantics."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAPFILL_USER_MAX
+    )
+    voided = ev.withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        voided.select(
+            "user_id",
+            "event_id",
+            "v",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+LOCF_SQL = f"""
+SELECT user_id, event_id, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events WHERE user_id < {GAPFILL_USER_MAX}
+)
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "gapfill_daily_user_counts": gapfill_daily_user_counts,
     "window_analytics_suite": window_analytics_suite,
     "histogram_part_prices": histogram_part_prices,
+    "locf_forward_fill": locf_forward_fill,
 }
 
 ORACLES = {
     "gapfill_daily_user_counts": GAPFILL_SQL,
     "window_analytics_suite": WINDOW_SUITE_SQL,
     "histogram_part_prices": HISTOGRAM_SQL,
+    "locf_forward_fill": LOCF_SQL,
 }
