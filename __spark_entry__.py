@@ -43,6 +43,7 @@ def _modules():
         dedup_clusters,
         indexing,
         ivf,
+        merge,
         multimodal,
         ranking,
         sampling,
@@ -80,6 +81,7 @@ def _modules():
         sampling,
         skew,
         indexing,
+        merge,
         udaf,
         udtf,
         ivf,

@@ -79,3 +79,19 @@ def test_fuzzy_pairs_blocked_no_cartesian_on_part(spark, sf_dir, qs):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_q6_filters_reach_scan(spark, sf_dir, qs):
+    plan = _plan(qs["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan and "l_quantity" in plan
+
+
+def test_q19_broadcasts_part(spark, sf_dir, qs):
+    plan = _plan(qs["q19_discounted_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_upsert_single_shuffle_key(spark, sf_dir, qs):
+    plan = _plan(qs["merge_upsert_user_state"](spark, sf_dir))
+    assert "FullOuter" in plan or "SortMergeJoin" in plan

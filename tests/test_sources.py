@@ -74,3 +74,23 @@ def test_partitioned_sorted_sink(spark, sf_dir, tmp_path):
 def test_kafka_gated(spark):
     with pytest.raises(KafkaUnavailableError):
         read_stream(spark, "localhost:9092", "trace")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from trace_parquet_spark.sources.files import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.mode("overwrite").parquet(src)
+    import glob as _glob
+
+    assert len(_glob.glob(src + "/part-*.parquet")) == 40
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=10**9)
+    assert n == 1
+    assert len(_glob.glob(out + "/part-*.parquet")) == 1
+    # content preserved
+    assert spark.read.parquet(out).count() == 4000
+    got = spark.read.parquet(out).agg({"id": "sum"}).collect()[0][0]
+    assert got == sum(range(4000))

@@ -60,6 +60,37 @@ def write_single_parquet_file(df: DataFrame, path: str, ordered: bool = True) ->
     (df.coalesce(1) if ordered else df).write.mode("overwrite").parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~target-sized files. The operational chore every long-running
+    100 TB pipeline needs — streaming sinks and per-batch writers leave
+    thousands of KB-sized files whose open/footer overhead dominates
+    scans. File count is derived from the dataset's actual on-disk
+    bytes (Hadoop FS metadata — no data read), then one coalesce-write;
+    coalesce (not repartition) avoids a shuffle: compaction only merges
+    read splits. Returns the number of files written."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    spark.read.parquet(in_path).coalesce(int(n_files)).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    out_jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    statuses = fs.listStatus(out_jpath)
+    return sum(
+        1
+        for s in statuses
+        if s.getPath().getName().startswith("part-")
+    )
+
+
 def write_partitioned_sorted(
     df: DataFrame,
     path: str,
