@@ -44,6 +44,7 @@ def _modules():
         indexing,
         ivf,
         merge,
+        quality,
         multimodal,
         ranking,
         sampling,
@@ -82,6 +83,7 @@ def _modules():
         skew,
         indexing,
         merge,
+        quality,
         udaf,
         udtf,
         ivf,
