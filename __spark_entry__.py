@@ -62,6 +62,7 @@ def _modules():
         relational_more,
         temporal,
         tpch_more,
+        tpch_rest,
     )
 
     return (
@@ -69,6 +70,7 @@ def _modules():
         relational_extras,
         relational_more,
         tpch_more,
+        tpch_rest,
         temporal,
         grouping_sets,
         analytics_extras,

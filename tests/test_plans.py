@@ -95,3 +95,29 @@ def test_q19_broadcasts_part(spark, sf_dir, qs):
 def test_merge_upsert_single_shuffle_key(spark, sf_dir, qs):
     plan = _plan(qs["merge_upsert_user_state"](spark, sf_dir))
     assert "FullOuter" in plan or "SortMergeJoin" in plan
+
+
+def test_q2_broadcasts_dims_after_lineitem_collapse(spark, sf_dir, qs):
+    """Q2: lineitem collapses to (part, supp) grain in one partial-agg
+    shuffle; supplier/nation/region join broadcast after that."""
+    plan = _plan(qs["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_q13_left_outer_preserved(spark, sf_dir, qs):
+    plan = _plan(qs["q13_customer_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan
+
+
+def test_q21_semi_anti_stay_semi_anti(spark, sf_dir, qs):
+    """Q21's EXISTS/NOT EXISTS must compile to semi/anti joins, not
+    inner-join + dedup (which would duplicate the probe side)."""
+    plan = _plan(qs["q21_waiting_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q20_no_cartesian(spark, sf_dir, qs):
+    plan = _plan(qs["q20_dominant_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
