@@ -38,6 +38,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 def _modules():
     from trace_parquet_spark.operators import (
+        cdc,
         corpus_pipeline,
         dedup,
         dedup_clusters,
@@ -56,10 +57,12 @@ def _modules():
     )
     from trace_parquet_spark.plans import (
         analytics_extras,
+        collections as collections_plans,
         grouping_sets,
         relational,
         relational_extras,
         relational_more,
+        statistics,
         temporal,
         tpch_more,
         tpch_rest,
@@ -73,6 +76,8 @@ def _modules():
         tpch_rest,
         temporal,
         grouping_sets,
+        collections_plans,
+        statistics,
         analytics_extras,
         text_analysis,
         ranking,
@@ -85,6 +90,7 @@ def _modules():
         skew,
         indexing,
         merge,
+        cdc,
         quality,
         udaf,
         udtf,

@@ -1,0 +1,149 @@
+"""Round-3 additions: collection (map/array) operators, exact-sum
+statistics, rolling anomaly detection, and CDC/SCD2 shapes.
+
+Semantic tests (the oracle parity gate covers value equality; these
+pin the operator CONTRACTS — interval partitioning, tombstone
+semantics, float-free anomaly algebra)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.operators.cdc import (
+    DELETE_TYPE,
+    cdc_apply_latest,
+    scd2_user_event_type,
+)
+from trace_parquet_spark.plans.collections import (
+    map_event_type_counts,
+    vector_math_suite,
+)
+from trace_parquet_spark.plans.statistics import (
+    group_moments_lineitem,
+    rolling_anomaly_events,
+)
+from trace_parquet_spark.sources.registry import load_table
+
+
+def test_map_counts_sum_to_user_totals(spark, sf_dir):
+    got = map_event_type_counts(spark, sf_dir).collect()
+    raw = dict(
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert len(got) == len(raw)
+    for r in got:
+        assert r.n_events == raw[r.user_id]
+        entries = dict(
+            kv.split(":") for kv in r.type_counts.split("|") if kv
+        )
+        assert len(entries) == r.n_types
+        assert sum(int(v) for v in entries.values()) == r.n_events
+        # hot_types is exactly the >= threshold subset, sorted
+        hot = [k for k, v in sorted(entries.items()) if int(v) >= 25]
+        assert r.hot_types == "|".join(hot)
+
+
+def test_vector_math_matches_numpy(spark, sf_dir):
+    rows = vector_math_suite(spark, sf_dir).limit(20).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float32)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .collect()
+    }
+    for r in rows:
+        q = np.floor(emb[r.vec_id].astype(np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        assert r.dim == len(q)
+        assert r.norm2_q == int((q * q).sum())
+        assert r.l1_q == int(np.abs(q).sum())
+        assert r.dot_rev_q == int((q * q[::-1]).sum())
+        assert r.max_q == int(q.max()) and r.min_q == int(q.min())
+        assert abs(r.l2_norm - np.sqrt(r.norm2_q / 1e12)) == 0.0
+
+
+def test_group_moments_match_numpy(spark, sf_dir):
+    got = {r.l_returnflag: r for r in group_moments_lineitem(spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=np.float64)
+        y = np.floor(grp["l_extendedprice"].to_numpy() * 100 + 0.5) / 100.0
+        r = got[flag]
+        assert r.n == len(grp)
+        assert abs(r.mean_qty - x.mean()) < 1e-9
+        assert abs(r.mean_price - y.mean()) < 1e-6
+        # population variance (the /n² formula)
+        assert abs(r.var_price - y.var()) < 1e-4 * max(1.0, y.var())
+        cc = np.corrcoef(x, y)[0, 1]
+        assert abs(r.corr_qty_price - cc) < 1e-9
+
+
+def test_rolling_anomaly_agrees_with_pandas(spark, sf_dir):
+    got = rolling_anomaly_events(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    flagged = {(r.user_id, r.event_id) for r in got}
+    expect = set()
+    for uid, grp in ev.groupby("user_id"):
+        qv = np.floor(grp["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        ids = grp["event_id"].to_numpy()
+        for i in range(len(qv)):
+            lo = max(0, i - 20)
+            fr = qv[lo:i]
+            w = len(fr)
+            if w < 10:
+                continue
+            sw, sww = int(fr.sum()), int((fr.astype(object) ** 2).sum())
+            dev = w * int(qv[i]) - sw
+            if dev * dev > 9 * (w * sww - sw * sw):
+                expect.add((uid, int(ids[i])))
+    assert flagged == expect
+    assert len(flagged) > 0
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    hist = scd2_user_event_type(spark, sf_dir).toPandas()
+    for uid, grp in hist.groupby("user_id"):
+        grp = grp.sort_values("version")
+        # versions are 1..k dense
+        assert list(grp["version"]) == list(range(1, len(grp) + 1))
+        # each interval ends where the next begins; only the last is open
+        nxt = grp["valid_from"].shift(-1)
+        closed = grp["valid_to"].iloc[:-1]
+        assert (closed.to_numpy() == nxt.iloc[:-1].to_numpy()).all()
+        assert pd.isna(grp["valid_to"].iloc[-1])
+        assert bool(grp["is_current"].iloc[-1])
+        assert not grp["is_current"].iloc[:-1].any()
+        # consecutive segments always change the attribute value
+        assert (grp["event_type"].shift() != grp["event_type"]).iloc[1:].all()
+
+
+def test_cdc_tombstone_removes_key(spark, sf_dir):
+    state = {r.user_id: r for r in cdc_apply_latest(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in ev.groupby("user_id"):
+        last = grp.iloc[-1]
+        if last["event_type"] == DELETE_TYPE:
+            assert uid not in state
+        else:
+            assert state[uid].last_event_id == last["event_id"]
+            assert state[uid].last_value == last["value"]

@@ -1,0 +1,260 @@
+"""Statistical analytics with bit-exact cross-engine results: group
+moments (variance / stddev / correlation), rolling-window anomaly
+detection, and ratio-to-report shares.
+
+The reference engine computes no statistics at all (one filter+sort
+query — service/DataExportService.java:31-43); SURVEY §2.4-§2.5 lists
+the aggregate/window surface these extend.
+
+Why not stddev_samp/corr built-ins on both engines: those sum doubles
+in engine- and partition-order, so the last ulp differs run-to-run and
+engine-to-engine. Instead every moment is computed from EXACT integer
+power sums (n, Σx, Σx², Σxy on the value's decimal grid — quantities
+are integral, money is on the 1e-2 grid), carried as BIGINT/DECIMAL(38)
+so they cannot overflow or round, and the final statistic is ONE
+identical chain of double ops on those exact integers — IEEE 754 then
+guarantees both engines produce the same bits. The same trick makes the
+anomaly detector float-free: |x−μ| > 3σ over a frame of w rows is
+algebraically (w·x − Σx)² > 9·(w·Σx² − (Σx)²), evaluated entirely in
+int64.
+
+Scale notes per query below; all three are single-shuffle shapes
+(partial aggregation or a window over the natural partition key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import _REVENUE
+
+
+def group_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / stddev of extended price and the
+    quantity↔price correlation per return flag, from exact power sums.
+
+    Scale: one partial-agg shuffle on a 3-value key; the six power sums
+    are map-side combined, so the exchange carries 3 rows per task no
+    matter the input size. Σ(qy²) exceeds int64 beyond ~sf0.05, so the
+    squared-money sums ride in DECIMAL(38,0) (exact to 1e38; DuckDB's
+    HUGEINT mirrors it).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.col("l_quantity").cast("long")
+    qy = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    g = (
+        li.select(qx.alias("qx"), qy.alias("qy"), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum((F.col("qy").cast(dec) * F.col("qy"))).alias("syy"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # exact integers → double in one step, then one fixed op chain.
+    # Every product is widened to DECIMAL(38,0) first: n·Σxy and Σx·Σy
+    # pass 2^63 somewhere around sf0.1 (DuckDB's HUGEINT mirrors this).
+    var_num = (n.cast(dec) * syy - sy.cast(dec) * sy).cast("double")
+    cov_num = (n.cast(dec) * sxy - sx.cast(dec) * sy).cast("double")
+    varx_num = (n.cast(dec) * sxx - sx.cast(dec) * sx).cast("double")
+    nn = (n * n).cast("double")
+    return g.select(
+        "l_returnflag",
+        n,
+        (sx / n).alias("mean_qty"),
+        (sy / n / F.lit(100.0)).alias("mean_price"),
+        (var_num / nn / F.lit(1e4)).alias("var_price"),
+        F.sqrt(var_num / nn / F.lit(1e4)).alias("stddev_price"),
+        (cov_num / (F.sqrt(varx_num) * F.sqrt(var_num))).alias(
+            "corr_qty_price"
+        ),
+    ).orderBy("l_returnflag")
+
+
+GROUP_MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT)                          AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)   AS sx,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT)                                   AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT)                                   AS sxx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT)                                   AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       CAST(sx AS DOUBLE) / n                              AS mean_qty,
+       CAST(sy AS DOUBLE) / n / 100.0                      AS mean_price,
+       CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+         / CAST(n * n AS DOUBLE) / 1e4                     AS var_price,
+       sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+            / CAST(n * n AS DOUBLE) / 1e4)                 AS stddev_price,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                                                           AS corr_qty_price
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
+ANOMALY_LOOKBACK = 20  # rolling frame: the previous N events
+ANOMALY_MIN_N = 10  # need at least this many in-frame to flag
+ANOMALY_K = 3  # flag at |x − μ| > K·σ
+
+
+def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling-window outlier detection, float-free.
+
+    For each event, the frame is the user's previous 20 events; the
+    event is anomalous when |x − μ_frame| > 3·σ_frame. Cleared of
+    division entirely: with w rows, Σx, Σx² in the frame, the test is
+    (w·x − Σx)² > K²·(w·Σx² − (Σx)²) — all int64 on the cents grid
+    (frame sums are ≤ 20·49002² ≈ 5e10, far inside int64).
+
+    Scale: one shuffle on user_id, then a linear per-partition window
+    pass; state per key is the 20-row frame. Emits only anomalies, so
+    output is tiny relative to input.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    staged = ev.select(
+        "user_id", "event_id", "ts", "value", qv.alias("qv")
+    ).select(
+        "*",
+        F.count("qv").over(w).alias("w"),
+        F.sum("qv").over(w).alias("sw"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("sww"),
+    )
+    dev = F.col("w") * F.col("qv") - F.col("sw")
+    spread = F.col("w") * F.col("sww") - F.col("sw") * F.col("sw")
+    return (
+        staged.filter(
+            (F.col("w") >= ANOMALY_MIN_N)
+            & (dev * dev > F.lit(ANOMALY_K * ANOMALY_K) * spread)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.col("w").alias("frame_n"),
+            # exact ints → one double division each: bit-identical
+            (F.col("sw") / F.col("w") / F.lit(100.0)).alias("frame_mean"),
+            (dev * dev).alias("dev2_q"),
+            (F.lit(ANOMALY_K * ANOMALY_K) * spread).alias("thr_q"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ROLLING_ANOMALY_SQL = f"""
+WITH staged AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+  FROM events
+), framed AS (
+  SELECT *,
+         CAST(count(qv) OVER fr AS BIGINT) AS w,
+         CAST(sum(qv)  OVER fr AS BIGINT) AS sw,
+         CAST(sum(qv * qv) OVER fr AS BIGINT) AS sww
+  FROM staged
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts, value,
+       w                                        AS frame_n,
+       CAST(sw AS DOUBLE) / w / 100.0           AS frame_mean,
+       (w * qv - sw) * (w * qv - sw)            AS dev2_q,
+       {ANOMALY_K * ANOMALY_K} * (w * sww - sw * sw) AS thr_q
+FROM framed
+WHERE w >= {ANOMALY_MIN_N}
+  AND (w * qv - sw) * (w * qv - sw) > {ANOMALY_K * ANOMALY_K} * (w * sww - sw * sw)
+ORDER BY user_id, event_id
+"""
+
+
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier nation's revenue share within its
+    region. Revenue is grid-summed to an exact integer per nation; the
+    share is one long/long → double division (identical both engines).
+
+    Scale: lineitem collapses to per-nation grain in ONE partial-agg
+    shuffle (supplier/nation/region broadcast); the region-total window
+    then runs over 25 rows. The big table is touched once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev_q = F.sum(
+        F.floor(F.expr(_REVENUE) * 10000 + F.lit(0.5)).cast("long")
+    ).alias("rev_q")
+    per_nation = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(rev_q)
+    )
+    wreg = Window.partitionBy("r_name")
+    return per_nation.select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        (F.col("rev_q") / F.lit(1e4)).alias("revenue"),
+        (F.col("rev_q") / F.sum("rev_q").over(wreg)).alias("share"),
+    ).orderBy("region_name", "nation_name")
+
+
+REVENUE_SHARE_SQL = f"""
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(floor(({_REVENUE}) * 10000 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_q
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name AS region_name,
+       n_name AS nation_name,
+       rev_q / 1e4 AS revenue,
+       CAST(rev_q AS DOUBLE) / CAST(sum(rev_q) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS share
+FROM per_nation
+ORDER BY region_name, nation_name
+"""
+
+
+QUERIES = {
+    "group_moments_lineitem": group_moments_lineitem,
+    "rolling_anomaly_events": rolling_anomaly_events,
+    "revenue_share_by_nation": revenue_share_by_nation,
+}
+
+ORACLES = {
+    "group_moments_lineitem": GROUP_MOMENTS_SQL,
+    "rolling_anomaly_events": ROLLING_ANOMALY_SQL,
+    "revenue_share_by_nation": REVENUE_SHARE_SQL,
+}
