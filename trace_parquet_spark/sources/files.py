@@ -91,6 +91,37 @@ def compact_parquet(
     )
 
 
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-binary ingestion for multimodal payloads (images / audio /
+    video files on disk) via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content).
+
+    This is the on-ramp from an object store full of media files into
+    the ``operators.multimodal`` pipeline: select content as payload
+    and hand it to the mapInPandas featurizer. The source is listing-
+    parallel (driver lists, executors read), supports pathGlobFilter
+    pushdown, and never decodes — decode happens in the Arrow-batched
+    UDF where it belongs.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of all footers instead
+    of trusting the first file (``mergeSchema``). Columns absent in a
+    file surface as NULLs — the contract long-lived 100 TB datasets
+    need when new pipeline versions add columns. (Costs one footer read
+    per file at planning; leave it off — Spark's default — for
+    known-stable datasets.)
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_partitioned_sorted(
     df: DataFrame,
     path: str,
