@@ -67,3 +67,47 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE must shrink the 8 configured shuffle partitions down to the
+    few the tiny exchange actually needs — the runtime re-plan that
+    keeps task counts sane across 5 orders of magnitude of data."""
+    from trace_parquet_spark.sources.registry import load_table
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_bucket_pruning_on_filter(spark, sf_dir, tmp_path):
+    """An equality filter on the bucketing key must scan 1 of 8 buckets
+    (SelectedBucketsCount) — file-level pruning with no partition dirs."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources.bucketing import write_bucketed
+    from trace_parquet_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    try:
+        # autoBucketedScan drops the bucketed layout when the planner
+        # sees no join/agg on the bucket key — but filter pruning IS a
+        # benefit, so pin it on for point-lookup scans
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        write_bucketed(orders, "bp_orders", ["o_custkey"], 8, ["o_custkey"])
+        one_key = spark.table("bp_orders").filter(F.col("o_custkey") == 7)
+        plan = one_key._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        expect = orders.filter(F.col("o_custkey") == 7).count()
+        assert one_key.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS bp_orders")
