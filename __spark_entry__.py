@@ -59,6 +59,7 @@ def _modules():
         analytics_extras,
         collections as collections_plans,
         grouping_sets,
+        incremental,
         relational,
         relational_extras,
         relational_more,
@@ -78,6 +79,7 @@ def _modules():
         grouping_sets,
         collections_plans,
         statistics,
+        incremental,
         analytics_extras,
         text_analysis,
         ranking,

@@ -121,3 +121,45 @@ def test_q21_semi_anti_stay_semi_anti(spark, sf_dir, qs):
 def test_q20_no_cartesian(spark, sf_dir, qs):
     plan = _plan(qs["q20_dominant_suppliers"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_time_rollup_single_expand(spark, sf_dir, qs):
+    plan = _plan(qs["time_rollup_counts"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, qs):
+    """When the dim side is too big to broadcast, Spark should inject a
+    runtime Bloom filter from the filtered dim build side into the fact
+    scan — the row-level analog of DPP. Pinned here with thresholds
+    forced so the rewrite is observable on test-sized data."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources.registry import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_retailprice") > 1900
+        )
+        j = (
+            li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

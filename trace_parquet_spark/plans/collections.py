@@ -170,12 +170,49 @@ ORDER BY vec_id
 """
 
 
+def regexp_extract_all_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all over the semi-structured props column: all
+    digit runs per event as an array (serialized), their count, and the
+    first one as a number (null-safe get).
+
+    Scale: narrow per-row projection, regex runs inside codegen; no
+    shuffle but the presentation sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        F.regexp_extract_all("props", F.lit(r"\d+"), 0).alias("nums"),
+    )
+    return staged.select(
+        "event_id",
+        F.array_join("nums", "|").alias("num_list"),
+        F.size("nums").cast("long").alias("n_nums"),
+        F.get("nums", 0).cast("long").alias("first_num"),
+    ).orderBy("event_id")
+
+
+REGEXP_EXTRACT_SQL = r"""
+WITH staged AS (
+  SELECT event_id, regexp_extract_all(props, '\d+') AS nums
+  FROM events
+)
+SELECT event_id,
+       array_to_string(nums, '|')   AS num_list,
+       CAST(len(nums) AS BIGINT)    AS n_nums,
+       CAST(nums[1] AS BIGINT)      AS first_num
+FROM staged
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "map_event_type_counts": map_event_type_counts,
     "vector_math_suite": vector_math_suite,
+    "regexp_extract_all_props": regexp_extract_all_props,
 }
 
 ORACLES = {
     "map_event_type_counts": MAP_EVENT_TYPE_COUNTS_SQL,
     "vector_math_suite": VECTOR_MATH_SQL,
+    "regexp_extract_all_props": REGEXP_EXTRACT_SQL,
 }
