@@ -64,6 +64,7 @@ def _modules():
         relational_extras,
         relational_more,
         statistics,
+        subqueries,
         temporal,
         tpch_more,
         tpch_rest,
@@ -80,6 +81,7 @@ def _modules():
         collections_plans,
         statistics,
         incremental,
+        subqueries,
         analytics_extras,
         text_analysis,
         ranking,

@@ -163,3 +163,17 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, qs):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scalar_subqueries_decorrelate(spark, sf_dir, qs):
+    """Correlated scalar subqueries must become per-key aggregates
+    joined back — never a per-row re-execution or cross product."""
+    plan = _plan(qs["scalar_subquery_order_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_not_in_compiles_to_anti_join(spark, sf_dir, qs):
+    plan = _plan(qs["not_in_null_aware"](spark, sf_dir))
+    assert "LeftAnti" in plan

@@ -147,3 +147,34 @@ def test_cdc_tombstone_removes_key(spark, sf_dir):
         else:
             assert state[uid].last_event_id == last["event_id"]
             assert state[uid].last_value == last["value"]
+
+
+def test_frame_sample_semantics(spark, sf_dir):
+    import hashlib
+
+    from trace_parquet_spark.operators.multimodal import (
+        FRAME_CHARS,
+        MAX_FRAMES,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, frames in by_doc.items():
+        text = texts[doc_id]
+        n_frames = -(-len(text) // FRAME_CHARS)
+        assert len(frames) == min(MAX_FRAMES, n_frames)
+        idxs = [f.frame_idx for f in frames]
+        assert idxs == sorted(set(idxs))  # distinct, ascending
+        for f in frames:
+            chunk = text[f.frame_idx * FRAME_CHARS:(f.frame_idx + 1) * FRAME_CHARS]
+            assert f.frame_chars == len(chunk)
+            assert f.frame_md5 == hashlib.md5(chunk.encode()).hexdigest()

@@ -100,6 +100,94 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_CHARS = 100  # one "frame" = this many decoded chars of payload
+MAX_FRAMES = 4  # evenly-spaced sample size per document
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_chars", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(blobs: DataFrame) -> DataFrame:
+    """One-to-many frame sampling over binary payloads — the video/
+    audio shape (decode → pick k evenly-spaced frames → featurize) with
+    the codec stubbed to char-chunk "frames" (no media libs in the
+    image; a real decoder swaps into the same mapInPandas seam).
+
+    Picks min(4, n_frames) frames at indices floor(i·n/k) — the
+    standard uniform temporal sample — and emits one row per frame
+    with its md5. Arrow-batched, partition-parallel, output rows ≫ or
+    ≪ input rows (mapInPandas is the only UDF shape that can change
+    cardinality)."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_chars", "frame_md5")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                text = bytes(payload).decode("utf-8")
+                n = len(text)
+                if n == 0:
+                    continue
+                n_frames = -(-n // FRAME_CHARS)  # ceil
+                k = min(MAX_FRAMES, n_frames)
+                for i in range(k):
+                    idx = (i * n_frames) // k
+                    chunk = text[idx * FRAME_CHARS:(idx + 1) * FRAME_CHARS]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_chars"].append(len(chunk))
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+    )
+    return frame_sample(attach_blob(docs)).orderBy("doc_id", "frame_idx")
+
+
+# Same sampling arithmetic in SQL: unnest(generate_series) provides the
+# per-document frame loop; md5 over the SAME char chunk (DuckDB slices
+# text by chars, as Python does) makes the hashes comparable.
+FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L,
+         CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT) AS n_frames,
+         LEAST(CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT),
+               {MAX_FRAMES}) AS k
+  FROM documents WHERE length(text) > 0
+), idx AS (
+  SELECT doc_id, text,
+         (unnest(generate_series(0, k - 1)) * n_frames) // k AS frame_idx
+  FROM d
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(length(substring(text, frame_idx * {FRAME_CHARS} + 1,
+                             {FRAME_CHARS})) AS BIGINT)  AS frame_chars,
+       md5(substring(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS}))
+                                                         AS frame_md5
+FROM idx
+ORDER BY doc_id, frame_idx
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python-UDF stages pay a per-task worker/Arrow setup cost, so they
     # want FEWER, fatter partitions than JVM-side stages: cores/4 beats
@@ -129,5 +217,11 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"multimodal_features": multimodal_features}
-ORACLES = {"multimodal_features": MULTIMODAL_SQL}
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+ORACLES = {
+    "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+}
