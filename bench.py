@@ -54,6 +54,13 @@ HEADLINE = [
     "grouping_sets_revenue",
     "q18_large_volume_customer",
     "bm25_search",
+    # round-3 additions
+    "q9_product_profit",
+    "rolling_anomaly_events",
+    "scd2_user_event_type",
+    "vector_math_suite",
+    "multimodal_frame_sample",
+    "incremental_agg_merge",
 ]
 
 
