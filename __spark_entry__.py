@@ -58,6 +58,7 @@ def _modules():
     from trace_parquet_spark.plans import (
         analytics_extras,
         collections as collections_plans,
+        funnels,
         grouping_sets,
         incremental,
         relational,
@@ -82,6 +83,7 @@ def _modules():
         statistics,
         incremental,
         subqueries,
+        funnels,
         analytics_extras,
         text_analysis,
         ranking,

@@ -178,3 +178,26 @@ def test_frame_sample_semantics(spark, sf_dir):
             chunk = text[f.frame_idx * FRAME_CHARS:(f.frame_idx + 1) * FRAME_CHARS]
             assert f.frame_chars == len(chunk)
             assert f.frame_md5 == hashlib.md5(chunk.encode()).hexdigest()
+
+
+def test_funnel_monotone_and_cohort_bounds(spark, sf_dir):
+    from trace_parquet_spark.plans.funnels import (
+        STAGES,
+        cohort_retention,
+        funnel_conversion,
+    )
+
+    fr = funnel_conversion(spark, sf_dir).collect()
+    assert [r.stage_name for r in fr] == STAGES
+    ns = [r.n_users for r in fr]
+    assert ns == sorted(ns, reverse=True)  # funnel can only narrow
+    assert fr[0].conv_from_prev is None
+    for prev, r in zip(fr, fr[1:]):
+        assert r.conv_from_prev == r.n_users / prev.n_users
+
+    cr = cohort_retention(spark, sf_dir).collect()
+    assert len(cr) > 0
+    for r in cr:
+        if r.week_k == 0:
+            assert r.retention == 1.0
+        assert 0.0 < r.retention <= 1.0

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from trace_parquet_spark.sources.registry import load_table
@@ -86,6 +87,81 @@ def test_rocksdb_provider_matches_batch_and_restarts(spark, sf_dir, tmp_path):
         )
         assert got2n.exceptAll(full).count() == 0
         assert full.exceptAll(got2n).count() == 0
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas spawns a protobuf-speaking Python "
+    "driver worker; google.protobuf is not installed in this image",
+)
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API, typed
+    ValueState, RocksDB-only): per-user running totals must equal the
+    batch aggregation after the stream drains."""
+    from trace_parquet_spark.streaming.pipeline import (
+        read_events_stream,
+        tws_user_totals,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        src = str(tmp_path / "src")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = tws_user_totals(
+            read_events_stream(spark, src, max_files_per_trigger=2)
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_tot")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # update mode: the row with the max n_events per user is final
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                """SELECT user_id, n_events, total_value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC) rn FROM tws_tot)
+                   WHERE rn = 1"""
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, r.tv)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert set(got) == set(batch)
+        for uid, (n, tv) in batch.items():
+            assert got[uid][0] == n
+            assert abs(got[uid][1] - tv) < 0.05  # float accumulation order
     finally:
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -1,0 +1,195 @@
+"""Product-analytics query shapes over the event stream: ordered
+funnel conversion and weekly cohort retention.
+
+The reference has no event analytics (single filter+sort query,
+service/DataExportService.java:31-43); these extend SURVEY §2.4/§2.5
+with the two queries every events warehouse gets asked first.
+
+- ``funnel_conversion``: how many users progress through the ordered
+  stage sequence signup → view → click → purchase, where each stage's
+  event must be strictly LATER than the previous stage's. Implemented
+  as a per-user greedy state machine folded over the time-sorted event
+  array with F.aggregate — ONE pass over events, one shuffle on
+  user_id, no per-stage self-joins. (Greedy earliest-match ≡ "exists a
+  strictly increasing chain", the standard subsequence argument, which
+  is what the oracle's chain-of-min-after CTEs compute.)
+- ``cohort_retention``: users grouped by first-seen week; retention at
+  week k = fraction of the cohort active k weeks later. Two shuffles
+  (first-seen agg, distinct active-weeks agg) + a broadcast-sized
+  join; the ratio is one long/long double division (bit-identical).
+
+Scale: both collapse raw events to per-user / per-(cohort, week)
+grains before anything quadratic could happen; per-user event arrays
+are the only memory risk and are bounded by per-user activity, the
+same bound every per-user window in this repo already assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+STAGES = ["signup", "view", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("seq"))
+    )
+    stage_names = F.array(*[F.lit(s) for s in STAGES])
+    n_stages = len(STAGES)
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp_ntz").alias("t"),
+    )
+
+    def step(acc, x):
+        wanted = F.element_at(
+            stage_names, F.least(acc["stage"] + 1, F.lit(n_stages))
+        )
+        advance = (
+            (acc["stage"] < n_stages)
+            & (x["event_type"] == wanted)
+            & (acc["t"].isNull() | (x["ts"] > acc["t"]))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), x["ts"].alias("t")
+            ),
+        ).otherwise(acc)
+
+    finals = seq.select(
+        "user_id", F.aggregate("seq", init, step)["stage"].alias("final_stage")
+    )
+    per_stage = (
+        finals.join(
+            spark.range(1, n_stages + 1).select(
+                F.col("id").cast("int").alias("stage_idx")
+            ),
+            F.col("final_stage") >= F.col("stage_idx"),
+        )
+        .groupBy("stage_idx")
+        .agg(F.count("*").alias("n_users"))
+    )
+    worder = Window.orderBy("stage_idx")
+    return per_stage.select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        F.element_at(stage_names, F.col("stage_idx")).alias("stage_name"),
+        "n_users",
+        (F.col("n_users") / F.lag("n_users").over(worder)).alias(
+            "conv_from_prev"
+        ),
+    ).orderBy("stage_idx")
+
+
+# users reaching stage k = the chain-of-strictly-later-min CTEs; the
+# greedy fold above computes exactly this reachability.
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), u1 AS (
+  SELECT user_id, min(ts) AS t FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > u1.t GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u2.t GROUP BY e.user_id
+), u4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN u3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u3.t GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS stage_idx, 'signup'   AS stage_name, (SELECT count(*) FROM u1) AS n_users
+  UNION ALL
+  SELECT 2, 'view',     (SELECT count(*) FROM u2)
+  UNION ALL
+  SELECT 3, 'click',    (SELECT count(*) FROM u3)
+  UNION ALL
+  SELECT 4, 'purchase', (SELECT count(*) FROM u4)
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+       stage_name,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE)
+         / lag(n_users) OVER (ORDER BY stage_idx) AS conv_from_prev
+FROM counts
+ORDER BY stage_idx
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    k = (
+        F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+    ).cast("long")
+    counts = (
+        active.join(cohorts, "user_id")
+        .select("cohort_week", k.alias("week_k"), "user_id")
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = counts.filter(F.col("week_k") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "n_active",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM ev GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM ev
+), counts AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', CAST(cohort_week AS DATE),
+                        CAST(active_week AS DATE)) / 7 AS BIGINT) AS week_k,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active JOIN cohorts USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_k, c.n_active,
+       CAST(c.n_active AS DOUBLE) / s.n_active AS retention
+FROM counts c
+JOIN (SELECT cohort_week, n_active FROM counts WHERE week_k = 0) s
+  USING (cohort_week)
+ORDER BY cohort_week, week_k
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
+}

@@ -113,6 +113,55 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API that supersedes applyInPandasWithState
+    (typed state handles: ValueState/ListState/MapState, timers, TTL,
+    and it REQUIRES the RocksDB state store provider, i.e. disk-backed
+    state from day one).
+
+    Output contract matches running_user_totals above: one updated
+    (user_id, n_events, total_value) row per key per micro-batch.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_STATE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
