@@ -61,6 +61,7 @@ def _modules():
         funnels,
         grouping_sets,
         incremental,
+        recursive,
         relational,
         relational_extras,
         relational_more,
@@ -84,6 +85,7 @@ def _modules():
         incremental,
         subqueries,
         funnels,
+        recursive,
         analytics_extras,
         text_analysis,
         ranking,

@@ -201,3 +201,32 @@ def test_funnel_monotone_and_cohort_bounds(spark, sf_dir):
         if r.week_k == 0:
             assert r.retention == 1.0
         assert 0.0 < r.retention <= 1.0
+
+
+def test_recursive_closure_equals_brute_force_groups(spark, sf_dir):
+    import itertools
+    import re
+
+    from trace_parquet_spark.plans.recursive import (
+        dup_chain_closure,
+        recursive_date_spine,
+    )
+
+    got = {(r.doc_a, r.doc_b) for r in dup_chain_closure(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups = {}
+    for r in docs:
+        toks = re.sub(r"\s+", " ", (r.text or "").lower().strip()).split(" ")
+        groups.setdefault(" ".join(toks[:2]), []).append(r.doc_id)
+    expect = set()
+    for ids in groups.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            expect.add((a, b))
+    assert got == expect and len(got) > 0
+
+    spine = recursive_date_spine(spark, sf_dir).collect()
+    days = [r.day for r in spine]
+    assert (days[-1] - days[0]).days == len(days) - 1  # contiguous
+    assert sum(r.n_events for r in spine) == load_table(
+        spark, sf_dir, "events"
+    ).count()
