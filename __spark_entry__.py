@@ -57,6 +57,7 @@ def _modules():
     )
     from trace_parquet_spark.plans import (
         analytics_extras,
+        analytics_more,
         collections as collections_plans,
         funnels,
         grouping_sets,
@@ -87,6 +88,7 @@ def _modules():
         funnels,
         recursive,
         analytics_extras,
+        analytics_more,
         text_analysis,
         ranking,
         dedup,

@@ -230,3 +230,28 @@ def test_recursive_closure_equals_brute_force_groups(spark, sf_dir):
     assert sum(r.n_events for r in spine) == load_table(
         spark, sf_dir, "events"
     ).count()
+
+
+def test_analytics_more_contracts(spark, sf_dir):
+    from trace_parquet_spark.plans.analytics_more import (
+        N_BUCKETS,
+        equi_depth_price_buckets,
+        range_frame_hourly_totals,
+    )
+
+    # RANGE frame: every row counts itself; totals are >= own value
+    rows = range_frame_hourly_totals(spark, sf_dir).limit(500).collect()
+    assert all(r.n_1h >= 1 for r in rows)
+
+    # brute-force one user
+    one = [r for r in rows if r.user_id == rows[0].user_id]
+    for r in one:
+        n = sum(1 for o in one if r.epoch_s - 3600 <= o.epoch_s <= r.epoch_s)
+        assert r.n_1h == n
+
+    bk = equi_depth_price_buckets(spark, sf_dir).collect()
+    assert len(bk) == N_BUCKETS
+    sizes = [r.n_orders for r in bk]
+    assert max(sizes) - min(sizes) <= 1  # equi-depth ±1
+    for a, b in zip(bk, bk[1:]):
+        assert a.hi <= b.lo  # buckets are ordered, non-overlapping spans

@@ -1,0 +1,175 @@
+"""Fourth analytics batch: RANGE window frames (value-based, vs the
+ROWS frames in window_frames), decimal-exact money aggregation (the
+typed alternative to the integer-grid trick), and equi-depth ntile
+bucketing (the quantile histogram next to histogram_part_prices'
+equi-width one).
+
+Reference parity: none of these exist in the reference (single
+filter+sort query); SURVEY §2.4-§2.5 lists the aggregate/window
+completeness target they extend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+
+def range_frame_hourly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour totals at every event via a RANGE frame
+    over epoch seconds — value-based framing (all rows within 3600s),
+    which ROWS frames cannot express when event spacing varies.
+
+    Exactness: frame sums are on the cents grid (exact int64); the
+    epoch-seconds order column is an exact integer; counts are longs.
+    Scale: one shuffle on user_id, then a linear in-partition sweep —
+    the RANGE frame is maintained incrementally by the window operator,
+    not recomputed per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("epoch_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        staged.select(
+            "user_id",
+            "event_id",
+            "epoch_s",
+            F.count("*").over(w).alias("n_1h"),
+            (F.sum("qv").over(w) / F.lit(100.0)).alias("total_1h"),
+        )
+        .orderBy("user_id", "epoch_s", "event_id")
+    )
+
+
+RANGE_FRAME_SQL = """
+WITH staged AS (
+  SELECT user_id, event_id,
+         -- floor, not CAST: epoch() carries the fractional second and
+         -- BIGINT cast rounds, where Spark's timestamp->long truncates
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+  FROM events
+)
+SELECT user_id, event_id, epoch_s,
+       CAST(count(*) OVER fr AS BIGINT)       AS n_1h,
+       CAST(sum(qv) OVER fr AS BIGINT) / 100.0 AS total_1h
+FROM staged
+WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_s
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, epoch_s, event_id
+"""
+
+
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in DECIMAL(12,2) — the typed-exact alternative
+    to the integer-grid trick used elsewhere: casting the double price
+    onto a 2-decimal DECIMAL rounds identically in both engines (the
+    stored double is within 1e-10 of the grid point), the DECIMAL sum
+    is exact, and the single final cast to DOUBLE is correctly rounded
+    in both. avg keeps DECIMAL division semantics (result scale 6,
+    HALF_UP) — asserted equal to DuckDB's decimal division by emitting
+    it as a string, which also pins the scale/formatting contract.
+
+    Scale: one partial-agg shuffle on a 3-value key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("total_dec"),
+            F.avg(dec).alias("avg_dec"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            F.col("total_dec").cast("double").alias("total_price"),
+            F.col("avg_dec").cast("decimal(16,6)").cast("string").alias(
+                "avg_price_str"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DECIMAL_MONEY_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price,
+       CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(16,6))
+            AS VARCHAR) AS avg_price_str
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+N_BUCKETS = 10
+
+
+def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) bucketing of order prices via ntile: each
+    bucket holds n/10 ±1 orders; emit each bucket's row count and
+    [min, max] price span. The ORDER BY inside ntile carries a unique
+    tiebreak (o_orderkey) so both engines assign identical buckets.
+
+    Scale: ntile needs a single global order — fine for bucket-boundary
+    ESTIMATION on a sample at 100 TB (or swap in approx quantiles);
+    pinned exact here to stay oracle-checkable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(N_BUCKETS).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n_orders", "lo", "hi")
+        .orderBy("bucket")
+    )
+
+
+EQUI_DEPTH_SQL = f"""
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile({N_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "range_frame_hourly_totals": range_frame_hourly_totals,
+    "decimal_money_totals": decimal_money_totals,
+    "equi_depth_price_buckets": equi_depth_price_buckets,
+}
+
+ORACLES = {
+    "range_frame_hourly_totals": RANGE_FRAME_SQL,
+    "decimal_money_totals": DECIMAL_MONEY_SQL,
+    "equi_depth_price_buckets": EQUI_DEPTH_SQL,
+}
