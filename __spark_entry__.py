@@ -40,6 +40,7 @@ def _modules():
     from trace_parquet_spark.operators import (
         cdc,
         corpus_pipeline,
+        featurize,
         dedup,
         dedup_clusters,
         indexing,
@@ -101,6 +102,7 @@ def _modules():
         indexing,
         merge,
         cdc,
+        featurize,
         quality,
         udaf,
         udtf,

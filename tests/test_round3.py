@@ -255,3 +255,47 @@ def test_analytics_more_contracts(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1  # equi-depth ±1
     for a, b in zip(bk, bk[1:]):
         assert a.hi <= b.lo  # buckets are ordered, non-overlapping spans
+
+
+def test_feature_hash_and_dq(spark, sf_dir):
+    import hashlib
+
+    from trace_parquet_spark.operators.featurize import (
+        N_FEATURES,
+        dq_check_orders,
+        feature_hash_docs,
+    )
+
+    rows = feature_hash_docs(spark, sf_dir).limit(30).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    import re
+
+    for r in rows:
+        vec = [int(x) for x in r.tf_vec.split("|")]
+        assert len(vec) == N_FEATURES
+        assert sum(vec) == r.n_tokens
+        assert sum(1 for v in vec if v > 0) == r.nnz
+        toks = [
+            t
+            for t in re.sub(r"\s+", " ", docs[r.doc_id].lower().strip()).split(" ")
+            if t
+        ]
+        expect = [0] * N_FEATURES
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % N_FEATURES
+            expect[b] += 1
+        assert vec == expect
+
+    dq = {r.rule: r.n_violations for r in dq_check_orders(spark, sf_dir).collect()}
+    assert set(dq) == {
+        "dup_orderkeys",
+        "null_custkeys",
+        "price_out_of_range",
+        "bad_status",
+        "orphan_custkeys",
+    }
+    # the generated batch is clean — every rule must report zero
+    assert all(v == 0 for v in dq.values()), dq

@@ -1,0 +1,178 @@
+"""Training-data featurization: hashing-trick term vectors and a
+declarative data-quality constraint checker.
+
+The reference exports raw rows (service/DataExportService.java:31-43);
+a pipeline feeding a trainer needs the text VECTORIZED and the batch
+VALIDATED before it ships. Both operators are pure JVM-side plans.
+
+- ``feature_hash_docs``: the hashing trick (HashingTF): token →
+  bucket = stable_hash32(token) mod D, value = bucket term count.
+  No vocabulary build, no global state — the property that makes it
+  the default featurizer at 100 TB (a vocabulary dictionary is a
+  second corpus-sized shuffle; the hash is free). D=16 here so the
+  dense serialized vector stays readable; production D=2^18 changes
+  only the constant. Uses the repo's cross-engine md5 hash family, so
+  the DuckDB oracle computes the IDENTICAL buckets.
+- ``dq_check_orders``: Deequ-style declarative constraints evaluated
+  in ONE aggregation pass per table (uniqueness via count-distinct,
+  nullness/range via conditional counts) plus one anti-join for
+  referential integrity — each rule a row (rule, n_violations), the
+  shape a pipeline gate consumes. All rules over the orders batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash32, stable_hash32_sql
+from ..functions.text import tokens, tokens_sql
+from ..sources.registry import load_table, load_table_parallel
+
+N_FEATURES = 16
+
+
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed term-frequency vectors: (doc_id, dense 'c0|c1|...|c15'
+    string, n_tokens, nnz). Serialized dense so the driver gate can
+    hash it; the array form is one split() away."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucketed = tok.select(
+        "doc_id", F.pmod(stable_hash32(F.col("tok")), F.lit(N_FEATURES)).alias("b")
+    )
+    counts = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    dense = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("b", "c")))
+        ).alias("m"),
+        F.sum("c").alias("n_tokens"),
+        F.count("*").cast("long").alias("nnz"),
+    )
+    idxs = F.sequence(F.lit(0), F.lit(N_FEATURES - 1))
+    # m[key] (GetMapValue) is NULL-safe on missing keys; the map keys
+    # are longs, so the sequence index must be cast to match
+    vec = F.array_join(
+        F.transform(
+            idxs,
+            lambda i: F.coalesce(F.col("m")[i.cast("long")], F.lit(0)).cast(
+                "string"
+            ),
+        ),
+        "|",
+    )
+    return dense.select("doc_id", vec.alias("tf_vec"), "n_tokens", "nnz").orderBy(
+        "doc_id"
+    )
+
+
+FEATURE_HASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents
+), bucketed AS (
+  SELECT doc_id, ({stable_hash32_sql("tok")}) % {N_FEATURES} AS b
+  FROM tok WHERE tok <> ''
+), counts AS (
+  SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
+), grid AS (
+  SELECT d.doc_id, i.i
+  FROM (SELECT DISTINCT doc_id FROM counts) d,
+       (SELECT unnest(range({N_FEATURES})) AS i) i
+), dense AS (
+  SELECT g.doc_id, g.i, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.i = c.b
+)
+SELECT doc_id,
+       string_agg(CAST(c AS VARCHAR), '|' ORDER BY i) AS tf_vec,
+       CAST(sum(c) AS BIGINT)                         AS n_tokens,
+       CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS nnz
+FROM dense
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+DQ_PRICE_MAX = 600000.0
+
+
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the orders batch; one row per rule."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    one_pass = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkeys"
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "null_custkeys"
+        ),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > DQ_PRICE_MAX),
+                1,
+            )
+        ).alias("price_out_of_range"),
+        F.count(
+            F.when(
+                ~F.col("o_orderstatus").isin("F", "O", "P"), 1
+            )
+        ).alias("bad_status"),
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("orphan_custkeys").alias("rule"), F.col("n").alias("n_violations")
+        )
+    )
+    long_rules = one_pass.unpivot(
+        [], ["dup_orderkeys", "null_custkeys", "price_out_of_range", "bad_status"],
+        "rule", "n_violations",
+    )
+    return long_rules.unionByName(orphans).orderBy("rule")
+
+
+DQ_CHECK_SQL = f"""
+WITH one_pass AS (
+  SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkeys,
+         CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+           AS null_custkeys,
+         CAST(count(CASE WHEN o_totalprice <= 0
+                          OR o_totalprice > {DQ_PRICE_MAX} THEN 1 END) AS BIGINT)
+           AS price_out_of_range,
+         CAST(count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+              AS BIGINT) AS bad_status
+  FROM orders
+), long_rules AS (
+  SELECT rule, n_violations
+  FROM one_pass
+  UNPIVOT (n_violations FOR rule IN
+           (dup_orderkeys, null_custkeys, price_out_of_range, bad_status))
+), orphans AS (
+  SELECT 'orphan_custkeys' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT rule, n_violations FROM long_rules
+UNION ALL
+SELECT rule, n_violations FROM orphans
+ORDER BY rule
+"""
+
+
+QUERIES = {
+    "feature_hash_docs": feature_hash_docs,
+    "dq_check_orders": dq_check_orders,
+}
+
+ORACLES = {
+    "feature_hash_docs": FEATURE_HASH_SQL,
+    "dq_check_orders": DQ_CHECK_SQL,
+}
