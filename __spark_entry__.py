@@ -46,6 +46,7 @@ def _modules():
         indexing,
         ivf,
         merge,
+        prep,
         quality,
         multimodal,
         ranking,
@@ -103,6 +104,7 @@ def _modules():
         merge,
         cdc,
         featurize,
+        prep,
         quality,
         udaf,
         udtf,

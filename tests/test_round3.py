@@ -299,3 +299,28 @@ def test_feature_hash_and_dq(spark, sf_dir):
     }
     # the generated batch is clean — every rule must report zero
     assert all(v == 0 for v in dq.values()), dq
+
+
+def test_prep_operators(spark, sf_dir):
+    from trace_parquet_spark.operators.prep import (
+        balanced_sample_embeddings,
+        redact_props,
+        skipgram_pairs,
+    )
+
+    # skip-gram: symmetric window => (a,b) count equals (b,a) count
+    sg = {(r.center, r.context): r.n for r in skipgram_pairs(spark, sf_dir).collect()}
+    assert len(sg) > 0
+    for (a, b), n in sg.items():
+        assert sg.get((b, a)) == n
+
+    bal = balanced_sample_embeddings(spark, sf_dir).toPandas()
+    sizes = bal.groupby("label").size()
+    assert sizes.nunique() == 1  # perfectly balanced
+    full = load_table(spark, sf_dir, "embeddings").groupBy("label").count().collect()
+    assert sizes.iloc[0] == min(r["count"] for r in full)
+
+    red = redact_props(spark, sf_dir).limit(50).collect()
+    for r in red:
+        assert "<NUM>" in r.redacted or r.n_redactions == 0
+        assert not any(c.isdigit() for c in r.redacted)
