@@ -324,3 +324,24 @@ def test_prep_operators(spark, sf_dir):
     for r in red:
         assert "<NUM>" in r.redacted or r.n_redactions == 0
         assert not any(c.isdigit() for c in r.redacted)
+
+
+def test_pmi_properties(spark, sf_dir):
+    import math
+
+    from trace_parquet_spark.operators.prep import pmi_token_pairs, skipgram_pairs
+
+    pmi = pmi_token_pairs(spark, sf_dir).collect()
+    sg = {(r.center, r.context): r.n for r in skipgram_pairs(spark, sf_dir).collect()}
+    marg = {}
+    for (a, _b), n in sg.items():
+        marg[a] = marg.get(a, 0) + n
+    total = sum(sg.values())
+    assert len(pmi) == len(sg)
+    for r in pmi:
+        expect = math.log(r.n * total / (marg[r.center] * marg[r.context]))
+        assert abs(r.pmi6 - expect) < 2e-6
+        # symmetry: PMI(a,b) == PMI(b,a)
+    by_pair = {(r.center, r.context): r.pmi6 for r in pmi}
+    for (a, b), v in by_pair.items():
+        assert by_pair[(b, a)] == v

@@ -145,14 +145,77 @@ ORDER BY event_id
 """
 
 
+def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over the skip-gram co-occurrence
+    relation: PMI(a,b) = ln(n_ab·N / (n_a·n_b)) with marginals over
+    pair slots. Everything up to the ln is exact integer arithmetic
+    (products stay far under 2^63) collapsed into ONE double division;
+    the ln output is quantized to the 1e-6 grid in both engines — the
+    same libm-parity treatment operators/ranking.py applies to idf.
+
+    Scale: reuses the linear skip-gram join; marginals are two tiny
+    aggregations over the (vocab × vocab)-bounded pair counts.
+    """
+    pairs = skipgram_pairs(spark, sf_dir)
+    marg = pairs.groupBy("center").agg(F.sum("n").alias("n_center"))
+    total = pairs.agg(F.sum("n").alias("n_total"))
+    ratio = (F.col("n") * F.col("n_total")) / (
+        F.col("n_center") * F.col("n_context")
+    )
+    return (
+        pairs.join(F.broadcast(marg), "center")
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("center").alias("context"),
+                    F.col("n_center").alias("n_context"),
+                )
+            ),
+            "context",
+        )
+        .join(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            "n",
+            (F.floor(F.log(ratio) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "pmi6"
+            ),
+        )
+        .orderBy("center", "context")
+    )
+
+
+PMI_SQL = f"""
+WITH pairs AS (
+{SKIPGRAM_SQL.replace("ORDER BY center, context", "")}
+), marg AS (
+  SELECT center, CAST(sum(n) AS BIGINT) AS n_center FROM pairs GROUP BY center
+), total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pairs
+)
+SELECT p.center, p.context, p.n,
+       floor(ln(CAST(p.n * t.n_total AS DOUBLE)
+                / CAST(a.n_center * b.n_center AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS pmi6
+FROM pairs p
+JOIN marg a ON p.center = a.center
+JOIN marg b ON p.context = b.center
+CROSS JOIN total t
+ORDER BY p.center, p.context
+"""
+
+
 QUERIES = {
     "skipgram_pairs": skipgram_pairs,
     "balanced_sample_embeddings": balanced_sample_embeddings,
     "redact_props": redact_props,
+    "pmi_token_pairs": pmi_token_pairs,
 }
 
 ORACLES = {
     "skipgram_pairs": SKIPGRAM_SQL,
     "balanced_sample_embeddings": BALANCED_SAMPLE_SQL,
     "redact_props": REDACT_SQL,
+    "pmi_token_pairs": PMI_SQL,
 }
