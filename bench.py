@@ -61,6 +61,9 @@ HEADLINE = [
     "vector_math_suite",
     "multimodal_frame_sample",
     "incremental_agg_merge",
+    "funnel_conversion",
+    "feature_hash_docs",
+    "skipgram_pairs",
 ]
 
 

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
@@ -241,6 +241,86 @@ def write_stream_exactly_once(
         .outputMode(output_mode)
         .start()
     )
+
+
+def write_stream_cdc_upsert(
+    changes: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming CDC apply: each micro-batch of keyed changes
+    (user_id, ts, event_id, value, op ∈ {U, D}) is MERGEd into a
+    versioned parquet state table inside foreachBatch — the lakehouse
+    upsert-sink pattern without a table format. Per batch:
+
+    1. reduce the batch to its latest change per key (micro-batches
+       can carry several changes for one key);
+    2. union with the current state and keep each key's HIGHEST-VERSION
+       change — merge is by version (ts, event_id), never by arrival
+       order, because micro-batches arrive in FILE order: the stored
+       state keeps tombstones so a delete outranks older out-of-order
+       upserts arriving after it (Kafka-compaction semantics;
+       production would expire tombstones past the lateness horizon);
+    3. write state version v{batch_id} and repoint the _LATEST marker
+       — never overwriting the version being read, so a crash between
+       write and repoint leaves the previous state intact (foreachBatch
+       re-delivers the batch on restart: same batch_id, same result —
+       idempotent).
+
+    Scale: state shuffles once on the key per batch, exactly Delta's
+    MERGE shape; the version marker stands in for a transaction log.
+    """
+    import os
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cur = _read_cdc_versions(spark, state_dir)
+        merged = latest if cur is None else cur.unionByName(latest)
+        merged = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        marker = os.path.join(state_dir, "_LATEST.tmp")
+        with open(marker, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(marker, os.path.join(state_dir, "_LATEST"))
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def _read_cdc_versions(spark: SparkSession, state_dir: str):
+    """Raw current state (tombstones included) per _LATEST, or None."""
+    import os
+
+    marker = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def read_cdc_state(spark: SparkSession, state_dir: str):
+    """The table view of the CDC state: live rows only (tombstones
+    filtered), op column dropped. None before the first batch."""
+    raw = _read_cdc_versions(spark, state_dir)
+    if raw is None:
+        return None
+    return raw.filter(F.col("op") != "D").drop("op")
 
 
 def run_to_memory_sink(
