@@ -73,6 +73,7 @@ def _modules():
         temporal,
         tpch_more,
         tpch_rest,
+        variant_ops,
     )
 
     return (
@@ -89,6 +90,7 @@ def _modules():
         subqueries,
         funnels,
         recursive,
+        variant_ops,
         analytics_extras,
         analytics_more,
         text_analysis,

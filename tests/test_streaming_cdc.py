@@ -83,3 +83,50 @@ def test_streaming_cdc_converges_to_batch(spark, sf_dir, tmp_path):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_vacuum_keeps_latest_versions(spark, sf_dir, tmp_path):
+    from trace_parquet_spark.streaming.pipeline import vacuum_cdc_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    q = write_stream_cdc_upsert(
+        _changes(read_events_stream(spark, src, max_files_per_trigger=1)),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    before = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(before) >= 3
+    final_before = read_cdc_state(spark, state).count()
+
+    deleted = vacuum_cdc_state(state, keep=2)
+    after = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(after) == 2 and set(after) | set(deleted) == set(before)
+    # current state survives and is intact
+    assert read_cdc_state(spark, state).count() == final_before
+
+
+def test_observe_metrics_on_export_query(spark, sf_dir):
+    """df.observe: accumulator metrics riding the real job — row count
+    and value sum captured with NO extra pass over the data."""
+    from pyspark.sql import Observation
+
+    from trace_parquet_spark.operators.cdc import cdc_apply_latest
+
+    obs = Observation("export_metrics")
+    df = cdc_apply_latest(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("last_value"), 2).alias("sum_value"),
+    )
+    rows = df.collect()
+    m = obs.get
+    assert m["n_rows"] == len(rows)
+    assert m["sum_value"] == round(sum(r.last_value for r in rows), 2)

@@ -323,6 +323,33 @@ def read_cdc_state(spark: SparkSession, state_dir: str):
     return raw.filter(F.col("op") != "D").drop("op")
 
 
+def vacuum_cdc_state(state_dir: str, keep: int = 2) -> list[str]:
+    """Retention cleanup for the versioned CDC state: delete all but
+    the newest ``keep`` version dirs, never touching the version the
+    _LATEST marker points at. Returns the deleted version names.
+
+    The lakehouse VACUUM chore: every foreachBatch commit leaves a full
+    prior version behind for crash safety; without retention the state
+    dir grows linearly with batch count.
+    """
+    import os
+    import shutil
+
+    marker = os.path.join(state_dir, "_LATEST")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    versions = sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [v for v in versions[:-keep] if v != current] if keep else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(state_dir, v))
+    return doomed
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
