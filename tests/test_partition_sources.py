@@ -118,3 +118,27 @@ def test_merge_schema_evolution(spark, tmp_path):
     # ordering; prove mergeSchema was the thing that unioned it
     plain = spark.read.parquet(base + "/batch=1")
     assert "score" not in plain.columns
+
+
+def test_zone_map_prunes_files_and_preserves_results(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted layout + footer-stats zone map: a
+    narrow predicate must scan a strict subset of files and return
+    exactly the full-scan result."""
+    from trace_parquet_spark.sources.files import write_partitioned_sorted
+    from trace_parquet_spark.sources.zonemap import build_zone_map, pruned_read
+
+    path = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned_sorted(orders, path, ["o_totalprice"], num_partitions=8)
+
+    zm = build_zone_map(path, "o_totalprice")
+    assert sum(z["rows"] for z in zm) == orders.count()
+    assert all(z["min"] is not None for z in zm)
+
+    lo, hi = 50000.0, 80000.0
+    df, scanned, total = pruned_read(spark, zm, lo, hi)
+    assert scanned < total  # pruning actually happened
+    got = df.filter(F.col("o_totalprice").between(lo, hi))
+    full = orders.filter(F.col("o_totalprice").between(lo, hi))
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0
