@@ -246,14 +246,74 @@ ORDER BY query_id, rank
 """
 
 
+def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN against the brute-force
+    ground truth, per query point — the quality gate the round-1
+    verdict asked to make driver-visible for ANN paths. Both inputs
+    are this module's own oracle-checked queries; the eval is a join
+    and an exact hits/k division, so the DuckDB twin (the two full
+    pipelines composed as CTEs) hash-matches.
+
+    Scale: reuses the candidate-bounded LSH plan and the broadcast-
+    query brute-force plan; the eval join is k rows per query point.
+
+    Expect ~0.3-0.7 recall HERE: the synthetic embeddings are near-
+    uniform on the sphere (no cluster structure — the same property
+    that caps IVF at ~0.73 even at n_probe=16, tests/test_ivf.py), so
+    random hyperplanes split true neighbors often. On real embedding
+    distributions the same table/bit settings sit far higher; raising
+    N_TABLES is the recall knob either way.
+    """
+    bf = cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(lsh, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = bf.select("query_id").distinct()
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(TOP_K))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_LSH_RECALL_SQL = f"""
+WITH bf AS (
+{COSINE_TOPK_SQL.replace("ORDER BY query_id, rank", "")}
+), lsh AS (
+{ANN_LSH_SQL.replace("ORDER BY query_id, rank", "")}
+), hits AS (
+  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       COALESCE(h.n_hits, 0)                         AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_recall_eval": ann_lsh_recall_eval,
 }
 
 ORACLES = {
     "cosine_topk": COSINE_TOPK_SQL,
     "embedding_neardup_pairs": NEARDUP_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_lsh_recall_eval": ANN_LSH_RECALL_SQL,
 }
