@@ -162,14 +162,117 @@ ORDER BY bucket
 """
 
 
+TREND_TOP = 2
+
+
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top event types per sliding window (6h wide,
+    3h slide) — F.window's multi-assignment + a per-window rank. The
+    DuckDB oracle expands the two overlapping windows per event
+    explicitly (the same idiom as sliding_window_events).
+
+    Scale: the window() explode is ×2 rows, then one partial-agg
+    shuffle on (window, type); the rank runs over 5-type groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    wrank = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .filter(F.col("rank") <= TREND_TOP)
+        .orderBy("window_start", "rank")
+    )
+
+
+TRENDING_SQL = f"""
+WITH hits AS (
+  SELECT time_bucket(INTERVAL '3 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '3 hours', CAST(ts AS TIMESTAMP))
+           - INTERVAL '3 hours',
+         event_type
+  FROM events
+), counts AS (
+  SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM hits GROUP BY window_start, event_type
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TREND_TOP}
+ORDER BY window_start, rank
+"""
+
+
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: yearly grid
+    sums (exact ints) + lag, growth as one exact-int double division.
+
+    Scale: one partial-agg shuffle to (year × priority) grain; the lag
+    window runs over ~7 rows per priority.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_q")
+        )
+    )
+    wlag = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("rev_q").over(wlag)
+    return yearly.select(
+        "yr",
+        "o_orderpriority",
+        (F.col("rev_q") / F.lit(100.0)).alias("revenue"),
+        ((F.col("rev_q") - prev) / prev).alias("yoy_growth"),
+    ).orderBy("o_orderpriority", "yr")
+
+
+YOY_SQL = """
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_q
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT yr, o_orderpriority,
+       rev_q / 100.0 AS revenue,
+       CAST(rev_q - lag(rev_q) OVER w AS DOUBLE)
+         / lag(rev_q) OVER w AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+ORDER BY o_orderpriority, yr
+"""
+
+
 QUERIES = {
     "range_frame_hourly_totals": range_frame_hourly_totals,
     "decimal_money_totals": decimal_money_totals,
     "equi_depth_price_buckets": equi_depth_price_buckets,
+    "trending_event_types": trending_event_types,
+    "yoy_revenue_growth": yoy_revenue_growth,
 }
 
 ORACLES = {
     "range_frame_hourly_totals": RANGE_FRAME_SQL,
     "decimal_money_totals": DECIMAL_MONEY_SQL,
     "equi_depth_price_buckets": EQUI_DEPTH_SQL,
+    "trending_event_types": TRENDING_SQL,
+    "yoy_revenue_growth": YOY_SQL,
 }
