@@ -140,3 +140,50 @@ def test_python_datasource_gzjsonl(spark, tmp_path):
     # the EqualTo was CONSUMED by the reader: the only residual
     # post-scan filter is the null check, not the equality
     assert "= 2" not in plan
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    """Streaming side of the custom connector: files arriving between
+    micro-batches are delivered exactly once via the offset contract."""
+    import gzip
+    import json
+
+    from trace_parquet_spark.sources.pydatasource import register
+
+    def shard(fidx, n):
+        path = tmp_path / f"s{fidx}.jsonl.gz"
+        with gzip.open(path, "wt", encoding="utf-8") as fh:
+            for i in range(n):
+                fh.write(
+                    json.dumps(
+                        {
+                            "trace_id": fidx * 100 + i,
+                            "param_index": i % 3,
+                            "payload": f"s{fidx}:{i}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    register(spark)
+    shard(0, 10)
+    stream = (
+        spark.readStream.format("gzjsonl").option("path", str(tmp_path)).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gz_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM gz_stream").first().c == 10
+        shard(1, 7)  # a new shard lands mid-stream
+        q.processAllAvailable()
+        rows = spark.sql("SELECT trace_id FROM gz_stream").collect()
+    finally:
+        q.stop()
+    ids = sorted(r.trace_id for r in rows)
+    assert ids == sorted(list(range(10)) + [100 + i for i in range(7)])

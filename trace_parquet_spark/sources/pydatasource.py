@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -75,6 +76,54 @@ class GzJsonlReader(DataSourceReader):
                 yield rec["trace_id"], rec["param_index"], rec["payload"]
 
 
+class GzJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: tails the shard directory, offset = the
+    sorted list of files already delivered. Each micro-batch emits the
+    rows of files that appeared since the last offset — the shape of
+    any log-tailing connector (Kafka stands behind a jar this image
+    lacks; this is the same offset/commit contract in pure Python,
+    checkpointable and replayable via readBetweenOffsets)."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("gzjsonl requires option 'path'")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.dir) if n.endswith(".jsonl.gz")
+        )
+
+    def _rows(self, names):
+        for name in names:
+            with gzip.open(
+                os.path.join(self.dir, name), "rt", encoding="utf-8"
+            ) as fh:
+                for line in fh:
+                    if line.strip():
+                        rec = json.loads(line)
+                        yield (
+                            rec["trace_id"],
+                            rec["param_index"],
+                            rec["payload"],
+                        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        now = self._files()
+        fresh = [n for n in now if n not in set(start["seen"])]
+        return iter(list(self._rows(fresh))), {"seen": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        fresh = [n for n in end["seen"] if n not in set(start["seen"])]
+        return iter(list(self._rows(fresh)))
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to release
+
+
 class GzJsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -85,6 +134,9 @@ class GzJsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return GzJsonlReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return GzJsonlStreamReader(self.options)
 
 
 def register(spark) -> None:
