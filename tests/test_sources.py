@@ -187,3 +187,32 @@ def test_python_datasource_streaming(spark, tmp_path):
         q.stop()
     ids = sorted(r.trace_id for r in rows)
     assert ids == sorted(list(range(10)) + [100 + i for i in range(7)])
+
+
+def test_python_datasource_write_roundtrip(spark, tmp_path):
+    """Writer side: DataFrame -> custom sink -> custom source, bytes
+    and rows intact; overwrite mode replaces prior shards."""
+    from trace_parquet_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, i % 5, f"payload-{i}") for i in range(200)],
+        "trace_id bigint, param_index int, payload string",
+    ).repartition(4)
+    df.write.format("gzjsonl").option("path", out).mode("append").save()
+
+    back = spark.read.format("gzjsonl").option("path", out).load()
+    assert back.count() == 200
+    assert back.rdd.getNumPartitions() == 4  # one shard per writer task
+    assert {r.payload for r in back.collect()} == {
+        f"payload-{i}" for i in range(200)
+    }
+
+    # overwrite replaces, not appends
+    df.limit(10).repartition(1).write.format("gzjsonl").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert (
+        spark.read.format("gzjsonl").option("path", out).load().count() == 10
+    )

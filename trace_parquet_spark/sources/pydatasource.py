@@ -30,6 +30,8 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -124,6 +126,61 @@ class GzJsonlStreamReader(SimpleDataSourceStreamReader):
         pass  # files are immutable; nothing to release
 
 
+class _ShardWritten(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class GzJsonlWriter(DataSourceWriter):
+    """Write side: each task streams its partition into a temp gz
+    shard; commit() renames all temp shards into place (task retries
+    overwrite their own temp file, so a speculative duplicate never
+    double-publishes), abort() removes them — the two-phase commit
+    every distributed sink needs."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("gzjsonl requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.jsonl.gz")
+        n = 0
+        with gzip.open(tmp, "wt", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {
+                            "trace_id": row.trace_id,
+                            "param_index": row.param_index,
+                            "payload": row.payload,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _ShardWritten(tmp, n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for name in os.listdir(self.dir):
+                if name.endswith(".jsonl.gz") and not name.startswith("_tmp-"):
+                    os.remove(os.path.join(self.dir, name))
+        for i, m in enumerate(messages):
+            final = os.path.join(self.dir, f"shard-{i:05d}.jsonl.gz")
+            os.replace(m.path, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class GzJsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -137,6 +194,9 @@ class GzJsonlDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return GzJsonlStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return GzJsonlWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
