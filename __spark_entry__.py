@@ -41,6 +41,7 @@ def _modules():
         cdc,
         corpus_pipeline,
         featurize,
+        graph_metrics,
         dedup,
         dedup_clusters,
         indexing,
@@ -106,6 +107,7 @@ def _modules():
         merge,
         cdc,
         featurize,
+        graph_metrics,
         prep,
         quality,
         udaf,

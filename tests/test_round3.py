@@ -345,3 +345,38 @@ def test_pmi_properties(spark, sf_dir):
     by_pair = {(r.center, r.context): r.pmi6 for r in pmi}
     for (a, b), v in by_pair.items():
         assert by_pair[(b, a)] == v
+
+
+def test_graph_metrics_consistency(spark, sf_dir):
+    import itertools
+    import re
+
+    from trace_parquet_spark.operators.graph_metrics import (
+        degree_distribution,
+        triangle_list,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups = {}
+    for r in docs:
+        key = " ".join(
+            re.sub(r"\s+", " ", (r.text or "").lower().strip()).split(" ")[:2]
+        )
+        groups.setdefault(key, []).append(r.doc_id)
+
+    expect_tris = set()
+    for ids in groups.values():
+        for tri in itertools.combinations(sorted(ids), 3):
+            expect_tris.add(tri)
+    got_tris = {
+        (r.doc_a, r.doc_b, r.doc_c) for r in triangle_list(spark, sf_dir).collect()
+    }
+    assert got_tris == expect_tris and len(got_tris) > 0
+
+    # cliques of size k contribute k nodes of degree k-1
+    expect_deg = {}
+    for ids in groups.values():
+        if len(ids) > 1:
+            expect_deg[len(ids) - 1] = expect_deg.get(len(ids) - 1, 0) + len(ids)
+    got_deg = {r.degree: r.n_nodes for r in degree_distribution(spark, sf_dir).collect()}
+    assert got_deg == expect_deg
