@@ -184,12 +184,79 @@ ORDER BY cohort_week, week_k
 """
 
 
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds from first signup to the first strictly-later purchase,
+    summarized per signup-week cohort (n, median, p90). The deltas are
+    exact integer seconds (truncating ts→long equals DuckDB's
+    date_diff('second') boundary count), so the interpolated
+    percentiles land on .0/.5 exactly in both engines.
+
+    Scale: two per-user aggregates (one shuffle each on user_id) and a
+    per-cohort percentile over converted users only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.first("t0").alias("t0"))
+    )
+    secs = purch.select(
+        F.date_trunc("week", "t0").alias("cohort_week"),
+        (
+            F.col("t1").cast("timestamp").cast("long")
+            - F.col("t0").cast("timestamp").cast("long")
+        ).alias("delta_s"),
+    )
+    return (
+        secs.groupBy("cohort_week")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.expr("percentile(delta_s, 0.5)").alias("median_s"),
+            F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), sign AS (
+  SELECT user_id, min(ts) AS t0 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS t1, min(s.t0) AS t0
+  FROM ev e JOIN sign s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), secs AS (
+  SELECT CAST(date_trunc('week', t0) AS TIMESTAMP) AS cohort_week,
+         CAST(date_diff('second', t0, t1) AS BIGINT) AS delta_s
+  FROM purch
+)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT)      AS n_converted,
+       quantile_cont(delta_s, 0.5)   AS median_s,
+       quantile_cont(delta_s, 0.9)   AS p90_s
+FROM secs
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "time_to_convert": time_to_convert,
 }
 
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
+    "time_to_convert": TIME_TO_CONVERT_SQL,
 }
