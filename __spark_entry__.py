@@ -62,8 +62,11 @@ def _modules():
         analytics_extras,
         analytics_more,
         collections as collections_plans,
+        ds_shapes,
         funnels,
+        graph_rank,
         grouping_sets,
+        join_strategies,
         incremental,
         recursive,
         relational,
@@ -85,11 +88,14 @@ def _modules():
         tpch_rest,
         temporal,
         grouping_sets,
+        join_strategies,
+        ds_shapes,
         collections_plans,
         statistics,
         incremental,
         subqueries,
         funnels,
+        graph_rank,
         recursive,
         variant_ops,
         analytics_extras,

@@ -1,0 +1,162 @@
+"""TPC-DS-style query shapes the TPC-H suite doesn't exercise, adapted
+to the TPC-H-ish tables: a rank() window OVER a ROLLUP result (the
+TPC-DS Q67 pattern — rank every aggregation level of a hierarchy
+inside its parent partition) and a multi-channel UNION ALL conformance
+rollup (the Q71 "union the channels, then aggregate the union"
+pattern, here over event types standing in for channels).
+
+Reference: no counterpart (single-query engine); these extend the
+§2.4/§2.5 agg+window surface toward warehouse-benchmark shapes.
+
+Cross-engine care: revenues come from grid_sum (exact integer sums —
+see plans/relational.py), so window ORDER BY on them compares exact
+values; ties are broken by the dimension string with a COALESCE
+because Spark sorts NULLS FIRST ascending while DuckDB sorts NULLS
+LAST (rollup subtotal rows carry NULL dimensions).
+
+Scale: ROLLUP is one shuffle producing every level via partial
+aggregation; the window then partitions the tiny aggregate, not the
+fact table. The union rollup scans events once per branch — at real
+scale the branches would be separate sources, which is the point of
+the shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .relational import grid_sum, grid_sum_sql
+
+TOPK = 5
+
+# The testdata part table carries p_brand ('Brand#1'..'Brand#25') but no
+# p_mfgr; derive the 5-way parent level from the brand number the way
+# TPC-H's generator nests brands under manufacturers.
+_MFGR_SPARK = (
+    "concat('Manufacturer#',"
+    " cast((cast(substring(p_brand, 7) as int) - 1) div 5 + 1 as string))"
+)
+_MFGR_DUCK = (
+    "'Manufacturer#' ||"
+    " CAST((CAST(substring(p_brand, 7) AS INTEGER) - 1) // 5 + 1 AS VARCHAR)"
+)
+
+
+def rollup_rank_mfgr_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape: revenue by ROLLUP(p_mfgr, p_brand), then the
+    top-5 rows per manufacturer partition ranked by revenue — subtotal
+    rows (p_brand NULL) rank inside their manufacturer, the grand
+    total in the all-NULL partition."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.expr(_MFGR_SPARK).alias("p_mfgr"), "p_brand"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .rollup("p_mfgr", "p_brand")
+        .agg(
+            grid_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_mfgr").orderBy(
+        F.desc("revenue"), F.coalesce("p_brand", F.lit(""))
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK)
+        .select("p_mfgr", "p_brand", "revenue", "rk")
+        .orderBy(
+            F.coalesce("p_mfgr", F.lit("")), "rk", F.coalesce("p_brand", F.lit(""))
+        )
+    )
+
+
+ROLLUP_RANK_SQL = f"""
+WITH pm AS (
+  SELECT p_partkey, {_MFGR_DUCK} AS p_mfgr, p_brand FROM part
+), agg AS (
+  SELECT p.p_mfgr, p.p_brand,
+         {grid_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+  FROM lineitem l JOIN pm p ON l.l_partkey = p.p_partkey
+  GROUP BY ROLLUP (p.p_mfgr, p.p_brand)
+), ranked AS (
+  SELECT p_mfgr, p_brand, revenue,
+         CAST(rank() OVER (
+           PARTITION BY p_mfgr
+           ORDER BY revenue DESC, COALESCE(p_brand, '')
+         ) AS BIGINT) AS rk
+  FROM agg
+)
+SELECT p_mfgr, p_brand, revenue, rk
+FROM ranked
+WHERE rk <= {TOPK}
+ORDER BY COALESCE(p_mfgr, ''), rk, COALESCE(p_brand, '')
+"""
+
+
+def channel_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q71 shape: normalize heterogeneous "channels" (here,
+    purchase vs signup vs other event types) into one schema with
+    UNION ALL, then aggregate the union by hour across channels."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+
+    def chan(name: str, pred):
+        return ev.filter(pred).select(
+            F.lit(name).alias("channel"), "ts", "user_id"
+        )
+
+    unioned = (
+        chan("purchase", F.col("event_type") == "purchase")
+        .unionAll(chan("signup", F.col("event_type") == "signup"))
+        .unionAll(
+            chan("other", ~F.col("event_type").isin("purchase", "signup"))
+        )
+    )
+    return (
+        unioned.groupBy(
+            "channel", F.hour("ts").cast("long").alias("hour_of_day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("channel", "hour_of_day")
+    )
+
+
+CHANNEL_UNION_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id FROM events
+), unioned AS (
+  SELECT 'purchase' AS channel, ts, user_id FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'signup'   AS channel, ts, user_id FROM ev WHERE event_type = 'signup'
+  UNION ALL
+  SELECT 'other'    AS channel, ts, user_id FROM ev
+  WHERE event_type NOT IN ('purchase', 'signup')
+)
+SELECT channel,
+       CAST(hour(ts) AS BIGINT)              AS hour_of_day,
+       count(*)                              AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM unioned
+GROUP BY channel, hour(ts)
+ORDER BY channel, hour_of_day
+"""
+
+
+QUERIES = {
+    "rollup_rank_mfgr_brand": rollup_rank_mfgr_brand,
+    "channel_union_rollup": channel_union_rollup,
+}
+
+ORACLES = {
+    "rollup_rank_mfgr_brand": ROLLUP_RANK_SQL,
+    "channel_union_rollup": CHANNEL_UNION_SQL,
+}

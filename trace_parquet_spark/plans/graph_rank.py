@@ -1,0 +1,160 @@
+"""PageRank over the nation-level trade graph, in exact integer
+arithmetic so a fixed number of power iterations is bit-identical
+across engines (the DuckDB oracle unrolls the same three iterations as
+chained CTEs).
+
+Graph: one directed edge supplier-nation -> customer-nation per
+distinct trading pair, weighted by lineitem count (lineitem joined to
+supplier for the source nation and through orders/customer for the
+destination). The reference engine has nothing iterative
+(service/DataExportService.java:31-43); this extends the dedup-graph
+family (triangle_list, dedup_clusters) with a link-analysis rank, the
+shape used to weight crawl frontiers when prioritizing training-data
+acquisition.
+
+Determinism: floats never appear. Edge weights are collapsed to
+per-edge transition probabilities scaled to 1e6 (``(w * PSCALE) div
+out_w`` — truncating integer division, identical in Spark's ``div``
+and DuckDB's ``//`` for the all-positive operands here), ranks live on
+a 1e12 integer scale, and every iteration is ``(15*r0 + 85*sum) div
+100`` in BIGINT. Dangling-node mass (a nation with no outgoing trade —
+impossible at sf>=0.01 but handled) simply decays, the standard
+simplification; both engines agree because the formula is shared.
+
+Overflow headroom: rank <= 1e12, p <= 1e6, so rank*p <= 1e18 < 2^63;
+contributions are summed over <= N=25 in-edges after the div, keeping
+every intermediate within BIGINT regardless of raw edge weights — the
+probability normalization is what makes the arithmetic safe at 100 TB
+(raw ``rank * weight`` would overflow once weights pass ~1e8).
+
+Scale: the only big job is the edge aggregation — lineitem joined to
+three dimensions (supplier/orders/customer; supplier+customer
+broadcast, orders shuffle-joined on the lineitem key) collapsed to
+<= N^2 = 625 weighted edges. The power iterations run on that tiny
+relation (broadcast both sides), so iteration count adds no scans of
+the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+SCALE = 10**12
+PSCALE = 10**6
+ITERS = 3
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _trade_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges (src, dst, p): transition probability scaled to PSCALE."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("src")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("dst")
+    )
+    flows = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = flows.groupBy("src").agg(F.sum("w").alias("ow"))
+    return (
+        flows.join(outw, "src")
+        .select("src", "dst", F.expr(f"(w * {PSCALE}) div ow").alias("p"))
+    )
+
+
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact-integer power iterations over the trade graph;
+    returns every nation with its scaled rank (sums to <= SCALE; the
+    teleport term restores 15% each round)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    n_nodes = nation.count()  # 25-row dimension; a driver count is fine
+    r0 = SCALE // n_nodes
+
+    probs = _trade_probs(spark, sf_dir)
+    ranks = nation.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(ITERS):
+        contribs = (
+            probs.join(
+                F.broadcast(ranks), probs.src == ranks.node
+            )
+            .select("dst", F.expr(f"(rank * p) div {PSCALE}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nation.select("node")
+            .join(F.broadcast(contribs), F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({DAMP_DEN - DAMP_NUM} * cast({r0} as bigint)"
+                    f" + {DAMP_NUM} * coalesce(c, cast(0 as bigint)))"
+                    f" div {DAMP_DEN}"
+                ).alias("rank"),
+            )
+        )
+    return (
+        nation.join(ranks, "node")
+        .select("n_name", F.col("rank").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "n_name")
+    )
+
+
+def _iter_ctes() -> str:
+    """r1..rN CTEs, each one integer power iteration off the previous."""
+    parts = []
+    for i in range(1, ITERS + 1):
+        prev = "r0" if i == 1 else f"r{i - 1}"
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.dst, CAST(sum((r.rank * p.p) // {PSCALE}) AS BIGINT) AS c
+  FROM p JOIN {prev} r ON p.src = r.node GROUP BY p.dst
+), r{i} AS (
+  SELECT n.node,
+         CAST(({DAMP_DEN - DAMP_NUM} * (SELECT rank FROM init)
+               + {DAMP_NUM} * COALESCE(c.c, 0)) // {DAMP_DEN} AS BIGINT) AS rank
+  FROM r0 n LEFT JOIN c{i} c ON n.node = c.dst
+)"""
+        )
+    return ",\n".join(parts)
+
+
+PAGERANK_SQL = f"""
+WITH flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders   o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+), outw AS (
+  SELECT src, sum(w) AS ow FROM flows GROUP BY src
+), p AS (
+  SELECT f.src, f.dst, CAST((f.w * {PSCALE}) // o.ow AS BIGINT) AS p
+  FROM flows f JOIN outw o ON f.src = o.src
+), init AS (
+  SELECT CAST({SCALE} // count(*) AS BIGINT) AS rank FROM nation
+), r0 AS (
+  SELECT n_nationkey AS node, (SELECT rank FROM init) AS rank FROM nation
+),
+{_iter_ctes()}
+SELECT n.n_name, r.rank AS rank_scaled
+FROM r{ITERS} r JOIN nation n ON n.n_nationkey = r.node
+ORDER BY rank_scaled DESC, n.n_name
+"""
+
+
+QUERIES = {"pagerank_trade_graph": pagerank_trade_graph}
+ORACLES = {"pagerank_trade_graph": PAGERANK_SQL}
