@@ -42,8 +42,10 @@ def _modules():
         corpus_pipeline,
         featurize,
         graph_metrics,
+        heavy_hitters,
         dedup,
         dedup_clusters,
+        entity_resolution,
         indexing,
         ivf,
         merge,
@@ -57,6 +59,7 @@ def _modules():
         text_analysis,
         udaf,
         udtf,
+        zorder,
     )
     from trace_parquet_spark.plans import (
         analytics_extras,
@@ -101,9 +104,11 @@ def _modules():
         analytics_extras,
         analytics_more,
         text_analysis,
+        heavy_hitters,
         ranking,
         dedup,
         dedup_clusters,
+        entity_resolution,
         similarity,
         multimodal,
         corpus_pipeline,
@@ -118,6 +123,7 @@ def _modules():
         quality,
         udaf,
         udtf,
+        zorder,
         ivf,
     )
 

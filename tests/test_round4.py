@@ -94,3 +94,75 @@ def test_time_to_convert_deltas_positive(spark, sf_dir):
     for r in rows:
         assert r.n_converted > 0
         assert 0 <= r.median_s <= r.p90_s
+
+
+def test_heavy_hitter_candidates_bounded_and_complete(spark, sf_dir):
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.heavy_hitters import (
+        CAPACITY,
+        TOPK,
+        _mg_sketch,
+        top_tokens_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    n_parts = toks.rdd.getNumPartitions()
+    cands = set(
+        r.token
+        for r in toks.mapInPandas(_mg_sketch, schema="token string")
+        .distinct()
+        .collect()
+    )
+    assert len(cands) <= n_parts * CAPACITY
+    exact = toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    total = sum(r.n for r in exact)
+    # MG guarantee: every token above N/CAPACITY must be a candidate
+    for r in exact:
+        if r.n > total / CAPACITY:
+            assert r.token in cands
+    # and the full query equals the plain exact top-k
+    got = [(r.token, r.n) for r in top_tokens_exact(spark, sf_dir).collect()]
+    want = sorted(((r.token, r.n) for r in exact), key=lambda t: (-t[1], t[0]))
+    assert got == want[:TOPK]
+
+
+def test_zorder_buckets_partition_rows_and_cluster_both_keys(spark, sf_dir):
+    from trace_parquet_spark.operators.zorder import (
+        BITS,
+        BUCKET_BITS,
+        zorder_layout_stats,
+    )
+
+    rows = zorder_layout_stats(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r.n_rows for r in rows) == li.count()
+    assert all(0 <= r.bucket < (1 << BUCKET_BITS) for r in rows)
+    # clustering: with 3 Morton prefix bits per dimension, each bucket
+    # spans ~1/8 of each key range; assert well under the unclustered
+    # full width on average for BOTH dimensions at once
+    ok_lo, ok_hi, pk_lo, pk_hi = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    mean_ok = sum(r.max_orderkey - r.min_orderkey for r in rows) / len(rows)
+    mean_pk = sum(r.max_partkey - r.min_partkey for r in rows) / len(rows)
+    assert mean_ok <= (ok_hi - ok_lo) / 4
+    assert mean_pk <= (pk_hi - pk_lo) / 4
+
+
+def test_entity_resolution_clusters_are_consistent(spark, sf_dir):
+    from trace_parquet_spark.operators.entity_resolution import (
+        resolve_part_entities,
+    )
+
+    rows = resolve_part_entities(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        members = [int(k) for k in r.member_keys.split("|")]
+        assert r.n_members == len(members) >= 2
+        assert r.canonical_key == min(members)
+        assert not seen & set(members)  # clusters are disjoint
+        seen |= set(members)
