@@ -64,6 +64,13 @@ HEADLINE = [
     "funnel_conversion",
     "feature_hash_docs",
     "skipgram_pairs",
+    # round-4 additions
+    "pagerank_trade_graph",
+    "bloom_prefilter_join",
+    "rollup_rank_mfgr_brand",
+    "top_tokens_exact",
+    "zorder_layout_stats",
+    "resolve_part_entities",
 ]
 
 

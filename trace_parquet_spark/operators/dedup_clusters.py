@@ -62,16 +62,19 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
                 ).alias("cluster_id"),
             )
         )
-        # converged? (cheap: both sides are |V| rows)
+        # materialize FIRST (truncates lineage so the iterative plan
+        # doesn't snowball), then run the convergence probe against the
+        # checkpointed data — probing before the checkpoint would
+        # execute the whole update plan twice per iteration
+        materialized = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            materialized.alias("u")
             .join(labels.alias("l"), "doc_id")
             .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
             .limit(1)
             .count()
         )
-        # truncate lineage so the iterative plan doesn't snowball
-        labels = updated.localCheckpoint(eager=True)
+        labels = materialized
         if changed == 0:
             break
     return labels
