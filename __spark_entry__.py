@@ -43,6 +43,7 @@ def _modules():
         featurize,
         graph_metrics,
         heavy_hitters,
+        hygiene,
         dedup,
         dedup_clusters,
         entity_resolution,
@@ -105,6 +106,7 @@ def _modules():
         analytics_more,
         text_analysis,
         heavy_hitters,
+        hygiene,
         ranking,
         dedup,
         dedup_clusters,

@@ -166,3 +166,51 @@ def test_entity_resolution_clusters_are_consistent(spark, sf_dir):
         assert r.canonical_key == min(members)
         assert not seen & set(members)  # clusters are disjoint
         seen |= set(members)
+
+
+def test_decontaminate_flags_only_corpus_docs_with_shared_grams(spark, sf_dir):
+    from trace_parquet_spark.functions.text import shingles_from, tokens
+    from trace_parquet_spark.operators.hygiene import (
+        EVAL_MOD,
+        NGRAM,
+        decontaminate_docs,
+    )
+
+    rows = decontaminate_docs(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    gram_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from(tokens("text"), NGRAM))
+        ).alias("gram"),
+    ).collect()
+    eval_grams = {r.gram for r in gram_rows if r.doc_id % EVAL_MOD == 0}
+    by_doc = {}
+    for r in gram_rows:
+        if r.doc_id % EVAL_MOD != 0:
+            by_doc.setdefault(r.doc_id, set()).add(r.gram)
+    expected = {
+        d: len(g & eval_grams) for d, g in by_doc.items() if g & eval_grams
+    }
+    got = {r.doc_id: r.n_hit_grams for r in rows}
+    assert got == expected
+    assert all(d % EVAL_MOD != 0 for d in got)
+
+
+def test_surprisal_covers_corpus_and_is_positive(spark, sf_dir):
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.hygiene import doc_surprisal
+
+    rows = doc_surprisal(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    tok_total = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == tok_total
+    # surprisal ln(N/n) >= 0, and bounded by ln N
+    import math
+
+    for r in rows:
+        assert 0 <= r.avg_surprisal <= math.log(tok_total) + 1e-6

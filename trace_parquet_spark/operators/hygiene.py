@@ -1,0 +1,160 @@
+"""Training-data hygiene: benchmark decontamination and a
+perplexity-proxy (unigram surprisal) quality score — the two checks a
+corpus pipeline runs between dedup and sampling.
+
+``decontaminate_docs``: flag corpus documents sharing any word n-gram
+with a held-out eval set (here: every 50th doc_id stands in for the
+benchmark). The canonical n-gram-overlap decontamination used for
+LLM training corpora: eval n-grams are few, so they broadcast; the
+corpus side explodes its shingles once and the match is an equi-join
+on the gram string — no pairwise document comparison anywhere.
+
+``doc_surprisal``: mean unigram surprisal ln(N/n_token) per document
+against the corpus's own unigram model — low surprisal ≈ boilerplate,
+high ≈ gibberish; both tails get cut in practice. Determinism across
+engines: each token's surprisal is quantized to integer micro-nats
+(floor(ln·1e6 + 0.5) — the libm-parity grid operators/prep.py uses
+for PMI), summed exactly as BIGINT, and divided ONCE by n·1e6 with
+both operands exactly representable, so the double result is
+bit-identical in any IEEE engine.
+
+Scale: the unigram model is one groupBy over exploded tokens (heavy
+but linear, partial-agg); the per-doc pass re-joins tokens to the
+vocabulary — a shuffle join keyed on the token, skew-safe because the
+hottest tokens are stopwords whose join fan-out is bounded by doc
+count, not squared. Eval grams stay broadcast-sized by construction
+(benchmarks are tiny relative to a corpus).
+
+Reference: no counterpart (single-query engine); north-star LLM-data
+infrastructure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_from, shingles_sql, tokens, tokens_sql
+from ..sources.registry import load_table
+
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
+NGRAM = 5
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs contaminated by eval-set n-grams: one row per hit
+    doc with how many distinct eval grams it contains and how many
+    eval docs it collides with."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from(F.col("toks"), NGRAM))).alias(
+            "gram"
+        ),
+    )
+    eval_grams = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    corpus_grams = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_hit_grams"),
+            F.countDistinct("eval_doc").cast("long").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAM_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql("text", NGRAM)})) AS gram
+  FROM documents
+), eval_grams AS (
+  SELECT doc_id AS eval_doc, gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+), corpus_grams AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.gram) AS BIGINT)    AS n_hit_grams,
+       CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+FROM corpus_grams c JOIN eval_grams e ON c.gram = e.gram
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal in micro-nat-exact
+    arithmetic (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    micro = F.floor(
+        F.log(F.col("n_total").cast("double") / F.col("n_tok").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                F.col("sum_micro").cast("double")
+                / (F.col("n_tokens") * F.lit(1_000_000)).cast("double")
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SURPRISAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({tokens_sql("text")}) AS token FROM documents
+), tok_f AS (
+  SELECT * FROM tok WHERE token <> ''
+), vocab AS (
+  SELECT token, count(*) AS n_tok FROM tok_f GROUP BY token
+), total AS (
+  SELECT count(*) AS n_total FROM tok_f
+), per_tok AS (
+  SELECT t.doc_id, t.lang,
+         CAST(floor(ln(CAST(tt.n_total AS DOUBLE) / CAST(v.n_tok AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS micro
+  FROM tok_f t JOIN vocab v ON t.token = v.token CROSS JOIN total tt
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(micro) AS DOUBLE)
+         / CAST(count(*) * 1000000 AS DOUBLE) AS avg_surprisal
+FROM per_tok
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "decontaminate_docs": decontaminate_docs,
+    "doc_surprisal": doc_surprisal,
+}
+
+ORACLES = {
+    "decontaminate_docs": DECONTAM_SQL,
+    "doc_surprisal": SURPRISAL_SQL,
+}
