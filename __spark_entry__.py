@@ -41,6 +41,7 @@ def _modules():
         cdc,
         corpus_pipeline,
         featurize,
+        forget,
         graph_metrics,
         heavy_hitters,
         hygiene,
@@ -76,6 +77,7 @@ def _modules():
         relational,
         relational_extras,
         relational_more,
+        sequences,
         statistics,
         subqueries,
         temporal,
@@ -101,6 +103,7 @@ def _modules():
         funnels,
         graph_rank,
         recursive,
+        sequences,
         variant_ops,
         analytics_extras,
         analytics_more,
@@ -118,8 +121,10 @@ def _modules():
         skew,
         indexing,
         merge,
+        forget,
         cdc,
         featurize,
+        forget,
         graph_metrics,
         prep,
         quality,

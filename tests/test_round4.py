@@ -214,3 +214,63 @@ def test_surprisal_covers_corpus_and_is_positive(spark, sf_dir):
 
     for r in rows:
         assert 0 <= r.avg_surprisal <= math.log(tok_total) + 1e-6
+
+
+def test_path_pattern_users_really_match(spark, sf_dir):
+    from trace_parquet_spark.plans.sequences import (
+        PATH_PATTERN,
+        path_pattern_match,
+    )
+    import re
+
+    rows = path_pattern_match(spark, sf_dir).collect()
+    assert rows, "pattern should match someone at any sf"
+    for r in rows:
+        assert re.search(PATH_PATTERN, r.path)
+        assert len(r.path) == r.n_events
+
+
+def test_transition_matrix_rows_and_probs(spark, sf_dir):
+    from trace_parquet_spark.plans.sequences import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_steps = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_steps
+    from collections import defaultdict
+
+    by_src = defaultdict(float)
+    for r in rows:
+        assert 0 < r.p <= 1
+        by_src[r.src_type] += r.p
+    for s, tot in by_src.items():
+        assert abs(tot - 1.0) < 1e-9
+
+
+def test_cascade_forget_counts_match_anti_join(spark, sf_dir):
+    from trace_parquet_spark.operators.forget import (
+        FORGET_MOD,
+        cascade_forget_audit,
+    )
+
+    got = {
+        r.table_name: r.n_rows_deleted
+        for r in cascade_forget_audit(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    doomed_c = cust.filter(F.col("c_custkey") % FORGET_MOD == 0)
+    n_o_before = orders.count()
+    survivors_o = orders.join(
+        doomed_c, orders.o_custkey == doomed_c.c_custkey, "left_anti"
+    )
+    assert got["customer"] == doomed_c.count()
+    assert got["orders"] == n_o_before - survivors_o.count()
+    n_l_before = li.count()
+    survivors_l = li.join(
+        survivors_o.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    assert got["lineitem"] == n_l_before - survivors_l.count()

@@ -1,0 +1,136 @@
+"""Event-sequence analytics: regex pattern matching over per-user
+paths (the MATCH_RECOGNIZE workload, expressed as collect-sort-concat
++ RLIKE since Spark has no MATCH_RECOGNIZE clause) and the first-order
+Markov transition matrix between event types.
+
+Determinism: event timestamps can collide (the source grid is
+nanoseconds but ties still occur), so every ordering is (ts, event_id)
+— the composite is unique. Paths are built from single-char symbols
+(the event types' distinct initials), keeping the per-user string
+bounded and the regex engine-portable (plain '.'/'*' syntax — Java
+regex and DuckDB's RE2 agree). Transition probabilities are ONE
+division of two exactly-representable integers — bit-identical across
+IEEE engines.
+
+Scale: both queries are one shuffle on user_id. Path building is a
+groupBy collect over each user's own events (bounded by per-user
+activity, the natural partition unit); the transition matrix uses a
+lead() window inside the same partitioning then aggregates the tiny
+(types × types) relation. No cross-user data movement beyond the
+initial hash partition.
+
+Reference: no counterpart (single-query engine; reference README.md
+query surface is one filtered export). North-star product-analytics
+surface alongside funnel_conversion/sessionize_events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# view ... click ... purchase, anywhere in the stream, in order
+PATH_PATTERN = "v.*c.*p"
+
+
+def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym")
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "sym"))),
+        lambda s: s["sym"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(ordered, "").alias("path"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose event path contains a view→click→purchase
+    subsequence (regex over the symbol string)."""
+    return (
+        _paths(spark, sf_dir)
+        .filter(F.col("path").rlike(PATH_PATTERN))
+        .select("user_id", "n_events", "path")
+        .orderBy("user_id")
+    )
+
+
+PATH_PATTERN_SQL = f"""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS path,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events, path
+FROM paths
+WHERE regexp_matches(path, '{PATH_PATTERN}')
+ORDER BY user_id
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions: count and probability of each
+    (event_type → next event_type) step within a user's stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    counts = steps.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n")
+    )
+    outtot = counts.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(outtot, "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+        )
+        .orderBy("src_type", "dst_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ) AS dst_type
+  FROM events
+), counts AS (
+  SELECT src_type, dst_type, count(*) AS n
+  FROM steps WHERE dst_type IS NOT NULL
+  GROUP BY src_type, dst_type
+), outtot AS (
+  SELECT src_type, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY src_type
+)
+SELECT c.src_type, c.dst_type,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(o.tot AS DOUBLE) AS p
+FROM counts c JOIN outtot o ON c.src_type = o.src_type
+ORDER BY c.src_type, c.dst_type
+"""
+
+
+QUERIES = {
+    "path_pattern_match": path_pattern_match,
+    "event_transition_matrix": event_transition_matrix,
+}
+
+ORACLES = {
+    "path_pattern_match": PATH_PATTERN_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
+}
