@@ -51,6 +51,7 @@ def _modules():
         indexing,
         ivf,
         merge,
+        mixture,
         prep,
         quality,
         multimodal,
@@ -118,6 +119,7 @@ def _modules():
         multimodal,
         corpus_pipeline,
         sampling,
+        mixture,
         skew,
         indexing,
         merge,

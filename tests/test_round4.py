@@ -274,3 +274,28 @@ def test_cascade_forget_counts_match_anti_join(spark, sf_dir):
         "left_semi",
     )
     assert got["lineitem"] == n_l_before - survivors_l.count()
+
+
+def test_mixture_sample_hits_target_shares(spark, sf_dir):
+    from trace_parquet_spark.operators.mixture import (
+        MILLE,
+        mixture_sample_docs,
+    )
+
+    rows = mixture_sample_docs(spark, sf_dir).collect()
+    assert rows
+    total_kept = sum(r.n_kept for r in rows)
+    assert total_kept > 0
+    for r in rows:
+        assert 0 <= r.thresh_millis <= MILLE
+        assert r.n_kept <= r.n_input
+        # expected share: w_s/W; kept/total should approximate it.
+        # hash acceptance is binomial-ish — allow generous slack at
+        # tiny sf, exactness is the oracle's job
+        w = (int(r.source[3:]) % 4) + 1
+    ws = {r.source: (int(r.source[3:]) % 4) + 1 for r in rows}
+    big_w = sum(ws.values())
+    for r in rows:
+        target = ws[r.source] / big_w
+        achieved = r.n_kept / total_kept
+        assert abs(achieved - target) < 0.5 * target + 0.05

@@ -1,0 +1,120 @@
+"""Domain-mixture sampling: downsample each source so the output
+corpus hits a target mixture, at the largest size the inputs allow —
+the "data mixing" stage of an LLM training pipeline (upweight curated
+sources, cap web crawl), expressed deterministically so re-runs and
+engines agree row-for-row.
+
+Math (all exact integers, shared with the oracle): target weights
+w_s (here derived from the source id: (id mod 4) + 1, standing in for
+a mixing config), W = Σw_s. The largest virtual corpus honoring the
+mixture is scale = min_s floor(n_s · W / w_s); each source then keeps
+~scale·w_s/W rows via the deterministic per-mille hash threshold
+t_s = floor(scale · w_s · 1000 / (W · n_s)) — accept iff
+h(doc_id) mod 1000 < t_s, with the repo's md5-family hash
+(functions/hashing.py), so the kept SET (not just the count) is
+reproducible and joinable across tables.
+
+Scale: one aggregation for the per-source counts (tiny relation —
+sources number in the hundreds), broadcast back; the corpus pass is a
+single filter, no shuffle of the big table at all. Threshold
+quantization to 1/1000 bounds mixture error at 0.1% per source —
+tighten the denominator for finer control at no extra cost.
+
+Reference: no counterpart (single-query engine); north-star LLM-data
+infrastructure alongside sampling.py's flat hash sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash32, stable_hash32_sql
+from ..sources.registry import load_table
+
+MILLE = 1000
+
+_W_SPARK = "(cast(substring(source, 4, 8) as int) % 4) + 1"
+_W_DUCK = "(CAST(substring(source, 4, 8) AS INTEGER) % 4) + 1"
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture-sampling report: input size, the per-mille
+    acceptance threshold that realizes the target mixture, and the
+    kept count under the deterministic hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = docs.groupBy("source").agg(F.count("*").alias("n_input")).select(
+        "source", "n_input", F.expr(_W_SPARK).cast("long").alias("w")
+    )
+    totals = srcs.agg(F.sum("w").alias("big_w"))
+    scaled = srcs.join(F.broadcast(totals)).select(
+        "source",
+        "n_input",
+        "w",
+        "big_w",
+        F.expr("(n_input * big_w) div w").alias("cap"),
+    )
+    scale = scaled.agg(F.min("cap").alias("scale"))
+    thresh = scaled.join(F.broadcast(scale)).select(
+        "source",
+        "n_input",
+        F.expr(f"(scale * w * {MILLE}) div (big_w * n_input)").alias(
+            "thresh_millis"
+        ),
+    )
+    kept = (
+        docs.join(F.broadcast(thresh), "source")
+        .filter(
+            stable_hash32(F.col("doc_id").cast("string")) % MILLE
+            < F.col("thresh_millis")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        thresh.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            "thresh_millis",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH srcs AS (
+  SELECT source, count(*) AS n_input,
+         CAST({_W_DUCK} AS BIGINT) AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS big_w FROM srcs
+), scaled AS (
+  SELECT s.*, t.big_w, (s.n_input * t.big_w) // s.w AS cap
+  FROM srcs s CROSS JOIN tot t
+), sc AS (
+  SELECT min(cap) AS scale FROM scaled
+), thresh AS (
+  SELECT source, n_input,
+         CAST((sc.scale * w * {MILLE}) // (big_w * n_input) AS BIGINT)
+           AS thresh_millis
+  FROM scaled CROSS JOIN sc
+), kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN thresh t ON d.source = t.source
+  WHERE {stable_hash32_sql("CAST(d.doc_id AS VARCHAR)")} % {MILLE}
+        < t.thresh_millis
+  GROUP BY d.source
+)
+SELECT t.source,
+       CAST(t.n_input AS BIGINT)       AS n_input,
+       t.thresh_millis,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM thresh t LEFT JOIN kept k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
+QUERIES = {"mixture_sample_docs": mixture_sample_docs}
+ORACLES = {"mixture_sample_docs": MIXTURE_SQL}
