@@ -177,3 +177,29 @@ def test_scalar_subqueries_decorrelate(spark, sf_dir, qs):
 def test_not_in_compiles_to_anti_join(spark, sf_dir, qs):
     plan = _plan(qs["not_in_null_aware"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_round4_plans_stay_jvm_and_broadcast(spark, sf_dir, qs):
+    """Round-4 operators: no Python eval in relational paths (the MG
+    sketch's MapInPandas is the one sanctioned Python stage), no
+    sort-merge joins of provably-tiny relations."""
+    for name in ("pagerank_trade_graph", "mixture_sample_docs",
+                 "event_transition_matrix", "doc_surprisal",
+                 "cascade_forget_audit", "zorder_layout_stats"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_top_tokens_semi_join_prunes_before_shuffle(spark, sf_dir, qs):
+    plan = _plan(qs["top_tokens_exact"](spark, sf_dir))
+    assert "MapInPandas" in plan          # the sketch stage
+    assert "LeftSemi" in plan             # candidates prune the recount
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_pagerank_caches_probs_once(spark, sf_dir, qs):
+    plan = _plan(qs["pagerank_trade_graph"](spark, sf_dir))
+    # every iteration reads the cached edge relation instead of
+    # re-running the lineitem join-aggregate
+    assert plan.count("InMemoryTableScan") >= 3

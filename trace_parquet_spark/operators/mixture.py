@@ -43,8 +43,13 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptance threshold that realizes the target mixture, and the
     kept count under the deterministic hash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    srcs = docs.groupBy("source").agg(F.count("*").alias("n_input")).select(
-        "source", "n_input", F.expr(_W_SPARK).cast("long").alias("w")
+    # tiny (one row per source) but feeds four plan branches: cache so
+    # the documents aggregation runs once
+    srcs = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_input"))
+        .select("source", "n_input", F.expr(_W_SPARK).cast("long").alias("w"))
+        .cache()
     )
     totals = srcs.agg(F.sum("w").alias("big_w"))
     scaled = srcs.join(F.broadcast(totals)).select(
@@ -72,7 +77,7 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
     )
     return (
-        thresh.join(kept, "source", "left")
+        thresh.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "n_input",

@@ -67,7 +67,7 @@ def _trade_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = flows.groupBy("src").agg(F.sum("w").alias("ow"))
     return (
-        flows.join(outw, "src")
+        flows.join(F.broadcast(outw), "src")
         .select("src", "dst", F.expr(f"(w * {PSCALE}) div ow").alias("p"))
     )
 
@@ -82,7 +82,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nation.count()  # 25-row dimension; a driver count is fine
     r0 = SCALE // n_nodes
 
-    probs = _trade_probs(spark, sf_dir)
+    # <= N^2 rows, referenced by every iteration's plan subtree: cache
+    # so the lineitem edge aggregation runs ONCE, not once per
+    # iteration (the iteration subtrees are identical analyzed plans,
+    # so they all hit this cache entry)
+    probs = _trade_probs(spark, sf_dir).cache()
     ranks = nation.select("node", F.lit(r0).cast("long").alias("rank"))
     for _ in range(ITERS):
         contribs = (
@@ -106,7 +110,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        nation.join(ranks, "node")
+        nation.join(F.broadcast(ranks), "node")
         .select("n_name", F.col("rank").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), "n_name")
     )
