@@ -299,3 +299,32 @@ def test_mixture_sample_hits_target_shares(spark, sf_dir):
         target = ws[r.source] / big_w
         achieved = r.n_kept / total_kept
         assert abs(achieved - target) < 0.5 * target + 0.05
+
+
+def test_concurrency_bounds(spark, sf_dir):
+    from trace_parquet_spark.plans.temporal import max_daily_concurrency
+
+    rows = max_daily_concurrency(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    daily_users = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    cap = {r.day: r.n for r in daily_users}
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= cap[r.day.date()]
+
+
+def test_multi_band_counts_partition_filtered_rows(spark, sf_dir):
+    from trace_parquet_spark.plans.ds_shapes import BANDS, multi_band_counts
+
+    row = multi_band_counts(spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_eligible = li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") >= BANDS[0][0])
+        & (F.col("l_quantity") <= BANDS[-1][1])
+    ).count()
+    assert sum(row[f"band_{lo}_{hi}"] for lo, hi in BANDS) == n_eligible

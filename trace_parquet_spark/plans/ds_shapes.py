@@ -151,12 +151,54 @@ ORDER BY channel, hour_of_day
 """
 
 
+# quantity bands x discount predicate, all answered in ONE fact scan
+BANDS = [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)]
+
+
+def multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: several banded counts answered by a single
+    scan with conditional aggregation — the alternative (one subquery
+    per band, as Q88 is written) scans the fact table B times; the
+    conditional-sum form is the plan you want at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount"
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("l_quantity") >= lo)
+                & (F.col("l_quantity") <= hi)
+                & (F.col("l_discount") >= 0.05),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"band_{lo}_{hi}")
+        for lo, hi in BANDS
+    ]
+    return li.agg(*aggs)
+
+
+_BAND_COLS_SQL = ",\n       ".join(
+    f"CAST(sum(CASE WHEN l_quantity >= {lo} AND l_quantity <= {hi}"
+    f" AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS band_{lo}_{hi}"
+    for lo, hi in BANDS
+)
+
+MULTI_BAND_SQL = f"""
+SELECT {_BAND_COLS_SQL}
+FROM lineitem
+"""
+
+
 QUERIES = {
     "rollup_rank_mfgr_brand": rollup_rank_mfgr_brand,
     "channel_union_rollup": channel_union_rollup,
+    "multi_band_counts": multi_band_counts,
 }
 
 ORACLES = {
     "rollup_rank_mfgr_brand": ROLLUP_RANK_SQL,
     "channel_union_rollup": CHANNEL_UNION_SQL,
+    "multi_band_counts": MULTI_BAND_SQL,
 }

@@ -88,12 +88,78 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(load_table(spark, sf_dir, "events"))
 
 
+def max_daily_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active users per day, by sweep line: each
+    user's daily activity interval [min ts, max ts] contributes a +1
+    at its start and a -1 at its end; the running sum over the
+    day-partitioned, (ts, delta DESC)-ordered point stream peaks at
+    the answer. Touching intervals count as overlapping (+1 sorts
+    before -1 at the same instant), and the default RANGE window frame
+    lumps equal sort keys together, which both makes the running sum
+    well-defined under ties and is implemented identically by Spark
+    and DuckDB.
+
+    Scale: intervals collapse events per (user, day) in one partial
+    agg; the sweep is a window WITHIN each day partition — no global
+    ordering anywhere, days parallelize freely.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.to_date("ts").alias("day")
+    )
+    iv = ev.groupBy("user_id", "day").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    points = iv.select(
+        "day", F.col("s").alias("pts"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("day", F.col("e").alias("pts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day").orderBy(F.col("pts"), F.col("delta").desc())
+    )
+    running = points.withColumn("conc", F.sum("delta").over(w))
+    return (
+        running.groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .select(F.col("day").cast("timestamp").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )
+
+
+CONCURRENCY_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+), iv AS (
+  SELECT user_id, day, min(ts) AS s, max(ts) AS e
+  FROM ev GROUP BY user_id, day
+), points AS (
+  SELECT day, s AS pts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e AS pts, -1 AS delta FROM iv
+), swept AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY pts, delta DESC) AS conc
+  FROM points
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM swept
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_click_before_purchase": asof_click_before_purchase,
     "tumbling_window_events": tumbling_window_events,
     "sliding_window_events": sliding_window_events,
     "session_window_events": session_window_events,
+    "max_daily_concurrency": max_daily_concurrency,
 }
 
 ORACLES = {
@@ -102,4 +168,5 @@ ORACLES = {
     "tumbling_window_events": TUMBLING_SQL,
     "sliding_window_events": SLIDING_SQL,
     "session_window_events": SESSION_WINDOW_SQL,
+    "max_daily_concurrency": CONCURRENCY_SQL,
 }
