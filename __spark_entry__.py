@@ -54,6 +54,7 @@ def _modules():
         mixture,
         prep,
         quality,
+        quality_rules,
         multimodal,
         ranking,
         sampling,
@@ -130,6 +131,7 @@ def _modules():
         graph_metrics,
         prep,
         quality,
+        quality_rules,
         udaf,
         udtf,
         zorder,

@@ -328,3 +328,49 @@ def test_multi_band_counts_partition_filtered_rows(spark, sf_dir):
         & (F.col("l_quantity") <= BANDS[-1][1])
     ).count()
     assert sum(row[f"band_{lo}_{hi}"] for lo, hi in BANDS) == n_eligible
+
+
+def test_gopher_flags_agree_with_python_recompute(spark, sf_dir):
+    import re as _re
+
+    from trace_parquet_spark.operators.quality_rules import (
+        MAX_SYMBOL_MILLE,
+        MAX_TOP_BIGRAM_MILLE,
+        MIN_MWL,
+        MAX_MWL,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+        MAX_WORDS,
+        gopher_quality_flags,
+    )
+    from trace_parquet_spark.functions.text import STOPWORDS
+
+    rows = gopher_quality_flags(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(texts)
+    n_pass = 0
+    for r in rows[:100]:
+        text = texts[r.doc_id]
+        toks = _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        n_words = len(toks)
+        assert r.n_words == n_words
+        assert r.wc_ok == (MIN_WORDS <= n_words <= MAX_WORDS)
+        sum_wlen = sum(len(t) for t in toks)
+        assert r.mwl_ok == (
+            MIN_MWL * n_words <= sum_wlen <= MAX_MWL * n_words
+        )
+        n_sym = len(_re.sub(r"[a-zA-Z0-9 ]", "", text))
+        assert r.sym_ok == (n_sym * 1000 <= MAX_SYMBOL_MILLE * len(text))
+        assert r.stop_ok == (len(set(toks) & set(STOPWORDS)) >= MIN_STOPWORDS)
+        bigrams = [
+            " ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))
+        ]
+        from collections import Counter
+
+        top = max(Counter(bigrams).values())
+        assert r.rep_ok == (top * 1000 <= MAX_TOP_BIGRAM_MILLE * len(bigrams))
+        n_pass += bool(r.passes)
+    assert any(r.passes for r in rows) and not all(r.passes for r in rows)
