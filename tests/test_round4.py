@@ -374,3 +374,33 @@ def test_gopher_flags_agree_with_python_recompute(spark, sf_dir):
         assert r.rep_ok == (top * 1000 <= MAX_TOP_BIGRAM_MILLE * len(bigrams))
         n_pass += bool(r.passes)
     assert any(r.passes for r in rows) and not all(r.passes for r in rows)
+
+
+def test_star_cc_agrees_with_label_prop_and_survives_long_chains(spark, sf_dir):
+    import pytest as _pytest
+
+    from trace_parquet_spark.operators.dedup_clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        [(10, 11), (11, 12), (20, 21)],
+        [(5, 1), (5, 2), (5, 3), (5, 4)],   # star rooted off-min
+        [(100, 50)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, connected_components(df).collect()))
+        b = sorted(map(tuple, connected_components_star(df).collect()))
+        assert a == b, edges
+    # diameter > cap: label-prop must refuse (it used to return wrong
+    # labels silently); the star variant solves it within the same cap
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(chain)
+    b = sorted(map(tuple, connected_components_star(chain).collect()))
+    assert len(b) == 31 and all(c == 0 for _, c in b)
