@@ -404,3 +404,22 @@ def test_star_cc_agrees_with_label_prop_and_survives_long_chains(spark, sf_dir):
         connected_components(chain)
     b = sorted(map(tuple, connected_components_star(chain).collect()))
     assert len(b) == 31 and all(c == 0 for _, c in b)
+
+
+def test_compression_ratio_matches_python_gzip_golden(spark, sf_dir):
+    import gzip as _gzip
+
+    from trace_parquet_spark.operators.hygiene import compression_ratio_docs
+
+    rows = compression_ratio_docs(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert rows
+    for r in rows[:200]:
+        raw = texts[r.doc_id].encode("utf-8")
+        gz = _gzip.compress(raw, mtime=0)
+        assert r.n_bytes == len(raw)
+        assert r.n_gz_bytes == len(gz)
+        assert r.ratio_mille == len(gz) * 1000 // len(raw)

@@ -158,3 +158,45 @@ ORACLES = {
     "decontaminate_docs": DECONTAM_SQL,
     "doc_surprisal": SURPRISAL_SQL,
 }
+
+
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the CCNet/RedPajama-style
+    boilerplate detector: highly compressible text (ratio << 1 per
+    byte of input) is repetitive template content, incompressible text
+    is noise/binary; both tails get filtered. Reuses the faithful
+    core's deterministic gzip UDF (functions/gzip_codec.py, mtime=0),
+    so the score is reproducible across runs and machines.
+
+    Ratio as integer per-mille of compressed/original bytes — no float
+    accumulation. DRIVER GATE: rows-only (DuckDB has no SQL gzip);
+    pytest recomputes the exact bytes with Python zlib and matches
+    per-mille values golden.
+
+    Scale: pure map — one Arrow-batched pass, no shuffle at all; the
+    final sort is the presentation ORDER BY.
+    """
+    from ..functions.gzip_codec import gzip_compress
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.octet_length(gzip_compress(F.col("text")))
+            .cast("long")
+            .alias("n_gz_bytes"),
+        )
+        .filter(F.col("n_bytes") > 0)
+        .select(
+            "doc_id",
+            "n_bytes",
+            "n_gz_bytes",
+            F.expr("(n_gz_bytes * 1000) div n_bytes").alias("ratio_mille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["compression_ratio_docs"] = compression_ratio_docs
+# no ORACLES entry: gzip has no DuckDB SQL twin -> deliberate rows-only
