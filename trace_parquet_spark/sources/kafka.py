@@ -52,3 +52,68 @@ def write_stream(
         .options(**options)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Wire-format handling — everything AFTER `.format("kafka").load()`.
+#
+# Spark's Kafka source always yields this exact relation (Structured
+# Streaming Kafka integration docs):
+#   key binary, value binary, topic string, partition int, offset long,
+#   timestamp timestamp, timestampType int
+# The decode stage below is source-agnostic: it only depends on that
+# schema, so it is fully testable WITHOUT a broker — tests feed a
+# memory/file stream shaped like KAFKA_RECORD_SCHEMA through it (the
+# mock-integration coverage for this path; the broker jar only changes
+# who produces the relation).
+# ---------------------------------------------------------------------------
+
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def decode_json_records(records: DataFrame, value_schema: str) -> DataFrame:
+    """Kafka wire records → typed rows: key as UTF-8 string, value as
+    JSON parsed against ``value_schema``, tombstones (null value —
+    Kafka's delete marker in compacted topics) preserved as null
+    payload with is_tombstone=true so a downstream CDC merge can apply
+    them. Keeps (partition, offset) for exactly-once bookkeeping and
+    the broker timestamp for watermarks.
+
+    Scale: pure projection (from_json / cast), codegen-friendly, no
+    shuffle; safe directly under a watermark + window agg.
+    """
+    from pyspark.sql import functions as F
+
+    return records.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias(
+            "payload"
+        ),
+        F.col("value").isNull().alias("is_tombstone"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+
+
+def latest_by_key(decoded: DataFrame) -> DataFrame:
+    """Compacted-topic semantics as a BATCH operator: keep each key's
+    record with the highest (partition-independent) offset ordering —
+    (timestamp, offset) — honoring tombstones by dropping the key when
+    the winning record is a delete. The batch twin of what a streaming
+    CDC consumer materializes (streaming/cdc_sink.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("key").orderBy(
+        F.desc("timestamp"), F.desc("offset"), F.desc("partition")
+    )
+    ranked = decoded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("rn") == 1) & (~F.col("is_tombstone")))
+        .drop("rn")
+    )
