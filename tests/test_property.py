@@ -111,3 +111,84 @@ def test_sessionize_matches_reference(spark, rows):
             expect[int(row.id)] = sid
             prev = row.ts
     assert got == expect
+
+
+@st.composite
+def random_graph(draw):
+    n = draw(st.integers(2, 24))
+    n_edges = draw(st.integers(1, 40))
+    edges = [
+        (
+            draw(st.integers(0, n - 1)),
+            draw(st.integers(0, n - 1)),
+        )
+        for _ in range(n_edges)
+    ]
+    return [(a, b) for a, b in edges if a != b] or [(0, 1)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(random_graph())
+def test_star_cc_matches_union_find(spark, edges):
+    """connected_components_star vs a driver-side union-find oracle on
+    random multigraphs (self-loops stripped, duplicates kept)."""
+    from trace_parquet_spark.operators.dedup_clusters import (
+        connected_components_star,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, 255),
+    st.integers(0, 255),
+)
+def test_morton_interleave_is_bijective_and_monotone_in_prefix(a, b):
+    """The Morton code's defining property, checked in plain Python
+    against the generated Spark expression semantics: interleaving is
+    a bijection [0,256)² → [0,65536) and the top 2k bits are exactly
+    the k-bit prefixes of both inputs interleaved."""
+    from trace_parquet_spark.operators.zorder import BITS
+
+    z = 0
+    for i in range(BITS):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    # invert
+    ra = rb = 0
+    for i in range(BITS):
+        ra |= ((z >> (2 * i + 1)) & 1) << i
+        rb |= ((z >> (2 * i)) & 1) << i
+    assert (ra, rb) == (a, b)
+    # prefix locality: the 6-bit bucket is the two 3-bit key prefixes
+    # interleaved (a-bits at odd positions, b-bits at even)
+    bucket = z >> (2 * BITS - 6)
+    a_pref = ((bucket >> 5 & 1) << 2) | ((bucket >> 3 & 1) << 1) | (bucket >> 1 & 1)
+    b_pref = ((bucket >> 4 & 1) << 2) | ((bucket >> 2 & 1) << 1) | (bucket & 1)
+    assert a_pref == a >> (BITS - 3)
+    assert b_pref == b >> (BITS - 3)
