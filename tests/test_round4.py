@@ -423,3 +423,30 @@ def test_compression_ratio_matches_python_gzip_golden(spark, sf_dir):
         assert r.n_bytes == len(raw)
         assert r.n_gz_bytes == len(gz)
         assert r.ratio_mille == len(gz) * 1000 // len(raw)
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from trace_parquet_spark.plans.statistics import corr_matrix_lineitem
+
+    got = {
+        (r.col_x, r.col_y): r.corr
+        for r in corr_matrix_lineitem(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    # same grid quantization as the operator
+    q = {
+        "l_quantity": pdf.l_quantity.astype("int64"),
+        "l_extendedprice": np.floor(pdf.l_extendedprice * 100 + 0.5),
+        "l_discount": np.floor(pdf.l_discount * 100 + 0.5),
+        "l_tax": np.floor(pdf.l_tax * 100 + 0.5),
+    }
+    for (cx, cy), v in got.items():
+        want = np.corrcoef(q[cx], q[cy])[0, 1]
+        assert abs(v - want) < 1e-9, (cx, cy, v, want)
+    assert len(got) == 6

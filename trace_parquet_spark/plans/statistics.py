@@ -258,3 +258,104 @@ ORACLES = {
     "rolling_anomaly_events": ROLLING_ANOMALY_SQL,
     "revenue_share_by_nation": REVENUE_SHARE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation matrix
+# ---------------------------------------------------------------------------
+
+# (name, scaled-integer Spark expr, scaled-integer DuckDB expr); scales
+# cancel in corr, so only exactness matters, not the grid factor
+_CORR_COLS = [
+    ("l_quantity", "cast(l_quantity as long)",
+     "CAST(l_quantity AS BIGINT)"),
+    ("l_extendedprice", "cast(floor(l_extendedprice * 100 + 0.5) as long)",
+     "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    ("l_discount", "cast(floor(l_discount * 100 + 0.5) as long)",
+     "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+    ("l_tax", "cast(floor(l_tax * 100 + 0.5) as long)",
+     "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"),
+]
+_CORR_PAIRS = [
+    (i, j) for i in range(len(_CORR_COLS)) for j in range(len(_CORR_COLS))
+    if i < j
+]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix of the lineitem
+    numeric columns in ONE scan: 15 exact integer power sums (count, 4
+    sums, 4 squares, 6 cross products — all DECIMAL(38,0), map-side
+    combined) feed every matrix cell; each corr is then one fixed
+    double chain over exact integers, so DuckDB matches bit-for-bit.
+    The naive alternative — built-in corr() per pair — is 6 scans of
+    doubles with partition-order-dependent rounding.
+
+    Scale: the exchange carries 15 numbers per task regardless of
+    input size; the matrix explode happens on the single aggregated
+    row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    proj = li.select(
+        *[F.expr(e).alias(f"v{i}") for i, (_, e, _) in enumerate(_CORR_COLS)]
+    )
+    aggs = [F.count("*").cast(dec).alias("n")]
+    for i in range(len(_CORR_COLS)):
+        aggs.append(F.sum(F.col(f"v{i}").cast(dec)).alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.col(f"v{i}").cast(dec) * F.col(f"v{i}")).alias(f"q{i}")
+        )
+    for i, j in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(f"v{i}").cast(dec) * F.col(f"v{j}")).alias(f"c{i}{j}")
+        )
+    row = proj.agg(*aggs)
+
+    def corr_expr(i: int, j: int):
+        num = (F.col("n") * F.col(f"c{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}")).cast("double")
+        vx = (F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")).cast("double")
+        vy = (F.col("n") * F.col(f"q{j}") - F.col(f"s{j}") * F.col(f"s{j}")).cast("double")
+        return num / (F.sqrt(vx) * F.sqrt(vy))
+
+    cells = row.select(
+        *[corr_expr(i, j).alias(f"corr{i}{j}") for i, j in _CORR_PAIRS]
+    )
+    stack_args = ", ".join(
+        f"'{_CORR_COLS[i][0]}', '{_CORR_COLS[j][0]}', corr{i}{j}"
+        for i, j in _CORR_PAIRS
+    )
+    return cells.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_x, col_y, corr)"
+    ).orderBy("col_x", "col_y")
+
+
+def _corr_matrix_sql() -> str:
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for i, (_, _, de) in enumerate(_CORR_COLS):
+        sums.append(f"sum(CAST({de} AS HUGEINT)) AS s{i}")
+        sums.append(f"sum(CAST({de} AS HUGEINT) * {de}) AS q{i}")
+    for i, j in _CORR_PAIRS:
+        da, db = _CORR_COLS[i][2], _CORR_COLS[j][2]
+        sums.append(f"sum(CAST({da} AS HUGEINT) * {db}) AS c{i}{j}")
+    cells = []
+    for i, j in _CORR_PAIRS:
+        na, nb = _CORR_COLS[i][0], _CORR_COLS[j][0]
+        cells.append(
+            f"SELECT '{na}' AS col_x, '{nb}' AS col_y,\n"
+            f"  CAST(n * c{i}{j} - s{i} * s{j} AS DOUBLE)\n"
+            f"  / (sqrt(CAST(n * q{i} - s{i} * s{i} AS DOUBLE))\n"
+            f"     * sqrt(CAST(n * q{j} - s{j} * s{j} AS DOUBLE))) AS corr\n"
+            f"FROM sums"
+        )
+    body = "\nUNION ALL\n".join(cells)
+    return (
+        "WITH sums AS (\n  SELECT " + ",\n         ".join(sums)
+        + "\n  FROM lineitem\n)\n" + body + "\nORDER BY col_x, col_y"
+    )
+
+
+CORR_MATRIX_SQL = _corr_matrix_sql()
+
+QUERIES["corr_matrix_lineitem"] = corr_matrix_lineitem
+ORACLES["corr_matrix_lineitem"] = CORR_MATRIX_SQL
