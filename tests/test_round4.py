@@ -450,3 +450,28 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         want = np.corrcoef(q[cx], q[cy])[0, 1]
         assert abs(v - want) < 1e-9, (cx, cy, v, want)
     assert len(got) == 6
+
+
+def test_int8_quantization_bounds_and_reconstruction(spark, sf_dir):
+    import numpy as np
+
+    from trace_parquet_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    rows = quantize_embeddings_int8(spark, sf_dir).collect()
+    assert rows
+    embs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows[:100]:
+        v = embs[r.vec_id]
+        scale = np.abs(v).max()
+        assert r.scale == scale
+        q = np.floor(v * 127.0 / scale + 0.5)
+        assert r.q_min >= -127 and r.q_max <= 127
+        assert r.q_sum == int(q.sum())
+        # reconstruction error bounded by half a quantization step
+        recon = q * scale / 127.0
+        assert np.abs(recon - v).max() <= scale / 127.0 / 2 + 1e-12

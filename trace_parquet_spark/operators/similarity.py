@@ -317,3 +317,76 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_lsh_recall_eval": ANN_LSH_RECALL_SQL,
 }
+
+
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/bandwidth half of a vector-search system (4× smaller than
+    f32, dot products in integer SIMD). Per vector: scale = max|v_i|,
+    q_i = floor(v_i·127/scale + 0.5) ∈ [-127, 127].
+
+    Cross-engine exactness: v_i are f32 (exact as doubles), the
+    quantized value is ONE multiply + ONE divide + the floor grid —
+    the identical op chain in DuckDB, so even the half-way cases agree
+    bit-for-bit. The output avoids float accumulation entirely:
+    integer checksum/extrema of q plus the exact f32 scale.
+
+    Scale: pure per-row map over the array (higher-order functions,
+    JVM-side, no shuffle); the sink would write q as BINARY alongside
+    the scale for reconstruction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(
+            v.cast("double") * F.lit(127.0) / F.col("scale") + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            "scale",
+            F.size("q").cast("long").alias("n_dims"),
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_min("q").alias("q_min"),
+            F.array_max("q").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale + 0.5)
+                     AS BIGINT)) AS qv
+  FROM scaled
+  WHERE scale > 0
+)
+SELECT vec_id,
+       scale,
+       CAST(len(qv) AS BIGINT)       AS n_dims,
+       CAST(list_sum(qv) AS BIGINT)  AS q_sum,
+       list_min(qv)                  AS q_min,
+       list_max(qv)                  AS q_max
+FROM q
+ORDER BY vec_id
+"""
+
+QUERIES["quantize_embeddings_int8"] = quantize_embeddings_int8
+ORACLES["quantize_embeddings_int8"] = QUANTIZE_SQL
