@@ -111,3 +111,57 @@ def test_bucket_pruning_on_filter(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS bp_orders")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A hot-key join under AQE with skew thresholds forced low must
+    show the skew-split in the final adaptive plan — the runtime half
+    of the skew story (operators/skew.py salting is the planned
+    half)."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # 100k rows on ONE key vs a flat right side
+        left = spark.range(100_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        ).union(
+            spark.range(200).select(
+                (F.col("id") % 40).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(40).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k")
+        # collect() drives THIS Dataset's QueryExecution, so its
+        # AdaptiveSparkPlan reaches isFinalPlan=true (count() would
+        # plan and execute a different query)
+        assert len(joined.collect()) == 100_000 + 200
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
