@@ -475,3 +475,27 @@ def test_int8_quantization_bounds_and_reconstruction(spark, sf_dir):
         # reconstruction error bounded by half a quantization step
         recon = q * scale / 127.0
         assert np.abs(recon - v).max() <= scale / 127.0 / 2 + 1e-12
+
+
+def test_token_budget_bpe_pieces_superset_of_words(spark, sf_dir):
+    import re as _re
+
+    from trace_parquet_spark.operators.text_analysis import (
+        BPE_PIECE_RE_DUCK,
+        token_budget_by_source,
+    )
+
+    rows = token_budget_by_source(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    # python recompute on one source
+    src = rows[0].source
+    pieces = words = 0
+    for d in docs:
+        if d.source != src:
+            continue
+        pieces += len(_re.findall(BPE_PIECE_RE_DUCK, d.text))
+        words += len([t for t in _re.sub(r"\s+", " ", d.text.strip().lower()).split(" ") if t])
+    assert rows[0].total_bpe_pieces == pieces
+    # BPE pieces split punctuation off, so never fewer than words
+    assert rows[0].total_bpe_pieces >= rows[0].total_ws_tokens == words

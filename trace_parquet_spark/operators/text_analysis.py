@@ -135,3 +135,69 @@ ORACLES = {
     "lang_id_counts": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
 }
+
+
+# GPT-2-style pre-tokenizer, restricted to lookaround-free syntax so
+# Java regex (Spark) and RE2 (DuckDB) agree piece-for-piece: optional
+# leading space + letter run | digit run | symbol run. (The real GPT-2
+# pattern's \s+(?!\S) tail needs negative lookahead, which RE2 lacks;
+# whitespace runs are dropped here instead of kept as tokens.)
+BPE_PIECE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+"
+BPE_PIECE_RE_DUCK = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+"
+
+
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the report a training run
+    budgets against: docs, bytes, whitespace tokens, and BPE-style
+    pre-tokenizer pieces (the count that tracks real tokenizer cost
+    within a few percent, since BPE only ever splits within pieces).
+
+    Scale: one projection (two regexp passes per doc, codegen) + one
+    partial-agg shuffle keyed by source.
+    """
+    from ..functions.text import token_count_from, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", tokens("text").alias("toks")
+    )
+    per_doc = docs.select(
+        "source",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        token_count_from("text", F.col("toks")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PIECE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_pieces"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST({token_count_sql("text")} AS BIGINT)  AS n_ws,
+         CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE_DUCK}'))
+              AS BIGINT)                            AS n_bpe
+  FROM documents
+)
+SELECT source,
+       count(*)                         AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT)     AS total_bytes,
+       CAST(sum(n_ws) AS BIGINT)        AS total_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT)       AS total_bpe_pieces
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["token_budget_by_source"] = token_budget_by_source
+ORACLES["token_budget_by_source"] = TOKEN_BUDGET_SQL
