@@ -74,6 +74,7 @@ def _modules():
         graph_rank,
         grouping_sets,
         join_strategies,
+        join_stats,
         incremental,
         recursive,
         relational,
@@ -97,6 +98,7 @@ def _modules():
         temporal,
         grouping_sets,
         join_strategies,
+        join_stats,
         ds_shapes,
         collections_plans,
         statistics,

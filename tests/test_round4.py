@@ -499,3 +499,26 @@ def test_token_budget_bpe_pieces_superset_of_words(spark, sf_dir):
     assert rows[0].total_bpe_pieces == pieces
     # BPE pieces split punctuation off, so never fewer than words
     assert rows[0].total_bpe_pieces >= rows[0].total_ws_tokens == words
+
+
+def test_join_size_estimates_are_exact(spark, sf_dir):
+    from trace_parquet_spark.plans.join_stats import join_size_estimates
+
+    rows = {r.join_name: r for r in join_size_estimates(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    actual_fk = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert rows["lineitem_orders_fk"].est_out_rows == actual_fk
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    actual_self = ev.alias("a").join(
+        ev.alias("b"), F.col("a.user_id") == F.col("b.user_id")
+    ).count()
+    assert rows["events_self_user"].est_out_rows == actual_self
+    # the cautionary row: the self-join expands superlinearly (the
+    # quadratic risk the df-cap protects against), while the FK join's
+    # expansion ratio is exactly 1 (each lineitem matches one order)
+    fk = rows["lineitem_orders_fk"]
+    assert fk.est_out_rows == fk.left_rows_matched
+    sh = rows["shingle_self_join"]
+    assert sh.est_out_rows / sh.left_rows_matched > 1.5
+    assert sh.hottest_key_rows > 1
