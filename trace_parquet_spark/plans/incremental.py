@@ -138,3 +138,77 @@ ORACLES = {
     "incremental_agg_merge": INCREMENTAL_AGG_SQL,
     "time_rollup_counts": TIME_ROLLUP_SQL,
 }
+
+
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the materialized
+    per-nation revenue view (orders ⋈ customer, aggregated by nation)
+    absorbs a delta batch of new orders WITHOUT rejoining history —
+    history partials + (Δorders ⋈ customer) partials, merged by key.
+    The identity this relies on: equi-joins and algebraic aggregates
+    both distribute over UNION of the fact table, so
+    V(H ∪ Δ) = merge(V(H), V(Δ)). The oracle recomputes the view from
+    the full fact table — the gate checks the incremental path lands
+    on identical bytes.
+
+    Scale: history never touches raw data again (its partials are a
+    nation-sized stored table); only Δ is scanned and joined — the
+    dimension broadcast makes the refresh cost O(|Δ|).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    hist = orders.filter(F.col("o_orderkey") % _DELTA_MOD != 0)
+    delta = orders.filter(F.col("o_orderkey") % _DELTA_MOD == 0)
+
+    def view_partial(o: DataFrame) -> DataFrame:
+        return (
+            o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("cents"),
+            )
+        )
+
+    merged = (
+        view_partial(hist)
+        .unionAll(view_partial(delta))
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return (
+        merged.join(
+            F.broadcast(nation), merged.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_orders"),
+            (F.col("cents") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+INCREMENTAL_JOIN_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+QUERIES["incremental_join_refresh"] = incremental_join_refresh
+ORACLES["incremental_join_refresh"] = INCREMENTAL_JOIN_SQL
