@@ -522,3 +522,29 @@ def test_join_size_estimates_are_exact(spark, sf_dir):
     sh = rows["shingle_self_join"]
     assert sh.est_out_rows / sh.left_rows_matched > 1.5
     assert sh.hottest_key_rows > 1
+
+
+def test_choose_join_strategy_decisions(spark, sf_dir):
+    from trace_parquet_spark.plans.join_stats import choose_join_strategy
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    # small dim -> broadcast
+    d = choose_join_strategy(li, orders, "k")
+    assert d["strategy"] == "broadcast"
+    assert d["est_out_rows"] == li.count()
+    # same join with a tiny broadcast budget -> shuffle (FK join, no skew)
+    d2 = choose_join_strategy(li, orders, "k", broadcast_max_rows=10)
+    assert d2["strategy"] == "shuffle"
+    # synthetic hot key -> salted
+    hot = spark.range(10_000).select(F.lit(1).alias("k")).union(
+        spark.range(100).select((F.col("id") % 50 + 2).alias("k"))
+    )
+    flat = spark.range(60).select((F.col("id")).alias("k"))
+    d3 = choose_join_strategy(hot, flat, "k", broadcast_max_rows=10)
+    assert d3["strategy"] == "salted"
+    assert d3["hot_ratio"] > 20

@@ -105,3 +105,51 @@ ORDER BY join_name
 
 QUERIES = {"join_size_estimates": join_size_estimates}
 ORACLES = {"join_size_estimates": JOIN_SIZE_SQL}
+
+
+def choose_join_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    broadcast_max_rows: int = 1_000_000,
+    skew_hot_ratio: int = 20,
+) -> dict:
+    """Pre-flight join planning from the exact cardinality profile:
+    returns {"strategy", "est_out_rows", "right_rows", "hot_ratio"}
+    where strategy is
+      - "broadcast" when the right side fits the row budget,
+      - "salted"    when one key's output share exceeds skew_hot_ratio×
+                    the mean (operators/skew.py shapes apply),
+      - "shuffle"   otherwise (plain sort-merge/hash shuffle join).
+    One tiny stats job (three numbers collected); the decision maps
+    onto broadcast()/with_salt hints at submission time — the manual
+    twin of what AQE decides at runtime, available BEFORE the job runs
+    so the DAG can be authored around it.
+    """
+    dec = "decimal(38,0)"
+    cl = left.groupBy(key).agg(F.count("*").alias("cl"))
+    cr = right.groupBy(key).agg(F.count("*").alias("cr"))
+    prof = cl.join(cr, key)
+    stats = prof.agg(
+        F.sum(F.col("cl").cast(dec) * F.col("cr")).alias("est"),
+        F.max(F.col("cl").cast(dec) * F.col("cr")).alias("hot"),
+        F.count("*").alias("nkeys"),
+    ).first()
+    right_rows = right.count()
+    est = int(stats["est"] or 0)
+    hot = int(stats["hot"] or 0)
+    nkeys = int(stats["nkeys"] or 0)
+    mean = est / nkeys if nkeys else 0.0
+    hot_ratio = hot / mean if mean else 0.0
+    if right_rows <= broadcast_max_rows:
+        strategy = "broadcast"  # skew irrelevant: no shuffle of left
+    elif hot_ratio >= skew_hot_ratio:
+        strategy = "salted"
+    else:
+        strategy = "shuffle"
+    return {
+        "strategy": strategy,
+        "est_out_rows": est,
+        "right_rows": right_rows,
+        "hot_ratio": hot_ratio,
+    }
