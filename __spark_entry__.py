@@ -48,7 +48,10 @@ def _modules():
         dedup,
         dedup_clusters,
         entity_resolution,
+        incremental_dedup,
         indexing,
+        packing,
+        semantic,
         ivf,
         merge,
         mixture,
@@ -118,6 +121,9 @@ def _modules():
         dedup,
         dedup_clusters,
         entity_resolution,
+        incremental_dedup,
+        semantic,
+        packing,
         similarity,
         multimodal,
         corpus_pipeline,

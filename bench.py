@@ -71,6 +71,12 @@ HEADLINE = [
     "top_tokens_exact",
     "zorder_layout_stats",
     "resolve_part_entities",
+    # round-5 additions
+    "semantic_dedup_clusters",
+    "nearest_centroid_assign",
+    "pack_contexts",
+    "bpe_top_merges",
+    "dedup_incremental_minhash",
 ]
 
 

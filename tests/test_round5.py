@@ -1,0 +1,170 @@
+"""Round-5 additions: semantic dedup over embeddings, exact-grid
+centroids + nearest-centroid assignment, concat-and-chunk context
+packing, the BPE merge-count step, and incremental MinHash dedup."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    dedup_minhash_lsh,
+)
+from trace_parquet_spark.operators.incremental_dedup import (
+    CUT_DEN,
+    CUT_NUM,
+    dedup_incremental_minhash,
+)
+from trace_parquet_spark.operators.packing import (
+    BPE_PIECE_RE,
+    CTX_TOKENS,
+    MERGE_TOP_K,
+    SHARD_DOCS,
+    bpe_top_merges,
+    pack_contexts,
+)
+from trace_parquet_spark.operators.semantic import (
+    MICRO,
+    SEM_MAX_ID,
+    embedding_centroids_by_label,
+    nearest_centroid_assign,
+    semantic_dedup_clusters,
+)
+from trace_parquet_spark.sources.registry import load_table
+
+
+def test_semantic_dedup_cluster_invariants(spark, sf_dir):
+    rows = semantic_dedup_clusters(spark, sf_dir).collect()
+    n_vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_MAX_ID)
+        .count()
+    )
+    assert len(rows) == n_vecs
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r.cluster_id <= r.vec_id  # label is the component min
+        assert r.kept == (1 if r.vec_id == r.cluster_id else 0)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert all(m.cluster_size == len(members) for m in members)
+        assert sum(m.kept for m in members) == 1  # one representative
+        assert min(m.vec_id for m in members) == cid
+
+
+def test_nearest_centroid_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {
+        r.vec_id: (r.label, np.floor(np.array(r.embedding, dtype=np.float64) * MICRO + 0.5).astype(np.int64))
+        for r in emb
+    }
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for lbl, v in vecs.values():
+        sums[lbl] = sums.get(lbl, 0) + v
+        counts[lbl] = counts.get(lbl, 0) + 1
+    # exact integer truncating division, matched to the operator
+    cents = {
+        lbl: np.where(
+            sums[lbl] >= 0,
+            sums[lbl] // counts[lbl],
+            -((-sums[lbl]) // counts[lbl]),
+        )
+        for lbl in sums
+    }
+    expected = Counter()
+    for lbl, v in vecs.values():
+        best = min(
+            sorted(cents),
+            key=lambda c: (int(((v - cents[c]) ** 2).sum()), c),
+        )
+        expected[(lbl, best)] += 1
+    got = {
+        (r.true_label, r.assigned_label): r.n_vecs
+        for r in nearest_centroid_assign(spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+    # centroids table is K x dim
+    cent_rows = embedding_centroids_by_label(spark, sf_dir).collect()
+    dim = len(emb[0].embedding)
+    assert len(cent_rows) == len(sums) * dim
+
+
+def test_pack_contexts_token_conservation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").collect()
+    pat = re.compile(BPE_PIECE_RE)
+    shard_tokens: dict[int, int] = {}
+    for r in docs:
+        n = len(pat.findall(r.text))
+        if n > 0:
+            shard = r.doc_id // SHARD_DOCS
+            shard_tokens[shard] = shard_tokens.get(shard, 0) + n
+    rows = pack_contexts(spark, sf_dir).collect()
+    got_tokens: dict[int, int] = {}
+    last_ctx = {}
+    for r in rows:
+        got_tokens[r.shard] = got_tokens.get(r.shard, 0) + r.n_tokens
+        last_ctx[r.shard] = max(last_ctx.get(r.shard, -1), r.ctx)
+        assert 1 <= r.n_tokens <= CTX_TOKENS
+        assert r.n_docs_started <= r.n_docs
+    assert got_tokens == shard_tokens
+    # every context except each shard's last is exactly full
+    for r in rows:
+        if r.ctx < last_ctx[r.shard]:
+            assert r.n_tokens == CTX_TOKENS
+    # contexts are dense 0..last per shard
+    per_shard = Counter(r.shard for r in rows)
+    for shard, n in per_shard.items():
+        assert n == last_ctx[shard] + 1
+
+
+def test_bpe_top_merges_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").collect()
+    freq: Counter = Counter()
+    for r in docs:
+        for w in re.findall("[a-z]+", r.text.lower()):
+            if len(w) >= 2:
+                freq[w] += 1
+    pair_counts: Counter = Counter()
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            pair_counts[w[i : i + 2]] += f
+    expected = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :MERGE_TOP_K
+    ]
+    got = [
+        (r.pair, r.n) for r in bpe_top_merges(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_incremental_minhash_is_restriction_of_full(spark, sf_dir):
+    """The incremental pairs are exactly the full-LSH pairs that cross
+    the history/delta cutoff — same signatures, same verification."""
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    max_id = load_table(spark, sf_dir, "documents").agg(
+        F.max("doc_id")
+    ).collect()[0][0]
+    cut = (max_id + 1) * CUT_NUM // CUT_DEN
+    expected = {
+        (a, b): j for (a, b), j in full.items() if a < cut and b >= cut
+    }
+    got = {
+        (r.dup_of, r.doc_new): r.jaccard
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for (a, b), j in got.items():
+        assert j >= JACCARD_THRESHOLD
+
+
+def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
+    plan = nearest_centroid_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,192 @@
+"""Training-sequence assembly operators.
+
+- **pack_contexts** — GPT-style concat-and-chunk packing accounting:
+  documents are concatenated in doc_id order and split at fixed
+  CTX_TOKENS boundaries (documents straddle boundaries, exactly like
+  production pretraining packers that concatenate with EOS and slice
+  fixed-length windows). Packing is scoped **per shard** of
+  SHARD_DOCS consecutive doc_ids — the shape that scales: each
+  shard's running token sum is an independent window partition, so
+  the global sort is per-shard (no single-partition window, which
+  would serialize the whole corpus through one task at 100 TB; real
+  packers likewise pack per input shard/file). Output is one row per
+  (shard, context): how many documents touch the context, how many
+  start inside it, and the exact token count (== CTX_TOKENS for all
+  but each shard's final context). All-integer arithmetic; token
+  counts use the same RE2-portable BPE pre-tokenizer as
+  text_analysis.token_budget_by_source.
+
+- **bpe_top_merges** — the counting step of one BPE training
+  iteration: word frequencies over the corpus, each word split into
+  characters, adjacent-pair counts weighted by word frequency, top
+  MERGE_TOP_K pairs by (count desc, pair asc). This is the exact
+  "most frequent symbol pair" statistic BPE merges on; iterating it
+  with a merge-apply step trains a tokenizer. One explode over words
+  + one explode over in-word positions + one aggregation — no Python
+  in the hot path; the word-frequency relation (not the corpus) is
+  what fans out per character position.
+
+Reference: no counterpart (single-query export engine) — north-star
+LLM-pipeline extensions alongside operators/text_analysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table_parallel
+from .text_analysis import BPE_PIECE_RE, BPE_PIECE_RE_DUCK
+
+CTX_TOKENS = 2048
+SHARD_DOCS = 250
+MERGE_TOP_K = 20
+
+
+def pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(BPE_PIECE_RE), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("shard", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        docs.withColumn("cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("start_ctx", F.expr(f"cum div {CTX_TOKENS}"))
+        .withColumn("end_ctx", F.expr(f"(cum + n_tok - 1) div {CTX_TOKENS}"))
+    )
+    per_ctx = spans.select(
+        "shard",
+        "cum",
+        "n_tok",
+        "start_ctx",
+        F.explode(F.sequence("start_ctx", "end_ctx")).alias("ctx"),
+    ).select(
+        "shard",
+        "ctx",
+        (F.col("start_ctx") == F.col("ctx")).cast("long").alias("started"),
+        (
+            F.least((F.col("ctx") + 1) * CTX_TOKENS, F.col("cum") + F.col("n_tok"))
+            - F.greatest(F.col("ctx") * CTX_TOKENS, F.col("cum"))
+        ).alias("tok_in_ctx"),
+    )
+    return (
+        per_ctx.groupBy("shard", "ctx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("started").cast("long").alias("n_docs_started"),
+            F.sum("tok_in_ctx").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard", "ctx")
+    )
+
+
+PACK_CONTEXTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE_DUCK}')) AS BIGINT)
+           AS n_tok,
+         doc_id // {SHARD_DOCS} AS shard
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE n_tok > 0),
+spans AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum
+  FROM nz
+),
+ranged AS (
+  SELECT shard, cum, n_tok,
+         CAST(cum // {CTX_TOKENS} AS BIGINT) AS start_ctx,
+         CAST((cum + n_tok - 1) // {CTX_TOKENS} AS BIGINT) AS end_ctx
+  FROM spans
+),
+per_ctx AS (
+  SELECT shard, CAST(t.ctx AS BIGINT) AS ctx,
+         CASE WHEN start_ctx = t.ctx THEN 1 ELSE 0 END AS started,
+         least((t.ctx + 1) * {CTX_TOKENS}, cum + n_tok)
+           - greatest(t.ctx * {CTX_TOKENS}, cum) AS tok_in_ctx
+  FROM ranged, unnest(range(start_ctx, end_ctx + 1)) AS t(ctx)
+)
+SELECT shard, ctx,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(started) AS BIGINT)    AS n_docs_started,
+       CAST(sum(tok_in_ctx) AS BIGINT) AS n_tokens
+FROM per_ctx
+GROUP BY shard, ctx
+ORDER BY shard, ctx
+"""
+
+
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = wf.select(
+        "f",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select("f", F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= MERGE_TOP_K)
+        .select("rank", "pair", "n")
+        .orderBy("rank")
+    )
+
+
+BPE_MERGES_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(t.i AS INTEGER), 2) AS pair, f
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+),
+agg AS (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT rank, pair, n FROM ranked
+WHERE rank <= {MERGE_TOP_K}
+ORDER BY rank
+"""
+
+
+QUERIES = {
+    "pack_contexts": pack_contexts,
+    "bpe_top_merges": bpe_top_merges,
+}
+
+ORACLES = {
+    "pack_contexts": PACK_CONTEXTS_SQL,
+    "bpe_top_merges": BPE_MERGES_SQL,
+}

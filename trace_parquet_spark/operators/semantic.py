@@ -1,0 +1,298 @@
+"""Semantic (embedding-space) curation operators.
+
+Three driver queries over the ``embeddings`` table:
+
+- **semantic_dedup_clusters** — SemDeDup-style semantic deduplication:
+  cosine near-dup pairs → connected components → keep one
+  representative (the min vec_id) per semantic cluster. The pair
+  relation here is the exact all-pairs baseline over a bounded id
+  range (the oracle-checkable ground truth, mirroring
+  similarity.embedding_neardup_pairs); at 100 TB the drop-in
+  replacement is the banded hyperplane-LSH candidate relation
+  (similarity._with_table_buckets) — identical downstream CC +
+  representative logic, candidates-only exact verification.
+  Components use the large-star/small-star alternation
+  (dedup_clusters.connected_components_star), the O(log n)-round
+  shape that survives unknown cluster diameters.
+- **embedding_centroids_by_label** — per-label exact centroid on the
+  1e-6 integer grid: components are quantized to micro-units
+  (floor(x·1e6 + 0.5) — half-up, the repo-wide grid rule), summed
+  exactly in int64, then divided once with truncating integer
+  division. Order-independent and bit-identical in any engine —
+  float summation order never enters. One explode + one aggregation;
+  the output is K·dim rows (tiny), the natural broadcast side for
+  downstream assignment.
+- **nearest_centroid_assign** — assign every vector to its nearest
+  centroid by exact squared distance on the same micro grid
+  (int64-safe: dim·(2e6)² ≈ 2.6e14 < 2^63), emit the
+  (true_label, assigned_label) confusion matrix. Centroids are a
+  K·dim relation joined broadcast; the per-vector argmin is a window
+  over K candidate rows with deterministic (d2, label) tie-break.
+  This is the assignment step of k-means-style cluster curation and
+  of nearest-centroid topic bucketing.
+
+Reference: no counterpart (single-query export engine;
+SURVEY.md §2.3-§2.4 record joins/aggregations as absent) — these are
+north-star LLM-data-pipeline extensions alongside operators/dedup.py
+and operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, cosine_sql
+from ..sources.registry import load_table
+from .dedup_clusters import connected_components_star
+
+SEM_MAX_ID = 2000
+SEM_THRESHOLD = 0.42
+MICRO = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# semantic dedup: near-dup pairs -> connected components -> representatives
+# --------------------------------------------------------------------------
+
+
+def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pair graph over vec_id < SEM_MAX_ID.
+
+    Cosine is rounded to the 1e-9 grid BEFORE thresholding (the
+    repo-wide ranking rule) so both engines agree on boundary pairs.
+    The small side is broadcast: no shuffle of the left relation.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_MAX_ID)
+        .select("vec_id", "embedding")
+        .repartition(32, "vec_id")
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("src") < F.col("dst"))
+        .withColumn("cos9", F.round(cosine("ea", "eb"), 9))
+        .filter(F.col("cos9") >= SEM_THRESHOLD)
+        .select("src", "dst")
+    )
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-cluster assignment and keep/drop decision:
+    (vec_id, cluster_id = component min, cluster_size, kept). Vectors
+    with no near-dup are their own singleton cluster and are kept."""
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_MAX_ID)
+        .select("vec_id")
+    )
+    labels = connected_components_star(_sem_pairs(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    labeled = ids.join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("vec_id") == F.col("cluster_id")).cast("long").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_MAX_ID}
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 9) >= {SEM_THRESHOLD}
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst AS src, src AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS vec_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS vec_id, r.r
+  FROM edges e JOIN reach r ON e.dst = r.vec_id
+),
+labels AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+),
+labeled AS (
+  SELECT e0.vec_id, COALESCE(l.cluster_id, e0.vec_id) AS cluster_id
+  FROM e0 LEFT JOIN labels l ON e0.vec_id = l.vec_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT x.vec_id, x.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(x.vec_id = x.cluster_id AS BIGINT) AS kept
+FROM labeled x JOIN sizes s ON x.cluster_id = s.cluster_id
+ORDER BY x.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# exact-grid centroids per label
+# --------------------------------------------------------------------------
+
+
+def _vec_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, true_label, pos [1-based], xm) — micro-grid components."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.floor(F.col("x").cast("double") * MICRO + F.lit(0.5))
+        .cast("long")
+        .alias("xm"),
+    )
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _vec_terms(spark, sf_dir)
+        .groupBy("true_label", "pos")
+        .agg(F.sum("xm").alias("sum_micro"), F.count("*").alias("n_vecs"))
+    )
+    cm = F.when(
+        F.col("sum_micro") >= 0, F.expr("sum_micro div n_vecs")
+    ).otherwise(-F.expr("(-sum_micro) div n_vecs"))
+    return (
+        g.select(
+            F.col("true_label").alias("label"),
+            "pos",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("sum_micro").cast("long").alias("sum_micro"),
+            cm.cast("long").alias("centroid_micro"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_VT_CTE = f"""
+vt AS (
+  SELECT vec_id, label AS true_label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {MICRO} + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings
+)
+"""
+
+CENTROIDS_SQL = f"""
+WITH {_VT_CTE},
+g AS (
+  SELECT true_label AS label, CAST(pos AS BIGINT) AS pos,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(xm) AS BIGINT) AS sum_micro
+  FROM vt GROUP BY 1, 2
+)
+SELECT label, pos, n_vecs, sum_micro,
+       CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
+                 ELSE -((-sum_micro) // n_vecs) END AS BIGINT)
+         AS centroid_micro
+FROM g
+ORDER BY label, pos
+"""
+
+
+# --------------------------------------------------------------------------
+# nearest-centroid assignment (confusion matrix)
+# --------------------------------------------------------------------------
+
+
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vt = _vec_terms(spark, sf_dir)
+    cent = embedding_centroids_by_label(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "pos", "centroid_micro"
+    )
+    d = (
+        vt.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("centroid_micro"))
+                * (F.col("xm") - F.col("centroid_micro"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    best = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("c_label").alias("assigned_label"))
+    )
+    return (
+        best.groupBy("true_label", "assigned_label")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(
+            "true_label",
+            "assigned_label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+        )
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+NEAREST_CENTROID_SQL = f"""
+WITH {_VT_CTE},
+g AS (
+  SELECT true_label AS label, pos,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(xm) AS BIGINT) AS sum_micro
+  FROM vt GROUP BY 1, 2
+),
+cent AS (
+  SELECT label AS c_label, pos,
+         CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
+                   ELSE -((-sum_micro) // n_vecs) END AS BIGINT) AS cm
+  FROM g
+),
+d AS (
+  SELECT v.vec_id, v.true_label, c.c_label,
+         sum((v.xm - c.cm) * (v.xm - c.cm)) AS d2
+  FROM vt v JOIN cent c ON v.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, true_label, c_label AS assigned_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM d
+)
+SELECT true_label, assigned_label, CAST(count(*) AS BIGINT) AS n_vecs
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY true_label, assigned_label
+"""
+
+
+QUERIES = {
+    "semantic_dedup_clusters": semantic_dedup_clusters,
+    "embedding_centroids_by_label": embedding_centroids_by_label,
+    "nearest_centroid_assign": nearest_centroid_assign,
+}
+
+ORACLES = {
+    "semantic_dedup_clusters": SEMANTIC_DEDUP_SQL,
+    "embedding_centroids_by_label": CENTROIDS_SQL,
+    "nearest_centroid_assign": NEAREST_CENTROID_SQL,
+}
