@@ -74,8 +74,10 @@ HEADLINE = [
     # round-5 additions
     "semantic_dedup_clusters",
     "nearest_centroid_assign",
+    "embedding_outlier_prune",
     "pack_contexts",
     "bpe_top_merges",
+    "epoch_shuffle_microbatches",
     "dedup_incremental_minhash",
 ]
 

@@ -23,14 +23,20 @@ from trace_parquet_spark.operators.packing import (
     BPE_PIECE_RE,
     CTX_TOKENS,
     MERGE_TOP_K,
+    MICROBATCH_DOCS,
+    N_WORKERS,
     SHARD_DOCS,
     bpe_top_merges,
+    bpe_vocab_coverage,
+    epoch_shuffle_microbatches,
     pack_contexts,
 )
 from trace_parquet_spark.operators.semantic import (
     MICRO,
+    OUTLIER_FRACTION_DEN,
     SEM_MAX_ID,
     embedding_centroids_by_label,
+    embedding_outlier_prune,
     nearest_centroid_assign,
     semantic_dedup_clusters,
 )
@@ -163,6 +169,48 @@ def test_incremental_minhash_is_restriction_of_full(spark, sf_dir):
     assert got == expected
     for (a, b), j in got.items():
         assert j >= JACCARD_THRESHOLD
+
+
+def test_outlier_prune_counts_and_monotone_rank(spark, sf_dir):
+    rows = embedding_outlier_prune(spark, sf_dir).collect()
+    per_label = Counter(
+        r.label for r in load_table(spark, sf_dir, "embeddings").collect()
+    )
+    got_per_label = Counter(r.label for r in rows)
+    for lbl, n in per_label.items():
+        assert got_per_label.get(lbl, 0) == n // OUTLIER_FRACTION_DEN
+    # within a label, rank 1 is the farthest; d2 non-increasing by rank
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for members in by_label.values():
+        members.sort(key=lambda r: r.dist_rank)
+        d2s = [r.d2 for r in members]
+        assert d2s == sorted(d2s, reverse=True)
+        assert [r.dist_rank for r in members] == list(
+            range(1, len(members) + 1)
+        )
+
+
+def test_epoch_shuffle_partitions_all_docs(spark, sf_dir):
+    rows = epoch_shuffle_microbatches(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    pat = re.compile(BPE_PIECE_RE)
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert sum(r.n_tokens for r in rows) == sum(
+        len(pat.findall(d.text)) for d in docs
+    )
+    # every microbatch except the raggedy last few (worker tails) is full
+    full = [r for r in rows if r.microbatch < (len(docs) // MICROBATCH_DOCS) - N_WORKERS]
+    assert all(r.n_docs == MICROBATCH_DOCS for r in full)
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    row = bpe_vocab_coverage(spark, sf_dir).collect()[0]
+    assert 0 < row.covered_pairs <= row.total_pairs
+    assert 0 < row.coverage_micro <= 1_000_000
+    top = bpe_top_merges(spark, sf_dir).collect()
+    assert sum(r.n for r in top) == row.covered_pairs
 
 
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):

@@ -35,12 +35,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import stable_hash32, stable_hash32_sql
 from ..sources.registry import load_table_parallel
 from .text_analysis import BPE_PIECE_RE, BPE_PIECE_RE_DUCK
 
 CTX_TOKENS = 2048
 SHARD_DOCS = 250
 MERGE_TOP_K = 20
+N_WORKERS = 8
+MICROBATCH_DOCS = 32
 
 
 def pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,12 +184,148 @@ ORDER BY rank
 """
 
 
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus's adjacent-pair mass the top
+    MERGE_TOP_K merges cover — the statistic that tells a tokenizer
+    trainer when merges stop paying for themselves. Coverage is an
+    exact integer micro-ratio ((covered · 1e6) div total), so the
+    result is engine-independent without float rounding rules."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = wf.select(
+        "f",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select("f", F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("n")).cache()
+    w_rank = Window.orderBy(F.desc("n"), "pair")
+    top = agg.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= MERGE_TOP_K
+    )
+    tot = agg.agg(F.sum("n").alias("total_pairs"))
+    cov = top.agg(F.sum("n").alias("covered_pairs"))
+    return (
+        tot.crossJoin(F.broadcast(cov))
+        .select(
+            F.col("total_pairs").cast("long").alias("total_pairs"),
+            F.col("covered_pairs").cast("long").alias("covered_pairs"),
+            F.expr("(covered_pairs * 1000000) div total_pairs").alias(
+                "coverage_micro"
+            ),
+        )
+    )
+
+
+BPE_COVERAGE_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(t.i AS INTEGER), 2) AS pair, f
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+),
+agg AS (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM agg
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_pairs FROM agg),
+cov AS (SELECT CAST(sum(n) AS BIGINT) AS covered_pairs FROM ranked
+        WHERE rank <= {MERGE_TOP_K})
+SELECT t.total_pairs, c.covered_pairs,
+       CAST((c.covered_pairs * 1000000) // t.total_pairs AS BIGINT)
+         AS coverage_micro
+FROM tot t CROSS JOIN cov c
+"""
+
+
+def epoch_shuffle_microbatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + microbatch assignment — the data
+    loader's view of the corpus. Docs are hash-ordered (epoch-salted
+    md5-family hash, so epoch 2 is a different but equally
+    deterministic permutation), sharded across N_WORKERS by hash,
+    ordered within each worker by (hash, doc_id), and interleaved
+    round-robin into global steps: step = rank_in_worker · N_WORKERS
+    + worker — exactly how a multi-worker loader realizes a global
+    shuffle without any global sort. The only windows are
+    per-worker; nothing funnels through one partition at 100 TB.
+    Output: per-microbatch document and token counts."""
+    h = stable_hash32(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(BPE_PIECE_RE), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .withColumn("h", h)
+        .withColumn("worker", F.pmod(F.col("h"), F.lit(N_WORKERS)).cast("long"))
+    )
+    w = Window.partitionBy("worker").orderBy("h", "doc_id")
+    stepped = docs.withColumn(
+        "step",
+        (F.row_number().over(w) - 1).cast("long") * N_WORKERS + F.col("worker"),
+    )
+    return (
+        stepped.withColumn("microbatch", F.expr(f"step div {MICROBATCH_DOCS}"))
+        .groupBy("microbatch")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("microbatch")
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE_DUCK}')) AS BIGINT)
+           AS n_tok,
+         {stable_hash32_sql("'ep1:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tok, h, h % {N_WORKERS} AS worker FROM docs
+),
+stepped AS (
+  SELECT n_tok,
+         CAST((row_number() OVER (PARTITION BY worker ORDER BY h, doc_id) - 1)
+              * {N_WORKERS} + worker AS BIGINT) AS step
+  FROM sharded
+)
+SELECT CAST(step // {MICROBATCH_DOCS} AS BIGINT) AS microbatch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM stepped
+GROUP BY 1
+ORDER BY microbatch
+"""
+
+
 QUERIES = {
     "pack_contexts": pack_contexts,
     "bpe_top_merges": bpe_top_merges,
+    "bpe_vocab_coverage": bpe_vocab_coverage,
+    "epoch_shuffle_microbatches": epoch_shuffle_microbatches,
 }
 
 ORACLES = {
     "pack_contexts": PACK_CONTEXTS_SQL,
     "bpe_top_merges": BPE_MERGES_SQL,
+    "bpe_vocab_coverage": BPE_COVERAGE_SQL,
+    "epoch_shuffle_microbatches": EPOCH_SHUFFLE_SQL,
 }
