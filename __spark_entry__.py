@@ -48,6 +48,7 @@ def _modules():
         dedup,
         dedup_clusters,
         entity_resolution,
+        feature_store,
         incremental_dedup,
         indexing,
         packing,
@@ -121,6 +122,7 @@ def _modules():
         dedup,
         dedup_clusters,
         entity_resolution,
+        feature_store,
         incremental_dedup,
         semantic,
         packing,

@@ -79,6 +79,7 @@ HEADLINE = [
     "bpe_top_merges",
     "epoch_shuffle_microbatches",
     "dedup_incremental_minhash",
+    "pit_features_7d",
 ]
 
 

@@ -213,6 +213,50 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     assert sum(r.n for r in top) == row.covered_pairs
 
 
+def test_pit_features_no_leakage(spark, sf_dir):
+    """Brute-force replay: each purchase's features must equal the
+    strictly-before-7d counts — never including the label second."""
+    from trace_parquet_spark.operators.feature_store import (
+        LOOKBACK_S,
+        pit_features_7d,
+    )
+    from trace_parquet_spark.sources.registry import load_table as lt
+
+    ev = [
+        (
+            r.event_id,
+            r.user_id,
+            r.event_type,
+            int(np.floor(r.value * 100 + 0.5)),
+            int(r.ts.timestamp()),
+        )
+        for r in lt(spark, sf_dir, "events").collect()
+    ]
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e[1], []).append(e)
+    expected = {}
+    for e in ev:
+        if e[2] != "purchase":
+            continue
+        t = e[4]
+        past = [
+            x
+            for x in by_user[e[1]]
+            if t - LOOKBACK_S <= x[4] <= t - 1
+        ]
+        expected[e[0]] = (
+            sum(1 for x in past if x[2] == "view"),
+            sum(1 for x in past if x[2] == "click"),
+            sum(x[3] for x in past if x[2] == "view"),
+        )
+    got = {
+        r.event_id: (r.n_views_7d, r.n_clicks_7d, r.view_cents_7d)
+        for r in pit_features_7d(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     plan = nearest_centroid_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
