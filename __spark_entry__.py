@@ -47,6 +47,7 @@ def _modules():
         hygiene,
         dedup,
         dedup_clusters,
+        dataset_card,
         entity_resolution,
         feature_store,
         incremental_dedup,
@@ -121,6 +122,7 @@ def _modules():
         ranking,
         dedup,
         dedup_clusters,
+        dataset_card,
         entity_resolution,
         feature_store,
         incremental_dedup,

@@ -80,6 +80,7 @@ HEADLINE = [
     "epoch_shuffle_microbatches",
     "dedup_incremental_minhash",
     "pit_features_7d",
+    "dataset_card_by_source",
 ]
 
 

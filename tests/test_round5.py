@@ -260,3 +260,30 @@ def test_pit_features_no_leakage(spark, sf_dir):
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     plan = nearest_centroid_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_round5_windows_are_partitioned(spark, sf_dir):
+    """The packing/shuffle running sums must never plan a
+    single-partition global window — the spec has to carry the shard
+    or worker partition key."""
+    plan = pack_contexts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(shard" in plan
+    plan = epoch_shuffle_microbatches(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(worker" in plan
+
+
+def test_dataset_card_reconciles_with_dedup_exact(spark, sf_dir):
+    from trace_parquet_spark.operators.dataset_card import (
+        dataset_card_by_source,
+    )
+    from trace_parquet_spark.operators.dedup import dedup_exact
+
+    card = dataset_card_by_source(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert sum(r.n_docs for r in card) == len(docs)
+    assert sum(r.n_chars for r in card) == sum(len(d.text) for d in docs)
+    # total exact-dup docs across sources == dedup_exact's copy excess
+    dup_total = sum(r.n_copies - 1 for r in dedup_exact(spark, sf_dir).collect())
+    # card dups are per-source; a cross-source duplicate pair is not
+    # visible within either source, so the card total is a lower bound
+    assert sum(r.n_exact_dup_docs for r in card) <= dup_total
