@@ -58,6 +58,7 @@ def _modules():
         merge,
         mixture,
         prep,
+        provenance,
         quality,
         quality_rules,
         multimodal,
@@ -142,6 +143,7 @@ def _modules():
         forget,
         graph_metrics,
         prep,
+        provenance,
         quality,
         quality_rules,
         udaf,

@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "pit_features_7d",
     "dataset_card_by_source",
+    "source_overlap_matrix",
 ]
 
 

@@ -257,6 +257,42 @@ def test_pit_features_no_leakage(spark, sf_dir):
     assert got == expected
 
 
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    from trace_parquet_spark.operators.provenance import source_overlap_matrix
+
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    sources = {
+        r.source for r in load_table(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    n = len(sources)
+    assert len(rows) <= n * (n - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared >= 1
+        assert 0 < r.jaccard_micro <= 1_000_000
+
+
+def test_length_bucket_padding_identity(spark, sf_dir):
+    from trace_parquet_spark.operators.packing import (
+        BUCKET_STEP,
+        length_bucket_padding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    pat = re.compile(BPE_PIECE_RE)
+    toks = [len(pat.findall(d.text)) for d in docs]
+    toks = [t for t in toks if t > 0]
+    rows = length_bucket_padding(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == len(toks)
+    assert sum(r.n_tokens for r in rows) == sum(toks)
+    for r in rows:
+        assert r.bucket_len % BUCKET_STEP == 0
+        assert r.n_tokens <= r.n_padded == r.bucket_len * r.n_docs
+        assert 0 <= r.waste_micro < 1_000_000
+        # every doc in the bucket fits and wouldn't fit one step down
+        assert r.n_tokens > (r.bucket_len - BUCKET_STEP) * r.n_docs
+
+
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     plan = nearest_centroid_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

@@ -316,11 +316,87 @@ ORDER BY microbatch
 """
 
 
+BUCKET_STEP = 64
+
+
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching padding accounting: docs are bucketed by token
+    length ceiled to BUCKET_STEP (the padded sequence length an
+    inference server would allocate), and each bucket reports its
+    document count, real token mass, padded token mass, and the waste
+    ratio as an exact integer micro-ratio. The decision input for
+    choosing serving bucket boundaries — all one aggregation."""
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            F.size(
+                F.regexp_extract_all("text", F.lit(BPE_PIECE_RE), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "bucket_len",
+            F.expr(
+                f"((n_tok + {BUCKET_STEP - 1}) div {BUCKET_STEP})"
+                f" * {BUCKET_STEP}"
+            ),
+        )
+    )
+    return (
+        docs.groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "n_tokens",
+            (F.col("bucket_len") * F.col("n_docs")).alias("n_padded"),
+            F.expr(
+                "((bucket_len * n_docs - n_tokens) * 1000000)"
+                " div (bucket_len * n_docs)"
+            ).alias("waste_micro"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+LENGTH_BUCKET_SQL = f"""
+WITH toks AS (
+  SELECT CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE_DUCK}')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+nz AS (
+  SELECT n_tok,
+         ((n_tok + {BUCKET_STEP - 1}) // {BUCKET_STEP}) * {BUCKET_STEP}
+           AS bucket_len
+  FROM toks WHERE n_tok > 0
+),
+g AS (
+  SELECT bucket_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM nz GROUP BY bucket_len
+)
+SELECT bucket_len, n_docs, n_tokens,
+       CAST(bucket_len * n_docs AS BIGINT) AS n_padded,
+       CAST(((bucket_len * n_docs - n_tokens) * 1000000)
+            // (bucket_len * n_docs) AS BIGINT) AS waste_micro
+FROM g
+ORDER BY bucket_len
+"""
+
+
 QUERIES = {
     "pack_contexts": pack_contexts,
     "bpe_top_merges": bpe_top_merges,
     "bpe_vocab_coverage": bpe_vocab_coverage,
     "epoch_shuffle_microbatches": epoch_shuffle_microbatches,
+    "length_bucket_padding": length_bucket_padding,
 }
 
 ORACLES = {
@@ -328,4 +404,5 @@ ORACLES = {
     "bpe_top_merges": BPE_MERGES_SQL,
     "bpe_vocab_coverage": BPE_COVERAGE_SQL,
     "epoch_shuffle_microbatches": EPOCH_SHUFFLE_SQL,
+    "length_bucket_padding": LENGTH_BUCKET_SQL,
 }
