@@ -293,6 +293,19 @@ def test_length_bucket_padding_identity(spark, sf_dir):
         assert r.n_tokens > (r.bucket_len - BUCKET_STEP) * r.n_docs
 
 
+def test_corpus_clean_semantic_is_clean_minus_semantic_drops(spark, sf_dir):
+    from trace_parquet_spark.operators.corpus_pipeline import (
+        corpus_clean,
+        corpus_clean_semantic,
+    )
+
+    base = {r.doc_id for r in corpus_clean(spark, sf_dir).collect()}
+    sem = semantic_dedup_clusters(spark, sf_dir).collect()
+    dropped = {r.vec_id for r in sem if r.kept == 0}
+    got = {r.doc_id for r in corpus_clean_semantic(spark, sf_dir).collect()}
+    assert got == base - dropped
+
+
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     plan = nearest_centroid_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

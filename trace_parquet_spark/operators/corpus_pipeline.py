@@ -110,5 +110,56 @@ ORDER BY s.doc_id
 """
 
 
-QUERIES = {"corpus_clean": corpus_clean}
-ORACLES = {"corpus_clean": CORPUS_CLEAN_SQL}
+def corpus_clean_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 5 on top of corpus_clean: semantic (embedding-space)
+    dedup. Docs whose embedding (doc_id ≡ vec_id) lost its semantic
+    cluster's representative election are dropped; docs with no
+    embedding pass through. The full stack — quality gate → exact
+    fingerprint dedup → text near-dup LSH → semantic near-dup — is
+    still ONE declarative plan, and the oracle replays every stage
+    including the recursive component closure."""
+    from .semantic import semantic_dedup_clusters
+
+    cleaned = corpus_clean(spark, sf_dir)
+    sem_drop = (
+        semantic_dedup_clusters(spark, sf_dir)
+        .filter(F.col("kept") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return cleaned.join(
+        F.broadcast(sem_drop), "doc_id", "left_anti"
+    ).orderBy("doc_id")
+
+
+def _corpus_semantic_sql() -> str:
+    from .semantic import SEM_CTES
+
+    ctes, final = CORPUS_CLEAN_SQL.strip().removeprefix("WITH").rsplit(
+        "SELECT s.doc_id", 1
+    )
+    del final  # replaced below (adds the semantic anti-join)
+    return f"""WITH RECURSIVE {ctes.rstrip().rstrip(")").strip()}
+),
+{SEM_CTES},
+sem_drop AS (
+  SELECT vec_id AS doc_id FROM labeled WHERE vec_id <> cluster_id
+)
+SELECT s.doc_id, s.lang, s.n_tokens, round(s.quality, 6) AS quality
+FROM survivors s
+WHERE NOT EXISTS (SELECT 1 FROM surv_pairs p WHERE p.doc_b = s.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM sem_drop d WHERE d.doc_id = s.doc_id)
+ORDER BY s.doc_id
+"""
+
+
+CORPUS_CLEAN_SEMANTIC_SQL = _corpus_semantic_sql()
+
+
+QUERIES = {
+    "corpus_clean": corpus_clean,
+    "corpus_clean_semantic": corpus_clean_semantic,
+}
+ORACLES = {
+    "corpus_clean": CORPUS_CLEAN_SQL,
+    "corpus_clean_semantic": CORPUS_CLEAN_SEMANTIC_SQL,
+}

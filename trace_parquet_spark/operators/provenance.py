@@ -8,13 +8,15 @@ cross-split leakage, and wholesale copying between corpus components
 before mixing weights are chosen.
 
 Shape: the df-capped shingle relation (shared with dedup — hot
-boilerplate shingles are excluded, which both bounds the join AND
+boilerplate shingles are excluded, which both bounds the fan-out AND
 stops navigation chrome from counting as "overlap") is lifted to
-distinct (source, shingle) pairs; the self-join on shingle then fans
-out at most C(#sources-sharing, 2) rows per shingle — bounded by the
-SOURCE count (small by definition: corpus components number in the
-hundreds), never by document count. Output is per ordered source
-pair: shared-shingle count and an exact integer Jaccard micro-ratio.
+(source, shingle) pairs, grouped per shingle into its sorted source
+set, and each set's C(k, 2) ordered pairs are exploded map-side — k
+is bounded by the SOURCE count (small by definition: corpus
+components number in the hundreds), never by document count, and the
+relation is scanned once (no shingle self-join). Output is per
+ordered source pair: shared-shingle count and an exact integer
+Jaccard micro-ratio.
 
 Reference: no counterpart; north-star LLM-pipeline extension
 alongside operators/hygiene.py (eval decontamination).
@@ -32,20 +34,30 @@ from .dedup import SHINGLE_DF_CAP, _doc_shingles_capped, _SHINGLES_CTE
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles_capped(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ssrc = sh.join(src, "doc_id").select("source", "s").distinct()
-    sizes = ssrc.groupBy("source").agg(F.count("*").alias("n_sh"))
-    a = ssrc.alias("a")
-    b = ssrc.alias("b")
+    ssrc = sh.join(src, "doc_id").select("source", "s").cache()
+    # cache: sizes and the pair explode both consume it; without the
+    # cache the whole shingle+df-cap chain runs twice (self-join-style
+    # plan aliasing gets no cross-subtree reuse from Catalyst)
+    sizes = ssrc.distinct().groupBy("source").agg(F.count("*").alias("n_sh"))
+    # One pass instead of a shingle self-join: collect each shingle's
+    # (sorted, distinct) source set and explode its C(k,2) ordered
+    # pairs map-side — k is bounded by the SOURCE count, so the
+    # explode is small by construction and the upstream relation is
+    # read once.
     inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") < F.col("b.source")),
+        ssrc.groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").alias("n_shared"))
     )
     return (

@@ -148,33 +148,38 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMANTIC_DEDUP_SQL = f"""
-WITH RECURSIVE e0 AS (
+# Reusable CTE block (e0 → labeled): semantic cluster labels for every
+# vec_id < SEM_MAX_ID. corpus_pipeline composes it into the end-to-end
+# clean oracle; SEMANTIC_DEDUP_SQL adds sizes/keep on top.
+SEM_CTES = f"""e0 AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_MAX_ID}
 ),
-pairs AS (
+sem_pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
   WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 9) >= {SEM_THRESHOLD}
 ),
-edges AS (
-  SELECT src, dst FROM pairs
+sem_edges AS (
+  SELECT src, dst FROM sem_pairs
   UNION
-  SELECT dst AS src, src AS dst FROM pairs
+  SELECT dst AS src, src AS dst FROM sem_pairs
 ),
 reach AS (
-  SELECT src AS vec_id, src AS r FROM edges
+  SELECT src AS vec_id, src AS r FROM sem_edges
   UNION
   SELECT e.src AS vec_id, r.r
-  FROM edges e JOIN reach r ON e.dst = r.vec_id
+  FROM sem_edges e JOIN reach r ON e.dst = r.vec_id
 ),
-labels AS (
+sem_labels AS (
   SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
 ),
 labeled AS (
   SELECT e0.vec_id, COALESCE(l.cluster_id, e0.vec_id) AS cluster_id
-  FROM e0 LEFT JOIN labels l ON e0.vec_id = l.vec_id
-),
+  FROM e0 LEFT JOIN sem_labels l ON e0.vec_id = l.vec_id
+)"""
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {SEM_CTES},
 sizes AS (
   SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
 )
