@@ -82,6 +82,7 @@ HEADLINE = [
     "pit_features_7d",
     "dataset_card_by_source",
     "source_overlap_matrix",
+    "knn_label_vote",
 ]
 
 

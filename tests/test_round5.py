@@ -306,6 +306,44 @@ def test_corpus_clean_semantic_is_clean_minus_semantic_drops(spark, sf_dir):
     assert got == base - dropped
 
 
+def test_hard_negatives_cross_label_and_sorted(spark, sf_dir):
+    from trace_parquet_spark.operators.semantic import (
+        HN_TOP,
+        hard_negative_mining,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.vec_id] == r.neg_label != labels[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, members in by_q.items():
+        members.sort(key=lambda r: r.neg_rank)
+        assert len(members) == HN_TOP
+        cosines = [r.cosine for r in members]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_vote_counts_partition_vectors(spark, sf_dir):
+    from trace_parquet_spark.operators.semantic import (
+        KNN_MAX_ID,
+        knn_label_vote,
+    )
+
+    rows = knn_label_vote(spark, sf_dir).collect()
+    n = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KNN_MAX_ID)
+        .count()
+    )
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(0 <= r.n_correct <= r.n_vecs for r in rows)
+
+
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     plan = nearest_centroid_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

@@ -57,64 +57,71 @@ DIM = 64  # constant across the testdata embeddings tables
 # --------------------------------------------------------------------------
 
 
-def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pair graph over vec_id < SEM_MAX_ID.
+def _dot_raw(a, b):
+    """zip_with/aggregate left-fold dot, NOT an unrolled 64-term
+    chain: the unrolled form was measured 3× SLOWER (31.6s vs 9.9s at
+    sf0.1) — a 127-node expression tree per pair exceeds the codegen
+    budget and falls back to interpreted eval with per-getItem bounds
+    checks."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    Cosine is rounded to the 1e-9 grid BEFORE thresholding (the
-    repo-wide ranking rule) so both engines agree on boundary pairs.
-    The small side is broadcast: no shuffle of the left relation.
 
-    Per-PAIR work is a single zip_with/aggregate dot product: the
-    double-cast array and the vector norm are computed once per
-    VECTOR in the input projections and joined in, instead of inside
-    the O(n²) pair expression (measured 4×: the naive
-    cosine-per-pair form re-cast both arrays and re-reduced three
-    HOF chains per pair — 27s → ~6s at sf0.1). IEEE-identical to the
-    oracle's dot/(sqrt·sqrt): the same operations run on the same
-    values, only cached per vector instead of per pair.
-    """
-
-    def dot_raw(a, b):
-        # zip_with/aggregate, not an unrolled 64-term chain: the
-        # unrolled form was measured 3× SLOWER (31.6s vs 9.9s at
-        # sf0.1) — a 127-node expression tree per pair exceeds the
-        # codegen budget and falls back to interpreted eval with
-        # per-getItem bounds checks.
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    emb = (
+def _normed(spark: SparkSession, sf_dir: str, max_id: int) -> DataFrame:
+    """(vec_id, label, ed [double array], nrm): the per-vector
+    invariants of any O(n²) cosine pass, computed ONCE per vector.
+    Hoisting these out of the pair expression is a measured 4×
+    (27s → 9.9s at sf0.1): the naive cosine-per-pair form re-cast
+    both arrays and re-reduced three HOF chains per pair.
+    IEEE-identical to the oracle's dot/(sqrt·sqrt): the same
+    operations run on the same values, only cached per vector."""
+    return (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < SEM_MAX_ID)
+        .filter(F.col("vec_id") < max_id)
         .select(
             "vec_id",
+            "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
         )
-        .withColumn("nrm", F.sqrt(dot_raw(F.col("ed"), F.col("ed"))))
+        .withColumn("nrm", F.sqrt(_dot_raw(F.col("ed"), F.col("ed"))))
     )
+
+
+def _pair_cos9(emb: DataFrame, cond) -> DataFrame:
+    """All (src, dst) pairs of `emb` satisfying `cond(a, b)` with
+    their 1e-9-grid cosine (the repo-wide round-before-threshold/rank
+    rule so both engines agree on boundaries). The right side is
+    broadcast: no shuffle of the left relation; per-pair cost is one
+    dot and one division."""
     a = emb.select(
         F.col("vec_id").alias("src"),
+        F.col("label").alias("src_label"),
         F.col("ed").alias("ea"),
         F.col("nrm").alias("na"),
     ).repartition(32, "src")
     b = emb.select(
         F.col("vec_id").alias("dst"),
+        F.col("label").alias("dst_label"),
         F.col("ed").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    return a.join(F.broadcast(b), cond).withColumn(
+        "cos9",
+        F.round(
+            _dot_raw(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+            9,
+        ),
+    )
+
+
+def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pair graph over vec_id < SEM_MAX_ID."""
+    emb = _normed(spark, sf_dir, SEM_MAX_ID)
     return (
-        a.join(F.broadcast(b), F.col("src") < F.col("dst"))
-        .withColumn(
-            "cos9",
-            F.round(
-                dot_raw(F.col("ea"), F.col("eb"))
-                / (F.col("na") * F.col("nb")),
-                9,
-            ),
-        )
+        _pair_cos9(emb, F.col("src") < F.col("dst"))
         .filter(F.col("cos9") >= SEM_THRESHOLD)
         .select("src", "dst")
     )
@@ -411,11 +418,158 @@ ORDER BY label, dist_rank
 """
 
 
+# --------------------------------------------------------------------------
+# hard-negative mining and k-NN label-vote evaluation
+# --------------------------------------------------------------------------
+
+HN_QUERIES = 100
+HN_TOP = 3
+KNN_MAX_ID = 1000
+KNN_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor (vec_id <
+    HN_QUERIES) the HN_TOP most-similar vectors with a DIFFERENT
+    label — the hard negatives a contrastive or reranker loss wants.
+    Same kernel as the semantic pair pass (per-vector norms hoisted,
+    anchors broadcast at scale); ranking on the 1e-9 cosine grid with
+    vec_id tie-break."""
+    emb = _normed(spark, sf_dir, KNN_MAX_ID)
+    scored = _pair_cos9(
+        emb,
+        (F.col("src") < HN_QUERIES)
+        & (F.col("src_label") != F.col("dst_label")),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos9"), "dst")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= HN_TOP)
+        .select(
+            F.col("src").alias("query_id"),
+            "neg_rank",
+            F.col("dst").alias("vec_id"),
+            F.col("dst_label").alias("neg_label"),
+            F.round("cos9", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id < {KNN_MAX_ID}
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS neg_label,
+         round({cosine_sql('a.embedding', 'b.embedding')}, 9) AS cos9
+  FROM e a JOIN e b
+    ON a.vec_id < {HN_QUERIES} AND a.label <> b.label
+),
+ranked AS (
+  SELECT query_id, vec_id, neg_label, cos9,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos9 DESC, vec_id) AS BIGINT)
+           AS neg_rank
+  FROM scored
+)
+SELECT query_id, neg_rank, vec_id, neg_label, round(cos9, 6) AS cosine
+FROM ranked WHERE neg_rank <= {HN_TOP}
+ORDER BY query_id, neg_rank
+"""
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN evaluation of the embedding space: each
+    vector's KNN_K nearest neighbors (cosine, excluding itself) vote
+    on its label; ties go to the smallest label. Output is per true
+    label: vector count and correct-vote count — the standard "are
+    these embeddings any good" probe before they are trusted for
+    dedup or curation. One pair pass + two window ranks; at scale the
+    pair pass swaps for the LSH/IVF candidate generators unchanged."""
+    emb = _normed(spark, sf_dir, KNN_MAX_ID)
+    scored = _pair_cos9(emb, F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos9"), "dst")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("src", "src_label", "dst_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("src").orderBy(
+        F.desc("n_votes"), "dst_label"
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "src",
+            F.col("src_label").alias("true_label"),
+            F.col("dst_label").alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
+
+
+KNN_VOTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id < {KNN_MAX_ID}
+),
+scored AS (
+  SELECT a.vec_id AS src, a.label AS src_label,
+         b.vec_id AS dst, b.label AS dst_label,
+         round({cosine_sql('a.embedding', 'b.embedding')}, 9) AS cos9
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT src, src_label, dst_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos9 DESC, dst) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT src, src_label, dst_label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT src, src_label, dst_label AS pred_label
+  FROM (
+    SELECT src, src_label, dst_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n_votes DESC, dst_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT src_label AS true_label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN pred_label = src_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred
+GROUP BY 1
+ORDER BY true_label
+"""
+
+
 QUERIES = {
     "semantic_dedup_clusters": semantic_dedup_clusters,
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "nearest_centroid_assign": nearest_centroid_assign,
     "embedding_outlier_prune": embedding_outlier_prune,
+    "hard_negative_mining": hard_negative_mining,
+    "knn_label_vote": knn_label_vote,
 }
 
 ORACLES = {
@@ -423,4 +577,6 @@ ORACLES = {
     "embedding_centroids_by_label": CENTROIDS_SQL,
     "nearest_centroid_assign": NEAREST_CENTROID_SQL,
     "embedding_outlier_prune": OUTLIER_PRUNE_SQL,
+    "hard_negative_mining": HARD_NEGATIVE_SQL,
+    "knn_label_vote": KNN_VOTE_SQL,
 }
