@@ -306,6 +306,30 @@ def test_corpus_clean_semantic_is_clean_minus_semantic_drops(spark, sf_dir):
     assert got == base - dropped
 
 
+def test_semantic_lsh_refines_exact_clusters(spark, sf_dir):
+    """LSH-candidate dedup may only SPLIT exact clusters (missed
+    pairs), never merge them; kept count is therefore >= exact's."""
+    from trace_parquet_spark.operators.semantic import semantic_dedup_lsh
+
+    exact = {
+        r.vec_id: r.cluster_id
+        for r in semantic_dedup_clusters(spark, sf_dir).collect()
+    }
+    lsh_rows = semantic_dedup_lsh(spark, sf_dir).collect()
+    lsh = {r.vec_id: r.cluster_id for r in lsh_rows}
+    assert set(lsh) == set(exact)
+    # refinement: two vectors in one LSH cluster are in one exact cluster
+    by_lsh: dict[int, set] = {}
+    for v, c in lsh.items():
+        by_lsh.setdefault(c, set()).add(exact[v])
+    for members in by_lsh.values():
+        assert len(members) == 1
+    n_kept_exact = sum(
+        1 for r in semantic_dedup_clusters(spark, sf_dir).collect() if r.kept
+    )
+    assert sum(r.kept for r in lsh_rows) >= n_kept_exact
+
+
 def test_hard_negatives_cross_label_and_sorted(spark, sf_dir):
     from trace_parquet_spark.operators.semantic import (
         HN_TOP,

@@ -1,19 +1,24 @@
 """Semantic (embedding-space) curation operators.
 
-Three driver queries over the ``embeddings`` table:
+Driver queries over the ``embeddings`` table:
 
 - **semantic_dedup_clusters** — SemDeDup-style semantic deduplication:
   cosine near-dup pairs → connected components → keep one
   representative (the min vec_id) per semantic cluster. The pair
-  relation here is the exact all-pairs baseline over a bounded id
-  range (the oracle-checkable ground truth, mirroring
-  similarity.embedding_neardup_pairs); at 100 TB the drop-in
-  replacement is the banded hyperplane-LSH candidate relation
-  (similarity._with_table_buckets) — identical downstream CC +
-  representative logic, candidates-only exact verification.
-  Components use the large-star/small-star alternation
+  relation is the exact all-pairs baseline over a bounded id range
+  (the oracle-checkable ground truth, mirroring
+  similarity.embedding_neardup_pairs). Components use the
+  large-star/small-star alternation
   (dedup_clusters.connected_components_star), the O(log n)-round
   shape that survives unknown cluster diameters.
+- **semantic_dedup_lsh** — the 100 TB twin: hyperplane-LSH bucket
+  collisions generate the candidate pairs (sub-quadratic), exact
+  cosine verifies candidates only; same CC + representative logic.
+  Verified pairs are a subset of the exact twin's, so LSH misses
+  only split clusters — pytest pins the refinement and the recall.
+- **hard_negative_mining / knn_label_vote** — contrastive-negative
+  extraction and leave-one-out k-NN label accuracy, both on the
+  shared hoisted-norm pair kernel.
 - **embedding_centroids_by_label** — per-label exact centroid on the
   1e-6 integer grid: components are quantized to micro-units
   (floor(x·1e6 + 0.5) — half-up, the repo-wide grid rule), summed
@@ -127,16 +132,16 @@ def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector semantic-cluster assignment and keep/drop decision:
-    (vec_id, cluster_id = component min, cluster_size, kept). Vectors
-    with no near-dup are their own singleton cluster and are kept."""
+def _cluster_output(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id = component min, cluster_size, kept) from a
+    near-dup pair relation via star connected components; vectors with
+    no pair are singleton clusters and kept."""
     ids = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < SEM_MAX_ID)
         .select("vec_id")
     )
-    labels = connected_components_star(_sem_pairs(spark, sf_dir)).select(
+    labels = connected_components_star(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
     labeled = ids.join(labels, "vec_id", "left").select(
@@ -153,6 +158,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-cluster assignment and keep/drop decision
+    from the EXACT pair graph (the oracle-checkable ground truth;
+    bounded by SEM_MAX_ID)."""
+    return _cluster_output(spark, sf_dir, _sem_pairs(spark, sf_dir))
 
 
 # Reusable CTE block (e0 → labeled): semantic cluster labels for every
@@ -196,6 +208,140 @@ SELECT x.vec_id, x.cluster_id,
 FROM labeled x JOIN sizes s ON x.cluster_id = s.cluster_id
 ORDER BY x.vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# semantic dedup, LSH-candidate variant (the 100 TB path)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_clusters with SUB-QUADRATIC candidate
+    generation: pairs must collide in at least one hyperplane-LSH
+    table (the deterministic multi-table signature shared with
+    ann_lsh_topk), then exact cosine verification runs on candidates
+    only — the same candidates-then-verify shape dedup_minhash_lsh
+    uses for text, which is what replaces the exact O(n²) pass at
+    100 TB. Verified pairs are by construction a SUBSET of the exact
+    twin's (every emitted pair passed the same cosine gate), so LSH
+    misses only ever SPLIT clusters, never merge them — pytest pins
+    that refinement property plus the measured pair recall.
+    """
+    from .similarity import _with_table_buckets
+
+    emb_raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_MAX_ID)
+        .select("vec_id", "embedding")
+    )
+    buckets = _with_table_buckets(emb_raw, "embedding").select(
+        "vec_id", "table_id", "bucket"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    normed = _normed(spark, sf_dir, SEM_MAX_ID)
+    verified = (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("src"),
+                F.col("ed").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                normed.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("ed").alias("eb"),
+                    F.col("nrm").alias("nb"),
+                )
+            ),
+            "dst",
+        )
+        .withColumn(
+            "cos9",
+            F.round(
+                _dot_raw(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                9,
+            ),
+        )
+        .filter(F.col("cos9") >= SEM_THRESHOLD)
+        .select("src", "dst")
+    )
+    return _cluster_output(spark, sf_dir, verified)
+
+
+def _sem_lsh_sql() -> str:
+    from .similarity import N_TABLES, _table_bucket_sql
+
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS table_id, "
+        f"{_table_bucket_sql('embedding', t)} AS bucket FROM e0"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_MAX_ID}
+),
+buckets AS (
+  {per_table}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+),
+sem_pairs AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN e0 x ON x.vec_id = c.src
+  JOIN e0 y ON y.vec_id = c.dst
+  WHERE round({cosine_sql('x.embedding', 'y.embedding')}, 9)
+        >= {SEM_THRESHOLD}
+),
+sem_edges AS (
+  SELECT src, dst FROM sem_pairs
+  UNION
+  SELECT dst AS src, src AS dst FROM sem_pairs
+),
+reach AS (
+  SELECT src AS vec_id, src AS r FROM sem_edges
+  UNION
+  SELECT e.src AS vec_id, r.r
+  FROM sem_edges e JOIN reach r ON e.dst = r.vec_id
+),
+sem_labels AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+),
+labeled AS (
+  SELECT e0.vec_id, COALESCE(l.cluster_id, e0.vec_id) AS cluster_id
+  FROM e0 LEFT JOIN sem_labels l ON e0.vec_id = l.vec_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT x.vec_id, x.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(x.vec_id = x.cluster_id AS BIGINT) AS kept
+FROM labeled x JOIN sizes s ON x.cluster_id = s.cluster_id
+ORDER BY x.vec_id
+"""
+
+
+SEMANTIC_DEDUP_LSH_SQL = _sem_lsh_sql()
 
 
 # --------------------------------------------------------------------------
@@ -565,6 +711,7 @@ ORDER BY true_label
 
 QUERIES = {
     "semantic_dedup_clusters": semantic_dedup_clusters,
+    "semantic_dedup_lsh": semantic_dedup_lsh,
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "nearest_centroid_assign": nearest_centroid_assign,
     "embedding_outlier_prune": embedding_outlier_prune,
@@ -574,6 +721,7 @@ QUERIES = {
 
 ORACLES = {
     "semantic_dedup_clusters": SEMANTIC_DEDUP_SQL,
+    "semantic_dedup_lsh": SEMANTIC_DEDUP_LSH_SQL,
     "embedding_centroids_by_label": CENTROIDS_SQL,
     "nearest_centroid_assign": NEAREST_CENTROID_SQL,
     "embedding_outlier_prune": OUTLIER_PRUNE_SQL,
