@@ -191,14 +191,99 @@ FROM lineitem
 """
 
 
+def cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: two channels' cumulative series compared
+    month-by-month inside each partition. Here: urgent-priority vs
+    other order revenue per (nation, month), running totals via
+    nation-partitioned windows over the already-aggregated relation
+    (the window never touches the fact table), and a flag for months
+    where the urgent channel leads. Money rides the exact cent grid
+    so the cumulative comparison is integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month"),
+            F.when(urgent, cents).otherwise(F.lit(0)).alias("u_cents"),
+            F.when(~urgent, cents).otherwise(F.lit(0)).alias("o_cents"),
+        )
+        .groupBy("n_name", "month")
+        .agg(
+            F.sum("u_cents").alias("u_rev"),
+            F.sum("o_cents").alias("o_rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.withColumn("cum_urgent_cents", F.sum("u_rev").over(w).cast("long"))
+        .withColumn("cum_other_cents", F.sum("o_rev").over(w).cast("long"))
+        .select(
+            "n_name",
+            "month",
+            "cum_urgent_cents",
+            "cum_other_cents",
+            (F.col("cum_urgent_cents") > F.col("cum_other_cents"))
+            .cast("long")
+            .alias("urgent_leads"),
+        )
+        .orderBy("n_name", "month")
+    )
+
+
+CUM_CHANNEL_SQL = """
+WITH g AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+           AS month,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS u_rev,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0
+                  ELSE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                  END) AS BIGINT) AS o_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT n_name, month,
+         CAST(sum(u_rev) OVER w AS BIGINT) AS cum_urgent_cents,
+         CAST(sum(o_rev) OVER w AS BIGINT) AS cum_other_cents
+  FROM g
+  WINDOW w AS (PARTITION BY n_name ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_name, month, cum_urgent_cents, cum_other_cents,
+       CAST(cum_urgent_cents > cum_other_cents AS BIGINT) AS urgent_leads
+FROM cum
+ORDER BY n_name, month
+"""
+
+
 QUERIES = {
     "rollup_rank_mfgr_brand": rollup_rank_mfgr_brand,
     "channel_union_rollup": channel_union_rollup,
     "multi_band_counts": multi_band_counts,
+    "cumulative_channel_compare": cumulative_channel_compare,
 }
 
 ORACLES = {
     "rollup_rank_mfgr_brand": ROLLUP_RANK_SQL,
     "channel_union_rollup": CHANNEL_UNION_SQL,
     "multi_band_counts": MULTI_BAND_SQL,
+    "cumulative_channel_compare": CUM_CHANNEL_SQL,
 }
