@@ -65,6 +65,7 @@ def _modules():
         ranking,
         sampling,
         similarity,
+        sketches,
         skew,
         text_analysis,
         udaf,
@@ -134,6 +135,7 @@ def _modules():
         corpus_pipeline,
         sampling,
         mixture,
+        sketches,
         skew,
         indexing,
         merge,

@@ -1,0 +1,305 @@
+"""Mergeable sketches with an EXPLICIT, cross-engine-exact hash family.
+
+The reference keeps every aggregate exact (its whole result set fits in
+one service heap — reference service/ParquetConversionService.java:53-61
+buffers the full list); at 100 TB the engine additionally needs
+*sketchable* aggregates whose partial states are small, mergeable, and
+cheap to combine map-side. Spark's built-ins (approx_count_distinct,
+count_min_sketch) are implementations of exactly these sketches, but
+their hash seeds are engine-private, so a cross-engine gate can only
+check them rows-only. This module builds the three canonical sketches
+over the md5 family from functions/hashing.py instead — every register,
+bucket and estimate is bit-identical in Spark and DuckDB, so the
+driver's value-hash gate applies to the *sketch contents*, not just row
+counts:
+
+- **Count-Min** (``cms_user_event_counts``): depth×width count matrix;
+  a sketch is one ``groupBy`` whose map-side partial aggregation IS the
+  sketch merge (sketches add). Point estimates are min over depth rows,
+  never under the true count.
+- **KMV / bottom-k** (``kmv_distinct_sketch``): the k smallest distinct
+  hash values per group; merge = k smallest of the union. Estimate
+  (k-1)·2^32 / h_(k) in pure integer arithmetic.
+- **HyperLogLog with explicit registers** (``hll_register_estimate``):
+  m=64 max-rank registers (merge = element-wise max); the harmonic sum
+  is kept as the exact integer Σ 2^(27-M_j), and the estimate is scaled
+  to an integer via a single truncating division, so no float crosses
+  the engine boundary at all.
+
+Scale notes: sketch state is O(depth·width) / O(k) / O(m) per group —
+constant-size partials that combine associatively, which is precisely
+what survives a 1000-executor tree aggregation. The estimate joins are
+against the tiny sketch relation and broadcast. Merge associativity
+(half-corpus partials combine to the whole-corpus sketch) is pinned by
+tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import (
+    stable_hash32,
+    stable_hash32_sql,
+    stable_hash32_x4,
+    stable_hash32_x4_sql,
+)
+from ..sources.registry import load_table
+
+CMS_DEPTH = 4
+CMS_WIDTH = 32  # 150 keys into 32 buckets: real collisions, real overcounts
+CMS_SEED = 7
+
+KMV_K = 16
+HLL_M = 64  # 2^6 registers; w carries the remaining 26 bits
+# est = alpha_64 * m^2 / S with alpha_64 = 709/1000, S = S_scaled / 2^27.
+# est_x1000 = (709 * 64^2 * 2^27) div S_scaled  — pure integer.
+_HLL_NUM = 709 * HLL_M * HLL_M * (1 << 27)
+
+
+def _cms_pairs(h: list, width: int) -> F.Column:
+    """(row j, bucket) pairs for one key's CMS coordinates, explodable."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.pmod(h[j], F.lit(width)).cast("long").alias("bucket"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates of per-user event counts next to the
+    exact counts. The sketch is a single groupBy over (row, bucket) —
+    its map-side combine is the sketch merge; the estimate pass joins
+    the 150 distinct keys against the ≤128-row sketch (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    h = stable_hash32_x4(key, CMS_SEED)
+
+    sketch = (
+        ev.select(F.explode(_cms_pairs(h, CMS_WIDTH)).alias("jb"))
+        .select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_exact"))
+    kh = stable_hash32_x4(F.col("user_id").cast("string"), CMS_SEED)
+    lookups = exact.select(
+        "user_id", "n_exact", F.explode(_cms_pairs(kh, CMS_WIDTH)).alias("jb")
+    ).select("user_id", "n_exact", "jb.j", "jb.bucket")
+    return (
+        lookups.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select(
+            "user_id",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _cms_sql_parts() -> tuple[str, str]:
+    hs = stable_hash32_x4_sql("CAST(user_id AS VARCHAR)", CMS_SEED)
+    pairs = "\n  UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, ({hs[j]}) % {CMS_WIDTH} AS bucket FROM events"
+        for j in range(CMS_DEPTH)
+    )
+    return pairs, hs[0]
+
+
+CMS_SQL = f"""
+WITH coords AS (
+  {_cms_sql_parts()[0]}
+),
+sketch AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM coords GROUP BY j, bucket
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT co.user_id, min(s.c) AS cms_est
+  FROM (SELECT DISTINCT user_id, j, bucket FROM coords) co
+  JOIN sketch s ON co.j = s.j AND co.bucket = s.bucket
+  GROUP BY co.user_id
+)
+SELECT e.user_id, e.n_exact, CAST(est.cms_est AS BIGINT) AS cms_est,
+       CAST(est.cms_est - e.n_exact AS BIGINT) AS overcount
+FROM exact e JOIN est ON e.user_id = est.user_id
+ORDER BY e.user_id
+"""
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-user estimate per event type. The type is
+    folded into the hashed key so each group sees an independent sample
+    of hash space. All-integer estimate: (k-1)·2^32 div h_(k); when a
+    group holds fewer than k distinct keys the sketch is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    h = stable_hash32(
+        F.concat(F.col("event_type"), F.lit(":"), F.col("user_id").cast("string"))
+    )
+    hashes = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottom = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_seen"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    exact = hashes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_seen") < KMV_K, F.col("n_seen")
+    ).otherwise(F.expr(f"{KMV_K - 1} * 4294967296 div h_k"))
+    return (
+        bottom.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.cast("long").alias("kmv_est"),
+            F.abs(est - F.col("n_exact")).cast("long").alias("abs_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         {stable_hash32_sql("event_type || ':' || CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+),
+bottom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen, max(h) AS h_k
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM hashes GROUP BY event_type
+),
+est AS (
+  SELECT b.event_type, e.n_exact,
+         CASE WHEN b.n_seen < {KMV_K} THEN b.n_seen
+              ELSE {KMV_K - 1} * 4294967296 // b.h_k END AS kmv_est
+  FROM bottom b JOIN exact e ON b.event_type = e.event_type
+)
+SELECT event_type, n_exact, CAST(kmv_est AS BIGINT) AS kmv_est,
+       CAST(abs(kmv_est - n_exact) AS BIGINT) AS abs_err
+FROM est
+ORDER BY event_type
+"""
+
+
+def hll_register_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog over explicit registers, per event type: idx = h mod
+    64, rank = leading-zeros(h div 64 as 26-bit) + 1, register = max
+    rank. The harmonic sum is materialized as the exact integer
+    S = Σ 2^(27-M_j) (empty registers contribute 2^27), and the raw HLL
+    estimate is the integer (709·m²·2^27) div S, scaled ×1000 — no
+    floating point anywhere, so the gate compares exact sketch state."""
+    ev = load_table(spark, sf_dir, "events")
+    h = stable_hash32(
+        F.concat(F.col("event_type"), F.lit("#"), F.col("user_id").cast("string"))
+    )
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    regs = (
+        hashed.select(
+            "event_type",
+            F.pmod("h", F.lit(HLL_M)).alias("idx"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "event_type",
+            "idx",
+            F.when(F.col("w") == 0, F.lit(27))
+            .otherwise(F.lit(27) - F.length(F.bin("w")))
+            .alias("rank"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(1L, cast(27 - m_j as int))")).alias("s_present"),
+        F.count("*").cast("long").alias("n_regs"),
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("n_zero_registers"),
+            F.expr(
+                f"{_HLL_NUM} div (s_present + ({HLL_M} - n_regs) * {1 << 27})"
+            )
+            .cast("long")
+            .alias("hll_est_x1000"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HLL_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         {stable_hash32_sql("event_type || '#' || CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % {HLL_M} AS idx,
+         max(CASE WHEN h // {HLL_M} = 0 THEN 27
+                  ELSE 27 - length(printf('%b', h // {HLL_M})) END) AS m_j
+  FROM hashes GROUP BY event_type, idx
+),
+per_type AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << (27 - m_j)) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM hashes GROUP BY event_type
+)
+SELECT p.event_type, e.n_exact,
+       CAST({HLL_M} - p.n_regs AS BIGINT) AS n_zero_registers,
+       CAST({_HLL_NUM} // (p.s_present + ({HLL_M} - p.n_regs) * {1 << 27})
+            AS BIGINT) AS hll_est_x1000
+FROM per_type p JOIN exact e ON p.event_type = e.event_type
+ORDER BY p.event_type
+"""
+
+
+QUERIES = {
+    "cms_user_event_counts": cms_user_event_counts,
+    "kmv_distinct_sketch": kmv_distinct_sketch,
+    "hll_register_estimate": hll_register_estimate,
+}
+
+ORACLES = {
+    "cms_user_event_counts": CMS_SQL,
+    "kmv_distinct_sketch": KMV_SQL,
+    "hll_register_estimate": HLL_SQL,
+}
