@@ -63,6 +63,7 @@ def _modules():
         quality_rules,
         multimodal,
         ranking,
+        repetition,
         sampling,
         similarity,
         sketches,
@@ -148,6 +149,7 @@ def _modules():
         provenance,
         quality,
         quality_rules,
+        repetition,
         udaf,
         udtf,
         zorder,

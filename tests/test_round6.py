@@ -1,0 +1,40 @@
+"""Round-6 pins: repetition/boilerplate metrics and their plan shapes."""
+
+from __future__ import annotations
+
+from trace_parquet_spark.operators import repetition
+
+
+def test_repetition_ppm_bounds(spark, sf_dir):
+    rows = repetition.repetition_metrics_docs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup_word_ppm"] <= 1_000_000
+        assert 0 <= r["top_2gram_char_ppm"] <= 1_000_000
+        assert 0 <= r["dup_3gram_char_ppm"] <= 1_000_000
+        # a doc with any repeated word pair necessarily has dup words
+        if r["dup_3gram_char_ppm"] > 0:
+            assert r["dup_word_ppm"] > 0
+
+
+def test_boilerplate_fraction_consistent(spark, sf_dir):
+    rows = repetition.boilerplate_shingle_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hot"] <= r["n_shingles"]
+        expected_keep = int(r["boilerplate_ppm"] <= 300_000)
+        assert r["keep"] == expected_keep
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_boilerplate_hot_join_is_broadcast(spark, sf_dir):
+    plan = _plan(repetition.boilerplate_shingle_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_no_python_udf_in_plan(spark, sf_dir):
+    plan = _plan(repetition.repetition_metrics_docs(spark, sf_dir))
+    assert "Python" not in plan
