@@ -38,3 +38,32 @@ def test_boilerplate_hot_join_is_broadcast(spark, sf_dir):
 def test_repetition_no_python_udf_in_plan(spark, sf_dir):
     plan = _plan(repetition.repetition_metrics_docs(spark, sf_dir))
     assert "Python" not in plan
+
+
+def test_bfs_every_wave_has_edge_predecessor(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.plans import graph_rank
+
+    out = graph_rank.bfs_trade_levels(spark, sf_dir)
+    edges = (
+        graph_rank._trade_probs(spark, sf_dir)
+        .where(
+            (F.col("p") >= graph_rank.BFS_P_MIN)
+            & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst")
+    )
+    lvl = {(r["root"], r["node"]): r["level"] for r in out.collect()}
+    es = [(r["src"], r["dst"]) for r in edges.collect()]
+    roots = {root for (root, node) in lvl}
+    assert all(lvl[(r, r)] == 0 for r in roots)
+    for (root, node), d in lvl.items():
+        if d == 0:
+            continue
+        preds = [src for (src, dst) in es if dst == node]
+        assert any(lvl.get((root, src)) == d - 1 for src in preds), (
+            root,
+            node,
+            d,
+        )

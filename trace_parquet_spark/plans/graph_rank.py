@@ -160,5 +160,95 @@ ORDER BY rank_scaled DESC, n.n_name
 """
 
 
-QUERIES = {"pagerank_trade_graph": pagerank_trade_graph}
-ORACLES = {"pagerank_trade_graph": PAGERANK_SQL}
+BFS_P_MIN = 50_000  # keep edges with transition probability >= 5% of PSCALE
+BFS_MAX_DEPTH = 25
+
+
+def bfs_trade_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest-hop levels over the sparsified trade
+    graph: edges are trading pairs whose transition probability clears
+    BFS_P_MIN (self-loops dropped), every nation is a root, and the
+    answer is the first wave at which each (root, node) pair is
+    reached — the complement of dup_chain_closure's reachability
+    fixpoint (closure asks *whether*, BFS asks *how far*).
+
+    Iterative dataflow, the standard distributed frontier shape: state
+    is the (root, node) frontier plus the visited set; each wave is
+    frontier ⋈ edges followed by an anti-join against visited. At
+    cluster scale frontier and visited hash-partition on (root, node)
+    so the anti-join is co-partitioned, the edge relation broadcasts
+    when it fits (it is N² at most after the nation-level collapse),
+    and the loop runs diameter-many waves — each wave touches only the
+    newly-reached pairs, never the fact table (one edge-building scan
+    up front, same as pagerank_trade_graph)."""
+    edges = (
+        _trade_probs(spark, sf_dir)
+        .where((F.col("p") >= BFS_P_MIN) & (F.col("src") != F.col("dst")))
+        .select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .cache()
+    )
+    roots = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("root")
+    )
+    frontier = roots.select(
+        "root", F.col("root").alias("node"), F.lit(0).cast("long").alias("level")
+    ).localCheckpoint(eager=True)
+    best = frontier
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        # localCheckpoint truncates the per-wave lineage: without it the
+        # optimizer re-derives the whole union-of-waves plan each round
+        # (constraint propagation grows super-linearly with depth).
+        nxt = (
+            frontier.join(F.broadcast(edges), frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(best.select("root", "node"), ["root", "node"], "left_anti")
+            .select(
+                "root", "node", F.lit(depth).cast("long").alias("level")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        best = best.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return best.orderBy("root", "node")
+
+
+BFS_SQL = f"""
+WITH RECURSIVE flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders   o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+), outw AS (
+  SELECT src, sum(w) AS ow FROM flows GROUP BY src
+), edges AS (
+  SELECT CAST(f.src AS BIGINT) AS src, CAST(f.dst AS BIGINT) AS dst
+  FROM flows f JOIN outw o ON f.src = o.src
+  WHERE (f.w * {PSCALE}) // o.ow >= {BFS_P_MIN} AND f.src <> f.dst
+), walk(root, node, level) AS (
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM nation
+  UNION
+  SELECT w.root, e.dst, CAST(w.level + 1 AS BIGINT)
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.level < {BFS_MAX_DEPTH}
+)
+SELECT root, node, CAST(min(level) AS BIGINT) AS level
+FROM walk GROUP BY root, node
+ORDER BY root, node
+"""
+
+
+QUERIES = {
+    "pagerank_trade_graph": pagerank_trade_graph,
+    "bfs_trade_levels": bfs_trade_levels,
+}
+ORACLES = {
+    "pagerank_trade_graph": PAGERANK_SQL,
+    "bfs_trade_levels": BFS_SQL,
+}
