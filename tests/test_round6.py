@@ -67,3 +67,11 @@ def test_bfs_every_wave_has_edge_predecessor(spark, sf_dir):
             node,
             d,
         )
+
+
+def test_lateral_decorrelates(spark, sf_dir):
+    from trace_parquet_spark.plans import subqueries
+
+    plan = _plan(subqueries.lateral_top_order_per_customer(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

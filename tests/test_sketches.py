@@ -112,3 +112,36 @@ def test_hll_rank_bounds(spark, sf_dir):
     regs = _hll_registers(load_table(spark, sf_dir, "events"))
     assert regs
     assert all(1 <= m <= 27 for m in regs.values())
+
+
+def test_histogram_partials_add_and_estimate_within_bin(spark, sf_dir):
+    from trace_parquet_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mn, mx = li.agg(F.min("cents"), F.max("cents")).first()
+    width = (mx - mn) // sketches.HIST_BINS + 1
+
+    def hist(df):
+        rows = (
+            df.select(F.expr(f"(cents - {mn}) div {width}").alias("bin"))
+            .groupBy("bin")
+            .count()
+            .collect()
+        )
+        return {r["bin"]: r["count"] for r in rows}
+
+    a = hist(li.where(F.col("cents") % 2 == 0))
+    b = hist(li.where(F.col("cents") % 2 == 1))
+    whole = hist(li)
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+
+    out = sketches.histogram_quantile_sketch(spark, sf_dir).collect()
+    assert len(out) == 3 * len(sketches.HIST_PS)
+    for r in out:
+        assert abs(r["err_cents"]) <= width, r

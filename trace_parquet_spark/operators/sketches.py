@@ -292,14 +292,169 @@ ORDER BY p.event_type
 """
 
 
+HIST_BINS = 64
+HIST_PS = (50, 95, 99)
+
+
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram as a quantile sketch: global
+    [min, max] cent bounds, 64 fixed bins, per-group bin counts (the
+    sketch — partials add, like CMS rows), then p50/p95/p99 estimated
+    by integer interpolation inside the crossing bin and compared to
+    the true rank statistic. target rank is ceil(n·p/100); the
+    estimate is bin_lo + (pos-1)·width div bin_count — every step a
+    truncating integer op, so both engines agree to the cent.
+
+    Scale: one pass for bounds (min/max combine trivially), one pass
+    for the histogram (map-side partial agg onto ≤ groups×64 cells),
+    and the quantile extraction runs on the tiny histogram relation.
+    The exact rank statistic here is the verification column; at real
+    scale only the sketch side runs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = li.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    ).withColumn("width", F.expr(f"(mx - mn) div {HIST_BINS} + 1"))
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "l_returnflag",
+        "cents",
+        "mn",
+        "width",
+        F.expr("(cents - mn) div width").alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "mn", "width", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wb = Window.partitionBy("l_returnflag").orderBy("bin")
+    cum = hist.select(
+        "l_returnflag",
+        "mn",
+        "width",
+        "bin",
+        "c",
+        F.sum("c").over(wb).cast("long").alias("cum"),
+        F.sum("c")
+        .over(Window.partitionBy("l_returnflag"))
+        .cast("long")
+        .alias("n"),
+    )
+    targets = cum.select(
+        "*",
+        F.explode(F.array(*[F.lit(p) for p in HIST_PS])).alias("p"),
+    ).withColumn("target", F.expr("(n * p + 99) div 100"))
+    crossing = (
+        targets.where(F.col("cum") >= F.col("target"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag", "p").orderBy("bin")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "p",
+            F.expr(
+                "mn + bin * width"
+                " + ((target - (cum - c) - 1) * width) div c"
+            )
+            .cast("long")
+            .alias("est_cents"),
+            "target",
+        )
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy("cents")
+    exact = (
+        binned.select("l_returnflag", "cents")
+        .withColumn("rnk", F.row_number().over(wr))
+        .withColumnRenamed("l_returnflag", "flag2")
+    )
+    return (
+        crossing.join(
+            exact,
+            (F.col("l_returnflag") == F.col("flag2"))
+            & (F.col("rnk") == F.col("target")),
+        )
+        .select(
+            "l_returnflag",
+            F.col("p").cast("long").alias("p"),
+            "est_cents",
+            F.col("cents").alias("exact_cents"),
+            (F.col("est_cents") - F.col("cents")).cast("long").alias("err_cents"),
+        )
+        .orderBy("l_returnflag", "p")
+    )
+
+
+HIST_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+bounds AS (
+  SELECT min(cents) AS mn, max(cents) AS mx,
+         (max(cents) - min(cents)) // {HIST_BINS} + 1 AS width
+  FROM li
+),
+binned AS (
+  SELECT l_returnflag, cents, b.mn, b.width,
+         (cents - b.mn) // b.width AS bin
+  FROM li, bounds b
+),
+hist AS (
+  SELECT l_returnflag, mn, width, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY l_returnflag, mn, width, bin
+),
+cum AS (
+  SELECT *,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT)
+           AS cumc,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM hist
+),
+targets AS (
+  SELECT *, (n * p + 99) // 100 AS target
+  FROM cum, (SELECT unnest([{", ".join(str(p) for p in HIST_PS)}]) AS p)
+),
+crossing AS (
+  SELECT l_returnflag, p,
+         CAST(mn + bin * width
+              + ((target - (cumc - c) - 1) * width) // c AS BIGINT)
+           AS est_cents,
+         target
+  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag, p
+                                     ORDER BY bin) AS rn
+        FROM targets WHERE cumc >= target)
+  WHERE rn = 1
+),
+exact AS (
+  SELECT l_returnflag AS flag2, cents,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rnk
+  FROM binned
+)
+SELECT c.l_returnflag, CAST(c.p AS BIGINT) AS p, c.est_cents,
+       e.cents AS exact_cents,
+       CAST(c.est_cents - e.cents AS BIGINT) AS err_cents
+FROM crossing c JOIN exact e ON c.l_returnflag = e.flag2 AND e.rnk = c.target
+ORDER BY c.l_returnflag, c.p
+"""
+
+
 QUERIES = {
     "cms_user_event_counts": cms_user_event_counts,
     "kmv_distinct_sketch": kmv_distinct_sketch,
     "hll_register_estimate": hll_register_estimate,
+    "histogram_quantile_sketch": histogram_quantile_sketch,
 }
 
 ORACLES = {
     "cms_user_event_counts": CMS_SQL,
     "kmv_distinct_sketch": KMV_SQL,
     "hll_register_estimate": HLL_SQL,
+    "histogram_quantile_sketch": HIST_SQL,
 }

@@ -63,12 +63,42 @@ def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(NOT_IN_SQL)
 
 
+LATERAL_SQL = """
+SELECT c.c_custkey, t.top_orderkey, t.top_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey AS top_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS top_cents
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY top_cents DESC, o_orderkey
+  LIMIT 1
+) t
+WHERE c.c_custkey < 500
+ORDER BY c.c_custkey
+"""
+
+
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:1999, Spark 4): the
+    biggest order per customer via a per-row ORDER BY ... LIMIT 1
+    subquery. Catalyst decorrelates the lateral into a ranked window
+    join rather than re-running the inner query per outer row —
+    the same top-1-per-group physical shape as topk_per_group, reached
+    from the SQL surface. Inner-lateral semantics drop order-less
+    customers on both engines."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(LATERAL_SQL)
+
+
 QUERIES = {
     "scalar_subquery_order_stats": scalar_subquery_order_stats,
     "not_in_null_aware": not_in_null_aware,
+    "lateral_top_order_per_customer": lateral_top_order_per_customer,
 }
 
 ORACLES = {
     "scalar_subquery_order_stats": SCALAR_SUBQUERY_SQL,
     "not_in_null_aware": NOT_IN_SQL,
+    "lateral_top_order_per_customer": LATERAL_SQL,
 }
