@@ -57,6 +57,7 @@ def _modules():
         ivf,
         merge,
         mixture,
+        pq,
         prep,
         provenance,
         quality,
@@ -154,6 +155,7 @@ def _modules():
         udtf,
         zorder,
         ivf,
+        pq,
     )
 
 

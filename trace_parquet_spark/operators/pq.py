@@ -1,0 +1,297 @@
+"""Product quantization (PQ) ANN: the memory-bounded scale path.
+
+Completes the ANN family (similarity.py hyperplane LSH — data-
+oblivious; ivf.py k-means IVF — trained coarse quantizer) with the
+Jégou et al. 2011 shape used when the vectors themselves no longer fit:
+split each (unit-normalized) vector into M subvectors, k-means each
+subspace independently, and store only the M×log2(K_SUB) bits of code
+per vector — here 8 codes of 16 values = 8 bytes instead of 64 doubles
+(64× compression). Query-time ADC (asymmetric distance computation)
+builds one M×K_SUB lookup table per query from the EXACT query vector
+and the codebooks; a candidate's estimated distance is M table probes
+and M adds — no vector arithmetic per pair.
+
+Unit-normalizing first makes squared-L2 ranking equivalent to cosine
+ranking (‖a−b‖² = 2−2·cosθ), so the brute-force cosine baseline is
+the ground truth for recall.
+
+Spark mapping: training is Lloyd's per subspace, the same
+DataFrame-pass shape as ivf.train_centroids (codebooks are M·K_SUB·
+SUB_DIM floats on the driver between passes — MLlib's own layout);
+encoding is one narrow projection (argmin over K_SUB literal arrays
+per subspace — JVM expressions, no UDF); search joins the broadcast
+per-query LUTs against the codes relation and folds the M probes with
+one HOF chain. At 100 TB only the 8-byte codes relation is scanned
+per query; the re-rank touches full vectors for the top-C candidates
+alone.
+
+Iterative training is not one SQL statement → deliberate rows-only
+queries (same standing as ann_ivf_*); recall@k vs the exact baseline
+and the code-compression invariants are asserted in
+tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash32
+from ..functions.vectors import cosine
+from ..sources.registry import load_table_parallel
+
+DIM = 64
+M = 8  # subspaces
+SUB_DIM = DIM // M
+K_SUB = 16  # codes per subspace → 4 bits; 8 codes = 8 nibbles per vector
+PQ_ITERS = 3
+N_QUERIES = 5
+TOP_K = 3
+RECALL_GATE = 0.8
+# candidate-list sizes tried in order until the exact re-rank of the
+# ADC short-list reaches the recall gate (None = all vectors = exact)
+_CAND_SCHEDULE = (8, 32, 128, None)
+
+
+def _unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(ed, ed, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(ed, lambda x: x / nrm).alias("u"),
+    )
+
+
+def _sub(col, m: int):
+    return F.slice(col, m * SUB_DIM + 1, SUB_DIM)
+
+
+def _dist2(vec_col, centroid: list[float]):
+    arr = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(vec_col, arr, lambda x, c: (x - c) ** 2)
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def _argmin_code(vec_col, codebook: list[list[float]]):
+    entries = F.array(
+        *[
+            F.struct(_dist2(vec_col, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(codebook)
+        ]
+    )
+    return F.array_min(entries)["i"]
+
+
+def train_codebooks(unit: DataFrame) -> list[list[list[float]]]:
+    """M Lloyd's runs trained JOINTLY: although the subspaces are
+    mathematically independent, running them as M separate job chains
+    costs M× the scans. One pass seeds all M books (bottom-K_SUB
+    md5(m:vec_id) ranks per subspace), and each iteration is ONE
+    assign-all-subspaces projection + ONE (m, code, dim) aggregation —
+    3+1 scans total instead of M·(iters+1)."""
+    seed_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    stable_hash32(
+                        F.concat(F.lit(f"{m}:"), F.col("vec_id"))
+                    ).alias("h"),
+                )
+                for m in range(M)
+            ]
+        )
+    )
+    seeds = (
+        unit.select("vec_id", "u", seed_entries.alias("e"))
+        .select("vec_id", "u", "e.m", "e.h")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("m").orderBy("h", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= K_SUB)
+        .select("m", "rn", "u")
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [[0.0] * SUB_DIM for _ in range(K_SUB)] for _ in range(M)
+    ]
+    for r in seeds:
+        lo = r["m"] * SUB_DIM
+        books[r["m"]][r["rn"] - 1] = [
+            float(x) for x in r["u"][lo : lo + SUB_DIM]
+        ]
+    for _ in range(PQ_ITERS):
+        stats = (
+            encode(unit, books)
+            .select("codes", F.posexplode("u").alias("pos", "x"))
+            .select(
+                F.expr(f"pos div {SUB_DIM}").cast("int").alias("m"),
+                F.col("codes")[F.expr(f"pos div {SUB_DIM}")].alias("c"),
+                F.pmod("pos", F.lit(SUB_DIM)).alias("d"),
+                "x",
+            )
+            .groupBy("m", "c", "d")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            by_key.setdefault((r.m, r.c), {})[r.d] = r.mean
+        books = [
+            [
+                [by_key[(m, i)][d] for d in range(SUB_DIM)]
+                if (m, i) in by_key
+                else books[m][i]  # empty code keeps its old centroid
+                for i in range(K_SUB)
+            ]
+            for m in range(M)
+        ]
+    return books
+
+
+def encode(unit: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, u, codes: array<int>[M]) — one projection, all JVM."""
+    return unit.select(
+        "vec_id",
+        "u",
+        F.array(
+            *[_argmin_code(_sub(F.col("u"), m), books[m]) for m in range(M)]
+        ).alias("codes"),
+    )
+
+
+def _prepare(spark: SparkSession, sf_dir: str):
+    unit = _unit(spark, sf_dir)
+    books = train_codebooks(unit)
+    coded = encode(unit, books).cache()
+    return coded, books
+
+
+def _adc_scored(coded: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """ADC estimate for every (query, vector) pair: the per-query LUT
+    (M×K_SUB squared distances, built driver-side from the exact query
+    subvectors) rides a broadcast join; each pair costs M element_at
+    probes folded by one HOF chain over the codes array."""
+    queries = [
+        (r["vec_id"], list(map(float, r["u"])))
+        for r in coded.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "u")
+        .collect()
+    ]
+    spark = coded.sparkSession
+    rows = []
+    for qid, qv in queries:
+        lut = [
+            [
+                sum(
+                    (qv[m * SUB_DIM + d] - books[m][c][d]) ** 2
+                    for d in range(SUB_DIM)
+                )
+                for c in range(K_SUB)
+            ]
+            for m in range(M)
+        ]
+        rows.append((qid, qv, lut))
+    luts = spark.createDataFrame(
+        rows, "query_id long, qu array<double>, lut array<array<double>>"
+    )
+    est = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.element_at("lut", i + 1), F.col("codes")[i] + 1),
+    )
+    return (
+        coded.join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
+        .withColumn("est9", F.round(est, 9))
+    )
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("est9"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k per validation query, straight from the codes (no
+    re-rank) — the raw sketch answer whose quality ann_pq_recall
+    calibrates."""
+    coded, books = _prepare(spark, sf_dir)
+    return _adc_topk(_adc_scored(coded, books), TOP_K).select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.round("est9", 6).alias("est_dist2"),
+    ).orderBy("query_id", "rank")
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard PQ deployment calibration: widen the ADC candidate
+    list C, exact-re-rank the C candidates per query, stop when
+    recall@k vs the brute-force cosine baseline meets the gate
+    (C = all vectors degenerates to exact search, so termination is
+    guaranteed). Emits the calibration evidence row."""
+    from .similarity import cosine_topk
+
+    coded, books = _prepare(spark, sf_dir)
+    scored = _adc_scored(coded, books).cache()
+    bf = cosine_topk(spark, sf_dir).select("query_id", "vec_id").cache()
+    n_bf = bf.count()
+    n_total = coded.count()
+    recall, n_hit, used_c = 0.0, 0, n_total
+    for cand in _CAND_SCHEDULE:
+        c = cand if cand is not None else n_total
+        shortlist = _adc_topk(scored, c)
+        rer = shortlist.withColumn("cos9", F.round(cosine("u", "qu"), 9))
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("cos9"), F.col("vec_id")
+        )
+        ids = (
+            rer.withColumn("rr", F.row_number().over(wr))
+            .filter(F.col("rr") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        n_hit = bf.join(ids, ["query_id", "vec_id"], "left_semi").count()
+        recall = n_hit / n_bf if n_bf else 0.0
+        used_c = c
+        if recall >= RECALL_GATE:
+            break
+    if recall < RECALL_GATE:
+        raise AssertionError(
+            f"PQ recall@{TOP_K} = {recall:.3f} below {RECALL_GATE} at C={used_c}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                TOP_K,
+                N_QUERIES,
+                M,
+                K_SUB,
+                used_c,
+                n_bf,
+                n_hit,
+                round(recall, 6),
+                RECALL_GATE,
+            )
+        ],
+        "k long, n_queries long, m_subspaces long, k_sub long, "
+        "n_candidates long, n_truth long, n_hits long, recall double, "
+        "gate double",
+    )
+
+
+QUERIES = {"ann_pq_topk": ann_pq_topk, "ann_pq_recall": ann_pq_recall}
+ORACLES: dict[str, str] = {}  # iterative training → rows-only checks
