@@ -83,6 +83,16 @@ HEADLINE = [
     "dataset_card_by_source",
     "source_overlap_matrix",
     "knn_label_vote",
+    # round-6 additions
+    "cms_user_event_counts",
+    "hll_register_estimate",
+    "histogram_quantile_sketch",
+    "repetition_metrics_docs",
+    "boilerplate_shingle_stats",
+    "bfs_trade_levels",
+    "temperature_mixture_sample",
+    "lateral_top_order_per_customer",
+    "cumulative_channel_compare",
 ]
 
 
