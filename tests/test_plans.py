@@ -19,9 +19,14 @@ def qs():
 
 
 def test_trace_filter_pushdown(spark, sf_dir, qs):
+    """Both reference predicates must reach the parquet reader: the
+    IN-list AND the inclusive time range (row-group pruning via min/max
+    stats — at 100 TB time is the pruning dimension of events)."""
     plan = _plan(qs["trace_filter_export"](spark, sf_dir))
     assert "PushedFilters: [" in plan
     assert "In(user_id" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+    assert "LessThanOrEqual(ts" in plan
 
 
 def test_q1_pushdown_and_partial_agg(spark, sf_dir, qs):

@@ -229,21 +229,21 @@ ORDER BY revenue DESC, n_name
 # --------------------------------------------------------------------------
 
 _TRACE_IDS = [1, 2, 3, 5, 8, 13, 21, 34]
+_TRACE_WINDOW = ("2024-01-05 00:00:00", "2024-01-20 00:00:00")
 
 
 def trace_filter_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The faithful core's relational shape (SURVEY §2 P1-P3, O1):
     IN-list + inclusive BETWEEN on the time column only, projection,
-    composite-key order. Both predicates push down to the scan."""
-    ev = load_table(spark, sf_dir, "events")
+    composite-key order. The time range goes through the registry's
+    ``ts_between`` so it reaches ``PushedFilters`` regardless of the
+    fixture's physical timestamp encoding (micros today, nanos-as-long
+    defensively) — the reference pushes this exact predicate to its
+    store (ParameterDataRepository.java:66-67). Pinned by
+    tests/test_plans.py::test_trace_filter_pushdown."""
+    ev = load_table(spark, sf_dir, "events", ts_between=_TRACE_WINDOW)
     return (
-        ev.filter(
-            F.col("user_id").isin(_TRACE_IDS)
-            & F.col("ts").between(
-                F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
-                F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
-            )
-        )
+        ev.filter(F.col("user_id").isin(_TRACE_IDS))
         .select("event_id", "user_id", "event_type", "ts", "value")
         .orderBy("user_id", "ts", "event_id")
     )

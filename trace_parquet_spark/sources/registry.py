@@ -3,21 +3,26 @@
 ``load_table`` is the single entry point every operator and query uses
 to obtain a DataFrame; it normalizes cross-engine type wrinkles once:
 
-- ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark 4
-  rejects outright. With ``spark.sql.legacy.parquet.nanosAsLong`` the
-  column arrives as epoch-nanos int64; we truncate to micros and cast
-  to TIMESTAMP_NTZ (matching DuckDB's ns→us truncating cast, so the
-  oracle comparison is exact).
-- Because the rederivation (``timestamp_micros(ts div 1000)``) hides
-  the scan column behind an expression, a time-range predicate placed
-  on the derived ``ts`` can never reach the parquet reader. The
-  ``ts_between=(start, end)`` option closes that hole: the bounds are
-  converted to raw epoch-nanos with exact integer arithmetic and
-  filtered on the bigint column BEFORE the cast, so the range lands in
-  ``PushedFilters`` (GreaterThanOrEqual/LessThanOrEqual on ``ts``) and
-  prunes row groups via parquet min/max stats. At 100 TB, time is THE
-  pruning dimension of an events table — this is the difference
-  between scanning a window and scanning the table.
+- ``events.ts`` is physically parquet TIMESTAMP(MICROS) in the current
+  fixtures (pyarrow-verified across sf0.001/0.01/0.1), which Spark
+  reads as a native timestamp — predicates on it push down as-is. Some
+  generators emit TIMESTAMP(NANOS) instead, which Spark 4 rejects
+  outright; for that case we keep a defensive branch: with
+  ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+  epoch-nanos int64 and we truncate to micros and cast to
+  TIMESTAMP_NTZ (matching DuckDB's ns→us truncating cast, so the
+  oracle comparison stays exact).
+- In the nanos case the rederivation (``timestamp_micros(ts div
+  1000)``) hides the scan column behind an expression, so a time-range
+  predicate placed on the derived ``ts`` can never reach the parquet
+  reader. The ``ts_between=(start, end)`` option closes that hole: the
+  bounds are converted to raw epoch-nanos with exact integer
+  arithmetic and filtered on the bigint column BEFORE the cast, so the
+  range lands in ``PushedFilters`` (GreaterThanOrEqual/LessThanOrEqual
+  on ``ts``) and prunes row groups via parquet min/max stats. On the
+  micros fixtures the same option plans a plain pushed-down BETWEEN.
+  Either way, time is THE pruning dimension of an events table at
+  100 TB — the difference between scanning a window and the table.
 - All other tables are plain columnar parquet reads — filters and
   projections placed on them push down to the scan (verified via
   ``.explain``: PushedFilters / ReadSchema).
@@ -29,7 +34,7 @@ API deliberately stays ``(spark, base_dir, name) -> DataFrame``.
 from __future__ import annotations
 
 import calendar
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,11 +53,22 @@ TABLES = (
 )
 
 
+def _naive_utc(t: datetime | str) -> datetime:
+    """Normalize a bound to naive UTC wall time. Aware inputs (datetime
+    with tzinfo, or ISO strings like '…+05:00') are converted to UTC
+    then stripped — silently treating '00:00+05:00' as midnight UTC
+    would shift the filter window by the offset with no error."""
+    dt = datetime.fromisoformat(t) if isinstance(t, str) else t
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def _epoch_micros_utc(t: datetime | str) -> int:
     """Naive-UTC wall time → epoch microseconds, pure integer arithmetic
     (``datetime.timestamp()`` returns a float; fine below 2^53 µs but
     we don't want to have to argue about it)."""
-    dt = datetime.fromisoformat(t) if isinstance(t, str) else t
+    dt = _naive_utc(t)
     return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
 
 
@@ -61,8 +77,20 @@ def ts_bounds_nanos(start: datetime | str, end: datetime | str) -> tuple[int, in
     µs-truncated timestamp. A nanos value n satisfies
     ``start ≤ floor(n/1000)µs ≤ end`` iff
     ``start_µs*1000 ≤ n ≤ end_µs*1000 + 999`` — exact, no edge rows
-    gained or lost relative to filtering the derived column."""
-    return _epoch_micros_utc(start) * 1000, _epoch_micros_utc(end) * 1000 + 999
+    gained or lost relative to filtering the derived column.
+
+    Post-epoch bounds only: the rederivation uses Spark's ``ts div
+    1000``, which truncates toward zero, so for negative (pre-1970)
+    nanos the floor identity above breaks within 1µs of the bounds.
+    The events domain is post-epoch; we enforce rather than document.
+    Reversed bounds raise instead of silently planning an empty scan —
+    in an oracle harness an empty result reads as a vacuous pass."""
+    lo, hi = _epoch_micros_utc(start) * 1000, _epoch_micros_utc(end) * 1000 + 999
+    if lo < 0:
+        raise ValueError(f"pre-epoch start bound unsupported: {start!r}")
+    if lo > hi:
+        raise ValueError(f"reversed time bounds: {start!r} > {end!r}")
+    return lo, hi
 
 
 def load_table(
@@ -97,11 +125,15 @@ def load_table(
             )
         elif ts_between is not None:
             # ts already timestamp-typed: a plain between pushes as-is.
-            start, end = ts_between
+            # Bounds go through the same naive-UTC normalization (an
+            # aware str(dt) would embed the offset into the ntz cast)
+            # and the same reversed/pre-epoch validation.
+            ts_bounds_nanos(*ts_between)
+            start, end = (_naive_utc(t) for t in ts_between)
             df = df.filter(
                 F.col("ts").between(
-                    F.lit(str(start)).cast("timestamp_ntz"),
-                    F.lit(str(end)).cast("timestamp_ntz"),
+                    F.lit(start.isoformat(sep=" ")).cast("timestamp_ntz"),
+                    F.lit(end.isoformat(sep=" ")).cast("timestamp_ntz"),
                 )
             )
         return df
