@@ -574,22 +574,14 @@ KNN_MAX_ID = 1000
 KNN_K = 5
 
 
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive-training data prep: for each anchor (vec_id <
-    HN_QUERIES) the HN_TOP most-similar vectors with a DIFFERENT
-    label — the hard negatives a contrastive or reranker loss wants.
-    Same kernel as the semantic pair pass (per-vector norms hoisted,
-    anchors broadcast at scale); ranking on the 1e-9 cosine grid with
-    vec_id tie-break."""
-    emb = _normed(spark, sf_dir, KNN_MAX_ID)
-    scored = _pair_cos9(
-        emb,
-        (F.col("src") < HN_QUERIES)
-        & (F.col("src_label") != F.col("dst_label")),
-    )
+def _hard_negative_tail(scored: DataFrame) -> DataFrame:
+    """Rank a (src, src_label, dst, dst_label, cos9) pair relation into
+    the hard-negative output: top HN_TOP cross-label matches per
+    anchor on the 1e-9 cosine grid, vec_id tie-break."""
     w = Window.partitionBy("src").orderBy(F.desc("cos9"), "dst")
     return (
-        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        scored.filter(F.col("src_label") != F.col("dst_label"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= HN_TOP)
         .select(
             F.col("src").alias("query_id"),
@@ -600,6 +592,23 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neg_rank")
     )
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor (vec_id <
+    HN_QUERIES) the HN_TOP most-similar vectors with a DIFFERENT
+    label — the hard negatives a contrastive or reranker loss wants.
+    Same kernel as the semantic pair pass (per-vector norms hoisted,
+    anchors broadcast at scale); ranking on the 1e-9 cosine grid with
+    vec_id tie-break. EXACT all-pairs — the oracle-checkable ground
+    truth; the 100 TB path is hard_negative_mining_lsh."""
+    emb = _normed(spark, sf_dir, KNN_MAX_ID)
+    scored = _pair_cos9(
+        emb,
+        (F.col("src") < HN_QUERIES)
+        & (F.col("src_label") != F.col("dst_label")),
+    )
+    return _hard_negative_tail(scored)
 
 
 HARD_NEGATIVE_SQL = f"""
@@ -626,16 +635,9 @@ ORDER BY query_id, neg_rank
 """
 
 
-def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out k-NN evaluation of the embedding space: each
-    vector's KNN_K nearest neighbors (cosine, excluding itself) vote
-    on its label; ties go to the smallest label. Output is per true
-    label: vector count and correct-vote count — the standard "are
-    these embeddings any good" probe before they are trusted for
-    dedup or curation. One pair pass + two window ranks; at scale the
-    pair pass swaps for the LSH/IVF candidate generators unchanged."""
-    emb = _normed(spark, sf_dir, KNN_MAX_ID)
-    scored = _pair_cos9(emb, F.col("src") != F.col("dst"))
+def _knn_vote_tail(scored: DataFrame) -> DataFrame:
+    """Rank, vote, and score a (src, src_label, dst, dst_label, cos9)
+    pair relation into the per-label k-NN accuracy output."""
     w = Window.partitionBy("src").orderBy(F.desc("cos9"), "dst")
     votes = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -665,6 +667,19 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN evaluation of the embedding space: each
+    vector's KNN_K nearest neighbors (cosine, excluding itself) vote
+    on its label; ties go to the smallest label. Output is per true
+    label: vector count and correct-vote count — the standard "are
+    these embeddings any good" probe before they are trusted for
+    dedup or curation. EXACT all-pairs ground truth; the 100 TB path
+    is knn_label_vote_lsh (same tail, LSH candidate generation)."""
+    emb = _normed(spark, sf_dir, KNN_MAX_ID)
+    scored = _pair_cos9(emb, F.col("src") != F.col("dst"))
+    return _knn_vote_tail(scored)
 
 
 KNN_VOTE_SQL = f"""
@@ -709,6 +724,183 @@ ORDER BY true_label
 """
 
 
+# --------------------------------------------------------------------------
+# LSH twins for the pair-eval operators (the 100 TB path)
+# --------------------------------------------------------------------------
+
+
+def _lsh_scored_pairs(
+    spark: SparkSession, sf_dir: str, max_id: int, anchor_max: int | None
+) -> DataFrame:
+    """Sub-quadratic replacement for ``_pair_cos9``: directed (src,
+    dst) pairs restricted to hyperplane-LSH bucket collisions (≥1
+    shared table bucket — the multi-table generator shared with
+    ann_lsh_topk), then the exact hoisted-norm cosine on candidates
+    ONLY. ``anchor_max`` bounds the src side (hard-negative anchors);
+    None means every vector is an anchor (LOO k-NN). At 10⁹ vectors
+    the bucket join shuffles (table_id, bucket) membership rows — per-
+    bucket work, never the N² cross product the exact kernel pays."""
+    from .similarity import _with_table_buckets
+
+    emb_raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < max_id)
+        .select("vec_id", "embedding")
+    )
+    buckets = _with_table_buckets(emb_raw, "embedding").select(
+        "vec_id", "table_id", "bucket"
+    )
+    q = buckets if anchor_max is None else buckets.filter(
+        F.col("vec_id") < anchor_max
+    )
+    q = q.select(
+        F.col("vec_id").alias("src"),
+        F.col("table_id").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = (
+        buckets.join(
+            q,
+            (F.col("table_id") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("src")),
+        )
+        .select("src", F.col("vec_id").alias("dst"))
+        .distinct()
+    )
+    normed = _normed(spark, sf_dir, max_id)
+    return (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("src"),
+                F.col("label").alias("src_label"),
+                F.col("ed").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                normed.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("label").alias("dst_label"),
+                    F.col("ed").alias("eb"),
+                    F.col("nrm").alias("nb"),
+                )
+            ),
+            "dst",
+        )
+        .withColumn(
+            "cos9",
+            F.round(
+                _dot_raw(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                9,
+            ),
+        )
+    )
+
+
+def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hard_negative_mining with LSH candidate generation — identical
+    ranking tail, pairs restricted to bucket collisions. Returned
+    negatives are genuine (same exact cosine on the same grid), only
+    candidates that collide in no table can be missed; pytest pins
+    pair recall vs the exact twin (tests/test_lsh_twins.py)."""
+    scored = _lsh_scored_pairs(spark, sf_dir, KNN_MAX_ID, HN_QUERIES)
+    return _hard_negative_tail(scored)
+
+
+def knn_label_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_label_vote with LSH candidate generation — identical vote
+    tail over bucket-collision candidates. Vectors whose every true
+    neighbor misses all tables vote over farther candidates (or drop
+    out if they collide with nothing); pytest pins the accuracy gap
+    vs the exact twin."""
+    scored = _lsh_scored_pairs(spark, sf_dir, KNN_MAX_ID, None)
+    return _knn_vote_tail(scored)
+
+
+def _lsh_pair_ctes(anchor_pred: str) -> str:
+    """Shared oracle CTE block: e → buckets → cand → scored, the SQL
+    twin of ``_lsh_scored_pairs`` (DuckDB)."""
+    from .similarity import N_TABLES, _table_bucket_sql
+
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS table_id, "
+        f"{_table_bucket_sql('embedding', t)} AS bucket FROM e"
+        for t in range(N_TABLES)
+    )
+    return f"""e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id < {KNN_MAX_ID}
+),
+buckets AS (
+  {per_table}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst
+  FROM buckets q JOIN buckets c
+    ON q.table_id = c.table_id AND q.bucket = c.bucket
+   AND c.vec_id <> q.vec_id
+  WHERE {anchor_pred}
+),
+scored AS (
+  SELECT cand.src, x.label AS src_label, cand.dst, y.label AS dst_label,
+         round({cosine_sql('x.embedding', 'y.embedding')}, 9) AS cos9
+  FROM cand
+  JOIN e x ON x.vec_id = cand.src
+  JOIN e y ON y.vec_id = cand.dst
+)"""
+
+
+HARD_NEGATIVE_LSH_SQL = f"""
+WITH {_lsh_pair_ctes(f"q.vec_id < {HN_QUERIES}")},
+ranked AS (
+  SELECT src AS query_id, dst AS vec_id, dst_label AS neg_label, cos9,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos9 DESC, dst) AS BIGINT)
+           AS neg_rank
+  FROM scored WHERE src_label <> dst_label
+)
+SELECT query_id, neg_rank, vec_id, neg_label, round(cos9, 6) AS cosine
+FROM ranked WHERE neg_rank <= {HN_TOP}
+ORDER BY query_id, neg_rank
+"""
+
+KNN_VOTE_LSH_SQL = f"""
+WITH {_lsh_pair_ctes("TRUE")},
+topk AS (
+  SELECT * FROM (
+    SELECT src, src_label, dst_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos9 DESC, dst) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT src, src_label, dst_label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT src, src_label, dst_label AS pred_label
+  FROM (
+    SELECT src, src_label, dst_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n_votes DESC, dst_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT src_label AS true_label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN pred_label = src_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred
+GROUP BY 1
+ORDER BY true_label
+"""
+
+
 QUERIES = {
     "semantic_dedup_clusters": semantic_dedup_clusters,
     "semantic_dedup_lsh": semantic_dedup_lsh,
@@ -717,6 +909,8 @@ QUERIES = {
     "embedding_outlier_prune": embedding_outlier_prune,
     "hard_negative_mining": hard_negative_mining,
     "knn_label_vote": knn_label_vote,
+    "hard_negative_mining_lsh": hard_negative_mining_lsh,
+    "knn_label_vote_lsh": knn_label_vote_lsh,
 }
 
 ORACLES = {
@@ -727,4 +921,6 @@ ORACLES = {
     "embedding_outlier_prune": OUTLIER_PRUNE_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "knn_label_vote": KNN_VOTE_SQL,
+    "hard_negative_mining_lsh": HARD_NEGATIVE_LSH_SQL,
+    "knn_label_vote_lsh": KNN_VOTE_LSH_SQL,
 }
