@@ -165,3 +165,47 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_equi_depth_approx_no_single_partition(spark, sf_dir):
+    """The approx twin exists to kill the exact version's global-ntile
+    Exchange SinglePartition over the full orders table — its own plan
+    must not reintroduce one at any stage."""
+    from trace_parquet_spark.plans.analytics_more import (
+        equi_depth_price_buckets_approx,
+    )
+
+    import re
+
+    plan = (
+        equi_depth_price_buckets_approx(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the exact twin's failure mode: a global Window moving every row
+    # to one partition
+    assert "Window" not in plan
+    # any SinglePartition exchange must carry only partial-agg rows
+    # (one per upstream partition — the benign global-scalar shape),
+    # never the data itself
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n[^\n]*", plan):
+        assert "partial_" in m.group(0), m.group(0)
+    assert "BroadcastHashJoin" in plan  # the cell->bucket assignment
+
+
+def test_equi_depth_approx_is_near_equi_depth(spark, sf_dir):
+    """Bucket sizes must deviate from n/N_BUCKETS by at most the mass
+    of one histogram cell (the sketch's documented error bound), and
+    bucket spans must be ordered and non-overlapping."""
+    from trace_parquet_spark.plans.analytics_more import (
+        N_BUCKETS,
+        equi_depth_price_buckets_approx,
+    )
+
+    rows = equi_depth_price_buckets_approx(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, N_BUCKETS + 1))
+    n = sum(r.n_orders for r in rows)
+    max_cell = max(r.n_orders for r in rows)  # cell mass <= bucket mass
+    for r in rows:
+        assert abs(r.n_orders - n / N_BUCKETS) <= max_cell
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

@@ -162,6 +162,100 @@ ORDER BY bucket
 """
 
 
+EQ_CELLS = 256  # fixed histogram grid for the approx bucketing
+
+
+def equi_depth_price_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of equi_depth_price_buckets: equi-depth buckets
+    from a mergeable equi-width histogram instead of a global ntile
+    sort. Prices land on the cent grid, are binned into EQ_CELLS fixed
+    cells (one map-side-combinable agg — the same sketch shape as
+    histogram_quantile_sketch), the cell→bucket boundary map is
+    derived from cumulative cell mass, and rows get their bucket via a
+    broadcast equi-join on cell id. No stage ever sees more than
+    EQ_CELLS rows outside the two full scans; bucket sizes deviate
+    from n/10 by at most one cell's mass. The cumulative sum runs as a
+    broadcast theta self-join of the ≤EQ_CELLS-row histogram, so the
+    plan carries NO single-partition exchange at any size (pinned in
+    tests/test_scale_paths.py). The exact ntile version stays
+    registered as this query's ground truth; integer-exact arithmetic
+    keeps the DuckDB oracle hash-identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = orders.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    ).withColumn("width", F.expr(f"(mx - mn) div {EQ_CELLS} + 1"))
+    celled = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice", F.expr("(cents - mn) div width").alias("cell")
+    )
+    hist = celled.groupBy("cell").agg(F.count("*").cast("long").alias("c"))
+    h2 = hist.select(F.col("cell").alias("cell2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("cell2") <= F.col("cell"))
+        .groupBy("cell")
+        .agg(F.sum("c2").alias("cum_end"))
+    )
+    total = hist.agg(F.sum("c").alias("total"))
+    cell_bucket = cum.crossJoin(F.broadcast(total)).select(
+        "cell",
+        (F.expr(f"((cum_end - 1) * {N_BUCKETS}) div total") + 1)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        celled.join(F.broadcast(cell_bucket), "cell")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select("bucket", "n_orders", "lo", "hi")
+        .orderBy("bucket")
+    )
+
+
+EQUI_DEPTH_APPROX_SQL = f"""
+WITH o AS (
+  SELECT o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+bounds AS (
+  SELECT min(cents) AS mn,
+         (max(cents) - min(cents)) // {EQ_CELLS} + 1 AS width
+  FROM o
+),
+celled AS (
+  SELECT o_totalprice, (cents - b.mn) // b.width AS cell
+  FROM o, bounds b
+),
+hist AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS c FROM celled GROUP BY cell
+),
+cum AS (
+  SELECT h.cell, CAST(sum(h2.c) AS BIGINT) AS cum_end
+  FROM hist h JOIN hist h2 ON h2.cell <= h.cell
+  GROUP BY h.cell
+),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM hist),
+cell_bucket AS (
+  SELECT cell,
+         CAST(((cum_end - 1) * {N_BUCKETS}) // total + 1 AS BIGINT) AS bucket
+  FROM cum, total
+)
+SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM celled x JOIN cell_bucket b ON x.cell = b.cell
+GROUP BY b.bucket
+ORDER BY b.bucket
+"""
+
+
 TREND_TOP = 2
 
 
@@ -265,6 +359,7 @@ QUERIES = {
     "range_frame_hourly_totals": range_frame_hourly_totals,
     "decimal_money_totals": decimal_money_totals,
     "equi_depth_price_buckets": equi_depth_price_buckets,
+    "equi_depth_price_buckets_approx": equi_depth_price_buckets_approx,
     "trending_event_types": trending_event_types,
     "yoy_revenue_growth": yoy_revenue_growth,
 }
@@ -273,6 +368,7 @@ ORACLES = {
     "range_frame_hourly_totals": RANGE_FRAME_SQL,
     "decimal_money_totals": DECIMAL_MONEY_SQL,
     "equi_depth_price_buckets": EQUI_DEPTH_SQL,
+    "equi_depth_price_buckets_approx": EQUI_DEPTH_APPROX_SQL,
     "trending_event_types": TRENDING_SQL,
     "yoy_revenue_growth": YOY_SQL,
 }
