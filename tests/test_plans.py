@@ -196,6 +196,16 @@ def test_round4_plans_stay_jvm_and_broadcast(spark, sf_dir, qs):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_bpe_rank_is_take_ordered(spark, sf_dir, qs):
+    """The BPE merge ranking must select top-k via
+    TakeOrderedAndProject (per-partition k + driver merge); the rank
+    window may only ever see the K-row result — never the full pair
+    relation on one partition."""
+    for name in ("bpe_top_merges", "bpe_vocab_coverage"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+
+
 def test_top_tokens_semi_join_prunes_before_shuffle(spark, sf_dir, qs):
     plan = _plan(qs["top_tokens_exact"](spark, sf_dir))
     assert "MapInPandas" in plan          # the sketch stage

@@ -149,10 +149,15 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
     ).select("f", F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
     agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("n"))
+    # top-k FIRST via orderBy().limit() — plans as TakeOrderedAndProject
+    # (per-partition k + driver merge); the rank window then runs over
+    # the K-row result only. Explicit so the scale shape no longer
+    # depends on the LimitPushDownThroughWindow optimizer rescue
+    # (pinned in tests/test_plans.py::test_bpe_rank_is_take_ordered).
+    top = agg.orderBy(F.desc("n"), "pair").limit(MERGE_TOP_K)
     w_rank = Window.orderBy(F.desc("n"), "pair")
     return (
-        agg.withColumn("rank", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rank") <= MERGE_TOP_K)
+        top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .select("rank", "pair", "n")
         .orderBy("rank")
     )
@@ -202,11 +207,10 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
     ).select("f", F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
-    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("n")).cache()
-    w_rank = Window.orderBy(F.desc("n"), "pair")
-    top = agg.withColumn("rank", F.row_number().over(w_rank)).filter(
-        F.col("rank") <= MERGE_TOP_K
-    )
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("n"))
+    # same TakeOrderedAndProject shape as bpe_top_merges — no rank
+    # window needed at all here, the limit IS the top-k selection
+    top = agg.orderBy(F.desc("n"), "pair").limit(MERGE_TOP_K)
     tot = agg.agg(F.sum("n").alias("total_pairs"))
     cov = top.agg(F.sum("n").alias("covered_pairs"))
     return (
