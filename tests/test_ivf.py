@@ -40,3 +40,13 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(approx) > 0
     recall = len(approx & brute) / len(brute)
     assert recall >= 0.2, f"recall {recall}"
+    # the in-row evidence column must BE the membership indicator
+    for r in ivf.ann_ivf_topk(spark, sf_dir).collect():
+        assert r.bf_hit == int((r.query_id, r.vec_id) in brute)
+
+
+def test_ivf_recall_row_evidence(spark, sf_dir):
+    row = ivf.ann_ivf_recall(spark, sf_dir).first()
+    assert row.recall >= row.gate
+    assert row.recall_micro == row.n_hits * 1_000_000 // row.n_truth
+    assert row.recall_ok == 1

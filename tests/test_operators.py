@@ -103,3 +103,6 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_orders - exact[0]) / exact[0] < 0.05
     assert abs(row.approx_parts - exact[1]) / exact[1] < 0.05
+    # the in-row acceptance evidence must agree with the recomputation
+    assert row.exact_orders == exact[0] and row.exact_parts == exact[1]
+    assert row.within_gate == 1

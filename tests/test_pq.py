@@ -48,3 +48,15 @@ def test_recall_gate_row(spark, sf_dir):
     row = pq.ann_pq_recall(spark, sf_dir).first()
     assert row["recall"] >= row["gate"]
     assert row["n_hits"] <= row["n_truth"]
+    assert row["recall_micro"] == row["n_hits"] * 1_000_000 // row["n_truth"]
+    assert row["recall_ok"] == 1
+
+
+def test_topk_bf_hit_column_matches_brute_force(spark, sf_dir):
+    """ann_pq_topk's in-row evidence column must be the true top-k
+    membership indicator."""
+    from trace_parquet_spark.operators.similarity import cosine_topk
+
+    bf = {(r.query_id, r.vec_id) for r in cosine_topk(spark, sf_dir).collect()}
+    for r in pq.ann_pq_topk(spark, sf_dir).collect():
+        assert r.bf_hit == int((r.query_id, r.vec_id) in bf)

@@ -417,12 +417,16 @@ def test_compression_ratio_matches_python_gzip_golden(spark, sf_dir):
         for r in load_table(spark, sf_dir, "documents").collect()
     }
     assert rows
+    import zlib as _zlib
+
     for r in rows[:200]:
         raw = texts[r.doc_id].encode("utf-8")
         gz = _gzip.compress(raw, mtime=0)
         assert r.n_bytes == len(raw)
         assert r.n_gz_bytes == len(gz)
         assert r.ratio_mille == len(gz) * 1000 // len(raw)
+        # the in-row golden checksum must be the CRC of the exact bytes
+        assert r.gz_crc32 == _zlib.crc32(gz)
 
 
 def test_corr_matrix_matches_numpy(spark, sf_dir):

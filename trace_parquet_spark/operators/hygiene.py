@@ -186,12 +186,18 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length(gzip_compress(F.col("text")))
             .cast("long")
             .alias("n_gz_bytes"),
+            # in-row golden evidence: CRC32 of the exact gzip bytes.
+            # pytest recompresses with Python zlib (same mtime=0
+            # determinism) and matches byte length AND checksum, so a
+            # sampled rows-only record carries its own acceptance bar.
+            F.crc32(gzip_compress(F.col("text"))).cast("long").alias("gz_crc32"),
         )
         .filter(F.col("n_bytes") > 0)
         .select(
             "doc_id",
             "n_bytes",
             "n_gz_bytes",
+            "gz_crc32",
             F.expr("(n_gz_bytes * 1000) div n_bytes").alias("ratio_mille"),
         )
         .orderBy("doc_id")

@@ -131,8 +131,30 @@ def _topk(assigned: DataFrame, centroids: list[list[float]], n_probe: int) -> Da
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with in-row acceptance evidence: ``bf_hit`` marks
+    whether each returned neighbor is in the brute-force exact top-k
+    (similarity.cosine_topk), so a sampled rows-only correctness
+    record shows the hit pattern by itself. The ground-truth join is
+    k·N_QUERIES rows broadcast — the verification harness, dropped at
+    real scale."""
+    from .similarity import cosine_topk
+
     assigned, centroids = _prepare(spark, sf_dir)
-    return _topk(assigned, centroids, N_PROBE)
+    bf = cosine_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).cast("long").alias("bf_hit")
+    )
+    return (
+        _topk(assigned, centroids, N_PROBE)
+        .join(F.broadcast(bf), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "cosine",
+            F.coalesce("bf_hit", F.lit(0)).cast("long").alias("bf_hit"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 RECALL_GATE = 0.8
@@ -181,11 +203,14 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bf,
                 n_hit,
                 round(recall, 6),
+                n_hit * 1_000_000 // n_bf if n_bf else 0,
                 RECALL_GATE,
+                int(recall >= RECALL_GATE),
             )
         ],
         "k long, n_queries long, n_probe long, n_clusters long, "
-        "n_truth long, n_hits long, recall double, gate double",
+        "n_truth long, n_hits long, recall double, recall_micro long, "
+        "gate double, recall_ok long",
     )
 
 

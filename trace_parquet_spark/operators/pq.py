@@ -228,14 +228,27 @@ def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k per validation query, straight from the codes (no
     re-rank) — the raw sketch answer whose quality ann_pq_recall
-    calibrates."""
+    calibrates. ``bf_hit`` carries the in-row acceptance evidence:
+    whether the neighbor is in the brute-force exact top-k (the
+    verification harness, dropped at real scale)."""
+    from .similarity import cosine_topk
+
     coded, books = _prepare(spark, sf_dir)
-    return _adc_topk(_adc_scored(coded, books), TOP_K).select(
-        "query_id",
-        "rank",
-        "vec_id",
-        F.round("est9", 6).alias("est_dist2"),
-    ).orderBy("query_id", "rank")
+    bf = cosine_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).cast("long").alias("bf_hit")
+    )
+    return (
+        _adc_topk(_adc_scored(coded, books), TOP_K)
+        .join(F.broadcast(bf), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.round("est9", 6).alias("est_dist2"),
+            F.coalesce("bf_hit", F.lit(0)).cast("long").alias("bf_hit"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,12 +297,14 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bf,
                 n_hit,
                 round(recall, 6),
+                n_hit * 1_000_000 // n_bf if n_bf else 0,
                 RECALL_GATE,
+                int(recall >= RECALL_GATE),
             )
         ],
         "k long, n_queries long, m_subspaces long, k_sub long, "
         "n_candidates long, n_truth long, n_hits long, recall double, "
-        "gate double",
+        "recall_micro long, gate double, recall_ok long",
     )
 
 
