@@ -28,8 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from trace_parquet_spark.session import ensure_engine_conf
+        from trace_parquet_spark.session import ensure_engine_conf, release_caches
 
+        # building query N releases query N-1's intra-query caches, so
+        # storage never accumulates across a sequential full-registry
+        # run (the driver's gate, check_oracle, bench)
+        release_caches()
         ensure_engine_conf(spark)
         return fn(spark, sf_dir)
 

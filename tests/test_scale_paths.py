@@ -209,3 +209,45 @@ def test_equi_depth_approx_is_near_equi_depth(spark, sf_dir):
         assert abs(r.n_orders - n / N_BUCKETS) <= max_cell
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_release_caches_empties_storage(spark, sf_dir):
+    """Tracked intra-query caches must all be releasable: after
+    release_caches() the context holds no persistent RDDs, so a
+    sequential full-registry run cannot accumulate storage."""
+    from trace_parquet_spark.operators.dedup import dedup_minhash_lsh
+    from trace_parquet_spark.session import release_caches
+
+    release_caches()  # start clean
+    dedup_minhash_lsh(spark, sf_dir).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert release_caches() > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_corpus_clean_restriction_matches_post_filter(spark, sf_dir):
+    """The survivor restriction pushed into the pair generator must
+    commute with verification: restricted pairs == full pairs filtered
+    afterwards."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.operators.dedup import (
+        _minhash_pairs,
+        dedup_minhash_lsh,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+    )
+    restricted = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _minhash_pairs(spark, sf_dir, restrict_ids=ids).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if r.doc_a % 2 == 0 and r.doc_b % 2 == 0
+    }
+    assert restricted == full

@@ -35,7 +35,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.registry import load_table_parallel
-from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
+from .dedup import DEDUP_MINHASH_SQL, _minhash_pairs
 
 QUALITY_MIN = 0.5
 
@@ -57,16 +57,15 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = quality_ok.join(exact_keep, ["content_fp", "doc_id"], "inner")
 
-    # Near-dup pairs via banded LSH; both endpoints must be survivors
-    # (semi-joins — survivor ids are a pruned set, broadcastable at the
-    # per-partition corpus granularity this stage runs at).
+    # Near-dup pairs via banded LSH, with the survivor restriction
+    # pushed INTO the pair generator: endpoints are pruned before the
+    # exact-Jaccard verification stage (restriction commutes with the
+    # per-pair predicate, so the hash is identical to filtering the
+    # full pair relation afterwards), and the candidate re-shingle +
+    # shingle self-join only ever touch survivor docs — the composite
+    # pipeline is strictly cheaper than dedup_minhash_lsh alone.
     survivor_ids = survivors.select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    pairs = pairs.join(
-        survivor_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
-    ).join(
-        survivor_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
-    )
+    pairs = _minhash_pairs(spark, sf_dir, restrict_ids=survivor_ids)
     drop_ids = pairs.select(F.col("doc_b").alias("doc_id"))
     cleaned = survivors.join(drop_ids, "doc_id", "left_anti")
 

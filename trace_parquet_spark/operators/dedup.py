@@ -42,6 +42,7 @@ from ..functions.text import (
     tokens_sql,
 )
 from ..sources.registry import load_table, load_table_parallel
+from ..session import track_cache
 
 SHINGLE_N = 3
 N_HASHES = 16
@@ -261,6 +262,12 @@ def _band_signatures(sig: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir, restrict_ids=None)
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, restrict_ids: DataFrame | None
+) -> DataFrame:
     """LSH candidates (band-bucket join) verified by exact Jaccard.
 
     The verification joins shingle sets of CANDIDATE docs only — the
@@ -277,6 +284,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 this also beats the cached variant warm (4.7s vs 5.2s):
     cache materialization of 260k shingle rows costs more than one
     extra candidate-only shingle pass.
+
+    ``restrict_ids`` (a doc_id relation) restricts PAIR ENDPOINTS
+    before the verification stage. Per-pair verification commutes with
+    endpoint restriction, so the result equals filtering the full pair
+    output afterwards — but the exact-Jaccard work (candidate
+    re-shingle + shingle self-join) runs only on the restricted
+    candidates. corpus_clean passes its quality/exact-dedup survivors
+    here, making the composite pipeline strictly cheaper than
+    dedup_minhash_lsh alone at the same hash.
     """
     sh_full = _doc_shingles(spark, sf_dir)
     hot = (
@@ -284,7 +300,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
-        .cache()  # tiny heavy-hitter set; two consumers must agree
+        .transform(track_cache)  # tiny heavy-hitter set; two consumers must agree
     )
     sh_capped = sh_full.join(F.broadcast(hot), "s", "left_anti")
     bands = _band_signatures(minhash_signatures(sh_capped))
@@ -299,7 +315,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .cache()  # feeds both the verification join and cand_docs pruning
+    )
+    if restrict_ids is not None:
+        candidates = candidates.join(
+            restrict_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        ).join(
+            restrict_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+        )
+    candidates = candidates.transform(
+        track_cache  # feeds both the verification join and cand_docs pruning
     )
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
+from ..session import track_cache
 
 MAX_ITERS = 20
 
@@ -47,7 +48,7 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         edges.select(F.col("src"), F.col("dst"))
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .cache()
+        .transform(track_cache)
     )
     labels = (
         sym.select(F.col("src").alias("doc_id"))

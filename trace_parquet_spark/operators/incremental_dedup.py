@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table_parallel
+from ..session import track_cache
 from .dedup import (
     JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
@@ -58,7 +59,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
-        .cache()  # tiny; signatures and verification must agree on it
+        .transform(track_cache)  # tiny; signatures and verification must agree on it
     )
     sh_capped = sh_full.join(F.broadcast(hot), "s", "left_anti")
     bands = _band_signatures(minhash_signatures(sh_capped)).crossJoin(
@@ -80,7 +81,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .cache()  # feeds both candidate-doc pruning and the final join
+        .transform(track_cache)  # feeds both candidate-doc pruning and the final join
     )
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))

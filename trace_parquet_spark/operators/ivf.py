@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import stable_hash32
 from ..functions.vectors import cosine
 from ..sources.registry import load_table_parallel
+from ..session import track_cache
 
 K = 16
 IVF_ITERS = 3
@@ -89,7 +90,7 @@ def _prepare(spark: SparkSession, sf_dir: str):
     calibration share the cached assignment."""
     emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     centroids = train_centroids(emb)
-    assigned = _assign(emb, "embedding", centroids).cache()
+    assigned = _assign(emb, "embedding", centroids).transform(track_cache)
     return assigned, centroids
 
 
@@ -176,7 +177,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import cosine_topk
 
     assigned, centroids = _prepare(spark, sf_dir)
-    bf = cosine_topk(spark, sf_dir).select("query_id", "vec_id").cache()
+    bf = cosine_topk(spark, sf_dir).select("query_id", "vec_id").transform(track_cache)
     n_bf = bf.count()
     recall, n_hit, used_probe = 0.0, 0, _PROBE_SCHEDULE[-1]
     for n_probe in _PROBE_SCHEDULE:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
 from ..sources.registry import load_table
+from ..session import track_cache
 
 MILLE = 1000
 
@@ -49,7 +50,7 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source")
         .agg(F.count("*").alias("n_input"))
         .select("source", "n_input", F.expr(_W_SPARK).cast("long").alias("w"))
-        .cache()
+        .transform(track_cache)
     )
     totals = srcs.agg(F.sum("w").alias("big_w"))
     scaled = srcs.join(F.broadcast(totals)).select(
@@ -150,7 +151,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
-        .cache()
+        .transform(track_cache)
     )
     totals = srcs.agg(
         F.sum("w").alias("big_w"), F.sum("n_input").alias("n_total")

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import stable_hash32
 from ..functions.vectors import cosine
 from ..sources.registry import load_table_parallel
+from ..session import track_cache
 
 DIM = 64
 M = 8  # subspaces
@@ -173,7 +174,7 @@ def encode(unit: DataFrame, books: list[list[list[float]]]) -> DataFrame:
 def _prepare(spark: SparkSession, sf_dir: str):
     unit = _unit(spark, sf_dir)
     books = train_codebooks(unit)
-    coded = encode(unit, books).cache()
+    coded = encode(unit, books).transform(track_cache)
     return coded, books
 
 
@@ -260,8 +261,8 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import cosine_topk
 
     coded, books = _prepare(spark, sf_dir)
-    scored = _adc_scored(coded, books).cache()
-    bf = cosine_topk(spark, sf_dir).select("query_id", "vec_id").cache()
+    scored = _adc_scored(coded, books).transform(track_cache)
+    bf = cosine_topk(spark, sf_dir).select("query_id", "vec_id").transform(track_cache)
     n_bf = bf.count()
     n_total = coded.count()
     recall, n_hit, used_c = 0.0, 0, n_total

@@ -28,13 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from ..session import track_cache
 from .dedup import SHINGLE_DF_CAP, _doc_shingles_capped, _SHINGLES_CTE
 
 
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles_capped(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ssrc = sh.join(src, "doc_id").select("source", "s").cache()
+    ssrc = sh.join(src, "doc_id").select("source", "s").transform(track_cache)
     # cache: sizes and the pair explode both consume it; without the
     # cache the whole shingle+df-cap chain runs twice (self-join-style
     # plan aliasing gets no cross-subtree reuse from Catalyst)

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import norm_text, norm_text_sql, shingles_from, tokens
 from ..sources.registry import load_table
+from ..session import track_cache
 
 # A shingle is "boilerplate" when it appears in more than this fraction
 # of all documents (document frequency, not occurrence count).
@@ -58,7 +59,7 @@ def repetition_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``dup_3gram_char_ppm`` — character mass of repeated word
       trigrams over the total trigram character mass.
     """
-    t = _toks(spark, sf_dir).cache()
+    t = _toks(spark, sf_dir).transform(track_cache)
 
     wc = (
         t.select("doc_id", F.explode("toks").alias("w"))

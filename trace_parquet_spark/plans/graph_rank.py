@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from ..session import track_cache
 
 SCALE = 10**12
 PSCALE = 10**6
@@ -86,7 +87,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the lineitem edge aggregation runs ONCE, not once per
     # iteration (the iteration subtrees are identical analyzed plans,
     # so they all hit this cache entry)
-    probs = _trade_probs(spark, sf_dir).cache()
+    probs = _trade_probs(spark, sf_dir).transform(track_cache)
     ranks = nation.select("node", F.lit(r0).cast("long").alias("rank"))
     for _ in range(ITERS):
         contribs = (
@@ -185,7 +186,7 @@ def bfs_trade_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trade_probs(spark, sf_dir)
         .where((F.col("p") >= BFS_P_MIN) & (F.col("src") != F.col("dst")))
         .select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
-        .cache()
+        .transform(track_cache)
     )
     roots = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("root")

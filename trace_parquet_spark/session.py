@@ -62,6 +62,39 @@ def get_spark(
     return spark
 
 
+# ---------------------------------------------------------------- cache
+# Query builders return UNEXECUTED DataFrames, so no builder can
+# unpersist-after-action itself. Instead every intra-query cache goes
+# through track_cache(), and harnesses call release_caches() after the
+# action (check_oracle, bench) — plus __spark_entry__ releases the
+# previous query's caches when the NEXT query is built, which bounds
+# storage accumulation to one query in any sequential harness,
+# including the driver's. Releasing before an un-collected plan runs
+# is still correct (an unpersisted relation recomputes).
+
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """``df.cache()`` + register for ``release_caches()``."""
+    df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already gone — nothing to release
+            pass
+    return n
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to a session we did not build.
 
