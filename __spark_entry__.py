@@ -148,7 +148,6 @@ def _modules():
         forget,
         cdc,
         featurize,
-        forget,
         graph_metrics,
         prep,
         provenance,
