@@ -75,9 +75,12 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
+    json_path = None
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
 
     import __spark_entry__ as entry_mod
     from trace_parquet_spark.session import get_spark
@@ -93,27 +96,41 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args or list(qs)
     n_pass = n_fail = n_weak = 0
+    record: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             print(f"?? {name}: no such query")
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "values_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        record[name] = rec
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
+            rec["err"] = f"spark error: {type(exc).__name__}"
             n_fail += 1
             continue
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"WEAK {name}: rows-only check, {len(sdf)} rows")
+            rec["err"] = "no_oracle"
             n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {type(exc).__name__}: {str(exc)[:300]}")
+            rec["err"] = f"oracle error: {type(exc).__name__}"
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
+        rec["oracle_rows"] = len(odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        rec["values_match"] = not problems
         if problems:
             print(f"FAIL {name} ({len(sdf)} rows):")
             for p in problems:
@@ -123,6 +140,12 @@ def main() -> int:
             print(f"PASS {name} ({len(sdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(record, fh, indent=2)
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
