@@ -34,6 +34,7 @@ from ..functions.text import (
     token_count_sql,
     tokens,
 )
+from ..session import track_cache
 from ..sources.registry import load_table_parallel
 from .dedup import DEDUP_MINHASH_SQL, _minhash_pairs
 
@@ -55,7 +56,14 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = quality_ok.groupBy("content_fp").agg(
         F.min("doc_id").alias("doc_id")
     )
-    survivors = quality_ok.join(exact_keep, ["content_fp", "doc_id"], "inner")
+    # cached: the tokenize/quality/fingerprint chain above is the
+    # pipeline's most expensive map work and feeds three branches (the
+    # two endpoint restrictions inside the pair generator + the final
+    # anti-join); one materialization instead of three (tracked —
+    # released when the harness builds its next query)
+    survivors = track_cache(
+        quality_ok.join(exact_keep, ["content_fp", "doc_id"], "inner")
+    )
 
     # Near-dup pairs via banded LSH, with the survivor restriction
     # pushed INTO the pair generator: endpoints are pruned before the
