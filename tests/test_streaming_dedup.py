@@ -1,0 +1,115 @@
+"""Streaming incremental MinHash dedup: the foreachBatch screen must
+(a) equal the batch-mode incremental twin on the same history/delta
+split, (b) equal full batch LSH restricted to cross-batch pairs over
+a multi-batch stream (the hot set is stable on this fixture, so no
+signature drift), and (c) survive checkpointed restart — each batch's
+state writes are batch-addressed, hence replay-idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.operators.dedup import dedup_minhash_lsh
+from trace_parquet_spark.operators.incremental_dedup import (
+    CUT_DEN,
+    CUT_NUM,
+    dedup_incremental_minhash,
+)
+from trace_parquet_spark.sources.registry import load_table
+from trace_parquet_spark.streaming.dedup_stream import (
+    read_hits,
+    run_dedup_stream,
+)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def _hit_set(df):
+    return {(r.doc_new, r.dup_of, r.jaccard) for r in df.collect()}
+
+
+def test_two_batch_stream_matches_batch_incremental(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (max_id + 1) * CUT_NUM // CUT_DEN
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: the history corpus arrives; stream drains and stops
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain(run_dedup_stream(spark, src, state, ckpt))
+    assert _hit_set(read_hits(spark, state)) == set()  # nothing to screen
+
+    # batch 1: the delta drop arrives while "down"; restart resumes
+    # from the checkpoint and screens delta x store only
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain(run_dedup_stream(spark, src, state, ckpt))
+
+    got = _hit_set(read_hits(spark, state))
+    expected = {
+        (r.doc_new, r.dup_of, r.jaccard)
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # the fixture contains real cross-split near-dups
+
+
+def test_multi_batch_stream_equals_cross_batch_lsh(spark, sf_dir, tmp_path):
+    """Three sequential drops: the union of stream hits must equal
+    full batch LSH restricted to cross-batch pairs (within-batch dups
+    are deliberately not screened — same contract as the batch
+    incremental twin)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    c1, c2 = (max_id + 1) // 3, 2 * (max_id + 1) // 3
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunks = [
+        docs.filter(F.col("doc_id") < c1),
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.filter(F.col("doc_id") >= c2),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _drain(run_dedup_stream(spark, src, state, ckpt))
+
+    def chunk_of(i: int) -> int:
+        return 0 if i < c1 else (1 if i < c2 else 2)
+
+    expected = {
+        (r.doc_b, r.doc_a, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if chunk_of(r.doc_a) != chunk_of(r.doc_b)
+    }
+    assert _hit_set(read_hits(spark, state)) == expected
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running a batch (foreachBatch replay after a crash between
+    state write and offset commit) must leave state identical: every
+    write is batch-addressed overwrite."""
+    from trace_parquet_spark.streaming.dedup_stream import ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (max_id + 1) * CUT_NUM // CUT_DEN
+    state = str(tmp_path / "state")
+
+    ingest_batch(spark, state, docs.filter(F.col("doc_id") < cut), 0)
+    ingest_batch(spark, state, docs.filter(F.col("doc_id") >= cut), 1)
+    first = _hit_set(read_hits(spark, state))
+    # replay batch 1 verbatim
+    ingest_batch(spark, state, docs.filter(F.col("doc_id") >= cut), 1)
+    assert _hit_set(read_hits(spark, state)) == first

@@ -1,0 +1,241 @@
+"""Streaming incremental MinHash dedup: a document stream screened
+against the accumulated corpus, batch by batch.
+
+The streaming twin of operators/incremental_dedup.py — the shape a
+100 TB corpus uses to absorb continuous crawl drops. State is three
+parquet relations under ``state_dir`` (the lakehouse-state pattern
+shared with streaming/pipeline.py's CDC sink — no table format
+required, every write batch-id-addressed so replays are idempotent):
+
+- ``docs/b{N}``        — ingested documents (the corpus store);
+- ``sigs/b{N}``        — banded MinHash signatures of batch N's docs
+  (a few dozen bytes per doc — the ONLY per-doc state the screen
+  reads; signatures are immutable once written);
+- ``shingle_df/b{N}``  — cumulative (shingle, df) counts AFTER batch
+  N — the mergeable state behind the stopword-shingle cap
+  (df > SHINGLE_DF_CAP ⇒ excluded from signatures/verification).
+  Each snapshot = previous snapshot ⊕ the delta's counts: a pure
+  monoid merge, so the state is replayable and crash-consistent;
+- ``hits/batch_id={N}`` — the emitted (doc_new, dup_of, jaccard)
+  near-dup pairs of batch N against the PRIOR corpus.
+
+Per micro-batch (``ingest_batch``, driven by foreachBatch):
+
+1. merge the delta's shingle-df counts into the df state; the hot
+   set for this batch is the merged snapshot filtered at the cap —
+   identical to batch-mode semantics when the stream drains (history
+   signatures keep the cap of THEIR ingest time; the drift window is
+   only shingles that cross the cap mid-stream, and a crossing
+   shingle only ever removes itself from future signatures);
+2. compute banded signatures for the DELTA only; band-join them
+   (broadcast — the delta is the small side by construction) against
+   the signature store: candidates are delta×store collisions only —
+   history never re-pairs against itself, cost per batch is
+   O(|delta| + collisions);
+3. exact-Jaccard verify candidates, re-shingling only the CANDIDATE
+   documents (history candidates fetched from the doc store);
+4. append hits / signatures / docs, each into a batch-addressed
+   subdirectory (idempotent under foreachBatch replay).
+
+With a stable hot set the union of stream hits over all batches
+equals batch LSH restricted to cross-batch pairs — pinned against
+``dedup_minhash_lsh`` and under checkpointed restart in
+tests/test_streaming_dedup.py.
+
+Reference: no counterpart (single-query export engine); north-star
+extension at the §2.9 streaming × dedup intersection.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    _band_signatures,
+    _shingles_of,
+    minhash_signatures,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+_SIG_SCHEMA = "doc_id long, band_id int, band_sig string"
+_DF_SCHEMA = "s string, df long"
+
+
+def _batch_dirs(state_dir: str, name: str, below: int) -> list[str]:
+    """State subdirectories of batches strictly before ``below`` (a
+    replayed batch must not read its own partial prior write)."""
+    root = os.path.join(state_dir, name)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < below:
+            out.append(os.path.join(root, d))
+    return out
+
+
+def _read_batches(
+    spark: SparkSession, state_dir: str, name: str, below: int, schema: str
+) -> DataFrame:
+    dirs = _batch_dirs(state_dir, name, below)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def _latest_df_state(
+    spark: SparkSession, state_dir: str, below: int
+) -> DataFrame:
+    """The newest cumulative shingle-df snapshot before ``below``."""
+    dirs = _batch_dirs(state_dir, "shingle_df", below)
+    if not dirs:
+        return spark.createDataFrame([], _DF_SCHEMA)
+    return spark.read.schema(_DF_SCHEMA).parquet(dirs[-1])
+
+
+def ingest_batch(
+    spark: SparkSession, state_dir: str, delta_docs: DataFrame, batch_id: int
+) -> None:
+    """Screen one arriving batch against the signature store and
+    advance the state. Runs inside foreachBatch, but is an ordinary
+    batch function — the test replays it directly."""
+    bid = int(batch_id)
+    delta = delta_docs.select("doc_id", "text")
+
+    # persist the delta docs first (idempotent: batch-addressed) and
+    # operate on the stored copy so every downstream read of this
+    # batch sees one immutable snapshot
+    delta_path = os.path.join(state_dir, "docs", f"b{bid}")
+    delta.write.mode("overwrite").parquet(delta_path)
+    delta = spark.read.schema(DOC_SCHEMA).parquet(delta_path)
+
+    delta_sh = _shingles_of(delta)
+
+    # 1. merge df state (monoid: old ⊕ delta counts)
+    old_df = _latest_df_state(spark, state_dir, bid)
+    new_df = (
+        old_df.unionByName(
+            delta_sh.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+        )
+        .groupBy("s")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    df_path = os.path.join(state_dir, "shingle_df", f"b{bid}")
+    new_df.write.mode("overwrite").parquet(df_path)
+    new_df = spark.read.schema(_DF_SCHEMA).parquet(df_path)
+    hot = new_df.filter(F.col("df") > SHINGLE_DF_CAP).select("s")
+
+    # 2. delta signatures under the current cap; band-join vs store
+    delta_capped = delta_sh.join(F.broadcast(hot), "s", "left_anti")
+    delta_sigs = _band_signatures(minhash_signatures(delta_capped))
+    sig_path = os.path.join(state_dir, "sigs", f"b{bid}")
+    delta_sigs.write.mode("overwrite").parquet(sig_path)
+    delta_sigs = spark.read.schema(_SIG_SCHEMA).parquet(sig_path)
+
+    store_sigs = _read_batches(spark, state_dir, "sigs", bid, _SIG_SCHEMA)
+    candidates = (
+        store_sigs.alias("a")
+        .join(
+            F.broadcast(delta_sigs.alias("b")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("dup_of"),
+            F.col("b.doc_id").alias("doc_new"),
+        )
+        .distinct()
+    )
+
+    # 3. exact verification on candidate docs only
+    hist_docs = _read_batches(spark, state_dir, "docs", bid, DOC_SCHEMA)
+    cand_hist = hist_docs.join(
+        F.broadcast(candidates.select(F.col("dup_of").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    )
+    cand_delta = delta.join(
+        F.broadcast(candidates.select(F.col("doc_new").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    )
+    sh_c = _shingles_of(cand_hist.unionByName(cand_delta)).join(
+        F.broadcast(hot), "s", "left_anti"
+    )
+    a = sh_c.alias("ca")
+    b = sh_c.alias("cb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") != F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("dup_of"),
+            F.col("cb.doc_id").alias("doc_new"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+    hits = (
+        candidates.join(inter, ["dup_of", "doc_new"])
+        .join(
+            sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_sh").alias("sa")),
+            "dup_of",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_new"), F.col("n_sh").alias("sb")),
+            "doc_new",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_new", "dup_of", "jaccard")
+    )
+
+    # 4. emit hits (batch-addressed — replay-idempotent)
+    hits.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "hits", f"batch_id={bid}")
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Attach the incremental screen to a parquet-file document stream
+    (one file ≈ one crawl drop). Returns the started query; offsets
+    live in the checkpoint, so a restart resumes exactly where the
+    previous run stopped (pinned in tests)."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_hits(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All emitted near-dup hits so far, with their batch ids."""
+    root = os.path.join(state_dir, "hits")
+    if not os.path.isdir(root):
+        return spark.createDataFrame(
+            [], "doc_new long, dup_of long, jaccard double, batch_id int"
+        )
+    return spark.read.parquet(root)
