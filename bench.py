@@ -97,6 +97,7 @@ HEADLINE = [
     "hard_negative_mining_lsh",
     "knn_label_vote_lsh",
     "equi_depth_price_buckets_approx",
+    "dedup_setsim_prefix",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -251,3 +251,49 @@ def test_corpus_clean_restriction_matches_post_filter(spark, sf_dir):
         if r.doc_a % 2 == 0 and r.doc_b % 2 == 0
     }
     assert restricted == full
+
+
+def test_setsim_prefix_exact_and_actually_prunes(spark, sf_dir):
+    """The prefix-filter join must be EXACT (identical rows to the
+    all-pairs ground truth — no recall loss, unlike LSH) while
+    generating strictly fewer candidate pairs than the all-pairs
+    space it replaces."""
+    from trace_parquet_spark.operators.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        SHINGLE_DF_CAP,
+        _doc_shingles,
+        dedup_ngram_pairs,
+        dedup_setsim_prefix,
+    )
+
+    exact = {tuple(r) for r in dedup_ngram_pairs(spark, sf_dir).collect()}
+    got = {tuple(r) for r in dedup_setsim_prefix(spark, sf_dir).collect()}
+    assert got == exact and got
+
+    # candidate volume: prefix-prefix collisions vs all doc pairs
+    sh = _doc_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    hot = dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("s")
+    capped = sh.join(hot, "s", "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    from pyspark.sql import Window as W
+
+    prefix = (
+        capped.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "s")))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("n_sh")
+                - F.expr(f"(n_sh * {SETSIM_NUM} + {SETSIM_DEN} - 1)"
+                         f" div {SETSIM_DEN}") + 1)
+        .select("doc_id", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    n_cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    n_docs = sizes.count()
+    assert n_cand < n_docs * (n_docs - 1) // 2 / 10  # >10x pruning

@@ -24,7 +24,7 @@ functions/hashing.py) and has a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -191,6 +191,115 @@ JOIN sz y ON doc_b = y.doc_id
 WHERE round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+# --------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering (PPJoin/AllPairs family)
+# --------------------------------------------------------------------------
+
+# JACCARD_THRESHOLD as an exact fraction for the prefix-length integer
+# arithmetic (ceil(n·τ) = (n·NUM + DEN - 1) div DEN)
+SETSIM_NUM, SETSIM_DEN = 1, 2
+assert SETSIM_NUM / SETSIM_DEN == JACCARD_THRESHOLD
+
+
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sub-quadratic set-similarity self-join via prefix
+    filtering — the deterministic counterpart to MinHash-LSH: no
+    recall loss, same candidate-then-verify shape.
+
+    Theorem (AllPairs/PPJoin): under any global total order on
+    shingles, two sets with Jaccard ≥ τ must collide inside each
+    other's PREFIX of length |d| - ⌈τ·|d|⌉ + 1. Ordering by ASCENDING
+    document frequency makes prefixes consist of the rarest shingles,
+    so the prefix self-join's per-shingle fan-out is small by
+    construction (and the df-cap already removed the boilerplate
+    tail). Candidates = prefix-prefix collisions; exact Jaccard then
+    verifies candidates only, re-shingling candidate docs exactly as
+    dedup_minhash_lsh does.
+
+    Because the algorithm is exact, the oracle is the plain all-pairs
+    SQL (DEDUP_NGRAM_SQL) — a genuinely independent derivation that
+    must hash-match; pytest additionally pins candidate count <
+    all-pairs count (the pruning is real, not vacuous).
+
+    Scale: one df aggregation, one per-doc window (partitioned by
+    doc_id — never global), a self-join whose left/right are the
+    prefix subset (≈ half the shingle mass, rare-shingle-weighted),
+    and candidate-bounded verification. This is the 100 TB exact-dedup
+    path when LSH's miss probability is not acceptable."""
+    sh_full = _doc_shingles(spark, sf_dir)
+    dfreq = sh_full.groupBy("s").agg(F.count("*").alias("df"))
+    hot = track_cache(
+        dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("s")
+    )  # tiny; prefixes and verification must agree on the capped universe
+    sh = sh_full.join(F.broadcast(hot), "s", "left_anti")
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh")
+            - F.expr(f"(n_sh * {SETSIM_NUM} + {SETSIM_DEN} - 1) div {SETSIM_DEN}")
+            + 1
+        )
+        .select("doc_id", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .transform(track_cache)  # feeds candidate-doc pruning and the final join
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
+        F.broadcast(cand_docs), "doc_id", "left_semi"
+    )
+    sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
+    ca = sh_c.alias("ca")
+    cb = sh_c.alias("cb")
+    inter = (
+        ca.join(
+            cb,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    csizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+    return (
+        candidates.join(inter, ["doc_a", "doc_b"])
+        .join(
+            csizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            csizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -481,6 +590,7 @@ SIMHASH_SQL = _simhash_sql()
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
+    "dedup_setsim_prefix": dedup_setsim_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
 }
@@ -488,6 +598,9 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
+    # exact algorithm -> the plain all-pairs SQL IS its oracle: an
+    # independent derivation that must hash-match the prefix-filter plan
+    "dedup_setsim_prefix": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "simhash_docs": SIMHASH_SQL,
 }
