@@ -13,9 +13,10 @@ Round-over-round comparability notes:
   `load_table_parallel` repartitions CPU-heavy downstreams, but q1's
   aggregate is cheaper than the repartition — the floor stands unless
   the driver rewrites the inputs. Judge accordingly.
-- dedup_minhash_lsh's first run is cache-materialization-bound (the
-  shingle relation persists MEMORY_AND_DISK and is reused by
-  corpus_clean later in the list; per-query times are order-sensitive).
+- intra-query caches are tracked and released when the NEXT query is
+  built (session.release_caches via __spark_entry__), so per-query
+  times are cache-isolated: no query rides a predecessor's persisted
+  relations.
 - Queries added in round 2 (blocked fuzzy match, grouping sets, Q18,
   BM25) extend the headline list; compare per-query times across
   rounds, not the bare total.

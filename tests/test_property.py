@@ -192,3 +192,36 @@ def test_morton_interleave_is_bijective_and_monotone_in_prefix(a, b):
     b_pref = ((bucket >> 4 & 1) << 2) | ((bucket >> 2 & 1) << 1) | (bucket & 1)
     assert a_pref == a >> (BITS - 3)
     assert b_pref == b >> (BITS - 3)
+
+
+# ---------------------------------------------------------------- ts bounds
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    st.datetimes(
+        min_value=pd.Timestamp("1970-01-01").to_pydatetime(),
+        max_value=pd.Timestamp("2200-01-01").to_pydatetime(),
+    ),
+    st.integers(0, 10**9),
+)
+def test_ts_bounds_nanos_is_exact_between(start, span_us):
+    """For arbitrary post-epoch bounds, a nanos value n is inside
+    [lo, hi] iff its µs truncation is inside [start, end] — the exact
+    inclusive-BETWEEN property the parquet pushdown relies on."""
+    from datetime import timedelta
+
+    from trace_parquet_spark.sources.registry import (
+        _epoch_micros_utc,
+        ts_bounds_nanos,
+    )
+
+    end = start + timedelta(microseconds=span_us)
+    lo, hi = ts_bounds_nanos(start, end)
+    s_us, e_us = _epoch_micros_utc(start), _epoch_micros_utc(end)
+    assert lo == s_us * 1000 and hi == e_us * 1000 + 999
+    # boundary nanos: first included / last included / first excluded
+    for n in (lo - 1, lo, hi, hi + 1):
+        inside_nanos = lo <= n <= hi
+        inside_micros = s_us <= n // 1000 <= e_us
+        assert inside_nanos == inside_micros, n
