@@ -99,6 +99,7 @@ HEADLINE = [
     "knn_label_vote_lsh",
     "equi_depth_price_buckets_approx",
     "dedup_setsim_prefix",
+    "bpe_apply_merges",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -398,3 +398,42 @@ def test_dataset_card_reconciles_with_dedup_exact(spark, sf_dir):
     # card dups are per-source; a cross-source duplicate pair is not
     # visible within either source, so the card total is a lower bound
     assert sum(r.n_exact_dup_docs for r in card) <= dup_total
+
+
+def test_bpe_apply_matches_python_replay(spark, sf_dir):
+    """bpe_apply_merges' corpus accounting must equal an independent
+    Python replay: same word-frequency relation, same rank-ordered
+    merges applied as sequential left-to-right non-overlapping
+    replacements."""
+    import re
+    from collections import Counter
+
+    from trace_parquet_spark.operators.packing import (
+        MERGE_TOP_K,
+        bpe_apply_merges,
+        bpe_top_merges,
+    )
+    from trace_parquet_spark.sources.registry import load_table
+
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").collect()]
+    wf = Counter(
+        w for t in texts for w in re.findall("[a-z]+", t.lower()) if len(w) >= 2
+    )
+    merges = [r.pair for r in bpe_top_merges(spark, sf_dir).collect()]
+    assert len(merges) == MERGE_TOP_K
+
+    chars_total = sum(f * len(w) for w, f in wf.items())
+    symbols_total = 0
+    for w, f in wf.items():
+        s = w
+        for i, pair in enumerate(merges):
+            s = s.replace(pair, chr(0xE000 + i))
+        symbols_total += f * len(s)
+
+    row = bpe_apply_merges(spark, sf_dir).collect()[0]
+    assert row.n_distinct_words == len(wf)
+    assert row.n_word_occurrences == sum(wf.values())
+    assert row.chars_total == chars_total
+    assert row.symbols_total == symbols_total
+    assert row.compression_micro == symbols_total * 1_000_000 // chars_total
+    assert row.symbols_total < row.chars_total  # merges actually fired

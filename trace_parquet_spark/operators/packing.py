@@ -189,6 +189,102 @@ ORDER BY rank
 """
 
 
+# Private-use-area sentinel base: merged symbols become single code
+# points outside [a-z], so later merges can never collide with them
+# and length() counts each merged symbol as 1 (BMP => one UTF-16 unit
+# on the JVM, one code point in DuckDB — identical).
+_BPE_SENTINEL_BASE = 0xE000
+
+
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step that completes the BPE story (train =
+    bpe_top_merges → apply = here → coverage = bpe_vocab_coverage):
+    segment every distinct corpus word by the learned top
+    MERGE_TOP_K merges, applied in rank order. Each merge i rewrites
+    its 2-char pair to one private-use sentinel code point; because
+    ``replace`` scans left-to-right non-overlapping in BOTH engines,
+    the chained replacements realize greedy BPE application exactly,
+    and the resulting string LENGTH is the word's symbol count.
+
+    The merge list is collected driver-side (MERGE_TOP_K rows — the
+    same driver-state pattern as the IVF centroids); the oracle
+    cannot embed collected values, so it re-derives the identical
+    ranked merges in CTEs and applies them through a recursive CTE
+    over the rank sequence. Output: one corpus-level accounting row —
+    distinct words, total occurrences, chars before, symbols after,
+    and the exact integer compression micro-ratio.
+
+    Scale: the heavy relation is word frequencies (vocabulary-sized,
+    not corpus-sized); application is K chained projections, no
+    shuffle beyond the word-frequency aggregation."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    merges = [
+        r.pair for r in bpe_top_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    seg = F.col("w")
+    for i, pair in enumerate(merges):
+        seg = F.replace(seg, F.lit(pair), F.lit(chr(_BPE_SENTINEL_BASE + i)))
+    per_word = wf.select(
+        "w", "f", F.length("w").alias("n_chars"), F.length(seg).alias("n_sym")
+    )
+    return per_word.agg(
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.sum("f").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("f") * F.col("n_chars")).cast("long").alias("chars_total"),
+        F.sum(F.col("f") * F.col("n_sym")).cast("long").alias("symbols_total"),
+        F.expr(
+            "sum(f * n_sym) * 1000000 div sum(f * n_chars)"
+        ).alias("compression_micro"),
+    )
+
+
+BPE_APPLY_SQL = f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(t.i AS INTEGER), 2) AS pair, f
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+),
+agg AS (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+           AS rank
+  FROM agg
+),
+applied AS (
+  SELECT w, f, w AS s, 0 AS r FROM wf
+  UNION ALL
+  SELECT a.w, a.f,
+         replace(a.s, m.pair,
+                 chr(CAST({_BPE_SENTINEL_BASE} + m.rank - 1 AS INTEGER))),
+         a.r + 1
+  FROM applied a JOIN ranked m ON m.rank = a.r + 1
+  WHERE a.r < {MERGE_TOP_K}
+),
+final AS (SELECT w, f, s FROM applied WHERE r = {MERGE_TOP_K})
+SELECT CAST(count(*) AS BIGINT)        AS n_distinct_words,
+       CAST(sum(f) AS BIGINT)          AS n_word_occurrences,
+       CAST(sum(f * length(w)) AS BIGINT) AS chars_total,
+       CAST(sum(f * length(s)) AS BIGINT) AS symbols_total,
+       CAST(sum(f * length(s)) * 1000000 // sum(f * length(w)) AS BIGINT)
+         AS compression_micro
+FROM final
+"""
+
+
 def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How much of the corpus's adjacent-pair mass the top
     MERGE_TOP_K merges cover — the statistic that tells a tokenizer
@@ -398,6 +494,7 @@ ORDER BY bucket_len
 QUERIES = {
     "pack_contexts": pack_contexts,
     "bpe_top_merges": bpe_top_merges,
+    "bpe_apply_merges": bpe_apply_merges,
     "bpe_vocab_coverage": bpe_vocab_coverage,
     "epoch_shuffle_microbatches": epoch_shuffle_microbatches,
     "length_bucket_padding": length_bucket_padding,
@@ -406,6 +503,7 @@ QUERIES = {
 ORACLES = {
     "pack_contexts": PACK_CONTEXTS_SQL,
     "bpe_top_merges": BPE_MERGES_SQL,
+    "bpe_apply_merges": BPE_APPLY_SQL,
     "bpe_vocab_coverage": BPE_COVERAGE_SQL,
     "epoch_shuffle_microbatches": EPOCH_SHUFFLE_SQL,
     "length_bucket_padding": LENGTH_BUCKET_SQL,
