@@ -112,6 +112,9 @@ REPEATS = {
     "dedup_incremental_minhash": 5,
     "resolve_part_entities": 5,
     "corpus_clean": 5,
+    "dedup_setsim_prefix": 5,
+    "knn_label_vote_lsh": 3,
+    "hard_negative_mining_lsh": 3,
 }
 
 
@@ -154,11 +157,16 @@ def _bench_trace_export(spark, sf_dir: str, sf: str) -> float:
 
     path = _trace_fixture(spark, sf_dir, sf)
     df = spark.read.parquet(path)
-    t0 = time.perf_counter()
-    export_trace(
-        df, list(range(0, 200)), "2024-01-01 00:00:00", "2026-01-01 00:00:00"
-    ).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    # min-of-3: the reference-comparable workload swung 2.3-4.5s
+    # across identical-code rounds; min-of-n makes it comparable
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        export_trace(
+            df, list(range(0, 200)), "2024-01-01 00:00:00", "2026-01-01 00:00:00"
+        ).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
