@@ -260,12 +260,12 @@ def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
         )
         .join(
-            F.broadcast(
-                normed.select(
-                    F.col("vec_id").alias("dst"),
-                    F.col("ed").alias("eb"),
-                    F.col("nrm").alias("nb"),
-                )
+            # no broadcast hint — corpus-sized at scale (see
+            # _lsh_scored_pairs); Spark picks broadcast vs shuffle by size
+            normed.select(
+                F.col("vec_id").alias("dst"),
+                F.col("ed").alias("eb"),
+                F.col("nrm").alias("nb"),
             ),
             "dst",
         )
@@ -780,13 +780,15 @@ def _lsh_scored_pairs(
             "src",
         )
         .join(
-            F.broadcast(
-                normed.select(
-                    F.col("vec_id").alias("dst"),
-                    F.col("label").alias("dst_label"),
-                    F.col("ed").alias("eb"),
-                    F.col("nrm").alias("nb"),
-                )
+            # NO broadcast hint: the vector relation is corpus-sized at
+            # scale (a forced broadcast would OOM at 10⁹ vectors); Spark
+            # auto-broadcasts below threshold locally and shuffle-joins
+            # on dst beyond it — both correct
+            normed.select(
+                F.col("vec_id").alias("dst"),
+                F.col("label").alias("dst_label"),
+                F.col("ed").alias("eb"),
+                F.col("nrm").alias("nb"),
             ),
             "dst",
         )
