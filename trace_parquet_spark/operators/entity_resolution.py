@@ -64,7 +64,9 @@ def resolve_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("canonical_name"),
     )
     return (
-        clusters.join(F.broadcast(names), "canonical_key")
+        # no broadcast hint: the name dimension scales with part;
+        # equi-join on the canonical key lets Spark choose by size
+        clusters.join(names, "canonical_key")
         .select("canonical_key", "canonical_name", "n_members", "member_keys")
         .orderBy("canonical_key")
     )

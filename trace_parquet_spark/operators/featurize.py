@@ -123,7 +123,10 @@ def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            # no broadcast hint: the key column scales with the customer
+            # table; Spark picks broadcast below threshold, shuffle anti
+            # join beyond — the correct distributed referential check
+            cust.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )
