@@ -101,12 +101,15 @@ def _pair_cos9(emb: DataFrame, cond) -> DataFrame:
     rule so both engines agree on boundaries). The right side is
     broadcast: no shuffle of the left relation; per-pair cost is one
     dot and one division."""
+    n_part = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     a = emb.select(
         F.col("vec_id").alias("src"),
         F.col("label").alias("src_label"),
         F.col("ed").alias("ea"),
         F.col("nrm").alias("na"),
-    ).repartition(32, "src")
+    ).repartition(n_part, "src")
     b = emb.select(
         F.col("vec_id").alias("dst"),
         F.col("label").alias("dst_label"),

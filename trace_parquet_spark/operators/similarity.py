@@ -93,9 +93,10 @@ ORDER BY query_id, rank
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEARDUP_MAX_ID
-    ).repartition(32, "vec_id")
+    ).repartition(n_part, "vec_id")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
