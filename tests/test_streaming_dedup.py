@@ -96,6 +96,86 @@ def test_multi_batch_stream_equals_cross_batch_lsh(spark, sf_dir, tmp_path):
     assert _hit_set(read_hits(spark, state)) == expected
 
 
+def test_df_state_batch_dirs_sort_numerically(spark, tmp_path):
+    """Regression: batch dirs must order numerically, not
+    lexicographically — 'b9' sorts after 'b10'..'b19' as strings, so a
+    lexicographic dirs[-1] would silently revert the cumulative
+    shingle-df merge base to the batch-9 snapshot from batch 11 on,
+    permanently dropping batches >= 10 from the df state."""
+    from trace_parquet_spark.streaming.dedup_stream import (
+        _DF_SCHEMA,
+        _batch_dirs,
+        _latest_df_state,
+    )
+
+    state = str(tmp_path / "state")
+    for b in range(12):  # b0..b11 — crosses the b9/b10 string boundary
+        spark.createDataFrame([("x", b)], _DF_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{state}/shingle_df/b{b}")
+
+    dirs = _batch_dirs(state, "shingle_df", 12)
+    assert [int(d.rsplit("b", 1)[1]) for d in dirs] == list(range(12))
+    latest = _latest_df_state(spark, state, 12).collect()
+    assert latest == [("x", 11)]  # the b11 snapshot, not b9
+
+
+def test_twelve_batch_stream_accumulates_df_state(spark, sf_dir, tmp_path):
+    """12 sequential drops (past the b9/b10 lexicographic boundary):
+    the cumulative shingle-df snapshot after the last batch must equal
+    a fresh batch-mode count over all ingested documents, and the
+    union of hits must equal cross-batch LSH — proving no batch was
+    dropped from the merge chain."""
+    from trace_parquet_spark.operators.dedup import _shingles_of
+    from trace_parquet_spark.streaming.dedup_stream import (
+        _latest_df_state,
+        ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_batches = 12
+    state = str(tmp_path / "state")
+
+    for b in range(n_batches):
+        ingest_batch(
+            spark,
+            state,
+            docs.filter(F.col("doc_id") % n_batches == b),
+            b,
+        )
+
+    got_df = {
+        (r.s, r.df)
+        for r in _latest_df_state(spark, state, n_batches).collect()
+    }
+    want_df = {
+        (r.s, r.df)
+        for r in _shingles_of(docs)
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    assert got_df == want_df
+
+    def batch_of(i: int) -> int:
+        return i % n_batches
+
+    # stream orientation: doc_new is whichever doc arrived in the
+    # LATER batch (under the modulo split that is not always the
+    # larger doc_id, unlike the contiguous splits above)
+    expected = {
+        (
+            (r.doc_a, r.doc_b, r.jaccard)
+            if batch_of(r.doc_a) > batch_of(r.doc_b)
+            else (r.doc_b, r.doc_a, r.jaccard)
+        )
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if batch_of(r.doc_a) != batch_of(r.doc_b)
+    }
+    assert _hit_set(read_hits(spark, state)) == expected
+    assert expected  # fixture has real cross-batch near-dups
+
+
 def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
     """Re-running a batch (foreachBatch replay after a crash between
     state write and offset commit) must leave state identical: every

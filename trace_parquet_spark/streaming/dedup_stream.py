@@ -72,11 +72,17 @@ def _batch_dirs(state_dir: str, name: str, below: int) -> list[str]:
     root = os.path.join(state_dir, name)
     if not os.path.isdir(root):
         return []
-    out = []
-    for d in sorted(os.listdir(root)):
-        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < below:
-            out.append(os.path.join(root, d))
-    return out
+    # numeric sort: lexicographic would order b9 after b10..b19, and
+    # _latest_df_state takes dirs[-1] — a lexicographic listing would
+    # silently revert the df-state merge base to the b9 snapshot from
+    # batch 11 onward, dropping every later batch from the cumulative
+    # counts (pinned by the 12-batch test in tests/test_streaming_dedup.py)
+    ids = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < below
+    )
+    return [os.path.join(root, f"b{i}") for i in ids]
 
 
 def _read_batches(
@@ -130,8 +136,12 @@ def ingest_batch(
     new_df = spark.read.schema(_DF_SCHEMA).parquet(df_path)
     hot = new_df.filter(F.col("df") > SHINGLE_DF_CAP).select("s")
 
-    # 2. delta signatures under the current cap; band-join vs store
-    delta_capped = delta_sh.join(F.broadcast(hot), "s", "left_anti")
+    # 2. delta signatures under the current cap; band-join vs store.
+    # No broadcast hint on `hot`: the over-cap shingle set grows with
+    # the accumulated corpus vocabulary, not with the delta — let
+    # Spark choose by measured size (it still auto-broadcasts while
+    # the set is below threshold).
+    delta_capped = delta_sh.join(hot, "s", "left_anti")
     delta_sigs = _band_signatures(minhash_signatures(delta_capped))
     sig_path = os.path.join(state_dir, "sigs", f"b{bid}")
     delta_sigs.write.mode("overwrite").parquet(sig_path)
@@ -152,20 +162,24 @@ def ingest_batch(
         .distinct()
     )
 
-    # 3. exact verification on candidate docs only
+    # 3. exact verification on candidate docs only. The candidate
+    # id-sets scale with accumulated corpus collisions (a boilerplate-
+    # heavy crawl can make them huge), so no forced broadcast on the
+    # semi-joins — size/AQE decides; delta-bounded relations above
+    # keep their hints.
     hist_docs = _read_batches(spark, state_dir, "docs", bid, DOC_SCHEMA)
     cand_hist = hist_docs.join(
-        F.broadcast(candidates.select(F.col("dup_of").alias("doc_id"))),
+        candidates.select(F.col("dup_of").alias("doc_id")),
         "doc_id",
         "left_semi",
     )
     cand_delta = delta.join(
-        F.broadcast(candidates.select(F.col("doc_new").alias("doc_id"))),
+        candidates.select(F.col("doc_new").alias("doc_id")),
         "doc_id",
         "left_semi",
     )
     sh_c = _shingles_of(cand_hist.unionByName(cand_delta)).join(
-        F.broadcast(hot), "s", "left_anti"
+        hot, "s", "left_anti"
     )
     a = sh_c.alias("ca")
     b = sh_c.alias("cb")
