@@ -297,3 +297,48 @@ def test_setsim_prefix_exact_and_actually_prunes(spark, sf_dir):
     )
     n_docs = sizes.count()
     assert n_cand < n_docs * (n_docs - 1) // 2 / 10  # >10x pruning
+
+
+def test_dedup_verification_semi_joins_survive_without_hints(spark, sf_dir):
+    """Round-5 sweep: the forced F.broadcast hints on data-scaling
+    candidate id-sets are gone, and the verification stage is
+    restricted to candidate PAIRS before its aggregation. The pruning
+    must survive hint removal: each plan still carries (a) the
+    candidate-doc semi-join feeding the re-shingle and (b) the
+    candidate-pair semi-join feeding the n_inter aggregate — Spark
+    auto-broadcasts them below threshold locally, while at scale
+    size/AQE picks the strategy instead of a forced driver collect."""
+    from trace_parquet_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_setsim_prefix,
+    )
+    from trace_parquet_spark.operators.incremental_dedup import (
+        dedup_incremental_minhash,
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for build in (dedup_minhash_lsh, dedup_setsim_prefix,
+                  dedup_incremental_minhash):
+        plan = plan_of(build(spark, sf_dir))
+        # doc-prune semi-join + pair-restriction semi-join
+        assert plan.count("LeftSemi") >= 2, build.__name__
+        # no degenerate fallback to a cartesian verification
+        assert "CartesianProduct" not in plan, build.__name__
+
+
+def test_corpus_semantic_drop_antijoin_survives_without_hint(spark, sf_dir):
+    """corpus_clean_semantic's sem_drop anti-join lost its forced
+    broadcast (the drop-set scales with semantic-dup count); the
+    anti-join itself must remain in the plan."""
+    from trace_parquet_spark.operators.corpus_pipeline import (
+        corpus_clean_semantic,
+    )
+
+    plan = (
+        corpus_clean_semantic(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

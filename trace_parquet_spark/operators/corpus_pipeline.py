@@ -128,14 +128,14 @@ def corpus_clean_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .semantic import semantic_dedup_clusters
 
     cleaned = corpus_clean(spark, sf_dir)
+    # the drop-set scales with semantic-duplicate count, not a
+    # constant — no forced broadcast on the anti-join; size/AQE decides
     sem_drop = (
         semantic_dedup_clusters(spark, sf_dir)
         .filter(F.col("kept") == 0)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    return cleaned.join(
-        F.broadcast(sem_drop), "doc_id", "left_anti"
-    ).orderBy("doc_id")
+    return cleaned.join(sem_drop, "doc_id", "left_anti").orderBy("doc_id")
 
 
 def _corpus_semantic_sql() -> str:

@@ -49,12 +49,35 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
+# JACCARD_THRESHOLD as an exact fraction: the threshold filter is the
+# integer test  n_inter * DEN >= NUM * (sa + sb - n_inter)  everywhere
+# (Spark and oracle alike), never a comparison on the rounded float —
+# round(jaccard, 6) >= τ admits pairs with true J in [τ - 5e-7, τ)
+# that candidate generation (prefix filter / LSH collision bounds) is
+# only obligated to produce for true J >= τ. The rounded value is
+# display-only. Same fraction drives the prefix-length arithmetic
+# (ceil(n·τ) = (n·NUM + DEN - 1) div DEN).
+SETSIM_NUM, SETSIM_DEN = 1, 2
+assert SETSIM_NUM / SETSIM_DEN == JACCARD_THRESHOLD
 # Shingles appearing in more than this many documents are dropped
 # before ANY pairing/signature work (stopword-shingle rule). This is
 # the scale guard: without it one boilerplate shingle shared by S
 # docs makes S² pairs in the exact self-join. Semantics are mirrored
 # exactly in the DuckDB oracle CTE, so parity is unaffected.
 SHINGLE_DF_CAP = 100
+
+
+def _meets_threshold() -> F.Column:
+    """Exact threshold test on integer columns (n_inter, sa, sb):
+    n_inter / (sa + sb - n_inter) >= NUM/DEN without float rounding."""
+    return F.col("n_inter") * SETSIM_DEN >= F.lit(SETSIM_NUM) * (
+        F.col("sa") + F.col("sb") - F.col("n_inter")
+    )
+
+
+# the same integer test for the DuckDB oracles (sa/sb spelled by caller)
+def _meets_threshold_sql(sa: str, sb: str) -> str:
+    return f"n_inter * {SETSIM_DEN} >= {SETSIM_NUM} * ({sa} + {sb} - n_inter)"
 
 
 # --------------------------------------------------------------------------
@@ -168,8 +191,8 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
             "doc_b",
         )
+        .filter(_meets_threshold())
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -188,7 +211,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sz x ON doc_a = x.doc_id
 JOIN sz y ON doc_b = y.doc_id
-WHERE round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+WHERE {_meets_threshold_sql("x.n_sh", "y.n_sh")}
 ORDER BY doc_a, doc_b
 """
 
@@ -196,12 +219,6 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------------
 # exact set-similarity join via prefix filtering (PPJoin/AllPairs family)
 # --------------------------------------------------------------------------
-
-# JACCARD_THRESHOLD as an exact fraction for the prefix-length integer
-# arithmetic (ceil(n·τ) = (n·NUM + DEN - 1) div DEN)
-SETSIM_NUM, SETSIM_DEN = 1, 2
-assert SETSIM_NUM / SETSIM_DEN == JACCARD_THRESHOLD
-
 
 def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT sub-quadratic set-similarity self-join via prefix
@@ -261,33 +278,43 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(track_cache)  # feeds candidate-doc pruning and the final join
     )
+    # candidate id-sets scale with collision count, not a constant —
+    # no forced broadcast (size/AQE picks the strategy; locally Spark
+    # still auto-broadcasts below threshold)
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
-        F.broadcast(cand_docs), "doc_id", "left_semi"
+        cand_docs, "doc_id", "left_semi"
     )
     sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
+    # restrict the co-shingle pairs to CANDIDATE pairs before the
+    # aggregation: candidate docs can co-pair far beyond the candidate
+    # pairs themselves on dup-heavy corpora, so the semi-join keeps
+    # verification work provably bounded by candidate count. A pure
+    # restriction — inter ⊆ candidates afterwards, so no re-join with
+    # candidates is needed.
     inter = (
         ca.join(
             cb,
             (F.col("ca.s") == F.col("cb.s"))
             & (F.col("ca.doc_id") < F.col("cb.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
         )
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     csizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
     return (
-        candidates.join(inter, ["doc_a", "doc_b"])
-        .join(
+        inter.join(
             csizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
             "doc_a",
         )
@@ -295,8 +322,8 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             csizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
             "doc_b",
         )
+        .filter(_meets_threshold())
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -434,33 +461,42 @@ def _minhash_pairs(
     candidates = candidates.transform(
         track_cache  # feeds both the verification join and cand_docs pruning
     )
+    # candidate id-sets scale with bucket-collision count — no forced
+    # broadcast; size/AQE decides (auto-broadcast still fires locally)
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
-        F.broadcast(cand_docs), "doc_id", "left_semi"
+        cand_docs, "doc_id", "left_semi"
     )
     sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
+    # semi-join the co-shingle pair keys against candidates BEFORE the
+    # aggregation: candidate docs co-pair quadratically on dup-heavy
+    # corpora while candidate pairs stay collision-bounded, so the
+    # restriction keeps verification work O(candidates) as the
+    # docstring promises. Pure restriction — inter ⊆ candidates, no
+    # re-join needed.
     inter = (
         ca.join(
             cb,
             (F.col("ca.s") == F.col("cb.s"))
             & (F.col("ca.doc_id") < F.col("cb.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
         )
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
     verified = (
-        candidates.join(inter, ["doc_a", "doc_b"])
-        .join(
+        inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
             "doc_a",
         )
@@ -468,8 +504,8 @@ def _minhash_pairs(
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
             "doc_b",
         )
+        .filter(_meets_threshold())
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
@@ -519,7 +555,7 @@ exact AS (
   FROM inter
   JOIN sz x ON doc_a = x.doc_id
   JOIN sz y ON doc_b = y.doc_id
-  WHERE round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+  WHERE {_meets_threshold_sql("x.n_sh", "y.n_sh")}
 )
 SELECT c.doc_a, c.doc_b, e.jaccard
 FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b

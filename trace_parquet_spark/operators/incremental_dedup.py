@@ -32,10 +32,11 @@ from pyspark.sql import functions as F
 from ..sources.registry import load_table_parallel
 from ..session import track_cache
 from .dedup import (
-    JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
     _band_signatures,
     _doc_shingles,
+    _meets_threshold,
+    _meets_threshold_sql,
     _minhash_cte,
     _shingles_of,
     _SHINGLES_CTE,
@@ -83,31 +84,37 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(track_cache)  # feeds both candidate-doc pruning and the final join
     )
+    # candidate id-sets scale with collision count (dup-heavy corpora)
+    # — no forced broadcast; size/AQE decides
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    docs_c = docs.join(cand_docs, "doc_id", "left_semi")
     sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
+    # candidate-pair restriction BEFORE the aggregation — verification
+    # work stays bounded by candidate count even when candidate docs
+    # co-pair densely (pure restriction: inter ⊆ candidates after it)
     inter = (
         ca.join(
             cb,
             (F.col("ca.s") == F.col("cb.s"))
             & (F.col("ca.doc_id") < F.col("cb.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
         )
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
     verified = (
-        candidates.join(inter, ["doc_a", "doc_b"])
-        .join(
+        inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
             "doc_a",
         )
@@ -115,8 +122,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
             "doc_b",
         )
+        .filter(_meets_threshold())
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return (
         verified.select(
@@ -153,8 +160,7 @@ exact AS (
   FROM inter
   JOIN sz x ON doc_a = x.doc_id
   JOIN sz y ON doc_b = y.doc_id
-  WHERE round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6)
-        >= {JACCARD_THRESHOLD}
+  WHERE {_meets_threshold_sql("x.n_sh", "y.n_sh")}
 )
 SELECT c.doc_b AS doc_new, c.doc_a AS dup_of, e.jaccard
 FROM inc c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b

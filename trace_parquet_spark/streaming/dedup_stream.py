@@ -54,9 +54,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
     _band_signatures,
+    _meets_threshold,
     _shingles_of,
     minhash_signatures,
 )
@@ -183,23 +183,28 @@ def ingest_batch(
     )
     a = sh_c.alias("ca")
     b = sh_c.alias("cb")
+    # candidate-pair restriction BEFORE the aggregation (and exact
+    # integer threshold test, no float rounding) — mirrors the batch
+    # twin in operators/dedup.py: verification work stays bounded by
+    # candidate count, not candidate-doc co-pairs
     inter = (
         a.join(
             b,
             (F.col("ca.s") == F.col("cb.s"))
             & (F.col("ca.doc_id") != F.col("cb.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("ca.doc_id").alias("dup_of"),
             F.col("cb.doc_id").alias("doc_new"),
         )
+        .join(candidates, ["dup_of", "doc_new"], "left_semi")
+        .groupBy("dup_of", "doc_new")
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     jac = F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
     hits = (
-        candidates.join(inter, ["dup_of", "doc_new"])
-        .join(
+        inter.join(
             sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_sh").alias("sa")),
             "dup_of",
         )
@@ -207,8 +212,8 @@ def ingest_batch(
             sizes.select(F.col("doc_id").alias("doc_new"), F.col("n_sh").alias("sb")),
             "doc_new",
         )
+        .filter(_meets_threshold())
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_new", "dup_of", "jaccard")
     )
 
