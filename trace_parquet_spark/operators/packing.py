@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
+from ..session import track_cache
 from ..sources.registry import load_table_parallel
 from .text_analysis import BPE_PIECE_RE, BPE_PIECE_RE_DUCK
 
@@ -303,7 +304,12 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
     ).select("f", F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
-    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("n"))
+    # two consumers (top-k and the global sum) — cache the pair
+    # aggregate so the word-frequency explode runs once, released by
+    # the registry wrapper after the query
+    agg = pairs.groupBy("pair").agg(
+        F.sum("f").cast("long").alias("n")
+    ).transform(track_cache)
     # same TakeOrderedAndProject shape as bpe_top_merges — no rank
     # window needed at all here, the limit IS the top-k selection
     top = agg.orderBy(F.desc("n"), "pair").limit(MERGE_TOP_K)
