@@ -1,0 +1,147 @@
+"""Pure-numpy image codec goldens: hand-built PPM/PGM/BMP byte
+fixtures (generated in-test, no files or libraries) decoded to exact
+pixel arrays, encode→decode round-trip identity, malformed-input
+failure modes, and the oracle-gated registry query's invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trace_parquet_spark.operators.multimodal import (
+    IMG_H,
+    IMG_W,
+    _cycle_pixels,
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _rng_px(h, w, seed=7):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- PPM / PGM
+
+
+def test_ppm_p6_golden_with_comments():
+    """2x2 P6 with comments sprinkled through the header (netpbm
+    allows them anywhere) decodes to the exact pixel array."""
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    b = b"P6\n# a comment\n2 # inline\n2\n# another\n255\n" + raster
+    px = decode_image(b)
+    want = np.frombuffer(raster, dtype=np.uint8).reshape(2, 2, 3)
+    assert px.shape == (2, 2, 3)
+    assert (px == want).all()
+
+
+def test_pgm_p5_golden():
+    b = b"P5\n3 2\n255\n" + bytes([0, 128, 255, 1, 2, 3])
+    px = decode_image(b)
+    assert px.shape == (2, 3, 1)
+    assert px.ravel().tolist() == [0, 128, 255, 1, 2, 3]
+
+
+def test_ppm_roundtrip_identity():
+    px = _rng_px(5, 9)
+    assert (decode_image(encode_ppm(px)) == px).all()
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def test_bmp_golden_bottom_up_with_padding():
+    """3x2 24-bit BMP built by hand: stride 12 (3*3=9 padded to 12),
+    bottom-up rows, BGR order — decode must undo all three."""
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+    b = encode_bmp(px)
+    # container invariants, independent of the decoder
+    assert b[:2] == b"BM"
+    stride = (3 * 3 + 3) & ~3
+    assert len(b) == 54 + stride * 2
+    # bottom-up: first raster row is the LAST image row; BGR order
+    assert list(b[54:57]) == [30, 20, 10]
+    assert (decode_image(b) == px).all()
+
+
+def test_bmp_top_down_negative_height():
+    """Top-down BMPs (negative biHeight) store rows in image order."""
+    px = _rng_px(4, 3)
+    b = bytearray(encode_bmp(px))
+    # flip to top-down: negate height, reverse the row blocks
+    stride = (3 * 3 + 3) & ~3
+    b[22:26] = (-4).to_bytes(4, "little", signed=True)
+    rows = [bytes(b[54 + i * stride : 54 + (i + 1) * stride]) for i in range(4)]
+    b[54:] = b"".join(reversed(rows))
+    assert (decode_image(bytes(b)) == px).all()
+
+
+def test_bmp_roundtrip_identity_unpadded_stride():
+    # width 16 -> stride 48, already 4-byte aligned (no padding branch)
+    px = _rng_px(IMG_H, IMG_W)
+    assert (decode_image(encode_bmp(px)) == px).all()
+
+
+# ---------------------------------------------------------------- failures
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"GIF89a not supported",
+        b"P6\n2 2\n255\n" + b"\x00" * 5,  # truncated raster
+        b"P6\n2 2\n65535\n" + b"\x00" * 24,  # 16-bit maxval
+        b"BM" + b"\x00" * 20,  # truncated BMP header
+    ],
+)
+def test_malformed_inputs_raise(payload):
+    with pytest.raises(ValueError):
+        decode_image(payload)
+
+
+def test_bmp_compressed_rejected():
+    b = bytearray(encode_bmp(_rng_px(2, 2)))
+    b[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ValueError, match="uncompressed"):
+        decode_image(bytes(b))
+
+
+# ---------------------------------------------------------------- registry
+
+
+def test_image_roundtrip_query_means_match_source_bytes(spark, sf_dir):
+    """The registry query's decoded channel means must equal a direct
+    numpy replay on the source text bytes (independent of any
+    container), for every document and both formats."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.operators.multimodal import (
+        image_decode_roundtrip,
+    )
+    from trace_parquet_spark.sources.registry import load_table
+
+    got = {r.doc_id: r for r in image_decode_roundtrip(spark, sf_dir).collect()}
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert set(got) == {r.doc_id for r in docs}
+    fmts = set()
+    for r in docs:
+        px = _cycle_pixels(r.text.encode("utf-8"))
+        row = got[r.doc_id]
+        fmts.add(row.fmt)
+        assert (row.width, row.height, row.channels) == (IMG_W, IMG_H, 3)
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        for ch, col in enumerate(("mean_r_micro", "mean_g_micro", "mean_b_micro")):
+            assert getattr(row, col) == int(sums[ch]) * 1_000_000 // (IMG_W * IMG_H)
+    assert fmts == {"ppm", "bmp"}  # both codecs actually exercised

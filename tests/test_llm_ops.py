@@ -1,6 +1,7 @@
 """Tests for the training-data-pipeline operators: dedup recall/
-precision relationships, ANN-vs-brute-force recall, multimodal
-plumbing, and the NotImplementedError codec seam."""
+precision relationships, ANN-vs-brute-force recall, and multimodal
+plumbing (the image codecs themselves are covered in
+test_image_codec.py)."""
 
 from __future__ import annotations
 
@@ -61,8 +62,10 @@ def test_multimodal_plumbing_and_stub(spark, sf_dir):
     text0 = docs.filter(F.col("doc_id") == 0).collect()[0].text
     assert row.byte_len == len(text0.encode())
     assert row.first_byte == text0.encode()[0]
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_image_stub(b"\x89PNG")
+    # formats without a pure-numpy decoder still fail loudly at the
+    # codec seam (a compressed-codec lib would add a branch there)
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_image(b"\x89PNG")
 
 
 def test_dedup_exact_all_unique_here(spark, sf_dir):

@@ -2,15 +2,24 @@
 
 Mirrors how a 100 TB multimodal corpus is laid out: one ``binary``
 column per modality plus a metadata struct, processed by
-Arrow-batched ``mapInPandas`` stages. The container has no image/audio
-codecs, so the *decode* step is stubbed two ways:
+Arrow-batched ``mapInPandas`` stages. The decode step is REAL for the
+uncompressed formats a pure-numpy decoder can handle — binary PPM/PGM
+(P6/P5) and uncompressed 24-bit BMP via ``decode_image`` — and the
+same seam accepts a compressed-codec library (Pillow/ffmpeg) when one
+is present:
 
-- ``decode_image_stub`` raises ``NotImplementedError`` — the marked
-  seam where a real codec (Pillow/torchvision/ffmpeg) plugs in;
-- ``fake_decode_features`` is the deterministic stand-in used by tests
-  and the oracle-checked query: header fields + a byte-histogram
-  sketch computed from the payload itself, so the Spark-side plumbing
-  (schema, batching, partition parallelism) is fully exercised.
+- ``decode_image`` sniffs the magic bytes and returns an H×W×C uint8
+  numpy array (the contract a real codec stage would satisfy);
+- ``image_decode_roundtrip`` is the oracle-gated query: deterministic
+  images are rendered from ``documents.text`` bytes, encoded to
+  PPM/BMP (alternating by doc parity), decoded back through the
+  mapInPandas seam, and reduced to exact integer channel means + a
+  pixel md5 that DuckDB re-derives INDEPENDENTLY from the same text
+  bytes — a hash-match proves the encode→decode round-trip is
+  pixel-exact;
+- ``fake_decode_features`` remains the deterministic stand-in for
+  arbitrary (non-image) payloads: header fields + byte-histogram
+  sketch, exercising schema/batching/partition plumbing on any blob.
 
 The test corpus has no binary column, so ``attach_blob`` synthesizes
 one from ``documents.text`` (UTF-8 bytes) — byte-identical in any
@@ -59,12 +68,128 @@ def attach_blob(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> "object":
-    """The real-codec seam. Deliberately unimplemented here."""
-    raise NotImplementedError(
-        "image decode requires a codec library (e.g. Pillow) not present "
-        "in this environment; plug it in here"
+# --------------------------------------------------------------------------
+# image codecs: pure-numpy PPM/PGM (P5/P6) and uncompressed 24-bit BMP
+# --------------------------------------------------------------------------
+
+
+def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse ``n_tokens`` whitespace-separated integers after the
+     2-byte magic, skipping ``#`` comments (netpbm allows them anywhere
+    in the header). Returns (tokens, offset-of-raster)."""
+    toks: list[int] = []
+    i = 2
+    cur = b""
+    while len(toks) < n_tokens:
+        if i >= len(b):
+            raise ValueError("truncated PPM/PGM header")
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+        elif c.isdigit():
+            cur += c
+        else:
+            raise ValueError(f"bad PPM/PGM header byte {c!r}")
+        i += 1
+    # exactly ONE whitespace byte follows the maxval token (netpbm
+    # spec); `i` already consumed it
+    return toks, i
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary netpbm: P6 (RGB) → H×W×3 uint8, P5 (gray) → H×W×1."""
+    channels = 3 if b[:2] == b"P6" else 1
+    (w, h, maxval), off = _ppm_header_tokens(b, 3)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    need = w * h * channels
+    raster = b[off : off + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: want {need}, got {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24-bit BMP → H×W×3 uint8 RGB. Handles
+    4-byte row padding and both bottom-up (positive height, the norm)
+    and top-down (negative height) rasters."""
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = stride * h
+    raster = b[data_off : data_off + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: want {need}, got {len(raster)}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """The codec seam, now real for uncompressed formats: sniffs the
+    magic bytes and decodes PPM/PGM/BMP to an H×W×C uint8 array. A
+    compressed-format library (Pillow etc.) slots in here as another
+    magic-bytes branch with the same array contract."""
+    b = bytes(payload)
+    if b[:2] in (b"P6", b"P5"):
+        return _decode_ppm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    raise ValueError(f"unrecognized image magic {b[:2]!r}")
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """H×W×3 uint8 → binary P6 (the seed/fixture side, like F4's gzip
+    compressor: deterministic bytes, no library needed)."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → uncompressed 24-bit bottom-up BMP."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    body = raster.tobytes()
+    size = 54 + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
     )
+    return header + body
 
 
 def fake_decode_features(blobs: DataFrame) -> DataFrame:
@@ -188,6 +313,154 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# oracle-gated decode round-trip
+# --------------------------------------------------------------------------
+
+IMG_W = 16
+IMG_H = 16
+_IMG_BYTES = IMG_W * IMG_H * 3  # 768
+_PX_PER_CH = IMG_W * IMG_H  # 256
+
+_IMG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("mean_r_micro", T.LongType(), False),
+        T.StructField("mean_g_micro", T.LongType(), False),
+        T.StructField("mean_b_micro", T.LongType(), False),
+        T.StructField("pixel_md5", T.StringType(), False),
+    ]
+)
+
+
+def _cycle_pixels(data: bytes) -> np.ndarray:
+    """Deterministic 16×16 RGB image from arbitrary bytes: the byte
+    stream cycled to 768 bytes, row-major RGB."""
+    reps = -(-_IMG_BYTES // len(data))
+    return np.frombuffer(
+        (data * reps)[:_IMG_BYTES], dtype=np.uint8
+    ).reshape(IMG_H, IMG_W, 3)
+
+
+def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode → featurize, fully oracle-gated: render each
+    document's UTF-8 bytes into a deterministic 16×16 RGB image,
+    serialize to PPM (even doc_id) or BMP (odd doc_id), decode back
+    through ``decode_image``, and reduce the DECODED array to exact
+    integer channel means + an md5 over the pixel hex stream. DuckDB
+    re-derives the same statistics independently from the text bytes
+    (cycled indexing over the hex of encode(text)) without ever seeing
+    the image container — a hash match therefore proves both codecs
+    reproduce every pixel, not just that the plumbing ran.
+
+    Both stages are Arrow-batched mapInPandas over doc_id-partitioned
+    input: per-partition work is |docs|·768 bytes of numpy, no
+    shuffle between encode and decode (same partitioning), and the
+    image side never leaves the executor."""
+    import hashlib
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                px = _cycle_pixels(data)
+                fmt = "ppm" if doc_id % 2 == 0 else "bmp"
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["payload"].append(
+                    encode_ppm(px) if fmt == "ppm" else encode_bmp(px)
+                )
+            yield pd.DataFrame(out)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "channels",
+                "mean_r_micro", "mean_g_micro", "mean_b_micro", "pixel_md5",
+            )}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                px = decode_image(payload)
+                h, w, c = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_r_micro"].append(int(sums[0]) * 1_000_000 // (h * w))
+                out["mean_g_micro"].append(int(sums[1]) * 1_000_000 // (h * w))
+                out["mean_b_micro"].append(int(sums[2]) * 1_000_000 // (h * w))
+                out["pixel_md5"].append(
+                    hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+        .select("doc_id", "text")
+    )
+    blobs = docs.mapInPandas(encode, _IMG_SCHEMA)
+    return blobs.mapInPandas(decode, _ROUNDTRIP_SCHEMA).orderBy("doc_id")
+
+
+# The oracle never builds a PPM/BMP container: it indexes the hex of
+# encode(text) directly with the same cycled addressing byte p ↦
+# text_byte[p mod L], p in [0, 768), channel = p mod 3 — so agreement
+# with the Spark side (which reduces the DECODED container) certifies
+# the codecs pixel-for-pixel. Integer micro means ((sum·1e6) div 256)
+# and an md5 over the lowercase hex stream keep it float-free.
+IMAGE_ROUNDTRIP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         lower(hex(encode(text)))   AS hx
+  FROM documents WHERE length(text) > 0
+), px AS (
+  SELECT doc_id, L, hx, unnest(generate_series(0, {_IMG_BYTES - 1})) AS p
+  FROM d
+), byt AS (
+  SELECT doc_id, p, p % 3 AS ch,
+         substr(hx, 2 * (p % L) + 1, 2) AS hb
+  FROM px
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT)       AS channels,
+       CAST(sum(CASE WHEN ch = 0 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_r_micro,
+       CAST(sum(CASE WHEN ch = 1 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_g_micro,
+       CAST(sum(CASE WHEN ch = 2 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_b_micro,
+       md5(string_agg(hb, '' ORDER BY p)) AS pixel_md5
+FROM byt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python-UDF stages pay a per-task worker/Arrow setup cost, so they
     # want FEWER, fatter partitions than JVM-side stages: cores/4 beats
@@ -220,8 +493,10 @@ ORDER BY doc_id
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "image_decode_roundtrip": image_decode_roundtrip,
 }
 ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    "image_decode_roundtrip": IMAGE_ROUNDTRIP_SQL,
 }
