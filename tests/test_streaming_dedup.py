@@ -176,6 +176,108 @@ def test_twelve_batch_stream_accumulates_df_state(spark, sf_dir, tmp_path):
     assert expected  # fixture has real cross-batch near-dups
 
 
+def test_stream_with_periodic_compaction_matches(spark, sf_dir, tmp_path):
+    """The real writeStream path with compact_every: hits must equal
+    the uncompacted 3-drop stream contract (cross-batch LSH), and the
+    state must actually have been folded into a c dir."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    c1, c2 = (max_id + 1) // 3, 2 * (max_id + 1) // 3
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunks = [
+        docs.filter(F.col("doc_id") < c1),
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.filter(F.col("doc_id") >= c2),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _drain(run_dedup_stream(spark, src, state, ckpt, compact_every=2))
+
+    assert any(
+        d.startswith("c") for d in os.listdir(os.path.join(state, "docs"))
+    )
+
+    def chunk_of(i: int) -> int:
+        return 0 if i < c1 else (1 if i < c2 else 2)
+
+    expected = {
+        (r.doc_b, r.doc_a, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if chunk_of(r.doc_a) != chunk_of(r.doc_b)
+    }
+    assert _hit_set(read_hits(spark, state)) == expected
+
+
+def test_state_compaction_preserves_semantics(spark, sf_dir, tmp_path):
+    """Long stream (12 drops): compacting the batch-addressed state
+    must (a) leave every state read identical, (b) bound the dir count
+    (one c dir + uncommitted tail), (c) keep subsequent ingests and a
+    replay of the first-uncommitted batch producing exactly the hits
+    of an uncompacted replica run."""
+    import os
+
+    from trace_parquet_spark.streaming.dedup_stream import (
+        DOC_SCHEMA,
+        _SIG_SCHEMA,
+        _latest_df_state,
+        _read_batches,
+        committed_through,
+        compact_state,
+        ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_batches = 12
+
+    def chunk(b):
+        return docs.filter(F.col("doc_id") % n_batches == b)
+
+    plain = str(tmp_path / "plain")
+    comp = str(tmp_path / "comp")
+    for b in range(10):
+        ingest_batch(spark, plain, chunk(b), b)
+        ingest_batch(spark, comp, chunk(b), b)
+
+    # batch 9 is the newest => may still replay; compact through 8
+    assert committed_through(comp) == 8
+    before = {
+        name: {tuple(r) for r in _read_batches(spark, comp, name, 10, sch).collect()}
+        for name, sch in (("docs", DOC_SCHEMA), ("sigs", _SIG_SCHEMA))
+    }
+    df_before = {tuple(r) for r in _latest_df_state(spark, comp, 10).collect()}
+    compact_state(spark, comp)
+
+    for name, sch in (("docs", DOC_SCHEMA), ("sigs", _SIG_SCHEMA)):
+        got = {tuple(r) for r in _read_batches(spark, comp, name, 10, sch).collect()}
+        assert got == before[name], name
+        assert sorted(os.listdir(os.path.join(comp, name))) == ["b9", "c8"]
+    assert {tuple(r) for r in _latest_df_state(spark, comp, 10).collect()} == df_before
+    # cumulative snapshots b0..b7 swept, c8 + b8? no — b8's snapshot
+    # superseded by c8; only the replayable tail's snapshot remains
+    assert sorted(os.listdir(os.path.join(comp, "shingle_df"))) == ["b9", "c8"]
+
+    # replay batch 9 (the replayable one) post-compaction, then finish
+    # the stream on both replicas
+    ingest_batch(spark, comp, chunk(9), 9)
+    for b in range(10, n_batches):
+        ingest_batch(spark, plain, chunk(b), b)
+        ingest_batch(spark, comp, chunk(b), b)
+
+    assert _hit_set(read_hits(spark, comp)) == _hit_set(read_hits(spark, plain))
+
+    # compacting twice at the same point is a no-op
+    compact_state(spark, comp, through=8)
+    assert sorted(os.listdir(os.path.join(comp, "docs"))) == [
+        "b10", "b11", "b9", "c8"
+    ]
+
+
 def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
     """Re-running a batch (foreachBatch replay after a crash between
     state write and offset commit) must leave state identical: every

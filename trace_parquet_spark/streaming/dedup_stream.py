@@ -67,22 +67,32 @@ _DF_SCHEMA = "s string, df long"
 
 
 def _batch_dirs(state_dir: str, name: str, below: int) -> list[str]:
-    """State subdirectories of batches strictly before ``below`` (a
-    replayed batch must not read its own partial prior write)."""
+    """State subdirectories covering batches strictly before ``below``
+    (a replayed batch must not read its own partial prior write), in
+    ascending batch order.
+
+    Two dir kinds: ``b{N}`` holds batch N's delta; ``c{N}`` (written by
+    ``compact_state``) holds ALL batches <= N merged. The newest ``c``
+    supersedes every ``b`` at or below its id, so the result is
+    [newest c (if any)] + [later b dirs]. Numeric sort throughout:
+    lexicographic ordering would put b9 after b10..b19 and silently
+    revert _latest_df_state's merge base to the batch-9 snapshot from
+    batch 11 onward (pinned by the 12-batch test in
+    tests/test_streaming_dedup.py)."""
     root = os.path.join(state_dir, name)
     if not os.path.isdir(root):
         return []
-    # numeric sort: lexicographic would order b9 after b10..b19, and
-    # _latest_df_state takes dirs[-1] — a lexicographic listing would
-    # silently revert the df-state merge base to the b9 snapshot from
-    # batch 11 onward, dropping every later batch from the cumulative
-    # counts (pinned by the 12-batch test in tests/test_streaming_dedup.py)
-    ids = sorted(
-        int(d[1:])
-        for d in os.listdir(root)
-        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < below
-    )
-    return [os.path.join(root, f"b{i}") for i in ids]
+    bs, cs = [], []
+    for d in os.listdir(root):
+        if d[:1] in ("b", "c") and d[1:].isdigit() and int(d[1:]) < below:
+            (bs if d[0] == "b" else cs).append(int(d[1:]))
+    best_c = max(cs, default=None)
+    out = [] if best_c is None else [os.path.join(root, f"c{best_c}")]
+    out += [
+        os.path.join(root, f"b{i}")
+        for i in sorted(i for i in bs if best_c is None or i > best_c)
+    ]
+    return out
 
 
 def _read_batches(
@@ -102,6 +112,97 @@ def _latest_df_state(
     if not dirs:
         return spark.createDataFrame([], _DF_SCHEMA)
     return spark.read.schema(_DF_SCHEMA).parquet(dirs[-1])
+
+
+def committed_through(state_dir: str) -> int | None:
+    """Highest batch id that can no longer replay. foreachBatch commits
+    batch N's offsets before batch N+1 starts, so every batch below the
+    maximum on-disk batch id is durably committed; the maximum itself
+    may replay after a crash between its state write and offset commit.
+    Returns None when fewer than two batches exist."""
+    root = os.path.join(state_dir, "docs")
+    if not os.path.isdir(root):
+        return None
+    ids = [
+        int(d[1:])
+        for d in os.listdir(root)
+        if d[:1] in ("b", "c") and d[1:].isdigit()
+    ]
+    return max(ids) - 1 if len(ids) >= 1 and max(ids) >= 1 else None
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    through: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Merge the batch-addressed state dirs of batches <= ``through``
+    into one ``c{through}`` dir per relation, bounding dir/file count
+    for unbounded streams (same operational chore as
+    sources/files.py:compact_parquet — per-batch writers leave
+    thousands of small files whose open/footer overhead comes to
+    dominate the delta×store screen).
+
+    Replay idempotency is preserved by construction: only batches that
+    can no longer replay are compacted (``through`` defaults to
+    ``committed_through`` — the caller may pass something smaller,
+    never larger), and readers resolve ``c{N}`` ∪ {later ``b`` dirs}
+    to exactly the same rows as before. Crash-safe: the merge lands in
+    a tmp dir invisible to readers, one atomic rename publishes it,
+    and only then are the superseded dirs removed — a crash at any
+    point leaves a readable state (at worst with an unreferenced tmp
+    or stale ``b`` dirs that the next compaction sweeps).
+
+    ``docs``/``sigs`` are append-unions, so c = merged union sized to
+    ~target_file_bytes files; ``shingle_df`` snapshots are cumulative,
+    so c = the newest snapshot rewritten; ``hits`` output is already
+    batch_id-partitioned for consumers and is left untouched."""
+    import shutil
+
+    if through is None:
+        through = committed_through(state_dir)
+    if through is None:
+        return
+
+    def swap_in(merged: DataFrame, root: str) -> None:
+        tmp = os.path.join(root, f"tmp_c{through}")
+        n = _target_files(spark, root, target_file_bytes)
+        merged.coalesce(n).write.mode("overwrite").parquet(tmp)
+        final = os.path.join(root, f"c{through}")
+        os.rename(tmp, final)  # atomic publish
+        for d in os.listdir(root):
+            if (
+                d[:1] in ("b", "c")
+                and d[1:].isdigit()
+                and int(d[1:]) <= through
+                and os.path.join(root, d) != final
+            ):
+                shutil.rmtree(os.path.join(root, d))
+
+    for name, schema in (("docs", DOC_SCHEMA), ("sigs", _SIG_SCHEMA)):
+        root = os.path.join(state_dir, name)
+        dirs = _batch_dirs(state_dir, name, through + 1)
+        if len(dirs) <= 1 and dirs == [os.path.join(root, f"c{through}")]:
+            continue  # already compacted to this point
+        if not dirs:
+            continue
+        swap_in(spark.read.schema(schema).parquet(*dirs), root)
+
+    df_root = os.path.join(state_dir, "shingle_df")
+    df_dirs = _batch_dirs(state_dir, "shingle_df", through + 1)
+    if df_dirs and df_dirs[-1] != os.path.join(df_root, f"c{through}"):
+        swap_in(spark.read.schema(_DF_SCHEMA).parquet(df_dirs[-1]), df_root)
+
+
+def _target_files(spark: SparkSession, root: str, target_file_bytes: int) -> int:
+    """File count for the merged write, from actual on-disk bytes
+    (FS metadata only — no data read), as compact_parquet does."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    return int(max(1, -(-total // target_file_bytes)))
 
 
 def ingest_batch(
@@ -229,11 +330,15 @@ def run_dedup_stream(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
 ):
     """Attach the incremental screen to a parquet-file document stream
     (one file ≈ one crawl drop). Returns the started query; offsets
     live in the checkpoint, so a restart resumes exactly where the
-    previous run stopped (pinned in tests)."""
+    previous run stopped (pinned in tests). With ``compact_every`` the
+    batch-addressed state is folded into one ``c`` dir per relation
+    every N batches (only ever covering no-longer-replayable batches),
+    so dir/file count stays bounded on unbounded streams."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -242,6 +347,8 @@ def run_dedup_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(spark, state_dir, batch_df, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_state(spark, state_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)
