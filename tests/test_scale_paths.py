@@ -342,3 +342,39 @@ def test_corpus_semantic_drop_antijoin_survives_without_hint(spark, sf_dir):
     )
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_hot_keys_across_salt_buckets(spark, sf_dir):
+    """With broadcast disabled (the regime salting exists for — a dim
+    too big to broadcast), the salted join must shuffle on
+    (key, __salt): each hot key's rows spread over `buckets` reducers
+    instead of funneling through one."""
+    from trace_parquet_spark.operators.skew import salted_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        dim = orders.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_in_priority")
+        )
+        joined = salted_join(orders, dim, "o_orderpriority", buckets=8)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"hashpartitioning\(o_orderpriority[^)]*__salt", plan)
+        assert m, plan[:2000]
+        # and the spread is real: distinct (key, salt) combos > keys
+        from trace_parquet_spark.operators.skew import with_salt
+
+        combos = (
+            with_salt(orders, "o_orderpriority", 8)
+            .select("o_orderpriority", "__salt")
+            .distinct()
+            .count()
+        )
+        assert combos > 5 * 4  # 5 hot keys spread over most of 8 salts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

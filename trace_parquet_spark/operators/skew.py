@@ -110,5 +110,60 @@ ORDER BY o_orderpriority
 """
 
 
-QUERIES = {"salted_agg_orders": salted_agg_orders}
-ORACLES = {"salted_agg_orders": SALTED_AGG_SQL}
+def salted_join_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof of the salted-JOIN path on a deliberately
+    hot key: every orders row carries one of 5 priorities (~20% of the
+    table each — the worst skew shape), and the dim side is derived
+    MID-PIPELINE (an aggregate of orders itself), the case where AQE
+    has no file statistics and a too-large-to-broadcast dim would
+    otherwise funnel each hot key through one reducer. salted_join
+    replicates the dim 8× and spreads each hot key over 8 shuffle
+    buckets (plan-pinned in tests/test_scale_paths.py); the rollup
+    after the join is hash-checked against the oracle's plain
+    join+GROUP BY. Money on the cent grid as longs, so the salted
+    re-association is exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+    dim = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_in_priority")
+    )
+    joined = salted_join(orders, dim, "o_orderpriority", buckets=8)
+    return (
+        joined.groupBy("o_orderpriority", "n_in_priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("__cents") / F.lit(100.0)).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT o_orderpriority, count(*) AS n_in_priority
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       d.n_in_priority,
+       count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total_price
+FROM orders o JOIN dim d USING (o_orderpriority)
+GROUP BY 1, 2
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "salted_agg_orders": salted_agg_orders,
+    "salted_join_priority_rollup": salted_join_priority_rollup,
+}
+ORACLES = {
+    "salted_agg_orders": SALTED_AGG_SQL,
+    "salted_join_priority_rollup": SALTED_JOIN_SQL,
+}
