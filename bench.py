@@ -115,6 +115,21 @@ REPEATS = {
     "dedup_setsim_prefix": 5,
     "knn_label_vote_lsh": 3,
     "hard_negative_mining_lsh": 3,
+    # round-5: every remaining >1.5s single-run entry (r4 values) —
+    # their round-over-round deltas were dominated by run noise
+    "source_overlap_matrix": 3,
+    "text_stats": 3,
+    "ann_lsh_topk": 3,
+    "boilerplate_shingle_stats": 3,
+    "repetition_metrics_docs": 3,
+    "pagerank_trade_graph": 3,
+    "simhash_docs": 3,
+    "histogram_quantile_sketch": 3,
+    "knn_label_vote": 3,
+    "bfs_trade_levels": 3,
+    "bm25_search": 3,
+    "q5_region_revenue": 3,
+    "bpe_apply_merges": 3,
 }
 
 
