@@ -145,3 +145,88 @@ def test_image_roundtrip_query_means_match_source_bytes(spark, sf_dir):
         for ch, col in enumerate(("mean_r_micro", "mean_g_micro", "mean_b_micro")):
             assert getattr(row, col) == int(sums[ch]) * 1_000_000 // (IMG_W * IMG_H)
     assert fmts == {"ppm", "bmp"}  # both codecs actually exercised
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_identity_mono_and_stereo():
+    from trace_parquet_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 2):
+        s = rng.randint(-32768, 32768, size=(300, ch)).astype(np.int16)
+        rate, channels, got = decode_wav(encode_wav(s, rate=8000))
+        assert (rate, channels) == (8000, ch)
+        assert (got == s).all()
+
+
+def test_wav_golden_bytes_and_extra_chunk():
+    """Hand-assembled WAV with a LIST chunk between fmt and data —
+    the chunk walk must skip it; samples decode exactly, including
+    the odd-size word-alignment rule."""
+    from trace_parquet_spark.operators.multimodal import decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768], dtype="<i2")
+    body = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"LIST" + (3).to_bytes(4, "little") + b"odd" + b"\x00"  # padded
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    rate, ch, got = decode_wav(wav)
+    assert (rate, ch) == (16000, 1)
+    assert got.ravel().tolist() == samples.tolist()
+
+
+def test_wav_rejects_non_pcm():
+    from trace_parquet_spark.operators.multimodal import decode_wav, encode_wav
+
+    b = bytearray(encode_wav(np.zeros((4, 1), dtype=np.int16)))
+    b[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(b))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+
+
+# ---------------------------------------------------------------- Y4M
+
+
+def test_y4m_roundtrip_identity():
+    from trace_parquet_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.random.RandomState(3).randint(
+        0, 256, size=(5, 6, 4)
+    ).astype(np.uint8)
+    w, h, got = decode_y4m(encode_y4m(frames))
+    assert (w, h) == (4, 6)
+    assert (got == frames).all()
+
+
+def test_y4m_golden_and_444_y_plane():
+    from trace_parquet_spark.operators.multimodal import decode_y4m
+
+    y = bytes(range(4))
+    u, v = bytes([7] * 4), bytes([9] * 4)
+    b = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n" + b"FRAME\n" + y + u + v
+    w, h, frames = decode_y4m(b)
+    assert (w, h) == (2, 2)
+    assert frames.shape == (1, 2, 2)
+    assert frames[0].ravel().tolist() == [0, 1, 2, 3]  # Y plane only
+
+
+def test_y4m_malformed():
+    from trace_parquet_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFFxxxx")
+    good = encode_y4m(np.zeros((2, 2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated frame"):
+        decode_y4m(good[:-1])
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))

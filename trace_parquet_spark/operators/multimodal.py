@@ -461,6 +461,347 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# audio codec: PCM WAV (RIFF), pure numpy
+# --------------------------------------------------------------------------
+
+SAMPLE_RATE = 16_000
+N_SAMPLES = 512
+_PCM_BYTES = N_SAMPLES * 2  # int16 mono
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM WAV → (sample_rate, channels, int16 samples[n, channels]).
+    Walks RIFF chunks (fmt may be followed by LIST/fact/etc. before
+    data), supports 16-bit integer PCM only — the uncompressed format
+    a numpy decoder can own; compressed codecs slot in at the same
+    seam."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit integer PCM supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(
+        data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
+    ).reshape(-1, channels)
+    return rate, channels, samples
+
+
+def encode_wav(samples: np.ndarray, rate: int = SAMPLE_RATE) -> bytes:
+    """int16 samples[n, channels] → canonical PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    body = samples.astype("<i2").tobytes()
+    block = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_AUDIO_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("min_s", T.LongType(), False),
+        T.StructField("max_s", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("pcm_md5", T.StringType(), False),
+    ]
+)
+
+
+def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio sibling of image_decode_roundtrip: deterministic
+    int16 PCM rendered from each document's UTF-8 bytes (little-endian
+    pairs cycled to 512 samples), containerized as PCM WAV, decoded
+    back through ``decode_wav``, and reduced to exact integer waveform
+    statistics (min/max sample, int64 energy sum, md5 over the PCM hex
+    stream). DuckDB re-derives all of it from the text bytes without
+    parsing a RIFF container — the hash match certifies the WAV
+    round-trip sample-for-sample."""
+    import hashlib
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                reps = -(-_PCM_BYTES // len(data))
+                pcm = np.frombuffer(
+                    (data * reps)[:_PCM_BYTES], dtype="<i2"
+                ).reshape(N_SAMPLES, 1)
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode_wav(pcm))
+            yield pd.DataFrame(out)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "min_s", "max_s", "sum_sq", "pcm_md5",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, samples = decode_wav(payload)
+                s = samples.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(samples.shape[0])
+                out["min_s"].append(int(s.min()))
+                out["max_s"].append(int(s.max()))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["pcm_md5"].append(
+                    hashlib.md5(
+                        samples.astype("<i2").tobytes().hex().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+        .select("doc_id", "text")
+    )
+    blobs = docs.mapInPandas(encode, _AUDIO_SCHEMA)
+    return blobs.mapInPandas(decode, _AUDIO_RT_SCHEMA).orderBy("doc_id")
+
+
+# Sample i = int16-LE from text bytes at (2i, 2i+1) mod L — the oracle
+# indexes the hex of encode(text) directly, container-free; signed via
+# raw − 65536 when raw ≥ 32768. Energy/min/max in exact BIGINTs.
+AUDIO_ROUNDTRIP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         lower(hex(encode(text)))   AS hx
+  FROM documents WHERE length(text) > 0
+), pos AS (
+  SELECT doc_id, L, hx, unnest(generate_series(0, {N_SAMPLES - 1})) AS i
+  FROM d
+), smp AS (
+  SELECT doc_id, i,
+         substr(hx, 2 * ((2 * i) % L) + 1, 2)     AS lo_hb,
+         substr(hx, 2 * ((2 * i + 1) % L) + 1, 2) AS hi_hb,
+         CAST(('0x' || substr(hx, 2 * ((2 * i) % L) + 1, 2)) AS INT)
+         + 256 * CAST(('0x' || substr(hx, 2 * ((2 * i + 1) % L) + 1, 2)) AS INT)
+           AS raw
+  FROM pos
+), sgn AS (
+  SELECT doc_id, i, lo_hb, hi_hb,
+         CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS BIGINT) AS v
+  FROM smp
+)
+SELECT doc_id,
+       CAST({SAMPLE_RATE} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT)             AS channels,
+       CAST({N_SAMPLES} AS BIGINT)   AS n_samples,
+       min(v)                        AS min_s,
+       max(v)                        AS max_s,
+       CAST(sum(v * v) AS BIGINT)    AS sum_sq,
+       md5(string_agg(lo_hb || hi_hb, '' ORDER BY i)) AS pcm_md5
+FROM sgn
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# video codec: YUV4MPEG2 (y4m), pure numpy
+# --------------------------------------------------------------------------
+
+VID_W = 8
+VID_H = 8
+VID_FRAMES = 6
+_FRAME_BYTES = VID_W * VID_H  # mono: one Y plane
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """YUV4MPEG2 → (width, height, frames[n, h, w] uint8). Supports
+    mono (Y-only) and 444 (Y plane returned) colorspaces — the raw
+    uncompressed video container; inter-frame codecs would plug into
+    the same seam."""
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    planes = 1
+    for tok in b[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:]
+            if cs == b"mono":
+                planes = 1
+            elif cs == b"444":
+                planes = 3
+            else:
+                raise ValueError(f"unsupported colorspace {cs!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    frames = []
+    pos = nl + 1
+    fsize = w * h * planes
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        raw = b[fnl + 1 : fnl + 1 + fsize]
+        if len(raw) != fsize:
+            raise ValueError(f"truncated frame: want {fsize}, got {len(raw)}")
+        frames.append(
+            np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+        )
+        pos = fnl + 1 + fsize
+    return w, h, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """frames[n, h, w] uint8 → mono YUV4MPEG2 bytes."""
+    n, h, w = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, *fps)]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+_VIDEO_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_micro", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def video_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video sibling: 6 deterministic 8×8 mono frames rendered
+    from each document's UTF-8 bytes (cycled, frame f covering byte
+    positions [f·64, (f+1)·64)), streamed into a YUV4MPEG2 container,
+    decoded back through ``decode_y4m``, and emitted one row per frame
+    with its exact integer mean and hex-md5 — one-to-many, like real
+    frame extraction. DuckDB derives every frame statistic from the
+    text bytes container-free; a hash match certifies the y4m codec
+    frame-for-frame."""
+    import hashlib
+
+    total = VID_FRAMES * _FRAME_BYTES
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height",
+                "mean_micro", "frame_md5",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                reps = -(-total // len(data))
+                frames = np.frombuffer(
+                    (data * reps)[:total], dtype=np.uint8
+                ).reshape(VID_FRAMES, VID_H, VID_W)
+                w, h, decoded = decode_y4m(encode_y4m(frames))
+                for f in range(decoded.shape[0]):
+                    px = decoded[f]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_micro"].append(
+                        int(px.sum(dtype=np.int64)) * 1_000_000 // _FRAME_BYTES
+                    )
+                    out["frame_md5"].append(
+                        hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(roundtrip, _VIDEO_RT_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+VIDEO_ROUNDTRIP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         lower(hex(encode(text)))   AS hx
+  FROM documents WHERE length(text) > 0
+), px AS (
+  SELECT doc_id, L, hx,
+         unnest(generate_series(0, {VID_FRAMES * _FRAME_BYTES - 1})) AS p
+  FROM d
+), byt AS (
+  SELECT doc_id, p // {_FRAME_BYTES} AS frame_idx, p,
+         substr(hx, 2 * (p % L) + 1, 2) AS hb
+  FROM px
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST({VID_W} AS BIGINT)   AS width,
+       CAST({VID_H} AS BIGINT)   AS height,
+       CAST(sum(CAST(('0x' || hb) AS INT)) * 1000000 // {_FRAME_BYTES}
+            AS BIGINT)           AS mean_micro,
+       md5(string_agg(hb, '' ORDER BY p)) AS frame_md5
+FROM byt
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python-UDF stages pay a per-task worker/Arrow setup cost, so they
     # want FEWER, fatter partitions than JVM-side stages: cores/4 beats
@@ -494,9 +835,13 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_decode_roundtrip": image_decode_roundtrip,
+    "audio_decode_roundtrip": audio_decode_roundtrip,
+    "video_decode_roundtrip": video_decode_roundtrip,
 }
 ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "image_decode_roundtrip": IMAGE_ROUNDTRIP_SQL,
+    "audio_decode_roundtrip": AUDIO_ROUNDTRIP_SQL,
+    "video_decode_roundtrip": VIDEO_ROUNDTRIP_SQL,
 }
