@@ -100,6 +100,12 @@ HEADLINE = [
     "equi_depth_price_buckets_approx",
     "dedup_setsim_prefix",
     "bpe_apply_merges",
+    # round-8 additions (judge round 5): real-codec round-trips +
+    # the salted-join skew path
+    "image_decode_roundtrip",
+    "audio_decode_roundtrip",
+    "video_decode_roundtrip",
+    "salted_join_priority_rollup",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

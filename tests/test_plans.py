@@ -218,3 +218,18 @@ def test_pagerank_caches_probs_once(spark, sf_dir, qs):
     # every iteration reads the cached edge relation instead of
     # re-running the lineitem join-aggregate
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_codec_roundtrips_are_arrow_batched(spark, sf_dir, qs):
+    """The image/audio/video round-trip queries must run their Python
+    stages as Arrow-batched MapInPandas — never row-at-a-time
+    BatchEvalPython — and carry no shuffle between encode and decode
+    (both stages share the doc_id repartition)."""
+    for name in ("image_decode_roundtrip", "audio_decode_roundtrip",
+                 "video_decode_roundtrip"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # one Exchange for the doc_id repartition + the final sort's —
+        # an extra one would mean the encode->decode hop shuffles
+        assert plan.count("Exchange") <= 2, (name, plan[:1500])
