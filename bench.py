@@ -106,6 +106,7 @@ HEADLINE = [
     "audio_decode_roundtrip",
     "video_decode_roundtrip",
     "salted_join_priority_rollup",
+    "dedup_substring_spans",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -378,3 +378,54 @@ def test_salted_join_spreads_hot_keys_across_salt_buckets(spark, sf_dir):
         assert combos > 5 * 4  # 5 hot keys spread over most of 8 salts
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_substring_spans_match_bruteforce_replay(spark, sf_dir):
+    """dedup_substring_spans vs an independent pure-Python replay:
+    collect the corpus, count K-gram occurrences with a dict, flag
+    positions, merge runs — results must match exactly, and spans must
+    be maximal (the windows just outside each span are NOT corpus-
+    duplicated... unless adjacency merged them, which maximality
+    already guarantees via the replay equality)."""
+    from collections import Counter
+
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.dedup import (
+        SPAN_K,
+        dedup_substring_spans,
+    )
+
+    toks = {
+        r.doc_id: r.tt
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tt"))
+        .collect()
+    }
+    counts = Counter()
+    for tt in toks.values():
+        for i in range(len(tt) - SPAN_K + 1):
+            counts[" ".join(tt[i : i + SPAN_K])] += 1
+    want = []
+    for doc_id, tt in sorted(toks.items()):
+        flagged = [
+            i
+            for i in range(len(tt) - SPAN_K + 1)
+            if counts[" ".join(tt[i : i + SPAN_K])] >= 2
+        ]
+        run = []
+        for p in flagged + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.append((doc_id, run[0], run[-1] + SPAN_K,
+                             run[-1] + SPAN_K - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    got = [tuple(r) for r in dedup_substring_spans(spark, sf_dir).collect()]
+    assert got == sorted(want)
+    assert got  # fixture contains real duplicated runs
+    # spans are disjoint and well-formed per doc
+    by_doc = {}
+    for doc_id, s, e, n in got:
+        assert e - s == n >= SPAN_K
+        assert by_doc.get(doc_id, -1) < s
+        by_doc[doc_id] = e

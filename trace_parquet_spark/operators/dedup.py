@@ -623,12 +623,108 @@ ORDER BY doc_id
 SIMHASH_SQL = _simhash_sql()
 
 
+# --------------------------------------------------------------------------
+# exact substring-span dedup (the ExactSubstr shape)
+# --------------------------------------------------------------------------
+
+SPAN_K = 5  # minimum duplicated run, in tokens
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-LEVEL exact duplication: the maximal token runs (>= SPAN_K
+    tokens) that occur more than once in the corpus — the
+    suffix-array-style "remove the duplicated substring, keep the
+    document" dedup family, complementing the doc-level pair variants
+    above. Published shape: Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ExactSubstr).
+
+    Spark-first derivation, no suffix array and no pairing anywhere
+    (hence no quadratic risk — this runs where even LSH is overkill):
+
+    1. every K-token window per document, by position, built from the
+       token ARRAY with transform+slice (one projection — the text is
+       tokenized once, never re-split per window);
+    2. a window duplicated anywhere in the corpus (occurrence count
+       >= 2, same doc or not — self-repetition is duplication too) is
+       one global aggregation on the gram;
+    3. each document's flagged positions collapse into maximal spans
+       via gaps-and-islands (pos − row_number() per doc), so
+       overlapping windows merge: [start, start+K), [start+1, ...)
+       become ONE span [min, max+K).
+
+    Scale: one shuffle on the gram (count), one on doc_id (islands
+    window); the gram relation is token-linear in corpus size. Output:
+    (doc_id, span_start, span_end, span_tokens) in token indices,
+    end-exclusive, 0-based."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    toked = docs.select("doc_id", tokens("text").alias("tt")).filter(
+        F.size("tt") >= SPAN_K
+    )
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tt) - {SPAN_K}),"
+                f" i -> concat_ws(' ', slice(tt, i + 1, {SPAN_K})))"
+            )
+        ).alias("pos", "g"),
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    # the duplicated-gram set scales with corpus redundancy — no
+    # forced broadcast, size/AQE decides
+    marked = grams.join(dup.select("g"), "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + SPAN_K).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+SUBSTRING_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS tt FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tt, i, i + {SPAN_K} - 1), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(tt) - {SPAN_K} + 1)) AS u(i)
+  WHERE len(tt) >= {SPAN_K}
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams WHERE g IN (SELECT g FROM dup)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT)            AS span_start,
+       CAST(max(pos) + {SPAN_K} AS BIGINT) AS span_end,
+       CAST(max(pos) + {SPAN_K} - min(pos) AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_setsim_prefix": dedup_setsim_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
+    "dedup_substring_spans": dedup_substring_spans,
 }
 
 ORACLES = {
@@ -639,4 +735,5 @@ ORACLES = {
     "dedup_setsim_prefix": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "simhash_docs": SIMHASH_SQL,
+    "dedup_substring_spans": SUBSTRING_SPANS_SQL,
 }
