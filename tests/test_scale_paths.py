@@ -429,3 +429,18 @@ def test_substring_spans_match_bruteforce_replay(spark, sf_dir):
         assert e - s == n >= SPAN_K
         assert by_doc.get(doc_id, -1) < s
         by_doc[doc_id] = e
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """Token-linear, pairing-free: no cartesian/nested-loop join
+    anywhere, and the islands window is doc_id-partitioned (a global
+    window would serialize the corpus through one task)."""
+    from trace_parquet_spark.operators.dedup import dedup_substring_spans
+
+    plan = (
+        dedup_substring_spans(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(doc_id" in plan  # per-doc, never global
