@@ -718,6 +718,75 @@ ORDER BY doc_id, span_start
 """
 
 
+def substring_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level readout of the span dedup: per source, what
+    fraction of token mass sits inside duplicated spans — the number
+    that decides whether remove-the-substring dedup is worth a pass
+    over that source. Exact integer micro-ratio (span tokens · 1e6 div
+    total tokens); spans are disjoint per doc by construction, so the
+    sum never double-counts."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    tok_counts = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    span_tok = (
+        dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tok"))
+    )
+    return (
+        tok_counts.join(span_tok, "doc_id", "left")
+        .fillna(0, ["dup_tok"])
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("dup_tok").cast("long").alias("dup_tokens"),
+            F.expr("CAST(sum(dup_tok) * 1000000 div sum(n_tok) AS LONG)").alias(
+                "dup_rate_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SUBSTRING_RATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {tokens_sql('text')} AS tt FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tt, i, i + {SPAN_K} - 1), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(tt) - {SPAN_K} + 1)) AS u(i)
+  WHERE len(tt) >= {SPAN_K}
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams WHERE g IN (SELECT g FROM dup)
+), spans AS (
+  SELECT doc_id, max(pos) + {SPAN_K} - min(pos) AS span_tokens
+  FROM isl GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT t.doc_id, t.source, len(t.tt) AS n_tok,
+         coalesce(s.dup_tok, 0) AS dup_tok
+  FROM toks t
+  LEFT JOIN (SELECT doc_id, sum(span_tokens) AS dup_tok
+             FROM spans GROUP BY doc_id) s USING (doc_id)
+)
+SELECT source,
+       count(*)                 AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)   AS total_tokens,
+       CAST(sum(dup_tok) AS BIGINT) AS dup_tokens,
+       CAST(sum(dup_tok) * 1000000 // sum(n_tok) AS BIGINT) AS dup_rate_micro
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -725,6 +794,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
     "dedup_substring_spans": dedup_substring_spans,
+    "substring_dup_rate_by_source": substring_dup_rate_by_source,
 }
 
 ORACLES = {
@@ -736,4 +806,5 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "simhash_docs": SIMHASH_SQL,
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
+    "substring_dup_rate_by_source": SUBSTRING_RATE_SQL,
 }
