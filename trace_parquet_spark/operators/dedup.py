@@ -231,9 +231,19 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency makes prefixes consist of the rarest shingles,
     so the prefix self-join's per-shingle fan-out is small by
     construction (and the df-cap already removed the boilerplate
-    tail). Candidates = prefix-prefix collisions; exact Jaccard then
-    verifies candidates only, re-shingling candidate docs exactly as
-    dedup_minhash_lsh does.
+    tail). Candidates = prefix-prefix collisions that additionally
+    survive PPJoin's two exactness-preserving prunes, evaluated
+    INSIDE the join condition (both only discard pairs provably below
+    τ, so recall stays perfect):
+
+    - length filter: J ≥ τ forces den·min(|a|,|b|) ≥ num·max(|a|,|b|);
+    - positional filter: a collision at 1-based prefix positions
+      (i, j) bounds the overlap by 1 + min(|a|−i, |b|−j), which must
+      reach α = ⌈num·(|a|+|b|) / (num+den)⌉ (the overlap J ≥ τ
+      requires).
+
+    Exact Jaccard then verifies the surviving candidates only,
+    re-shingling candidate docs exactly as dedup_minhash_lsh does.
 
     Because the algorithm is exact, the oracle is the plain all-pairs
     SQL (DEDUP_NGRAM_SQL) — a genuinely independent derivation that
@@ -264,15 +274,26 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr(f"(n_sh * {SETSIM_NUM} + {SETSIM_DEN} - 1) div {SETSIM_DEN}")
             + 1
         )
-        .select("doc_id", "s")
+        .select("doc_id", "s", "pos", "n_sh")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    sa, sb = F.col("a.n_sh"), F.col("b.n_sh")
     candidates = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: den·min ≥ num·max
+            & (F.least(sa, sb) * SETSIM_DEN >= F.greatest(sa, sb) * SETSIM_NUM)
+            # positional filter: remaining-suffix overlap bound ≥ α
+            # (α scaled by (num+den) to stay in exact integers:
+            #  ub·(num+den) ≥ num·(sa+sb) ⟺ ub ≥ ⌈…⌉ for integer ub)
+            & (
+                (1 + F.least(sa - F.col("a.pos"), sb - F.col("b.pos")))
+                * (SETSIM_NUM + SETSIM_DEN)
+                >= SETSIM_NUM * (sa + sb)
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
