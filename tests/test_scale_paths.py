@@ -444,3 +444,51 @@ def test_substring_spans_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(doc_id" in plan  # per-doc, never global
+
+
+def test_setsim_ppjoin_filters_inclusive_at_boundaries(spark, tmp_path):
+    """Adversarial boundary corpus for the PPJoin prunes: pairs at
+    EXACTLY J = τ — including one sitting on the length-filter
+    boundary (min·den = max·num) — must be found (both filters are
+    inclusive), and a pair just below τ must not. Engineered shingle
+    sets: a shared 12-token run contributes exactly 10 shared 3-gram
+    shingles; distinct 5-token heads keep junction shingles disjoint."""
+    from trace_parquet_spark.operators.dedup import dedup_setsim_prefix
+
+    def doc(head, shared):
+        return " ".join(head + shared)
+
+    s_run = [f"s{i}" for i in range(12)]      # 10 internal shingles
+    s_run9 = [f"r{i}" for i in range(11)]     # 9 internal shingles
+    rows = [
+        # pair (0,1): |A|=|B|=15 shingles, 10 shared -> J = 10/20 = 0.5
+        (0, doc([f"a{i}" for i in range(5)], s_run)),
+        (1, doc([f"b{i}" for i in range(5)], s_run)),
+        # pair (2,3): 9 shared of 14 each -> J = 9/19 < 0.5 (excluded)
+        (2, doc([f"c{i}" for i in range(5)], s_run9)),
+        (3, doc([f"d{i}" for i in range(5)], s_run9)),
+        # pair (4,5): |A|=10 contained in |B|=20 -> J = 10/20 = 0.5,
+        # sitting exactly on the length-filter boundary min*2 == max
+        # (own token run, disjoint from s_run, so no cross-pairs)
+        (4, " ".join(f"f{i}" for i in range(12))),
+        (5, " ".join([f"f{i}" for i in range(12)] + [f"e{i}" for i in range(10)])),
+    ]
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_setsim_prefix(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(0, 1), (4, 5)}
+    assert got[(0, 1)] == 0.5
+    assert got[(4, 5)] == 0.5
