@@ -107,6 +107,7 @@ HEADLINE = [
     "video_decode_roundtrip",
     "salted_join_priority_rollup",
     "dedup_substring_spans",
+    "split_leakage_free",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

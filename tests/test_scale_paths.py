@@ -492,3 +492,27 @@ def test_setsim_ppjoin_filters_inclusive_at_boundaries(spark, tmp_path):
     assert set(got) == {(0, 1), (4, 5)}
     assert got[(0, 1)] == 0.5
     assert got[(4, 5)] == 0.5
+
+
+def test_split_leakage_free_never_straddles_clusters(spark, sf_dir):
+    """Every near-dup pair must land in ONE split (the guard's whole
+    point), singletons keep their own doc_id as rep, and the bucket
+    ratios are in the hash-uniform ballpark."""
+    from trace_parquet_spark.operators.dedup import dedup_minhash_lsh
+    from trace_parquet_spark.operators.dedup_clusters import (
+        split_leakage_free,
+    )
+
+    rows = split_leakage_free(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+    # deterministic, total, and roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert len(rows) == len(split_of)  # one row per doc

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
+from ..functions.hashing import stable_hash32, stable_hash32_sql
 from ..session import track_cache
+from ..sources.registry import load_table_parallel
 
 MAX_ITERS = 20
 
@@ -238,3 +240,93 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_clusters_star"] = dedup_clusters_star
 ORACLES["dedup_clusters_star"] = DEDUP_CLUSTERS_SQL
+
+
+# --------------------------------------------------------------------------
+# leakage-free dataset split
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10
+VAL_BUCKET = 8
+TEST_BUCKET = 9
+
+
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can never leak a near-duplicate
+    across splits: the split is hashed from each document's dedup-
+    CLUSTER representative (connected components over the banded-LSH
+    pair relation; unpaired docs are their own singleton rep), so
+    every member of a near-dup cluster lands in the same split by
+    construction. Random per-doc splits put ~2·dup_rate of eval
+    tokens inside train-set near-dups — the classic eval-contamination
+    failure this guard exists for.
+
+    80/10/10 via the engine-portable md5 hash of the representative
+    (stable across engines, runs, and cluster sizes — adding documents
+    never reassigns an existing cluster's split)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id"
+    )
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # the label relation scales with near-dup count — no forced
+    # broadcast; size/AQE decides
+    rep = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+    )
+    bucket = F.pmod(
+        stable_hash32(F.concat(F.lit("split:"), F.col("rep"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    return (
+        rep.withColumn("bucket", bucket)
+        .select(
+            "doc_id",
+            "rep",
+            F.when(F.col("bucket") == VAL_BUCKET, "val")
+            .when(F.col("bucket") == TEST_BUCKET, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_hash_rep = stable_hash32_sql("'split:' || CAST(rep AS VARCHAR)")
+
+SPLIT_LEAKAGE_FREE_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_PAIRS_BODY}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, r.r
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+bucketed AS (
+  SELECT doc_id, rep, {_hash_rep} % {SPLIT_BUCKETS} AS bucket
+  FROM rep
+)
+SELECT doc_id, rep,
+       CASE WHEN bucket = {VAL_BUCKET} THEN 'val'
+            WHEN bucket = {TEST_BUCKET} THEN 'test'
+            ELSE 'train' END AS split
+FROM bucketed
+ORDER BY doc_id
+"""
+
+QUERIES["split_leakage_free"] = split_leakage_free
+ORACLES["split_leakage_free"] = SPLIT_LEAKAGE_FREE_SQL
