@@ -230,3 +230,64 @@ def test_y4m_malformed():
         decode_y4m(good[:-1])
     with pytest.raises(ValueError, match="colorspace"):
         decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+
+
+# ------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_image_codecs_roundtrip(h, w, seed):
+    """decode(encode(px)) == px for arbitrary dims — including widths
+    that exercise every BMP padding residue (w*3 mod 4)."""
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert (decode_image(encode_ppm(px)) == px).all()
+    assert (decode_image(encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_wav_roundtrip(n, ch, rate, seed):
+    from trace_parquet_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = (
+        np.random.RandomState(seed)
+        .randint(-32768, 32768, size=(n, ch))
+        .astype(np.int16)
+    )
+    got_rate, got_ch, got = decode_wav(encode_wav(s, rate=rate))
+    assert (got_rate, got_ch) == (rate, ch)
+    assert (got == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 8),
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_y4m_roundtrip(n, h, w, seed):
+    from trace_parquet_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = (
+        np.random.RandomState(seed)
+        .randint(0, 256, size=(n, h, w))
+        .astype(np.uint8)
+    )
+    got_w, got_h, got = decode_y4m(encode_y4m(frames))
+    assert (got_w, got_h) == (w, h)
+    assert got.shape == frames.shape
+    assert (got == frames).all()
