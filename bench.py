@@ -138,6 +138,9 @@ REPEATS = {
     "bm25_search": 3,
     "q5_region_revenue": 3,
     "bpe_apply_merges": 3,
+    # round-5 (judge round 5) additions above the 1.5s line
+    "split_leakage_free": 3,
+    "dedup_substring_spans": 3,
 }
 
 
