@@ -1,0 +1,112 @@
+"""Transaction-log table format: atomicity, time travel, optimistic
+concurrency, schema evolution, and vacuum — the lakehouse guarantees
+without table-format jars (sources/tablelog.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.sources.tablelog import (
+    ConcurrentWriteError,
+    append,
+    latest_version,
+    overwrite,
+    read_table,
+    vacuum,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = append(spark.range(5), t)
+    v1 = append(spark.range(5, 8), t)
+    v2 = overwrite(spark.range(100, 103), t)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert latest_version(t) == 2
+    # snapshot semantics at every version
+    assert _ids(read_table(spark, t)) == [100, 101, 102]
+    assert _ids(read_table(spark, t, as_of=0)) == [0, 1, 2, 3, 4]
+    assert _ids(read_table(spark, t, as_of=1)) == list(range(8))
+    with pytest.raises(ValueError, match="no committed version"):
+        read_table(spark, t, as_of=-1)
+
+
+def test_uncommitted_writes_are_invisible(spark, tmp_path):
+    """A writer that stages data but dies before the commit leaves NO
+    trace in any snapshot (atomicity), and vacuum removes the orphans
+    without touching time-travelable files."""
+    from trace_parquet_spark.sources.tablelog import _stage_files
+
+    t = str(tmp_path / "t")
+    append(spark.range(3), t)
+    orphans = _stage_files(spark.range(50, 60), t)  # simulated dead writer
+    assert _ids(read_table(spark, t)) == [0, 1, 2]
+    deleted = vacuum(t)
+    assert sorted(deleted) == sorted(orphans)
+    # live + historical files survive vacuum
+    assert _ids(read_table(spark, t)) == [0, 1, 2]
+
+
+def test_vacuum_keeps_time_travel_alive(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(spark.range(3), t)
+    overwrite(spark.range(10, 12), t)
+    assert vacuum(t) == []  # overwritten files are still referenced by v0
+    assert _ids(read_table(spark, t, as_of=0)) == [0, 1, 2]
+    assert _ids(read_table(spark, t)) == [10, 11]
+
+
+def test_concurrent_writers_one_wins(spark, tmp_path):
+    """Two writers racing the same next version: the slower commit
+    must fail with ConcurrentWriteError, and the table must contain
+    exactly the winner's rows — the filesystem's create-exclusive is
+    the conditional put."""
+    from trace_parquet_spark.sources.tablelog import _commit, _stage_files
+
+    SCHEMA_ID = spark.range(1).schema.json()
+
+    t = str(tmp_path / "t")
+    append(spark.range(2), t)
+    # both writers stage against version 1
+    f_a = _stage_files(spark.range(10, 12), t)
+    f_b = _stage_files(spark.range(20, 22), t)
+    _commit(t, 1, {"add": f_a, "remove": [], "schema": SCHEMA_ID})
+    with pytest.raises(ConcurrentWriteError):
+        _commit(t, 1, {"add": f_b, "remove": [], "schema": SCHEMA_ID})
+    assert _ids(read_table(spark, t)) == [0, 1, 10, 11]
+
+
+def test_schema_evolution_reads_old_files_with_nulls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(spark.range(2).select("id"), t)
+    append(
+        spark.range(2, 4).select("id", F.lit("x").alias("tag")),
+        t,
+    )
+    cur = read_table(spark, t)
+    assert cur.schema.simpleString() == "struct<id:bigint,tag:string>"
+    rows = {r.id: r.tag for r in cur.collect()}
+    assert rows == {0: None, 1: None, 2: "x", 3: "x"}
+    # time travel re-applies the OLD schema
+    old = read_table(spark, t, as_of=0)
+    assert old.schema.simpleString() == "struct<id:bigint>"
+
+
+def test_planning_reads_log_not_directory(spark, tmp_path):
+    """The snapshot must plan from the log's file list: a stray
+    parquet file dropped into the table dir (never committed) must not
+    appear in any read — the property that makes planning O(log), not
+    O(listing)."""
+    t = str(tmp_path / "t")
+    append(spark.range(3), t)
+    stray = os.path.join(t, "data-stray")
+    spark.range(900, 903).write.parquet(stray)
+    # rename a part file to look exactly like a committed one
+    assert _ids(read_table(spark, t)) == [0, 1, 2]
