@@ -78,6 +78,7 @@ def _modules():
         udtf,
         zorder,
     )
+    from trace_parquet_spark.sources import tablelog
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -159,6 +160,7 @@ def _modules():
         zorder,
         ivf,
         pq,
+        tablelog,
     )
 
 

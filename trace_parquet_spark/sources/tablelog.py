@@ -181,3 +181,73 @@ def vacuum(table: str) -> list[str]:
                     doomed.append(rel)
                     os.remove(full)
     return sorted(doomed)
+
+
+# --------------------------------------------------------------------------
+# driver-gated query
+# --------------------------------------------------------------------------
+
+
+def tablelog_time_travel_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the table format end-to-end under the oracle gate: build
+    a logged table from orders in three commits (v0 = keys ≡ 0 mod 3,
+    v1 appends ≡ 1, v2 overwrites with ≡ 2), then aggregate each
+    version through time-traveled snapshot reads. The oracle computes
+    the same three aggregates straight from orders — agreement proves
+    append/overwrite/as-of semantics, not just that the plumbing ran.
+    The result is three scalar rows, so the collect here is a K-row
+    metadata pull (same class as the IVF centroid pulls), and the
+    scratch table is removed before returning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_q_")
+    try:
+        append(orders.filter(F.col("o_orderkey") % 3 == 0), t)
+        append(orders.filter(F.col("o_orderkey") % 3 == 1), t)
+        overwrite(orders.filter(F.col("o_orderkey") % 3 == 2), t)
+        rows = []
+        for v in (0, 1, 2):
+            agg = (
+                read_table(spark, t, as_of=v)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("c"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, agg.n, agg.c))
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_orders long, total_cents long"
+    ).orderBy("version")
+
+
+TABLELOG_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 0 AS version, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderkey % 3 = 2
+ORDER BY version
+"""
+
+QUERIES = {"tablelog_time_travel_totals": tablelog_time_travel_totals}
+ORACLES = {"tablelog_time_travel_totals": TABLELOG_SQL}
