@@ -99,6 +99,74 @@ def test_schema_evolution_reads_old_files_with_nulls(spark, tmp_path):
     assert old.schema.simpleString() == "struct<id:bigint>"
 
 
+def _ranged_base(spark, t, n=100, parts=4):
+    """Seed a table with tight per-file key ranges (range partitioning
+    is what makes the committed stats selective)."""
+    base = spark.range(n).repartitionByRange(parts, "id")
+    append(base, t, stats_col="id")
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE = update matched keys, insert unmatched, carry the rest;
+    the pre-merge snapshot stays reachable by time travel."""
+    from trace_parquet_spark.sources.tablelog import merge_upsert
+
+    t = str(tmp_path / "t")
+    _ranged_base(spark, t, n=10)
+    updates = spark.createDataFrame(
+        [(3,), (7,), (100,)], ["id"]
+    )
+    res = merge_upsert(spark, t, updates, "id")
+    assert res["version"] == 1
+    assert _ids(read_table(spark, t)) == sorted(set(range(10)) | {100})
+    assert _ids(read_table(spark, t, as_of=0)) == list(range(10))
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """Updates localized to one key range must rewrite only the files
+    whose committed [min, max] can contain them — the log-only
+    copy-on-write pruning that makes MERGE sub-table-scan at scale."""
+    from trace_parquet_spark.sources.tablelog import _read_log, merge_upsert
+
+    t = str(tmp_path / "t")
+    _ranged_base(spark, t, n=100, parts=4)
+    before_files, _, _ = _read_log(t, None)
+    assert len(before_files) == 4
+    updates = spark.createDataFrame([(1,), (5,)], ["id"])
+    res = merge_upsert(spark, t, updates, "id")
+    assert res["files_rewritten"] < 4
+    assert res["files_kept"] >= 2
+    # untouched files are carried forward BY REFERENCE, not rewritten
+    after_files, _, _ = _read_log(t, None)
+    carried = set(before_files) & set(after_files)
+    assert len(carried) == res["files_kept"]
+    assert _ids(read_table(spark, t)) == list(range(100))
+
+
+def test_merge_without_stats_rewrites_everything(spark, tmp_path):
+    """Files committed without stats can't prove they lack a matched
+    key, so MERGE must conservatively rewrite them (correctness never
+    depends on stats being present)."""
+    from trace_parquet_spark.sources.tablelog import merge_upsert
+
+    t = str(tmp_path / "t")
+    append(spark.range(10).repartitionByRange(2, "id"), t)  # no stats_col
+    res = merge_upsert(spark, t, spark.createDataFrame([(1,)], ["id"]), "id")
+    assert res["files_kept"] == 0
+    assert _ids(read_table(spark, t)) == list(range(10))
+
+
+def test_read_key_range_prunes_files(spark, tmp_path):
+    """key_range reads plan only the files whose stats overlap the
+    range (manifest pruning), then apply the exact filter on top."""
+    t = str(tmp_path / "t")
+    _ranged_base(spark, t, n=100, parts=4)
+    full = read_table(spark, t)
+    pruned = read_table(spark, t, key_range=(0, 10))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _ids(pruned) == list(range(11))
+
+
 def test_planning_reads_log_not_directory(spark, tmp_path):
     """The snapshot must plan from the log's file list: a stray
     parquet file dropped into the table dir (never committed) must not

@@ -62,8 +62,13 @@ def latest_version(table: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _read_log(table: str, as_of: int | None) -> tuple[list[str], str]:
-    """Replay commits ≤ as_of → (live files, newest schema DDL)."""
+def _read_log(
+    table: str, as_of: int | None
+) -> tuple[list[str], str, dict[str, list]]:
+    """Replay commits ≤ as_of → (live files, newest schema DDL,
+    per-file column stats). Stats are immutable alongside their files:
+    a file's [min, max] is recorded by the commit that added it and
+    never changes, so replay is a plain union keyed by path."""
     vs = _versions(table)
     if as_of is not None:
         vs = [v for v in vs if v <= as_of]
@@ -73,13 +78,15 @@ def _read_log(table: str, as_of: int | None) -> tuple[list[str], str]:
         raise ValueError(f"{table} has no committed versions")
     live: set[str] = set()
     schema = ""
+    stats: dict[str, list] = {}
     for v in vs:
         with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
             commit = json.load(fh)
         live |= {a for a in commit.get("add", [])}
         live -= {r for r in commit.get("remove", [])}
         schema = commit.get("schema") or schema
-    return sorted(live), schema
+        stats.update(commit.get("stats", {}))
+    return sorted(live), schema, stats
 
 
 def _commit(table: str, version: int, actions: dict) -> None:
@@ -109,23 +116,47 @@ def _stage_files(df: DataFrame, table: str) -> list[str]:
     ]
 
 
-def append(df: DataFrame, table: str) -> int:
+def _footer_stats(table: str, files: list[str], column: str) -> dict[str, list]:
+    """Per-file [min, max] for ``column`` from parquet FOOTER metadata
+    (no data read) — the same stats source as sources/zonemap, recorded
+    into the commit so later planners prune from the log alone. A file
+    whose footer lacks min/max maps to [None, None] (never prunable)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        idx = md.schema.names.index(column)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[rel] = [lo, hi]
+    return out
+
+
+def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     """Atomic append: new files + a commit adding them. Returns the
     committed version; raises ConcurrentWriteError on a lost race
     (the staged files stay orphaned and invisible — vacuum sweeps
-    them)."""
+    them). With ``stats_col``, per-file [min, max] of that column is
+    recorded in the commit for log-only pruning (merge, key_range)."""
     files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
-    _commit(
-        table,
-        version,
-        {"add": files, "remove": [], "schema": df.schema.json()},
-    )
+    actions = {"add": files, "remove": [], "schema": df.schema.json()}
+    if stats_col is not None:
+        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats_col"] = stats_col
+    _commit(table, version, actions)
     return version
 
 
-def overwrite(df: DataFrame, table: str) -> int:
+def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     """Atomic whole-table replace: one commit that removes every live
     file and adds the new ones — readers see the old or the new
     snapshot, never a mix."""
@@ -133,29 +164,144 @@ def overwrite(df: DataFrame, table: str) -> int:
     old = _read_log(table, None)[0] if _versions(table) else []
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
-    _commit(
-        table,
-        version,
-        {"add": files, "remove": old, "schema": df.schema.json()},
-    )
+    actions = {"add": files, "remove": old, "schema": df.schema.json()}
+    if stats_col is not None:
+        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats_col"] = stats_col
+    _commit(table, version, actions)
     return version
 
 
+def merge_upsert(
+    spark: SparkSession, table: str, updates: DataFrame, key: str
+) -> dict:
+    """Copy-on-write MERGE (upsert by ``key``): update matched rows,
+    insert unmatched ones — Delta's MERGE INTO mechanism.
+
+    The 100 TB property is *file-level pruning from the log*: only
+    files whose committed [min, max] range on ``key`` can contain a
+    matched key are rewritten; everything else is carried forward
+    untouched by reference. Touch detection is distributed — the
+    O(files) range manifest is broadcast against the updates' distinct
+    keys and only file names come back to the driver — so nothing
+    scales with the update count on the driver, and a file containing
+    a matched key is always inside its own [min, max], so pruning is
+    a safe overapproximation (files without stats are conservatively
+    rewritten). One atomic commit removes the touched files and adds
+    the rewritten ones; concurrent writers race on the version file
+    as usual.
+
+    Returns {"version", "files_rewritten", "files_kept"}.
+    """
+    from pyspark.sql import functions as F
+
+    files, schema_json, stats = _read_log(table, None)
+    ranged = [
+        (f, stats[f][0], stats[f][1])
+        for f in files
+        if f in stats and stats[f][0] is not None
+    ]
+    unknown = [f for f in files if f not in stats or stats[f][0] is None]
+    touched = set(unknown)
+    if ranged:
+        manifest = spark.createDataFrame(
+            ranged, ["file", "lo", "hi"]
+        )
+        hit = (
+            updates.select(F.col(key).alias("_k"))
+            .distinct()
+            .join(
+                F.broadcast(manifest),
+                (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        )
+        touched |= {r.file for r in hit}
+    kept = [f for f in files if f not in touched]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    if touched:
+        old = spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in sorted(touched)]
+        )
+        merged = old.join(updates, on=key, how="left_anti").unionByName(
+            updates.select(*schema.fieldNames())
+        )
+    else:
+        merged = updates.select(*schema.fieldNames())
+    new_files = _stage_files(merged, table)
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": new_files,
+            "remove": sorted(touched),
+            "schema": schema_json,
+            "stats": _footer_stats(table, new_files, key),
+            "stats_col": key,
+        },
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_kept": len(kept),
+    }
+
+
 def read_table(
-    spark: SparkSession, table: str, as_of: int | None = None
+    spark: SparkSession,
+    table: str,
+    as_of: int | None = None,
+    key_range: tuple | None = None,
 ) -> DataFrame:
     """Snapshot read, optionally time-traveled to ``as_of``. Plans
     from the log's file list — no directory listing — and applies the
     snapshot's schema so additively-evolved tables read old files
-    with nulls in the new columns."""
-    files, schema_json = _read_log(table, as_of)
+    with nulls in the new columns.
+
+    ``key_range=(lo, hi)`` prunes files by the [min, max] stats the
+    commits recorded for their stats_col BEFORE Spark plans the scan
+    (log-only data skipping — the Delta/Iceberg manifest-pruning
+    move), then applies the exact predicate on top so results never
+    depend on stats for correctness."""
+    files, schema_json, stats = _read_log(table, as_of)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(schema_json))
+    pred_col = None
+    if key_range is not None:
+        lo, hi = key_range
+        # the newest commit that declared a stats_col names the key
+        for v in reversed(_versions(table)):
+            with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+                c = json.load(fh)
+            if c.get("stats_col"):
+                pred_col = c["stats_col"]
+                break
+        if pred_col is None:
+            raise ValueError(f"{table} has no stats_col committed to prune on")
+        files = [
+            f
+            for f in files
+            if f not in stats
+            or stats[f][0] is None
+            or not (stats[f][1] < lo or stats[f][0] > hi)
+        ]
     paths = [os.path.join(table, f) for f in files]
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
+    if pred_col is not None:
+        from pyspark.sql import functions as F
+
+        lo, hi = key_range
+        df = df.filter(F.col(pred_col).between(lo, hi))
+    return df
 
 
 def vacuum(table: str) -> list[str]:
@@ -249,5 +395,89 @@ SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderkey % 3 = 2
 ORDER BY version
 """
 
-QUERIES = {"tablelog_time_travel_totals": tablelog_time_travel_totals}
-ORACLES = {"tablelog_time_travel_totals": TABLELOG_SQL}
+def tablelog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive copy-on-write MERGE under the oracle gate: seed a logged
+    table with the even-keyed orders range-partitioned on o_orderkey
+    (tight per-file key ranges → prunable), then upsert a batch that
+    updates every key ≡ 0 (mod 10) (+11 cents) and inserts every key
+    ≡ 5 (mod 10) (absent from the even-keyed base). The final snapshot
+    is aggregated by o_orderkey % 3; the oracle replays the merge as
+    plain SQL over orders — agreement proves matched-update, unmatched-
+    insert, and carried-forward-untouched semantics together. The
+    file-pruning behavior (files_kept > 0 on range-localized updates)
+    is pinned separately in tests/test_tablelog.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_m_")
+    try:
+        base = orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            6, "o_orderkey"
+        )
+        append(base, t, stats_col="o_orderkey")
+        updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", (F.col("cents") + 11).alias("cents")
+        ).unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 5).select(
+                "o_orderkey", "cents"
+            )
+        )
+        merge_upsert(spark, t, updates, "o_orderkey")
+        out = (
+            read_table(spark, t)
+            .groupBy((F.col("o_orderkey") % 3).alias("bucket"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bucket long, n_rows long, total_cents long"
+    ).orderBy("bucket")
+
+
+TABLELOG_MERGE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), merged AS (
+  SELECT o_orderkey, cents FROM o
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, cents + 11 FROM o WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, cents FROM o WHERE o_orderkey % 10 = 5
+)
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM merged
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "tablelog_time_travel_totals": tablelog_time_travel_totals,
+    "tablelog_merge_upsert": tablelog_merge_upsert,
+}
+ORACLES = {
+    "tablelog_time_travel_totals": TABLELOG_SQL,
+    "tablelog_merge_upsert": TABLELOG_MERGE_SQL,
+}
