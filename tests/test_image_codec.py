@@ -291,3 +291,89 @@ def test_property_y4m_roundtrip(n, h, w, seed):
     assert (got_w, got_h) == (w, h)
     assert got.shape == frames.shape
     assert (got == frames).all()
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_identity_rgb_and_grey():
+    """DEFLATE + all five scanline filters must reproduce every pixel;
+    heights ≥ 5 force each filter type (encoder uses filter y % 5)."""
+    from trace_parquet_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(rgb)), rgb)
+    grey = rng.integers(0, 256, size=(8, 13), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(grey)), grey)
+
+
+def test_png_roundtrip_property_shapes():
+    from trace_parquet_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (1, 17), (6, 1), (5, 5), (16, 16), (23, 3)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(px)), px), (h, w)
+
+
+def test_png_gradient_compresses_and_roundtrips():
+    """A smooth gradient is the filters' best case — the container
+    must come out smaller than the raw raster AND still be lossless
+    (compression is real, not a stored block)."""
+    from trace_parquet_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    px = np.stack([(x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256], axis=-1)
+    px = px.astype(np.uint8)
+    blob = encode_png(px)
+    assert len(blob) < px.nbytes
+    assert np.array_equal(decode_image(blob), px)
+
+
+def test_png_crc_corruption_rejected():
+    from trace_parquet_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    blob = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    # flip one bit inside the IDAT payload — CRC must catch it
+    idat_at = bytes(blob).index(b"IDAT")
+    blob[idat_at + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(blob))
+
+
+def test_png_unsupported_features_rejected():
+    import struct
+    import zlib
+
+    from trace_parquet_spark.operators.multimodal import _decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # interlaced (Adam7) flag set
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="non-interlaced"):
+        _decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # palette color type
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="grey/truecolor"):
+        _decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))

@@ -4,9 +4,10 @@ Mirrors how a 100 TB multimodal corpus is laid out: one ``binary``
 column per modality plus a metadata struct, processed by
 Arrow-batched ``mapInPandas`` stages. The decode step is REAL for the
 uncompressed formats a pure-numpy decoder can handle — binary PPM/PGM
-(P6/P5) and uncompressed 24-bit BMP via ``decode_image`` — and the
-same seam accepts a compressed-codec library (Pillow/ffmpeg) when one
-is present:
+(P6/P5) and uncompressed 24-bit BMP via ``decode_image`` — AND for one
+real compressed format: baseline PNG (stdlib zlib DEFLATE + all five
+scanline filters, pure numpy otherwise). The same seam accepts a
+full codec library (Pillow/ffmpeg) when one is present:
 
 - ``decode_image`` sniffs the magic bytes and returns an H×W×C uint8
   numpy array (the contract a real codec stage would satisfy);
@@ -154,6 +155,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_ppm(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     raise ValueError(f"unrecognized image magic {b[:2]!r}")
 
 
@@ -190,6 +193,146 @@ def encode_bmp(px: np.ndarray) -> bytes:
         + (0).to_bytes(4, "little") * 2
     )
     return header + body
+
+
+# --------------------------------------------------------------------------
+# PNG codec: pure numpy + stdlib zlib — a real COMPRESSED image format.
+# Baseline subset: 8-bit greyscale (color type 0) and truecolor (2),
+# no interlace, all five scanline filters (None/Sub/Up/Average/Paeth).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(px: np.ndarray, level: int = 6) -> bytes:
+    """H×W×3 (truecolor) or H×W (greyscale) uint8 → PNG. Each scanline
+    uses filter ``y % 5``, so a round-trip exercises every filter type
+    the decoder implements, not just the trivial one."""
+    import struct
+    import zlib
+
+    grey = px.ndim == 2
+    h, w = px.shape[:2]
+    bpp = 1 if grey else 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if grey else 2, 0, 0, 0)
+    raw = px.reshape(h, w * bpp).astype(np.int16)
+    lines = []
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            filt = cur - _paeth_pred(left, prior, up_left)
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    idat = zlib.compress(b"".join(lines), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG (8-bit grey/truecolor, non-interlaced) → H×W[×3] uint8.
+    Walks the chunk stream with CRC verification, inflates IDAT, and
+    unfilters each scanline: Up and Sub are vectorized (Sub via
+    modular cumsum — addition mod 256 telescopes), Average/Paeth walk
+    the scanline (their predictors consume just-reconstructed bytes,
+    inherently sequential)."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    idat = bytearray()
+    w = h = ctype = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if crc != zlib.crc32(typ + data):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2) or comp or filt or inter:
+                raise ValueError(
+                    "only 8-bit grey/truecolor non-interlaced PNG supported"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 1 if ctype == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        line = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:
+            recon = (np.cumsum(line.reshape(-1, bpp), axis=0) % 256).reshape(-1)
+        elif ftype == 2:
+            recon = (line + prior) % 256
+        elif ftype == 3:
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + (left + prior[x]) // 2) % 256
+        elif ftype == 4:
+            recon = line.copy()
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + _paeth_pred(a, prior[x], c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon.astype(np.int32)
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
 
 
 def fake_decode_features(blobs: DataFrame) -> DataFrame:
@@ -445,6 +588,104 @@ WITH d AS (
 )
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT)       AS channels,
+       CAST(sum(CASE WHEN ch = 0 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_r_micro,
+       CAST(sum(CASE WHEN ch = 1 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_g_micro,
+       CAST(sum(CASE WHEN ch = 2 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_b_micro,
+       md5(string_agg(hb, '' ORDER BY p)) AS pixel_md5
+FROM byt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-format twin of ``image_decode_roundtrip``: the
+    same deterministic 16×16 RGB render of each document's bytes, but
+    serialized through the real PNG codec — zlib DEFLATE plus all five
+    scanline filters (the encoder cycles filter y % 5) — and decoded
+    back through the magic-bytes seam. The DuckDB oracle re-derives the
+    channel means + pixel md5 from the text bytes without ever seeing a
+    PNG container, so a hash match certifies DEFLATE round-trip and
+    every filter's unfilter path pixel-for-pixel. Same Arrow-batched
+    two-stage mapInPandas shape as the uncompressed codecs: no shuffle
+    between encode and decode, payloads never leave the executor."""
+    import hashlib
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append("png")
+                out["payload"].append(encode_png(_cycle_pixels(data)))
+            yield pd.DataFrame(out)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "channels",
+                "mean_r_micro", "mean_g_micro", "mean_b_micro", "pixel_md5",
+            )}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                px = decode_image(payload)
+                h, w, c = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_r_micro"].append(int(sums[0]) * 1_000_000 // (h * w))
+                out["mean_g_micro"].append(int(sums[1]) * 1_000_000 // (h * w))
+                out["mean_b_micro"].append(int(sums[2]) * 1_000_000 // (h * w))
+                out["pixel_md5"].append(
+                    hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+        .select("doc_id", "text")
+    )
+    blobs = docs.mapInPandas(encode, _IMG_SCHEMA)
+    return blobs.mapInPandas(decode, _ROUNDTRIP_SCHEMA).orderBy("doc_id")
+
+
+# Identical container-free derivation as IMAGE_ROUNDTRIP_SQL — the
+# oracle's pixel stats depend only on the render, never the codec, so
+# reusing the derivation with fmt='png' is exactly the point: the PNG
+# encode→decode chain must reproduce the same pixels the uncompressed
+# codecs do.
+PNG_ROUNDTRIP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         lower(hex(encode(text)))   AS hx
+  FROM documents WHERE length(text) > 0
+), px AS (
+  SELECT doc_id, L, hx, unnest(generate_series(0, {_IMG_BYTES - 1})) AS p
+  FROM d
+), byt AS (
+  SELECT doc_id, p, p % 3 AS ch,
+         substr(hx, 2 * (p % L) + 1, 2) AS hb
+  FROM px
+)
+SELECT doc_id,
+       'png' AS fmt,
        CAST({IMG_W} AS BIGINT) AS width,
        CAST({IMG_H} AS BIGINT) AS height,
        CAST(3 AS BIGINT)       AS channels,
@@ -835,6 +1076,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_decode_roundtrip": image_decode_roundtrip,
+    "png_decode_roundtrip": png_decode_roundtrip,
     "audio_decode_roundtrip": audio_decode_roundtrip,
     "video_decode_roundtrip": video_decode_roundtrip,
 }
@@ -842,6 +1084,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "image_decode_roundtrip": IMAGE_ROUNDTRIP_SQL,
+    "png_decode_roundtrip": PNG_ROUNDTRIP_SQL,
     "audio_decode_roundtrip": AUDIO_ROUNDTRIP_SQL,
     "video_decode_roundtrip": VIDEO_ROUNDTRIP_SQL,
 }
