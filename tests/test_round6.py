@@ -75,3 +75,40 @@ def test_lateral_decorrelates(spark, sf_dir):
     plan = _plan(subqueries.lateral_top_order_per_customer(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_ranks_target_like_docs_higher(spark, tmp_path):
+    """DSIR weight must order raw docs by target-vocabulary affinity:
+    a raw doc written in the target domain's vocabulary outranks one
+    with disjoint vocabulary."""
+    import pandas as pd
+
+    from trace_parquet_spark.operators.mixture import DSIR_K, dsir_select_docs
+
+    rows = []
+    # target corpus (src0/src1): "alpha beta gamma" vocabulary
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha beta", "en", "src0", 0))
+    # raw pool: doc 100 speaks the target vocabulary, 101.. do not
+    rows.append((100, "alpha beta gamma beta alpha", "en", "src2", 0))
+    for i in range(101, 120):
+        rows.append((i, "zot qux flim blorp wibble", "en", "src3", 0))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    out = dsir_select_docs(spark, sf).collect()
+    assert out, "selection must be non-empty"
+    assert out[0]["doc_id"] == 100  # target-like doc wins
+    assert out[0]["weight_micro"] > out[-1]["weight_micro"]
+    assert len(out) <= DSIR_K
+
+
+def test_dsir_plan_is_topk_not_global_sort(spark, sf_dir):
+    from trace_parquet_spark.operators.mixture import dsir_select_docs
+
+    plan = dsir_select_docs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # all-native pipeline: no Python eval anywhere in the plan
+    assert "EvalPython" not in plan

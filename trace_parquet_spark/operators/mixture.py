@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
+from ..functions.text import tokens_sql
 from ..sources.registry import load_table
 from ..session import track_cache
 
@@ -235,11 +236,139 @@ ORDER BY t.source
 """
 
 
+DSIR_D = 64  # hashed-feature buckets
+DSIR_K = 50  # docs selected from the raw pool
+# target domain: the curated sources the raw pool should look like
+_DSIR_TARGET = ("src0", "src1")
+
+
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023, public): score every raw-pool document by how much more
+    likely its hashed-unigram features are under a target-domain
+    bag-of-features model than under the raw-pool model, and keep the
+    top-K. Deterministic variant: the stochastic Gumbel resampling step
+    is replaced by exact top-K on the importance weight, so engines
+    agree row-for-row.
+
+    Math (cross-engine exact): features are stable_hash32(token) mod
+    D. With per-bucket token counts ct/cr over target/raw corpora and
+    totals Nt/Nr, the add-one-smoothed log-likelihood ratio per bucket
+    is llr(b) = ln((ct+1)(Nr+D) / ((cr+1)(Nt+D))) — integer products
+    collapsed into ONE double division, quantized to micro-nats
+    (the pmi_token_pairs libm-parity treatment). A document's weight
+    is Σ_b n_b(doc)·llr6(b): an exact int64 dot product of its bucket
+    counts with the quantized ratio vector.
+
+    Scale: one token explode + one (doc_id, bucket) partial-agg
+    shuffle for the whole corpus; the bucket statistics relation is D
+    rows (broadcast), and selection is orderBy().limit(K) —
+    TakeOrderedAndProject, never a data-sized single partition."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    dbc = track_cache(
+        docs.select(
+            "doc_id",
+            F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "is_target",
+            F.pmod(stable_hash32(F.col("tok")), F.lit(DSIR_D)).alias("b"),
+        )
+        .groupBy("doc_id", "is_target", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = (
+        dbc.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+                "ct"
+            ),
+            F.sum(F.when(~F.col("is_target"), F.col("c")).otherwise(0)).alias(
+                "cr"
+            ),
+        )
+    )
+    totals = stats.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    llr = stats.join(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + DSIR_D)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + DSIR_D)).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("llr6"),
+    )
+    weights = (
+        dbc.filter(~F.col("is_target"))
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("llr6")).cast("long").alias("weight_micro"))
+    )
+    return (
+        weights.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(DSIR_K)
+        .select("doc_id", "source", "weight_micro")
+    )
+
+
+DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source IN {_DSIR_TARGET} AS is_target,
+         unnest({tokens_sql("text")}) AS tok
+  FROM documents
+), dbc AS (
+  SELECT doc_id, is_target,
+         ({stable_hash32_sql("tok")}) % {DSIR_D} AS b,
+         count(*) AS c
+  FROM tok WHERE tok <> ''
+  GROUP BY doc_id, is_target, b
+), stats AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS cr
+  FROM dbc GROUP BY b
+), totals AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats
+), llr AS (
+  SELECT b,
+         CAST(floor(ln(CAST((ct + 1) * (nr + {DSIR_D}) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + {DSIR_D}) AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS llr6
+  FROM stats CROSS JOIN totals
+), weights AS (
+  SELECT d.doc_id, CAST(sum(d.c * l.llr6) AS BIGINT) AS weight_micro
+  FROM dbc d JOIN llr l ON d.b = l.b
+  WHERE NOT d.is_target
+  GROUP BY d.doc_id
+)
+SELECT w.doc_id, doc.source, w.weight_micro
+FROM weights w JOIN documents doc ON w.doc_id = doc.doc_id
+ORDER BY w.weight_micro DESC, w.doc_id
+LIMIT {DSIR_K}
+"""
+
+
 QUERIES = {
     "mixture_sample_docs": mixture_sample_docs,
     "temperature_mixture_sample": temperature_mixture_sample,
+    "dsir_select_docs": dsir_select_docs,
 }
 ORACLES = {
     "mixture_sample_docs": MIXTURE_SQL,
     "temperature_mixture_sample": TEMPERATURE_SQL,
+    "dsir_select_docs": DSIR_SQL,
 }

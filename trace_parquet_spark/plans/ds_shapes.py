@@ -274,11 +274,114 @@ ORDER BY n_name, month
 """
 
 
+def group_having_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape: aggregate the fact table per customer,
+    keep only groups whose count lands in a band (HAVING BETWEEN),
+    then join the surviving keys back to the dimension for display
+    attributes. The HAVING runs on the aggregate BEFORE the dimension
+    join, so the join input is the filtered group list, not the fact
+    table — at scale the band filter is what makes the join small."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    grp = (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders").between(3, 6))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        grp.join(cust, grp.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "n_orders")
+        .orderBy(F.desc("n_orders"), "c_custkey")
+    )
+
+
+GROUP_HAVING_SQL = """
+WITH grp AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_custkey
+  HAVING count(*) BETWEEN 3 AND 6
+)
+SELECT c.c_custkey, c.c_name, CAST(g.n_orders AS BIGINT) AS n_orders
+FROM grp g JOIN customer c ON g.o_custkey = c.c_custkey
+ORDER BY n_orders DESC, c_custkey
+"""
+
+
+def channel_overlap_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 shape: which customers bought through channel A,
+    channel B, or both — a FULL OUTER join of two per-channel distinct
+    key sets, reduced to three overlap counts. Here the channels are
+    urgent-priority vs low-priority orders. The full outer join is the
+    operator under test (the rest of the join surface covers inner/
+    semi/anti/range/asof); both sides arrive pre-deduplicated, so the
+    join is key-to-key, shuffled on the same key, and AQE-coalesced."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+
+    def chan(pred):
+        return orders.filter(pred).select("o_custkey").distinct()
+
+    a = chan(F.col("o_orderpriority") == "1-URGENT").withColumnRenamed(
+        "o_custkey", "a_key"
+    )
+    b = chan(F.col("o_orderpriority") == "5-LOW").withColumnRenamed(
+        "o_custkey", "b_key"
+    )
+    joined = a.join(b, a.a_key == b.b_key, "full_outer")
+    return joined.agg(
+        F.count(
+            F.when(F.col("a_key").isNotNull() & F.col("b_key").isNull(), 1)
+        )
+        .cast("long")
+        .alias("only_urgent"),
+        F.count(
+            F.when(F.col("a_key").isNull() & F.col("b_key").isNotNull(), 1)
+        )
+        .cast("long")
+        .alias("only_low"),
+        F.count(
+            F.when(F.col("a_key").isNotNull() & F.col("b_key").isNotNull(), 1)
+        )
+        .cast("long")
+        .alias("both_channels"),
+    )
+
+
+CHANNEL_OVERLAP_SQL = """
+WITH a AS (
+  SELECT DISTINCT o_custkey AS a_key FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), b AS (
+  SELECT DISTINCT o_custkey AS b_key FROM orders
+  WHERE o_orderpriority = '5-LOW'
+)
+SELECT count(CASE WHEN a_key IS NOT NULL AND b_key IS NULL THEN 1 END)
+         AS only_urgent,
+       count(CASE WHEN a_key IS NULL AND b_key IS NOT NULL THEN 1 END)
+         AS only_low,
+       count(CASE WHEN a_key IS NOT NULL AND b_key IS NOT NULL THEN 1 END)
+         AS both_channels
+FROM a FULL OUTER JOIN b ON a.a_key = b.b_key
+"""
+
+
 QUERIES = {
     "rollup_rank_mfgr_brand": rollup_rank_mfgr_brand,
     "channel_union_rollup": channel_union_rollup,
     "multi_band_counts": multi_band_counts,
     "cumulative_channel_compare": cumulative_channel_compare,
+    "group_having_frequent_buyers": group_having_frequent_buyers,
+    "channel_overlap_full_outer": channel_overlap_full_outer,
 }
 
 ORACLES = {
@@ -286,4 +389,6 @@ ORACLES = {
     "channel_union_rollup": CHANNEL_UNION_SQL,
     "multi_band_counts": MULTI_BAND_SQL,
     "cumulative_channel_compare": CUM_CHANNEL_SQL,
+    "group_having_frequent_buyers": GROUP_HAVING_SQL,
+    "channel_overlap_full_outer": CHANNEL_OVERLAP_SQL,
 }
