@@ -108,6 +108,14 @@ HEADLINE = [
     "salted_join_priority_rollup",
     "dedup_substring_spans",
     "split_leakage_free",
+    # round-9 additions: lakehouse ops, compressed codec, DSIR,
+    # full-outer + having-band DS shapes
+    "tablelog_time_travel_totals",
+    "tablelog_merge_upsert",
+    "png_decode_roundtrip",
+    "dsir_select_docs",
+    "group_having_frequent_buyers",
+    "channel_overlap_full_outer",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -153,6 +153,103 @@ ORDER BY day
 """
 
 
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback, epoch-µs grid
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase credits
+    its revenue to the user's most recent preceding non-purchase event
+    (the "touch") within a 7-day lookback; purchases with no touch in
+    the window are 'direct'. Output: revenue and purchase count per
+    attributed channel.
+
+    Single window pass, no events⋈events self-join (the same
+    no-self-join discipline as pit_features_7d): per user, in (ts,
+    event_id) order, carry the last non-purchase (ts, type) forward
+    with last(..., ignoreNulls) over rows [unbounded, -1] — the -1
+    bound excludes the current row, so a purchase can never attribute
+    to itself even under timestamp ties. Window recency is compared on
+    the exact epoch-µs grid (unix_micros / epoch_us in the oracle).
+
+    Scale: one shuffle on user_id for the window, then a 5-row agg;
+    revenue stays exact integer cents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("tus"),
+                F.col("event_type").alias("tt"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch").isNotNull()
+                & (
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.col("touch.tus")
+                    <= F.lit(ATTR_WINDOW_US)
+                ),
+                F.col("touch.tt"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events
+), touched AS (
+  SELECT event_id, event_type, value, epoch_us(ts) AS pus,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tus,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tt
+  FROM ev
+)
+SELECT CASE WHEN tus IS NOT NULL AND pus - tus <= {ATTR_WINDOW_US}
+            THEN tt ELSE 'direct' END AS channel,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY channel
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_click_before_purchase": asof_click_before_purchase,
@@ -160,6 +257,7 @@ QUERIES = {
     "sliding_window_events": sliding_window_events,
     "session_window_events": session_window_events,
     "max_daily_concurrency": max_daily_concurrency,
+    "attribution_last_touch": attribution_last_touch,
 }
 
 ORACLES = {
@@ -169,4 +267,5 @@ ORACLES = {
     "sliding_window_events": SLIDING_SQL,
     "session_window_events": SESSION_WINDOW_SQL,
     "max_daily_concurrency": CONCURRENCY_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
 }
