@@ -178,3 +178,45 @@ def test_planning_reads_log_not_directory(spark, tmp_path):
     spark.range(900, 903).write.parquet(stray)
     # rename a part file to look exactly like a committed one
     assert _ids(read_table(spark, t)) == [0, 1, 2]
+
+
+def test_optimize_compacts_preserving_snapshots(spark, tmp_path):
+    """OPTIMIZE folds the live file set into target_files in one
+    commit; content is unchanged, prior versions stay time-travelable,
+    vacuum keeps their files, and clustering (log stats) is restored
+    so key_range pruning works on the compacted layout."""
+    from trace_parquet_spark.sources.tablelog import (
+        _read_log,
+        optimize_table,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 40, 80):  # 3 commits × 2 files = 6 live files
+        append(
+            spark.range(lo, lo + 40).repartitionByRange(2, "id"),
+            t,
+            stats_col="id",
+        )
+    before, _, _ = _read_log(t, None)
+    assert len(before) == 6
+    res = optimize_table(spark, t, target_files=2)
+    assert res == {"version": 3, "files_before": 6, "files_after": 2}
+    assert _ids(read_table(spark, t)) == list(range(120))
+    # time travel across the optimize boundary
+    assert _ids(read_table(spark, t, as_of=1)) == list(range(80))
+    assert vacuum(t) == []  # old files still referenced by v0-v2
+    # compaction range-partitioned on the stats col → pruning selective
+    pruned = read_table(spark, t, key_range=(0, 10))
+    assert len(pruned.inputFiles()) == 1
+    assert _ids(pruned) == list(range(11))
+
+
+def test_optimize_without_stats_coalesces(spark, tmp_path):
+    from trace_parquet_spark.sources.tablelog import optimize_table
+
+    t = str(tmp_path / "t")
+    append(spark.range(10).repartition(4), t)
+    append(spark.range(10, 20).repartition(4), t)
+    res = optimize_table(spark, t, target_files=1)
+    assert res["files_after"] == 1
+    assert _ids(read_table(spark, t)) == list(range(20))

@@ -253,6 +253,58 @@ def merge_upsert(
     }
 
 
+def _committed_stats_col(table: str) -> str | None:
+    """The newest commit that declared a stats column names the key."""
+    for v in reversed(_versions(table)):
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        if c.get("stats_col"):
+            return c["stats_col"]
+    return None
+
+
+def optimize_table(
+    spark: SparkSession, table: str, target_files: int
+) -> dict:
+    """OPTIMIZE / bin-pack: rewrite the live snapshot into
+    ``target_files`` files with ONE commit (remove all live files, add
+    the compacted ones) — the small-files remedy for streaming/merge-
+    heavy tables. Snapshot content is unchanged by construction;
+    every prior version stays time-travelable because the old files
+    remain referenced by their original commits (vacuum keeps them).
+
+    When the table carries a stats column the rewrite range-partitions
+    on it, so compaction RESTORES clustering: post-optimize files have
+    tight disjoint key ranges and the log stats become maximally
+    selective again (the reason Delta's OPTIMIZE pairs with ZORDER).
+    Returns {"version", "files_before", "files_after"}."""
+    files, schema_json, _stats = _read_log(table, None)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, f) for f in files]
+    )
+    stats_col = _committed_stats_col(table)
+    if stats_col is not None:
+        df = df.repartitionByRange(target_files, stats_col)
+    else:
+        df = df.coalesce(target_files)
+    new_files = _stage_files(df, table)
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    actions = {"add": new_files, "remove": files, "schema": schema_json}
+    if stats_col is not None:
+        actions["stats"] = _footer_stats(table, new_files, stats_col)
+        actions["stats_col"] = stats_col
+    _commit(table, version, actions)
+    return {
+        "version": version,
+        "files_before": len(files),
+        "files_after": len(new_files),
+    }
+
+
 def read_table(
     spark: SparkSession,
     table: str,
@@ -276,13 +328,7 @@ def read_table(
     pred_col = None
     if key_range is not None:
         lo, hi = key_range
-        # the newest commit that declared a stats_col names the key
-        for v in reversed(_versions(table)):
-            with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-                c = json.load(fh)
-            if c.get("stats_col"):
-                pred_col = c["stats_col"]
-                break
+        pred_col = _committed_stats_col(table)
         if pred_col is None:
             raise ValueError(f"{table} has no stats_col committed to prune on")
         files = [
