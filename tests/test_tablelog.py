@@ -220,3 +220,53 @@ def test_optimize_without_stats_coalesces(spark, tmp_path):
     res = optimize_table(spark, t, target_files=1)
     assert res["files_after"] == 1
     assert _ids(read_table(spark, t)) == list(range(20))
+
+
+def test_change_feed_insert_update_delete_and_silence(spark, tmp_path):
+    """The derived CDF must classify inserts/updates/deletes and stay
+    SILENT about rows a copy-on-write rewrite merely carried over."""
+    from trace_parquet_spark.sources.tablelog import change_feed, overwrite
+
+    t = str(tmp_path / "t")
+    v0 = spark.range(10).select("id", (F.col("id") * 10).alias("val"))
+    append(v0, t)
+    # v1: drop 0-4, keep 5-9 (7 modified), add 10-14
+    v1 = (
+        spark.range(5, 15)
+        .select(
+            "id",
+            F.when(F.col("id") == 7, F.lit(777))
+            .otherwise(F.col("id") * 10)
+            .alias("val"),
+        )
+    )
+    overwrite(v1, t)
+    feed = change_feed(spark, t, 0, 1, "id").collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r.change_type, []).append((r.id, r.val))
+    assert sorted(by_type["delete"]) == [(i, i * 10) for i in range(5)]
+    assert sorted(by_type["insert"]) == [(i, i * 10) for i in range(10, 15)]
+    assert by_type["update"] == [(7, 777)]
+    # carried-over rows (5, 6, 8, 9) must not appear at all
+    assert len(feed) == 11
+
+
+def test_change_feed_ignores_transient_files(spark, tmp_path):
+    """A file added and removed INSIDE the interval (e.g. by an
+    intermediate optimize) nets out — the feed diffs interval
+    endpoints, not every commit."""
+    from trace_parquet_spark.sources.tablelog import (
+        change_feed,
+        optimize_table,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark.range(10).select("id", (F.col("id") * 2).alias("val")), t)
+    append(
+        spark.range(10, 20).select("id", (F.col("id") * 2).alias("val")), t
+    )  # v1
+    optimize_table(spark, t, target_files=1)  # v2: pure rewrite
+    feed = change_feed(spark, t, 0, 2, "id").collect()
+    assert {r.change_type for r in feed} == {"insert"}
+    assert sorted(r.id for r in feed) == list(range(10, 20))

@@ -208,11 +208,96 @@ ORDER BY user_id, event_id
 """
 
 
+WAU_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, rolling 7-day WAU, and DAU/WAU stickiness per day — the
+    product-analytics staple whose naive form is a rolling COUNT
+    DISTINCT (not decomposable over a window frame).
+
+    Exact distributed form with CONSTANT fan-out: dedup events to
+    (user, day) once, then each active day d covers the 7 report days
+    [d, d+6] — explode to (user, covered_day), dedup again, count.
+    Every step is a hash aggregation; the expansion factor is exactly
+    WAU_DAYS regardless of data size, so the plan survives any
+    scale-up (contrast: a day×day range join grows with days²; a
+    window over per-user day arrays grows with user history).
+    Stickiness is an exact integer per-mille. Report days are clipped
+    to the observed day range so trailing partial windows don't leak
+    past the data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct()
+    bounds = user_days.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    covered = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), WAU_DAYS - 1),
+                )
+            ).alias("rday"),
+        )
+        .distinct()
+        .groupBy("rday")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    dau = user_days.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    return (
+        covered.join(dau, covered.rday == dau.day, "inner")
+        .join(F.broadcast(bounds))
+        .filter(F.col("rday").between(F.col("lo"), F.col("hi")))
+        .select(
+            F.col("rday").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau") * 1000 / F.col("wau"))
+            .cast("long")
+            .alias("stickiness_mille"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_SQL = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM user_days
+), covered AS (
+  SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS rday
+  FROM user_days, unnest(generate_series(0, {WAU_DAYS - 1})) AS t(off)
+), wau AS (
+  SELECT rday, count(*) AS wau FROM covered GROUP BY rday
+), dau AS (
+  SELECT day, count(*) AS dau FROM user_days GROUP BY day
+)
+SELECT CAST(w.rday AS TIMESTAMP) AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_mille
+FROM wau w
+JOIN dau d ON w.rday = d.day
+CROSS JOIN bounds b
+WHERE w.rday BETWEEN b.lo AND b.hi
+ORDER BY day
+"""
+
+
 QUERIES = {
     "gapfill_daily_user_counts": gapfill_daily_user_counts,
     "window_analytics_suite": window_analytics_suite,
     "histogram_part_prices": histogram_part_prices,
     "locf_forward_fill": locf_forward_fill,
+    "rolling_active_users": rolling_active_users,
 }
 
 ORACLES = {
@@ -220,4 +305,5 @@ ORACLES = {
     "window_analytics_suite": WINDOW_SUITE_SQL,
     "histogram_part_prices": HISTOGRAM_SQL,
     "locf_forward_fill": LOCF_SQL,
+    "rolling_active_users": ROLLING_ACTIVE_SQL,
 }

@@ -350,6 +350,80 @@ def read_table(
     return df
 
 
+def change_feed(
+    spark: SparkSession, table: str, from_v: int, to_v: int, key: str
+) -> DataFrame:
+    """Row-level change feed between two committed versions (Delta's
+    CDF, derived rather than stored): replay the log over (from_v,
+    to_v], net out files both added and removed inside the interval
+    (transient — no visible effect), then diff the net-removed rows
+    against the net-added rows with one full outer join on ``key``:
+
+    - key only on the new side → ``insert``
+    - key only on the old side → ``delete``
+    - key on both sides, payload differs → ``update`` (post-image)
+    - payload identical → no change row — this is the point: a
+      copy-on-write MERGE rewrites whole files, so carried-over rows
+      reappear in added files; the diff is what turns file-level
+      commits back into row-level changes.
+
+    Assumes ``key`` is unique per snapshot (the MERGE invariant).
+    Scale: reads only the files the interval's commits touched, and
+    the join shuffles exactly those rows on the key."""
+    vs = [v for v in _versions(table) if from_v < v <= to_v]
+    added: set[str] = set()
+    removed: set[str] = set()
+    for v in vs:
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        added |= set(c.get("add", []))
+        removed |= set(c.get("remove", []))
+    net_added = added - removed
+    net_removed = removed - added
+    _files, schema_json, _stats = _read_log(table, to_v)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    cols = schema.fieldNames()
+    payload = [c for c in cols if c != key]
+
+    def _load(rels: set[str]) -> DataFrame:
+        if not rels:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in sorted(rels)]
+        )
+
+    old = _load(net_removed).select(
+        F.col(key).alias("_ok"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_op"),
+    )
+    new = _load(net_added).select(
+        F.col(key).alias("_nk"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_np"),
+    )
+    j = old.join(new, old._ok == new._nk, "full_outer")
+    change = (
+        F.when(F.col("_ok").isNull(), F.lit("insert"))
+        .when(F.col("_nk").isNull(), F.lit("delete"))
+        .when(F.col("_op") != F.col("_np"), F.lit("update"))
+    )
+    out = (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            F.coalesce(F.col("_nk"), F.col("_ok")).alias(key),
+            # post-image for insert/update, pre-image for delete
+            F.coalesce(F.col("_np"), F.col("_op")).alias("_img"),
+        )
+    )
+    return out.select(
+        "change_type", key, *[F.col(f"_img.{c}").alias(c) for c in payload]
+    )
+
+
 def vacuum(table: str) -> list[str]:
     """Delete data files no commit references (failed writers' orphans
     and overwritten files). Never touches files live at ANY version
@@ -519,11 +593,82 @@ ORDER BY bucket
 """
 
 
+def tablelog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the derived change feed under the oracle gate: the same
+    seed + MERGE recipe as tablelog_merge_upsert (base = even keys;
+    update keys ≡ 0 mod 10 with +11 cents; insert keys ≡ 5 mod 10),
+    then summarize change_feed(v0 → v1) per change type. Agreement
+    with the SQL replay proves the feed reports exactly the upserted
+    rows — carried-over rows rewritten by copy-on-write must NOT
+    appear (deletes are structurally zero here, and any carried row
+    leaking through would inflate the update bucket)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_c_")
+    try:
+        base = orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            6, "o_orderkey"
+        )
+        append(base, t, stats_col="o_orderkey")
+        updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", (F.col("cents") + 11).alias("cents")
+        ).unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 5).select(
+                "o_orderkey", "cents"
+            )
+        )
+        merge_upsert(spark, t, updates, "o_orderkey")
+        out = (
+            change_feed(spark, t, 0, 1, "o_orderkey")
+            .groupBy("change_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("change_type")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_type string, n_rows long, total_cents long"
+    ).orderBy("change_type")
+
+
+TABLELOG_CDF_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'insert' AS change_type, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 10 = 5
+UNION ALL
+SELECT 'update', count(*), CAST(sum(cents + 11) AS BIGINT)
+FROM o WHERE o_orderkey % 10 = 0
+ORDER BY change_type
+"""
+
+
 QUERIES = {
     "tablelog_time_travel_totals": tablelog_time_travel_totals,
     "tablelog_merge_upsert": tablelog_merge_upsert,
+    "tablelog_change_feed": tablelog_change_feed,
 }
 ORACLES = {
     "tablelog_time_travel_totals": TABLELOG_SQL,
     "tablelog_merge_upsert": TABLELOG_MERGE_SQL,
+    "tablelog_change_feed": TABLELOG_CDF_SQL,
 }
