@@ -471,11 +471,19 @@ def tablelog_time_travel_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .registry import load_table
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # deterministic 25% slice covering both parities and every
+        # residue class the recipes use (k≡0 mod 8 even, k≡5 mod 8
+        # odd) — the queries prove log mechanics, not scan throughput,
+        # so the slice keeps the bench cost proportionate
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     t = tempfile.mkdtemp(prefix="tablelog_q_")
     try:
@@ -504,7 +512,7 @@ TABLELOG_SQL = """
 WITH o AS (
   SELECT o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
 )
 SELECT 0 AS version, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS total_cents
 FROM o WHERE o_orderkey % 3 = 0
@@ -533,11 +541,19 @@ def tablelog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .registry import load_table
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # deterministic 25% slice covering both parities and every
+        # residue class the recipes use (k≡0 mod 8 even, k≡5 mod 8
+        # odd) — the queries prove log mechanics, not scan throughput,
+        # so the slice keeps the bench cost proportionate
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     t = tempfile.mkdtemp(prefix="tablelog_m_")
     try:
@@ -575,7 +591,7 @@ TABLELOG_MERGE_SQL = """
 WITH o AS (
   SELECT o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
 ), merged AS (
   SELECT o_orderkey, cents FROM o
   WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
@@ -609,11 +625,19 @@ def tablelog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .registry import load_table
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # deterministic 25% slice covering both parities and every
+        # residue class the recipes use (k≡0 mod 8 even, k≡5 mod 8
+        # odd) — the queries prove log mechanics, not scan throughput,
+        # so the slice keeps the bench cost proportionate
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     t = tempfile.mkdtemp(prefix="tablelog_c_")
     try:
@@ -650,7 +674,7 @@ TABLELOG_CDF_SQL = """
 WITH o AS (
   SELECT o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
 )
 SELECT 'insert' AS change_type, count(*) AS n_rows,
        CAST(sum(cents) AS BIGINT) AS total_cents
