@@ -350,6 +350,83 @@ def read_table(
     return df
 
 
+def txn_committed(table: str, app: str, batch_id: int) -> bool:
+    """Has (app, batch_id) already committed? The log scan is
+    O(commits) of tiny JSON — the same idempotence ledger Delta keeps
+    as per-application transaction versions."""
+    for v in _versions(table):
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        t = c.get("txn")
+        if t and t.get("app") == app and t.get("batch_id") == batch_id:
+            return True
+    return False
+
+
+def append_stream_batch(
+    df: DataFrame,
+    table: str,
+    app: str,
+    batch_id: int,
+    stats_col: str | None = None,
+) -> int | None:
+    """Exactly-once foreachBatch append: the commit carries a (app,
+    batch_id) transaction marker, and a batch whose marker is already
+    in the log is skipped WITHOUT writing — so a micro-batch replayed
+    after a crash between sink write and offset commit lands exactly
+    once (Delta's idempotent-writes protocol on this log). Returns the
+    committed version, or None when the batch was already applied.
+    A lost commit race surfaces as ConcurrentWriteError; the caller
+    (foreachBatch) retries the batch, sees the winner's marker if it
+    was its own, or rebases."""
+    if txn_committed(table, app, batch_id):
+        return None
+    files = _stage_files(df, table)
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    actions = {
+        "add": files,
+        "remove": [],
+        "schema": df.schema.json(),
+        "txn": {"app": app, "batch_id": batch_id},
+    }
+    if stats_col is not None:
+        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats_col"] = stats_col
+    _commit(table, version, actions)
+    return version
+
+
+def run_append_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    table: str,
+    checkpoint_dir: str,
+    app: str = "stream",
+    max_files_per_trigger: int = 1,
+):
+    """Stream a parquet-file source into a logged table with
+    exactly-once semantics end-to-end: offsets in the checkpoint,
+    idempotence in the log's txn markers — either side can replay and
+    the table still contains each input row exactly once (pinned in
+    tests/test_tablelog_stream.py, including a mid-stream restart)."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(batch_df, table, app, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def change_feed(
     spark: SparkSession, table: str, from_v: int, to_v: int, key: str
 ) -> DataFrame:
