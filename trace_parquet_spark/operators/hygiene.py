@@ -149,14 +149,136 @@ ORDER BY doc_id
 """
 
 
+def doc_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean surprisal under an interpolated BIGRAM
+    language model trained on the corpus itself — the perplexity-style
+    quality filter (CCNet's KenLM gate) with the LM expressed as two
+    count relations instead of an external model file.
+
+    Model: P(w₂|w₁) = ½·c(w₁w₂)/c(w₁·) + ½·c(w₂)/N (even
+    interpolation with the unigram model, so unseen-bigram positions
+    stay finite without smoothing hyperparameters). Cross-engine
+    exactness: P is ONE double division of two exact int64 products —
+    (c_bi·N + c_uni·c_ctx) / (2·c_ctx·N) — and the ln is quantized to
+    the 1e-6 micro-nat grid (the doc_surprisal/pmi libm-parity
+    treatment). Products stay < 2⁶³ up to ~10⁹ corpus tokens; past
+    that, scale the counts (divide both sides by a common 2ᵏ) before
+    the division — the ratio, not the magnitudes, carries the signal.
+
+    Bigrams come straight from each doc's token array (element_at is
+    1-based in both engines); positions touching an empty token are
+    dropped by the same rule on both sides. Plan: one bigram explode,
+    three count aggregations (bigram / context / unigram), joins keyed
+    on the bigram relation, one per-doc agg — every join is a hash
+    join on token keys, nothing quadratic, no Python."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bi = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    "             element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c_bi = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_bi"))
+    c_ctx = bi.groupBy("w1").agg(F.count("*").alias("n_ctx"))
+    tok = docs.select(F.explode("toks").alias("token")).filter(
+        F.col("token") != ""
+    )
+    c_uni = tok.groupBy("token").agg(F.count("*").alias("n_uni"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    micro = F.floor(
+        F.log(
+            (2 * F.col("n_ctx") * F.col("n_total")).cast("double")
+            / (
+                F.col("n_bi") * F.col("n_total")
+                + F.col("n_uni") * F.col("n_ctx")
+            ).cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bi.join(c_bi, ["w1", "w2"])
+        .join(c_ctx, "w1")
+        .join(c_uni.withColumnRenamed("token", "w2"), "w2")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sum_micro").cast("double")
+                / (F.col("n_bigrams") * F.lit(1_000_000)).cast("double")
+            ).alias("avg_bigram_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), bi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+), c_bi AS (
+  SELECT w1, w2, count(*) AS n_bi FROM bi GROUP BY w1, w2
+), c_ctx AS (
+  SELECT w1, count(*) AS n_ctx FROM bi GROUP BY w1
+), tok AS (
+  SELECT unnest(toks) AS token FROM d
+), tok_f AS (
+  SELECT token FROM tok WHERE token <> ''
+), c_uni AS (
+  SELECT token, count(*) AS n_uni FROM tok_f GROUP BY token
+), total AS (
+  SELECT count(*) AS n_total FROM tok_f
+), per_pos AS (
+  SELECT b.doc_id,
+         CAST(floor(ln(CAST(2 * x.n_ctx * tt.n_total AS DOUBLE)
+                       / CAST(g.n_bi * tt.n_total + u.n_uni * x.n_ctx
+                              AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS micro
+  FROM bi b
+  JOIN c_bi g ON b.w1 = g.w1 AND b.w2 = g.w2
+  JOIN c_ctx x ON b.w1 = x.w1
+  JOIN c_uni u ON b.w2 = u.token
+  CROSS JOIN total tt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(micro) AS DOUBLE)
+         / CAST(count(*) * 1000000 AS DOUBLE) AS avg_bigram_surprisal
+FROM per_pos
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "doc_surprisal": doc_surprisal,
+    "doc_surprisal_bigram": doc_surprisal_bigram,
 }
 
 ORACLES = {
     "decontaminate_docs": DECONTAM_SQL,
     "doc_surprisal": SURPRISAL_SQL,
+    "doc_surprisal_bigram": BIGRAM_SURPRISAL_SQL,
 }
 
 
