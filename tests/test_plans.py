@@ -233,3 +233,16 @@ def test_codec_roundtrips_are_arrow_batched(spark, sf_dir, qs):
         # one Exchange for the doc_id repartition + the final sort's —
         # an extra one would mean the encode->decode hop shuffles
         assert plan.count("Exchange") <= 2, (name, plan[:1500])
+
+
+def test_scd2_pit_join_avoids_range_join(spark, sf_dir, qs):
+    """The point-in-time dimension lookup must compile to the
+    union+carry window plan — one user_id shuffle, zero interval
+    self-joins: a fact⋈interval BETWEEN join would appear as a
+    nested-loop/cartesian node and blow up at scale."""
+    plan = _plan(qs["scd2_pit_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # the carry is a window over the unioned stream, not a join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 2  # version numbering + the carry

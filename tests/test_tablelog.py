@@ -130,14 +130,14 @@ def test_merge_prunes_untouched_files(spark, tmp_path):
 
     t = str(tmp_path / "t")
     _ranged_base(spark, t, n=100, parts=4)
-    before_files, _, _ = _read_log(t, None)
+    before_files, _, _, _ = _read_log(t, None)
     assert len(before_files) == 4
     updates = spark.createDataFrame([(1,), (5,)], ["id"])
     res = merge_upsert(spark, t, updates, "id")
     assert res["files_rewritten"] < 4
     assert res["files_kept"] >= 2
     # untouched files are carried forward BY REFERENCE, not rewritten
-    after_files, _, _ = _read_log(t, None)
+    after_files, _, _, _ = _read_log(t, None)
     carried = set(before_files) & set(after_files)
     assert len(carried) == res["files_kept"]
     assert _ids(read_table(spark, t)) == list(range(100))
@@ -197,7 +197,7 @@ def test_optimize_compacts_preserving_snapshots(spark, tmp_path):
             t,
             stats_col="id",
         )
-    before, _, _ = _read_log(t, None)
+    before, _, _, _ = _read_log(t, None)
     assert len(before) == 6
     res = optimize_table(spark, t, target_files=2)
     assert res == {"version": 3, "files_before": 6, "files_after": 2}
@@ -270,3 +270,96 @@ def test_change_feed_ignores_transient_files(spark, tmp_path):
     feed = change_feed(spark, t, 0, 2, "id").collect()
     assert {r.change_type for r in feed} == {"insert"}
     assert sorted(r.id for r in feed) == list(range(10, 20))
+
+
+def test_stats_only_totals_matches_scan(spark, tmp_path):
+    """count/min/max from the log alone equal the true scan at every
+    version — metadata-only aggregation is exact, not approximate."""
+    from trace_parquet_spark.sources.tablelog import stats_only_totals
+
+    t = str(tmp_path / "so")
+    append(spark.range(10, 20).withColumnRenamed("id", "k"), t, stats_col="k")
+    append(spark.range(0, 5).withColumnRenamed("id", "k"), t, stats_col="k")
+    overwrite(
+        spark.range(100, 103).withColumnRenamed("id", "k"), t, stats_col="k"
+    )
+    for v in (0, 1, 2):
+        df = read_table(spark, t, as_of=v)
+        row = df.agg(
+            F.count("*").alias("n"), F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        assert stats_only_totals(t, as_of=v) == (row.n, row.lo, row.hi)
+
+
+def test_stats_only_totals_refuses_missing_metadata(spark, tmp_path):
+    """A live file without committed metadata raises — no silent
+    fallback to a wrong answer."""
+    import pytest as _pytest
+
+    from trace_parquet_spark.sources.tablelog import stats_only_totals
+
+    t = str(tmp_path / "nometa")
+    append(spark.range(3).withColumnRenamed("id", "k"), t)  # no stats_col
+    with _pytest.raises(ValueError, match="min,max"):
+        stats_only_totals(t)
+
+
+def test_incremental_agg_absorbs_full_file_removal(spark, tmp_path):
+    """V(v1) = V(v0) ⊕ add-partials ⊖ remove-partials stays exact when
+    a commit deletes a whole key range (bucket count drops to zero)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from trace_parquet_spark.sources.tablelog import (
+        _log_dir,
+        _read_log,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "incr")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "k")
+    append(base, t, stats_col="k")
+    # MERGE that rewrites the low range only
+    updates = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(7).alias("v")
+    )
+    merge_upsert(spark, t, updates, "k")
+
+    with open(_os.path.join(_log_dir(t), f"{1:020d}.json")) as fh:
+        c1 = _json.load(fh)
+    _files, schema_json, _stats, _rows = _read_log(t, 1)
+    schema = StructType.fromJson(_json.loads(schema_json))
+
+    def part(rels, sign):
+        if not rels:
+            return spark.createDataFrame([], "b long, pn long, pv long")
+        df = spark.read.schema(schema).parquet(
+            *[_os.path.join(t, f) for f in sorted(rels)]
+        )
+        return df.groupBy((F.col("k") % 3).alias("b")).agg(
+            (F.count("*") * sign).alias("pn"), (F.sum("v") * sign).alias("pv")
+        )
+
+    v0 = read_table(spark, t, as_of=0)
+    base_p = v0.groupBy((F.col("k") % 3).alias("b")).agg(
+        F.count("*").alias("pn"), F.sum("v").alias("pv")
+    )
+    incr = (
+        base_p.unionByName(part(c1["add"], 1))
+        .unionByName(part(c1["remove"], -1))
+        .groupBy("b")
+        .agg(F.sum("pn").alias("n"), F.sum("pv").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    direct = (
+        read_table(spark, t, as_of=1)
+        .groupBy((F.col("k") % 3).alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -143,12 +143,129 @@ ORDER BY user_id
 """
 
 
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts against the SCD2 dimension: every
+    purchase picks up the dimension attribute (event_type run) and
+    version that were valid AT its timestamp — the leakage-free
+    dimension lookup every feature pipeline needs next to
+    pit_features_7d.
+
+    NOT a range join: facts ⋈ intervals ON ts BETWEEN valid_from AND
+    valid_to is a quadratic blowup risk and Spark plans it as
+    BroadcastNestedLoop at scale. Instead the change points and the
+    facts are UNIONED into one per-user stream ordered by
+    (ts, kind, event_id) — changes sort before facts at the same
+    instant, matching the oracle's half-open [valid_from, valid_to)
+    interval semantics (a change taking effect at t covers a fact at
+    t; of several changes at the same t the last by event_id wins,
+    exactly the interval the BETWEEN replay assigns since the earlier
+    ones collapse to empty [t, t) intervals) — and
+    last(dim, ignoreNulls) carries the current dimension image onto
+    each fact row. Two window passes over the same user_id
+    partitioning (version numbering, then the carry), zero self-joins.
+
+    The oracle replays it as the literal interval join over the
+    SCD2_SQL dimension — a genuinely different derivation (build
+    intervals, BETWEEN-join) that must agree row-for-row.
+
+    Scale: one shuffle on user_id; the union stream is |changes| +
+    |facts| rows; state per row is the single carried struct. Valid
+    wherever a user's history fits a partition — the standard window
+    assumption."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(worder))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .withColumn("version", F.row_number().over(worder).cast("long"))
+    )
+    ch = changes.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.struct(
+            F.col("event_type").alias("dt"), F.col("version").alias("dv")
+        ).alias("dim"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None)
+        .cast("struct<dt:string,dv:long>")
+        .alias("dim"),
+    )
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ch.unionByName(facts)
+        .withColumn("d", F.last("dim", ignorenulls=True).over(wcarry))
+        .filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("d.dt").alias("dim_event_type"),
+            F.col("d.dv").alias("dim_version"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SCD2_PIT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+), changes AS (
+  SELECT *
+  FROM (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM ev
+  )
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), scd AS (
+  SELECT user_id,
+         event_type,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to,
+         row_number() OVER w AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.ts,
+       s.event_type AS dim_event_type,
+       CAST(s.version AS BIGINT) AS dim_version
+FROM p
+JOIN scd s
+  ON s.user_id = p.user_id
+ AND p.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+ORDER BY p.user_id, p.event_id
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_apply_latest": cdc_apply_latest,
+    "scd2_pit_join": scd2_pit_join,
 }
 
 ORACLES = {
     "scd2_user_event_type": SCD2_SQL,
     "cdc_apply_latest": CDC_APPLY_SQL,
+    "scd2_pit_join": SCD2_PIT_SQL,
 }

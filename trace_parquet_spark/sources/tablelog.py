@@ -64,11 +64,12 @@ def latest_version(table: str) -> int | None:
 
 def _read_log(
     table: str, as_of: int | None
-) -> tuple[list[str], str, dict[str, list]]:
+) -> tuple[list[str], str, dict[str, list], dict[str, int]]:
     """Replay commits ≤ as_of → (live files, newest schema DDL,
-    per-file column stats). Stats are immutable alongside their files:
-    a file's [min, max] is recorded by the commit that added it and
-    never changes, so replay is a plain union keyed by path."""
+    per-file column stats, per-file row counts). Stats and row counts
+    are immutable alongside their files: a file's [min, max] and row
+    count are recorded by the commit that added it and never change,
+    so replay is a plain union keyed by path."""
     vs = _versions(table)
     if as_of is not None:
         vs = [v for v in vs if v <= as_of]
@@ -79,6 +80,7 @@ def _read_log(
     live: set[str] = set()
     schema = ""
     stats: dict[str, list] = {}
+    rows: dict[str, int] = {}
     for v in vs:
         with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
             commit = json.load(fh)
@@ -86,7 +88,8 @@ def _read_log(
         live -= {r for r in commit.get("remove", [])}
         schema = commit.get("schema") or schema
         stats.update(commit.get("stats", {}))
-    return sorted(live), schema, stats
+        rows.update(commit.get("rows", {}))
+    return sorted(live), schema, stats, rows
 
 
 def _commit(table: str, version: int, actions: dict) -> None:
@@ -139,6 +142,18 @@ def _footer_stats(table: str, files: list[str], column: str) -> dict[str, list]:
     return out
 
 
+def _footer_rows(table: str, files: list[str]) -> dict[str, int]:
+    """Per-file row counts from parquet FOOTER metadata (no data
+    read), recorded into every commit so COUNT(*) is answerable from
+    the log alone — Delta's metadata-only aggregation move."""
+    import pyarrow.parquet as pq
+
+    return {
+        rel: pq.ParquetFile(os.path.join(table, rel)).metadata.num_rows
+        for rel in files
+    }
+
+
 def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     """Atomic append: new files + a commit adding them. Returns the
     committed version; raises ConcurrentWriteError on a lost race
@@ -148,7 +163,12 @@ def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
-    actions = {"add": files, "remove": [], "schema": df.schema.json()}
+    actions = {
+        "add": files,
+        "remove": [],
+        "schema": df.schema.json(),
+        "rows": _footer_rows(table, files),
+    }
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, files, stats_col)
         actions["stats_col"] = stats_col
@@ -164,7 +184,12 @@ def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     old = _read_log(table, None)[0] if _versions(table) else []
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
-    actions = {"add": files, "remove": old, "schema": df.schema.json()}
+    actions = {
+        "add": files,
+        "remove": old,
+        "schema": df.schema.json(),
+        "rows": _footer_rows(table, files),
+    }
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, files, stats_col)
         actions["stats_col"] = stats_col
@@ -195,7 +220,7 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
-    files, schema_json, stats = _read_log(table, None)
+    files, schema_json, stats, _rows = _read_log(table, None)
     ranged = [
         (f, stats[f][0], stats[f][1])
         for f in files
@@ -242,6 +267,7 @@ def merge_upsert(
             "add": new_files,
             "remove": sorted(touched),
             "schema": schema_json,
+            "rows": _footer_rows(table, new_files),
             "stats": _footer_stats(table, new_files, key),
             "stats_col": key,
         },
@@ -278,7 +304,7 @@ def optimize_table(
     tight disjoint key ranges and the log stats become maximally
     selective again (the reason Delta's OPTIMIZE pairs with ZORDER).
     Returns {"version", "files_before", "files_after"}."""
-    files, schema_json, _stats = _read_log(table, None)
+    files, schema_json, _stats, _rows = _read_log(table, None)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(schema_json))
@@ -293,7 +319,12 @@ def optimize_table(
     new_files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
-    actions = {"add": new_files, "remove": files, "schema": schema_json}
+    actions = {
+        "add": new_files,
+        "remove": files,
+        "schema": schema_json,
+        "rows": _footer_rows(table, new_files),
+    }
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, new_files, stats_col)
         actions["stats_col"] = stats_col
@@ -321,7 +352,7 @@ def read_table(
     (log-only data skipping — the Delta/Iceberg manifest-pruning
     move), then applies the exact predicate on top so results never
     depend on stats for correctness."""
-    files, schema_json, stats = _read_log(table, as_of)
+    files, schema_json, stats, _rows = _read_log(table, as_of)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(schema_json))
@@ -388,6 +419,7 @@ def append_stream_batch(
         "add": files,
         "remove": [],
         "schema": df.schema.json(),
+        "rows": _footer_rows(table, files),
         "txn": {"app": app, "batch_id": batch_id},
     }
     if stats_col is not None:
@@ -457,7 +489,7 @@ def change_feed(
         removed |= set(c.get("remove", []))
     net_added = added - removed
     net_removed = removed - added
-    _files, schema_json, _stats = _read_log(table, to_v)
+    _files, schema_json, _stats, _rows = _read_log(table, to_v)
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -773,3 +805,212 @@ ORACLES = {
     "tablelog_merge_upsert": TABLELOG_MERGE_SQL,
     "tablelog_change_feed": TABLELOG_CDF_SQL,
 }
+
+
+def stats_only_totals(
+    table: str, as_of: int | None = None
+) -> tuple[int, object, object]:
+    """Answer ``count(*), min(stats_col), max(stats_col)`` for a
+    snapshot WITHOUT reading any data file — purely from the log's
+    per-file row counts and [min, max] stats (Delta's metadata-only
+    aggregation: planning cost is O(live files) of committed JSON, not
+    a scan; at 100 TB that's the difference between milliseconds and a
+    cluster job). Raises if any live file lacks recorded metadata —
+    correctness never silently falls back to a guess."""
+    files, _schema, stats, rows = _read_log(table, as_of)
+    missing = [f for f in files if f not in rows]
+    if missing:
+        raise ValueError(f"{table}: no committed row counts for {missing}")
+    n = sum(rows[f] for f in files)
+    lo = hi = None
+    for f in files:
+        if rows[f] == 0:
+            continue  # empty part: nothing to contribute, no stats
+        if f not in stats or stats[f][0] is None:
+            raise ValueError(f"{table}: no committed [min,max] for {f}")
+        lo = stats[f][0] if lo is None else min(lo, stats[f][0])
+        hi = stats[f][1] if hi is None else max(hi, stats[f][1])
+    return n, lo, hi
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 25% orders slice shared by every tablelog
+    gated query (k ≡ 0 mod 8 even, k ≡ 5 mod 8 odd): the queries prove
+    log mechanics, not scan throughput."""
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+def tablelog_stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive metadata-only aggregation under the oracle gate: build a
+    logged table in three commits (v0 = keys ≡ 0 mod 3, v1 appends
+    ≡ 1, v2 overwrites with ≡ 2), each with committed footer row
+    counts and o_orderkey [min, max] — then answer
+    (count(*), min(key), max(key)) for every version from the LOG
+    ALONE (``stats_only_totals``; zero Spark scans of table data).
+    The oracle recomputes the three aggregates by actually scanning
+    orders — agreement proves the commit-time footer metadata equals
+    the true aggregate at every snapshot, i.e. metadata-only COUNT/
+    MIN/MAX is exact, not approximate."""
+    import shutil
+    import tempfile
+
+    orders = _orders_slice(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    t = tempfile.mkdtemp(prefix="tablelog_s_")
+    try:
+        append(orders.filter(F.col("o_orderkey") % 3 == 0), t,
+               stats_col="o_orderkey")
+        append(orders.filter(F.col("o_orderkey") % 3 == 1), t,
+               stats_col="o_orderkey")
+        overwrite(orders.filter(F.col("o_orderkey") % 3 == 2), t,
+                  stats_col="o_orderkey")
+        rows = []
+        for v in (0, 1, 2):
+            n, lo, hi = stats_only_totals(t, as_of=v)
+            rows.append((v, n, int(lo), int(hi)))
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, min_key long, max_key long"
+    ).orderBy("version")
+
+
+TABLELOG_STATS_ONLY_SQL = """
+WITH o AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM o WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, count(*), min(o_orderkey), max(o_orderkey)
+FROM o WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, count(*), min(o_orderkey), max(o_orderkey)
+FROM o WHERE o_orderkey % 3 = 2
+ORDER BY version
+"""
+
+
+def tablelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the transaction
+    log: seed a logged table (v0 = even keys, range-partitioned) and
+    MERGE a batch (update keys ≡ 0 mod 10 with +11 cents, insert keys
+    ≡ 5 mod 10) — then maintain the per-bucket aggregate view
+    INCREMENTALLY: V(v1) = V(v0) ⊕ agg(files added by commit 1) ⊖
+    agg(files removed by commit 1). Algebraic aggregates (count, sum)
+    distribute over the file-level set difference the log records, so
+    the view absorbs a commit by scanning ONLY the files that commit
+    touched — never the whole table. The oracle recomputes the view
+    from scratch via the merged-state SQL replay; agreement proves the
+    delta algebra lands on identical bytes.
+
+    Scale: refresh cost is O(|touched files|) — on a 100 TB table
+    whose MERGE rewrote 3 of 10⁶ files, the view update reads 3 files.
+    Signed partials union into one groupBy (single shuffle on the
+    bucket key)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    orders = _orders_slice(spark, sf_dir)
+    t = tempfile.mkdtemp(prefix="tablelog_i_")
+    try:
+        base = orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            6, "o_orderkey"
+        )
+        append(base, t, stats_col="o_orderkey")
+        updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", (F.col("cents") + 11).alias("cents")
+        ).unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 5).select(
+                "o_orderkey", "cents"
+            )
+        )
+        merge_upsert(spark, t, updates, "o_orderkey")
+
+        with open(os.path.join(_log_dir(t), f"{1:020d}.json")) as fh:
+            commit1 = json.load(fh)
+        _files, schema_json, _stats, _rows = _read_log(t, 1)
+        schema = StructType.fromJson(json.loads(schema_json))
+
+        def signed_partial(rels: list[str], sign: int) -> DataFrame:
+            if not rels:
+                return spark.createDataFrame(
+                    [], "bucket long, pn long, pc long"
+                )
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(t, f) for f in sorted(rels)]
+            )
+            return df.groupBy(
+                (F.col("o_orderkey") % 4).alias("bucket")
+            ).agg(
+                (F.count("*") * sign).alias("pn"),
+                (F.sum("cents") * sign).alias("pc"),
+            )
+
+        v0 = read_table(spark, t, as_of=0)
+        base_partial = v0.groupBy(
+            (F.col("o_orderkey") % 4).alias("bucket")
+        ).agg(F.count("*").alias("pn"), F.sum("cents").alias("pc"))
+        out = (
+            base_partial.unionByName(signed_partial(commit1["add"], 1))
+            .unionByName(signed_partial(commit1["remove"], -1))
+            .groupBy("bucket")
+            .agg(
+                F.sum("pn").cast("long").alias("n_rows"),
+                F.sum("pc").cast("long").alias("total_cents"),
+            )
+            .filter(F.col("n_rows") > 0)
+            .orderBy("bucket")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bucket long, n_rows long, total_cents long"
+    ).orderBy("bucket")
+
+
+TABLELOG_INCR_AGG_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+), merged AS (
+  SELECT o_orderkey, cents FROM o
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, cents + 11 FROM o WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, cents FROM o WHERE o_orderkey % 10 = 5
+)
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM merged
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+QUERIES["tablelog_stats_only_agg"] = tablelog_stats_only_agg
+ORACLES["tablelog_stats_only_agg"] = TABLELOG_STATS_ONLY_SQL
+QUERIES["tablelog_incremental_agg"] = tablelog_incremental_agg
+ORACLES["tablelog_incremental_agg"] = TABLELOG_INCR_AGG_SQL
