@@ -112,3 +112,76 @@ def test_dsir_plan_is_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # all-native pipeline: no Python eval anywhere in the plan
     assert "EvalPython" not in plan
+
+
+def test_containment_invariants(spark, sf_dir):
+    """Every emitted containment is >= the threshold, directions are
+    asymmetric rows, and a mutual pair (equal sizes, full overlap)
+    appears in BOTH directions."""
+    from trace_parquet_spark.operators.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        dedup_containment_pairs,
+    )
+
+    rows = dedup_containment_pairs(spark, sf_dir).collect()
+    assert rows, "fixture corpus contains near-dup docs"
+    tau = CONTAIN_NUM / CONTAIN_DEN
+    for r in rows:
+        assert r.contained_doc != r.container_doc
+        assert r.containment >= tau - 5e-7
+    # near-dups of similar size clear the threshold both ways -> the
+    # relation must contain at least one mutually-contained pair
+    directed = {(r.contained_doc, r.container_doc) for r in rows}
+    assert directed & {(b, a) for (a, b) in directed}, (
+        "expected at least one mutually-contained pair"
+    )
+
+
+def test_canonical_quality_picks_longest_member(spark, sf_dir):
+    """The survivor is a member of its own cluster and no member has
+    more words (independent re-derivation from the labels)."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.dedup_clusters import (
+        dedup_canonical_quality,
+        dedup_clusters,
+    )
+    from trace_parquet_spark.sources.registry import load_table
+
+    canon = dedup_canonical_quality(spark, sf_dir)
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_words")
+    )
+    best = (
+        labels.join(words, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("n_words").alias("best_words"))
+    )
+    j = canon.join(best, "cluster_id").collect()
+    assert j
+    for r in j:
+        assert r.canonical_words == r.best_words
+    # canonical is a member of the cluster it represents
+    member = canon.join(
+        labels,
+        (canon.canonical_doc_id == labels.doc_id)
+        & (canon.cluster_id == labels.cluster_id),
+        "left_anti",
+    )
+    assert member.count() == 0
+
+
+def test_semantic_decontam_excludes_eval_side(spark, sf_dir):
+    from trace_parquet_spark.operators.semantic import (
+        SEM_EVAL_MOD,
+        decontaminate_semantic,
+    )
+
+    rows = decontaminate_semantic(spark, sf_dir).collect()
+    assert rows, "fixture embeddings contain eval-similar vectors"
+    for r in rows:
+        assert r.vec_id % SEM_EVAL_MOD != 0
+        assert r.n_eval_hits >= 1

@@ -829,3 +829,112 @@ ORACLES = {
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
     "substring_dup_rate_by_source": SUBSTRING_RATE_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# exact asymmetric containment join
+# --------------------------------------------------------------------------
+
+# containment threshold 0.8 as an exact fraction (same
+# integer-comparison discipline as SETSIM_NUM/DEN)
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+# tiny shingle sets make containment trivially noisy (any 2 shared
+# shingles of a 2-shingle doc = full containment) — require substance
+CONTAIN_MIN_SH = 8
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where one document's
+    shingle set is ≥ 80% contained in another's —
+    C(A→B) = |A∩B| / |A| ≥ 4/5. Jaccard misses these (a paragraph
+    quoted inside a 10× larger page has high containment but low
+    Jaccard), yet they are exactly the quote/boilerplate/subset dups a
+    crawl cleanup must catch; both directions are tested and emitted
+    separately because containment is not symmetric.
+
+    Intersections are counted ONCE per unordered pair (doc_a < doc_b
+    co-shingle join over the df-capped universe — the same
+    stopword-shingle guard as every dedup flavor), then each direction
+    applies its own integer threshold test
+    n_inter · DEN ≥ NUM · |side| (never a rounded-float comparison;
+    the float is display-only). Docs under CONTAIN_MIN_SH shingles are
+    excluded from the contained side — a 2-shingle fragment would be
+    "contained" everywhere.
+
+    Scale: identical join geometry to dedup_ngram_pairs (df-cap bounds
+    per-shingle fan-out); the asymmetric PREFIX-filter variant (prefix
+    of length |A| − ⌈t·|A|⌉ + 1 on the contained side only — the
+    container side must index all shingles, so the index is the big
+    relation and the probe is prefix-small) is the 100 TB refinement
+    of the same candidate-then-verify shape proven by
+    dedup_setsim_prefix."""
+    sh = _doc_shingles_capped(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+    )
+    d1 = pairs.filter(
+        (F.col("sa") >= CONTAIN_MIN_SH)
+        & (F.col("n_inter") * CONTAIN_DEN >= CONTAIN_NUM * F.col("sa"))
+    ).select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.round(F.col("n_inter") / F.col("sa"), 6).alias("containment"),
+    )
+    d2 = pairs.filter(
+        (F.col("sb") >= CONTAIN_MIN_SH)
+        & (F.col("n_inter") * CONTAIN_DEN >= CONTAIN_NUM * F.col("sb"))
+    ).select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.round(F.col("n_inter") / F.col("sb"), 6).alias("containment"),
+    )
+    return d1.unionByName(d2).orderBy("contained_doc", "container_doc")
+
+
+DEDUP_CONTAIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT doc_a, doc_b, n_inter, x.n_sh AS sa, y.n_sh AS sb
+  FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+)
+SELECT contained_doc, container_doc, containment FROM (
+  SELECT doc_a AS contained_doc, doc_b AS container_doc,
+         round(n_inter * 1.0 / sa, 6) AS containment
+  FROM sized
+  WHERE sa >= {CONTAIN_MIN_SH}
+    AND n_inter * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa
+  UNION ALL
+  SELECT doc_b, doc_a, round(n_inter * 1.0 / sb, 6)
+  FROM sized
+  WHERE sb >= {CONTAIN_MIN_SH}
+    AND n_inter * {CONTAIN_DEN} >= {CONTAIN_NUM} * sb
+)
+ORDER BY contained_doc, container_doc
+"""
+
+QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
+ORACLES["dedup_containment_pairs"] = DEDUP_CONTAIN_SQL

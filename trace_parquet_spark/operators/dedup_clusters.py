@@ -23,7 +23,7 @@ evidence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
@@ -330,3 +330,101 @@ ORDER BY doc_id
 
 QUERIES["split_leakage_free"] = split_leakage_free
 ORACLES["split_leakage_free"] = SPLIT_LEAKAGE_FREE_SQL
+
+
+# --------------------------------------------------------------------------
+# quality-aware canonical selection
+# --------------------------------------------------------------------------
+
+
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick each near-dup cluster's SURVIVOR by quality, not by id:
+    the min-doc_id representative every CC emits is arbitrary — a
+    production cleanup keeps the best copy (here: the longest, word
+    count as the deterministic integer quality score; production swaps
+    in any scalar score) and drops the rest. One row per cluster with
+    the chosen canonical doc, its score, and how many copies it
+    retires.
+
+    Plan: cluster labels (banded-LSH pairs → star CC) ⋈ per-doc score,
+    then a row_number window per cluster ordered by
+    (score DESC, doc_id) — argmax with a total tie-break, so the
+    choice is unique and engine-independent. The window partitions by
+    cluster_id (never global); the score join shuffles the label
+    relation once.
+
+    Oracle: the WITH RECURSIVE reachability closure re-derives the
+    clusters, then the same argmax — different CC algorithm, same
+    fixpoint, same survivor."""
+    labels = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    from ..functions.text import tokens
+
+    score = load_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_words")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    return (
+        labels.join(score, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_words").alias("canonical_words"),
+            F.col("cluster_size").cast("long").alias("n_copies"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+from ..functions.text import tokens_sql as _tokens_sql  # noqa: E402
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_PAIRS_BODY}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, r.r
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+),
+scored AS (
+  SELECT l.cluster_id, l.doc_id,
+         CAST(len({_tokens_sql("d.text")}) AS BIGINT) AS n_words,
+         s.cluster_size
+  FROM labels l
+  JOIN sizes s ON l.cluster_id = s.cluster_id
+  JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_words DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT cluster_id,
+       doc_id  AS canonical_doc_id,
+       n_words AS canonical_words,
+       CAST(cluster_size AS BIGINT) AS n_copies
+FROM ranked
+WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+QUERIES["dedup_canonical_quality"] = dedup_canonical_quality
+ORACLES["dedup_canonical_quality"] = DEDUP_CANONICAL_SQL

@@ -929,3 +929,72 @@ ORACLES = {
     "hard_negative_mining_lsh": HARD_NEGATIVE_LSH_SQL,
     "knn_label_vote_lsh": KNN_VOTE_LSH_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# semantic decontamination vs a held-out eval set
+# --------------------------------------------------------------------------
+
+SEM_EVAL_MOD = 50  # vec_id % SEM_EVAL_MOD == 0 -> held-out eval vector
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic twin of
+    hygiene.decontaminate_docs' n-gram screen: paraphrased benchmark
+    leakage shares no 5-gram but sits next to the eval item in
+    embedding space. One row per CONTAMINATED corpus vector: how many
+    eval vectors it matches at cosine ≥ SEM_THRESHOLD (the 1e-9-grid
+    rounded cosine, the repo-wide round-before-threshold rule) and
+    its worst (max) similarity — the drop list a training pipeline
+    anti-joins against.
+
+    Plan: the eval side is BROADCAST by construction (an eval suite
+    is small by definition); the corpus is scanned once with the
+    per-vector norm hoisted (the shared _normed/_pair_cos9 kernel) —
+    per corpus row the work is |eval| dot products, no shuffle of the
+    corpus at all. At an eval scale where the broadcast no longer
+    fits, the hyperplane-LSH bucket screen (semantic_dedup_lsh's
+    candidate generator) drops in front of the same exact verify.
+    """
+    emb = _normed(spark, sf_dir, SEM_MAX_ID)
+    return (
+        _pair_cos9(
+            emb,
+            (F.col("src") % SEM_EVAL_MOD != 0)
+            & (F.col("dst") % SEM_EVAL_MOD == 0),
+        )
+        .filter(F.col("cos9") >= SEM_THRESHOLD)
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("cos9").alias("max_eval_cos"),
+        )
+        .select(
+            F.col("src").alias("vec_id"), "n_eval_hits", "max_eval_cos"
+        )
+        .orderBy("vec_id")
+    )
+
+
+DECONTAM_SEMANTIC_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_MAX_ID}
+),
+ev AS (SELECT * FROM e0 WHERE vec_id % {SEM_EVAL_MOD} = 0),
+corpus AS (SELECT * FROM e0 WHERE vec_id % {SEM_EVAL_MOD} <> 0),
+hits AS (
+  SELECT c.vec_id,
+         round({cosine_sql('c.embedding', 'e.embedding')}, 9) AS cos9
+  FROM corpus c JOIN ev e ON TRUE
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(cos9) AS max_eval_cos
+FROM hits
+WHERE cos9 >= {SEM_THRESHOLD}
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+QUERIES["decontaminate_semantic"] = decontaminate_semantic
+ORACLES["decontaminate_semantic"] = DECONTAM_SEMANTIC_SQL
