@@ -363,3 +363,45 @@ def test_incremental_agg_absorbs_full_file_removal(spark, tmp_path):
     assert sorted(map(tuple, incr.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_bloom_point_lookup_prunes_and_stays_exact(spark, tmp_path):
+    """Bloom-index pruning skips most files on a selective probe and
+    the pruned read returns exactly the unpruned answer."""
+    from trace_parquet_spark.sources.tablelog import (
+        append_with_bloom,
+        read_table_point_lookup,
+    )
+
+    t = str(tmp_path / "bloom")
+    # 8 range files on k; lookups probe the UNCLUSTERED column c
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id") * 2654435761, F.lit(4000))).alias("c")
+    ).repartitionByRange(8, "k")
+    append_with_bloom(df, t, bloom_col="c", stats_col="k")
+    probes = [17, 99]
+    got, scanned, total = read_table_point_lookup(spark, t, probes)
+    want = read_table(spark, t).filter(F.col("c").isin(probes))
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+    assert total >= 8
+    assert scanned < total, "bloom must prune at least one file"
+
+
+def test_bloom_prunes_everything_for_absent_key(spark, tmp_path):
+    from trace_parquet_spark.sources.tablelog import (
+        append_with_bloom,
+        read_table_point_lookup,
+    )
+
+    t = str(tmp_path / "bloomempty")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("c")
+    ).repartitionByRange(4, "k")
+    append_with_bloom(df, t, bloom_col="c", stats_col="k")
+    got, scanned, total = read_table_point_lookup(spark, t, [123456789])
+    assert got.count() == 0
+    # deterministic data + md5 probes: the absent key misses every
+    # file's filter, so planning touches nothing
+    assert scanned == 0

@@ -1014,3 +1014,209 @@ QUERIES["tablelog_stats_only_agg"] = tablelog_stats_only_agg
 ORACLES["tablelog_stats_only_agg"] = TABLELOG_STATS_ONLY_SQL
 QUERIES["tablelog_incremental_agg"] = tablelog_incremental_agg
 ORACLES["tablelog_incremental_agg"] = TABLELOG_INCR_AGG_SQL
+
+
+# --------------------------------------------------------------------------
+# bloom-filter file index (point-lookup pruning on non-clustered keys)
+# --------------------------------------------------------------------------
+
+# [min, max] stats prune range queries on the CLUSTERED column; point
+# lookups on any other key scan everything. A tiny per-file bloom
+# filter in the commit closes that gap (Delta's bloom filter index):
+# the writer hashes the file's distinct key values into an M-bit
+# filter at write time, and a reader probing key v skips every file
+# whose filter proves v absent. False positives only cost a scan —
+# never correctness — because the exact predicate is applied on top.
+BLOOM_M = 8192  # bits per file
+BLOOM_K = 5  # hash probes per value
+
+
+def _bloom_hashes(value) -> list[int]:
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"bloom:{k}:{value}".encode()).hexdigest()[:8], 16
+        )
+        % BLOOM_M
+        for k in range(BLOOM_K)
+    ]
+
+
+def _file_bloom(table: str, rel: str, column: str) -> str:
+    """Base64 M-bit bloom of the file's distinct ``column`` values.
+    Built by the writer from the freshly staged file (one local
+    column read — at cluster scale this is computed by the writing
+    task itself, not a re-read)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    vals = (
+        pq.read_table(os.path.join(table, rel), columns=[column])
+        .column(0)
+        .to_pylist()
+    )
+    bits = bytearray(BLOOM_M // 8)
+    for v in set(vals):
+        if v is None:
+            continue
+        for h in _bloom_hashes(v):
+            bits[h // 8] |= 1 << (h % 8)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_maybe_contains(b64: str, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(
+        (bits[h // 8] >> (h % 8)) & 1 for h in _bloom_hashes(value)
+    )
+
+
+def append_with_bloom(
+    df: DataFrame, table: str, bloom_col: str, stats_col: str | None = None
+) -> int:
+    """Atomic append that additionally records a per-file bloom filter
+    of ``bloom_col`` in the commit — composable with stats_col (range
+    pruning on one column, membership pruning on another)."""
+    files = _stage_files(df, table)
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    actions = {
+        "add": files,
+        "remove": [],
+        "schema": df.schema.json(),
+        "rows": _footer_rows(table, files),
+        "bloom": {rel: _file_bloom(table, rel, bloom_col) for rel in files},
+        "bloom_col": bloom_col,
+    }
+    if stats_col is not None:
+        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats_col"] = stats_col
+    _commit(table, version, actions)
+    return version
+
+
+def read_table_point_lookup(
+    spark: SparkSession, table: str, keys: list, as_of: int | None = None
+) -> tuple[DataFrame, int, int]:
+    """Snapshot read restricted to ``bloom_col IN keys``, planning
+    only the files whose committed bloom filter might contain at least
+    one probe key. Returns (df, files_scanned, files_total) so callers
+    can observe the pruning; the exact IN predicate is applied on top,
+    so bloom false positives never surface. Files without a committed
+    bloom are conservatively scanned."""
+    files, schema_json, _stats, _rows = _read_log(table, as_of)
+    blooms: dict[str, str] = {}
+    bloom_col = None
+    for v in _versions(table):
+        if as_of is not None and v > as_of:
+            break
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        blooms.update(c.get("bloom", {}))
+        bloom_col = c.get("bloom_col") or bloom_col
+    if bloom_col is None:
+        raise ValueError(f"{table} has no bloom_col committed to probe on")
+    keep = [
+        f
+        for f in files
+        if f not in blooms
+        or any(_bloom_maybe_contains(blooms[f], k) for k in keys)
+    ]
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not keep:
+        return spark.createDataFrame([], schema), 0, len(files)
+    df = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(table, f) for f in keep])
+        .filter(F.col(bloom_col).isin(keys))
+    )
+    return df, len(keep), len(files)
+
+
+# probe keys for the gated query: a fixed residue class of customers
+BLOOM_PROBE_MOD = 97
+
+
+def tablelog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive bloom-index pruning under the oracle gate: a logged table
+    of the orders slice keyed by o_orderkey ranges (so [min,max] on
+    o_orderkey is useless for CUSTOMER lookups) with a per-file bloom
+    on o_custkey, then a point lookup of every customer ≡ 0 mod 97.
+    Output: per-customer order count and cents total. The oracle runs
+    the same lookup as plain SQL over orders — agreement proves the
+    bloom never drops a file containing a probe key (pruning is pinned
+    separately in tests/test_tablelog.py — this gate is about
+    correctness under pruning)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_b_")
+    try:
+        append_with_bloom(
+            orders.repartitionByRange(8, "o_orderkey"),
+            t,
+            bloom_col="o_custkey",
+            stats_col="o_orderkey",
+        )
+        probes = [
+            r.o_custkey
+            for r in orders.select("o_custkey")
+            .filter(F.col("o_custkey") % BLOOM_PROBE_MOD == 0)
+            .distinct()
+            .collect()
+        ]
+        df, _scanned, _total = read_table_point_lookup(spark, t, probes)
+        out = (
+            df.groupBy("o_custkey")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("o_custkey")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_custkey long, n_orders long, total_cents long"
+    ).orderBy("o_custkey")
+
+
+TABLELOG_BLOOM_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o
+WHERE o_custkey % {BLOOM_PROBE_MOD} = 0
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+QUERIES["tablelog_bloom_point_lookup"] = tablelog_bloom_point_lookup
+ORACLES["tablelog_bloom_point_lookup"] = TABLELOG_BLOOM_SQL
