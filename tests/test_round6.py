@@ -185,3 +185,40 @@ def test_semantic_decontam_excludes_eval_side(spark, sf_dir):
     for r in rows:
         assert r.vec_id % SEM_EVAL_MOD != 0
         assert r.n_eval_hits >= 1
+
+
+def test_random_projection_matches_numpy_replay(spark, sf_dir):
+    """Exact-integer JL projection equals an independent numpy replay
+    (same micro grid, same md5 sign matrix) cell for cell."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trace_parquet_spark.operators.featurize import (
+        RP_IN_DIM,
+        RP_MICRO,
+        RP_OUT_DIM,
+        random_projection_embed,
+    )
+
+    tb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    signs = np.empty((RP_IN_DIM, RP_OUT_DIM), dtype=np.int64)
+    for i in range(RP_IN_DIM):
+        for j in range(RP_OUT_DIM):
+            h = int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:8], 16)
+            signs[i, j] = 1 if h % 2 == 0 else -1
+    xm = np.floor(
+        np.asarray(tb["embedding"], dtype=np.float64) * RP_MICRO + 0.5
+    ).astype(np.int64)
+    want = xm @ signs  # (n, RP_OUT_DIM)
+    got = {}
+    for r in random_projection_embed(spark, sf_dir).collect():
+        got[(r.vec_id, r.j)] = r.proj_micro
+    ids = tb["vec_id"]
+    assert len(got) == len(ids) * RP_OUT_DIM
+    for row, vid in enumerate(ids):
+        for j in range(RP_OUT_DIM):
+            assert got[(vid, j)] == want[row, j]

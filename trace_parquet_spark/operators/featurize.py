@@ -179,3 +179,100 @@ ORACLES = {
     "feature_hash_docs": FEATURE_HASH_SQL,
     "dq_check_orders": DQ_CHECK_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss) dimensionality reduction
+# --------------------------------------------------------------------------
+
+RP_IN_DIM = 64  # embeddings table dimension (constant across testdata)
+RP_OUT_DIM = 16
+RP_MICRO = 1_000_000
+
+
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce the embedding table 64 → 16 dims with a ±1 random
+    projection (Achlioptas' database-friendly JL variant: sign
+    matrices preserve pairwise distances in expectation like Gaussian
+    ones, but need no float matrix — only a hash bit per cell). The
+    cheap first stage before ANN indexing or storage at 100 TB: 4×
+    smaller vectors, distance structure approximately preserved.
+
+    Exactness discipline: components are quantized to the repo-wide
+    1e-6 grid FIRST (floor(x·1e6 + 0.5) in int64), the projection is
+    then exact integer Σ xmᵢ·sᵢⱼ — bit-identical in any engine,
+    no float summation order anywhere. The sign matrix is the
+    md5-family bit sign(i,j) = ±1 from stable_hash32('rp:i:j') % 2,
+    derived identically in both engines — no stored state, any task
+    can regenerate any cell (the property that makes the projection
+    free to distribute: D·K hash bits, not a broadcast matrix).
+
+    Plan: posexplode → broadcast-join the 64×16 sign relation →
+    one partial-aggregated shuffle on (vec_id, j). Output rows are
+    (vec_id, j, proj_micro) — n·K rows, the layout downstream
+    centroid/ANN stages consume directly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    )
+    xm = F.floor(F.col("x").cast("double") * RP_MICRO + F.lit(0.5)).cast(
+        "long"
+    )
+    signs = (
+        spark.range(RP_IN_DIM)
+        .withColumnRenamed("id", "i")
+        .crossJoin(spark.range(RP_OUT_DIM).withColumnRenamed("id", "j"))
+        .select(
+            "i",
+            "j",
+            F.when(
+                stable_hash32(
+                    F.concat(
+                        F.lit("rp:"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    return (
+        emb.withColumn("xm", xm)
+        .join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xm") * F.col("sign")).cast("long").alias("proj_micro"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "proj_micro")
+        .orderBy("vec_id", "j")
+    )
+
+
+_RP_SIGN_HASH = stable_hash32_sql(
+    "'rp:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+)
+
+RANDOM_PROJECTION_SQL = f"""
+WITH el AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {RP_MICRO} + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings
+), signs AS (
+  SELECT i, j,
+         CASE WHEN {_RP_SIGN_HASH} % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM range(0, {RP_IN_DIM}) t(i), range(0, {RP_OUT_DIM}) u(j)
+)
+SELECT e.vec_id, CAST(s.j AS BIGINT) AS j,
+       CAST(sum(e.xm * s.sign) AS BIGINT) AS proj_micro
+FROM el e JOIN signs s ON e.i = s.i
+GROUP BY e.vec_id, s.j
+ORDER BY e.vec_id, j
+"""
+
+QUERIES["random_projection_embed"] = random_projection_embed
+ORACLES["random_projection_embed"] = RANDOM_PROJECTION_SQL
