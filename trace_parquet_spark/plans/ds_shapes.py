@@ -392,3 +392,117 @@ ORACLES = {
     "group_having_frequent_buyers": GROUP_HAVING_SQL,
     "channel_overlap_full_outer": CHANNEL_OVERLAP_SQL,
 }
+
+
+def monthly_deviation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 shape: per-series moving deviation from the yearly
+    mean, globally ranked. Monthly brand revenue (exact cent grid) is
+    compared against that brand-year's average month; the TOPK largest
+    absolute deviations are reported with their neighboring months
+    (the lag/lead columns Q47 drags along so an analyst sees the
+    spike's context without a second query).
+
+    Exactness: the deviation is computed as the integer
+    monthly·n − Σ_year (both exact int64) and divided ONCE by n into
+    a 1e-6-rounded double — cross-engine-identical, and the rank's
+    tie-break is total (dev, brand, month), so row TOPK is unique.
+
+    Scale: one fact-table shuffle into the (brand, month) aggregate;
+    every window (year stats, lag/lead) partitions the AGGREGATE
+    relation (≤ brands×months rows), never the fact table; the final
+    rank is orderBy().limit() → TakeOrderedAndProject, not a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("g4"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "yr", "month")
+        .agg(F.sum("g4").alias("cents4"))
+    )
+    wyear = Window.partitionBy("p_brand", "yr")
+    wser = Window.partitionBy("p_brand").orderBy("month")
+    scored = (
+        g.withColumn("n_months", F.count("*").over(wyear).cast("long"))
+        .withColumn("year_sum", F.sum("cents4").over(wyear).cast("long"))
+        .withColumn(
+            "dev6",
+            F.round(
+                F.abs(
+                    F.col("cents4") * F.col("n_months") - F.col("year_sum")
+                ).cast("double")
+                / F.col("n_months")
+                / F.lit(10000.0),
+                6,
+            ),
+        )
+        .withColumn("prev_rev", F.round(F.lag("cents4").over(wser) / 10000.0, 4))
+        .withColumn("next_rev", F.round(F.lead("cents4").over(wser) / 10000.0, 4))
+    )
+    return (
+        scored.select(
+            "p_brand",
+            "month",
+            F.round(F.col("cents4") / 10000.0, 4).alias("month_rev"),
+            "n_months",
+            "dev6",
+            "prev_rev",
+            "next_rev",
+        )
+        .orderBy(F.desc("dev6"), "p_brand", "month")
+        .limit(4 * TOPK)
+    )
+
+
+MONTHLY_DEV_SQL = f"""
+WITH g AS (
+  SELECT p.p_brand,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+           AS month,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS cents4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT p_brand, month, cents4,
+         CAST(count(*) OVER wy AS BIGINT) AS n_months,
+         CAST(sum(cents4) OVER wy AS BIGINT) AS year_sum,
+         round(lag(cents4) OVER ws / 10000.0, 4) AS prev_rev,
+         round(lead(cents4) OVER ws / 10000.0, 4) AS next_rev
+  FROM g
+  WINDOW wy AS (PARTITION BY p_brand, yr),
+         ws AS (PARTITION BY p_brand ORDER BY month)
+)
+SELECT p_brand, month,
+       round(cents4 / 10000.0, 4) AS month_rev,
+       n_months,
+       round(CAST(abs(cents4 * n_months - year_sum) AS DOUBLE)
+             / n_months / 10000.0, 6) AS dev6,
+       prev_rev, next_rev
+FROM scored
+ORDER BY dev6 DESC, p_brand, month
+LIMIT {4 * TOPK}
+"""
+
+QUERIES["monthly_deviation_rank"] = monthly_deviation_rank
+ORACLES["monthly_deviation_rank"] = MONTHLY_DEV_SQL
