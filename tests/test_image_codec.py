@@ -377,3 +377,66 @@ def test_png_unsupported_features_rejected():
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     with pytest.raises(ValueError, match="grey/truecolor"):
         _decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_identity_full_palette():
+    """256-color image exercises the full palette + code-size widening."""
+    from trace_parquet_spark.operators.multimodal import encode_gif
+
+    px = np.arange(768, dtype=np.uint8).reshape(16, 16, 3)
+    b = encode_gif(px)
+    assert b[:6] == b"GIF89a" and b[-1:] == b"\x3b"
+    assert (decode_image(b) == px).all()
+
+
+def test_gif_single_color_and_kwkwk_case():
+    from trace_parquet_spark.operators.multimodal import encode_gif
+
+    # single color: degenerate 1-entry palette, long LZW run
+    px = np.full((9, 13, 3), 77, dtype=np.uint8)
+    assert (decode_image(encode_gif(px)) == px).all()
+    # alternating two colors triggers the code==next_code (kwkwk) path
+    idx = np.indices((8, 8)).sum(axis=0) % 2
+    pal = np.array([[0, 0, 0], [255, 1, 2]], dtype=np.uint8)
+    px = pal[idx]
+    assert (decode_image(encode_gif(px)) == px).all()
+
+
+def test_gif_palette_overflow_rejected():
+    from trace_parquet_spark.operators.multimodal import encode_gif
+
+    i = np.arange(32 * 32, dtype=np.int64)
+    px = np.stack(
+        [i % 256, i // 256, np.zeros_like(i)], axis=1
+    ).astype(np.uint8).reshape(32, 32, 3)  # 1024 distinct colors
+    with pytest.raises(ValueError, match="palette overflow"):
+        encode_gif(px)
+
+
+def test_gif_truncated_stream_rejected():
+    from trace_parquet_spark.operators.multimodal import encode_gif
+
+    b = encode_gif(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    with pytest.raises(ValueError):
+        decode_image(b[:20] + b"\x00\x3b")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncol=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_gif_roundtrip(h, w, ncol, seed):
+    """decode(encode(px)) == px for arbitrary dims and palette sizes —
+    every LZW code-size widening point gets exercised across runs."""
+    from trace_parquet_spark.operators.multimodal import encode_gif
+
+    rs = np.random.RandomState(seed)
+    pal = rs.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    px = pal[rs.randint(0, ncol, (h, w))]
+    assert (decode_image(encode_gif(px)) == px).all()

@@ -157,6 +157,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:4] == b"GIF8":
+        return _decode_gif(b)
     raise ValueError(f"unrecognized image magic {b[:2]!r}")
 
 
@@ -1088,3 +1090,308 @@ ORACLES = {
     "audio_decode_roundtrip": AUDIO_ROUNDTRIP_SQL,
     "video_decode_roundtrip": VIDEO_ROUNDTRIP_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# image codec: GIF (palette + LZW), pure Python/numpy
+# --------------------------------------------------------------------------
+
+# GIF89a with a global color table and ONE image block — the third
+# real compressed container after PNG (DEFLATE) and the uncompressed
+# PPM/BMP pair, exercising the remaining mainstream compression family
+# (dictionary LZW with variable-width codes). Size discipline follows
+# the spec's "What's in a GIF" formulation: the ENCODER widens the
+# code size after registering entry 2^cs, the DECODER after
+# registering entry 2^cs − 1 (it runs one dictionary entry behind);
+# codes are packed LSB-first and chopped into ≤255-byte sub-blocks.
+
+_GIF_MAX_CODE_BITS = 12
+
+
+def _gif_palette(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(palette[n,3], index-per-pixel, table_bits). Palette order is
+    deterministic (sorted packed RGB). GIF caps palettes at 256."""
+    flat = px.reshape(-1, 3).astype(np.uint32)
+    packed = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    colors, idx = np.unique(packed, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF palette overflow: {len(colors)} colors")
+    table_bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << table_bits, 3), dtype=np.uint8)
+    pal[: len(colors), 0] = (colors >> 16) & 0xFF
+    pal[: len(colors), 1] = (colors >> 8) & 0xFF
+    pal[: len(colors), 2] = colors & 0xFF
+    return pal, idx.astype(np.int64), table_bits
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW stream order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _lzw_encode(indices, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+    cs = mcs + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    bw.write(clear, cs)
+    w = (int(indices[0]),)
+    for k in indices[1:]:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], cs)
+        if nxt < (1 << _GIF_MAX_CODE_BITS):
+            table[wk] = nxt
+            if nxt == (1 << cs) and cs < _GIF_MAX_CODE_BITS:
+                cs += 1
+            nxt += 1
+        w = (int(k),)
+    bw.write(table[w], cs)
+    bw.write(eoi, cs)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, mcs: int, n_px: int) -> np.ndarray:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = pos = 0
+    cs = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    nxt = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < cs:
+            if pos >= len(data):
+                raise ValueError("GIF: truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = table[: eoi + 1]
+            nxt = eoi + 1
+            cs = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + prev[:1]  # the kwkwk case
+        else:
+            raise ValueError(f"GIF: code {code} beyond table {nxt}")
+        out += entry
+        if prev is not None and nxt < (1 << _GIF_MAX_CODE_BITS):
+            table.append(prev + entry[:1])
+            if nxt == (1 << cs) - 1 and cs < _GIF_MAX_CODE_BITS:
+                cs += 1
+            nxt += 1
+        prev = entry
+        if len(out) >= n_px:
+            break
+    if len(out) != n_px:
+        raise ValueError(f"GIF: decoded {len(out)} of {n_px} pixels")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """H×W×3 uint8 (≤256 distinct colors) → single-image GIF89a."""
+    import struct
+
+    h, w, _ = px.shape
+    pal, idx, table_bits = _gif_palette(px)
+    mcs = max(2, table_bits)
+    body = _lzw_encode(idx, mcs)
+    blocks = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((table_bits - 1) & 7), 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    import struct
+
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    # skip extension blocks to the image descriptor
+    while b[pos] == 0x21:
+        pos += 2
+        while b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    if b[pos] != 0x2C:
+        raise ValueError(f"GIF: expected image descriptor at {pos}")
+    left, top, iw, ih, ipacked = struct.unpack(
+        "<HHHHB", b[pos + 1 : pos + 10]
+    )
+    pos += 10
+    if ipacked & 0x80:  # local color table
+        n = 2 << (ipacked & 7)
+        pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    if ipacked & 0x40:
+        raise ValueError("GIF: interlaced images not supported")
+    if pal is None:
+        raise ValueError("GIF: no color table")
+    mcs = b[pos]
+    pos += 1
+    body = bytearray()
+    while b[pos]:
+        ln = b[pos]
+        body += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(bytes(body), mcs, iw * ih)
+    return pal[idx].reshape(ih, iw, 3)
+
+
+def gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LZW twin of ``png_decode_roundtrip``: the same deterministic
+    16×16 RGB render per document, serialized through the real GIF
+    codec (palette extraction + variable-width LZW + sub-block
+    framing) and decoded back through the magic-bytes seam. The
+    container-free DuckDB oracle re-derives the channel means + pixel
+    md5 from the text bytes, so the hash match certifies palette
+    round-trip and the LZW coder bit-for-bit. Same Arrow-batched
+    two-stage mapInPandas shape: no shuffle between encode and decode."""
+    import hashlib
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append("gif")
+                out["payload"].append(encode_gif(_cycle_pixels(data)))
+            yield pd.DataFrame(out)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "channels",
+                "mean_r_micro", "mean_g_micro", "mean_b_micro", "pixel_md5",
+            )}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                px = decode_image(payload)
+                h, w, c = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_r_micro"].append(int(sums[0]) * 1_000_000 // (h * w))
+                out["mean_g_micro"].append(int(sums[1]) * 1_000_000 // (h * w))
+                out["mean_b_micro"].append(int(sums[2]) * 1_000_000 // (h * w))
+                out["pixel_md5"].append(
+                    hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+        .select("doc_id", "text")
+    )
+    blobs = docs.mapInPandas(encode, _IMG_SCHEMA)
+    return blobs.mapInPandas(decode, _ROUNDTRIP_SCHEMA).orderBy("doc_id")
+
+
+# Same container-free derivation as the PPM/BMP and PNG gates — the
+# oracle depends only on the render, so 'gif' agreement certifies the
+# palette+LZW chain reproduces the identical pixels.
+GIF_ROUNDTRIP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         lower(hex(encode(text)))   AS hx
+  FROM documents WHERE length(text) > 0
+), px AS (
+  SELECT doc_id, L, hx, unnest(generate_series(0, {_IMG_BYTES - 1})) AS p
+  FROM d
+), byt AS (
+  SELECT doc_id, p, p % 3 AS ch,
+         substr(hx, 2 * (p % L) + 1, 2) AS hb
+  FROM px
+)
+SELECT doc_id,
+       'gif' AS fmt,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT)       AS channels,
+       CAST(sum(CASE WHEN ch = 0 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_r_micro,
+       CAST(sum(CASE WHEN ch = 1 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_g_micro,
+       CAST(sum(CASE WHEN ch = 2 THEN CAST(('0x' || hb) AS INT) END)
+            * 1000000 // {_PX_PER_CH} AS BIGINT) AS mean_b_micro,
+       md5(string_agg(hb, '' ORDER BY p)) AS pixel_md5
+FROM byt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["gif_decode_roundtrip"] = gif_decode_roundtrip
+ORACLES["gif_decode_roundtrip"] = GIF_ROUNDTRIP_SQL
