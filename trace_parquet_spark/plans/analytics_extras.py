@@ -307,3 +307,117 @@ ORACLES = {
     "locf_forward_fill": LOCF_SQL,
     "rolling_active_users": ROLLING_ACTIVE_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# market-basket association rules (brand level)
+# --------------------------------------------------------------------------
+
+MB_MIN_SUPP = 200  # minimum co-occurrence count for a rule
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets at the brand level:
+    for every directed brand pair A→B with joint support ≥ MB_MIN_SUPP,
+    emit support, confidence = supp(AB)/supp(A) and
+    lift = supp(AB)·N / (supp(A)·supp(B)) — the co-purchase signal a
+    recommender or assortment analysis starts from.
+
+    Exactness: confidence and lift live on the integer ppm/micro grids
+    (one truncating integer division each; numerators stay < 2^63 at
+    any realistic scale since supports are ≤ N and the grid multiplier
+    is 1e6). The basket count N is a 1-row aggregate cross-joined in —
+    the benign scalar-broadcast pattern, never a data-sized nested
+    loop.
+
+    Scale: baskets = one distinct over the fact join (shuffle on
+    orderkey); the pair self-join fans out C(k,2) per basket — bounded
+    by basket WIDTH (items per order), not corpus size — and
+    aggregates straight to the item-pair grain. Item supports are an
+    item-grain relation (tiny, broadcast). This is the Apriori 2-item
+    step; deeper itemsets iterate the same join shape on the
+    surviving frequent pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("ok", F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = baskets.agg(
+        F.countDistinct("ok").cast("long").alias("n_baskets")
+    )
+    supp_item = baskets.groupBy("item").agg(
+        F.count("*").cast("long").alias("s_item")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    joint = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("b.item").alias("consequent"),
+        )
+        .agg(F.count("*").cast("long").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= MB_MIN_SUPP)
+    )
+    sa = supp_item.select(
+        F.col("item").alias("antecedent"), F.col("s_item").alias("s_a")
+    )
+    sb = supp_item.select(
+        F.col("item").alias("consequent"), F.col("s_item").alias("s_b")
+    )
+    return (
+        joint.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_ab",
+            F.expr("CAST(supp_ab * 1000000 DIV s_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(supp_ab * n_baskets * 1000000 DIV (s_a * s_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (
+  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM baskets
+), supp AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS s_item FROM baskets GROUP BY 1
+), joint AS (
+  SELECT a.item AS antecedent, b.item AS consequent,
+         CAST(count(*) AS BIGINT) AS supp_ab
+  FROM baskets a JOIN baskets b
+    ON a.ok = b.ok AND a.item <> b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {MB_MIN_SUPP}
+)
+SELECT j.antecedent, j.consequent, j.supp_ab,
+       CAST(j.supp_ab * 1000000 // sa.s_item AS BIGINT) AS confidence_ppm,
+       CAST(j.supp_ab * n.n_baskets * 1000000
+            // (sa.s_item * sb.s_item) AS BIGINT) AS lift_micro
+FROM joint j
+JOIN supp sa ON j.antecedent = sa.item
+JOIN supp sb ON j.consequent = sb.item
+CROSS JOIN n
+ORDER BY antecedent, consequent
+"""
+
+QUERIES["market_basket_rules"] = market_basket_rules
+ORACLES["market_basket_rules"] = MARKET_BASKET_SQL

@@ -269,3 +269,94 @@ ORACLES = {
     "max_daily_concurrency": CONCURRENCY_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
 }
+
+
+BURST_GAP_US = 3_000_000  # 3s on the exact epoch-µs grid
+
+
+def burst_collapse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst collapse — the TEMPORAL dedup flavor: retries
+    and double-fires produce runs of near-identical events; collapse
+    each run of same (user, type) events with inter-event gaps ≤ 3 s
+    into one surviving record (the burst's first event) plus the
+    burst's size and span. Gaps-and-islands: a burst starts where the
+    gap from the previous event exceeds the threshold; the running sum
+    of start flags numbers the bursts — two window passes over one
+    (user_id, event_type) shuffle, no self-join, exact µs integers
+    everywhere.
+
+    Scale: identical shape to sessionization (the proven one-shuffle
+    island kernel); burst grain aggregation is a pure restriction of
+    the windowed relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = (
+        ev.withColumn("us", us)
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "new_burst",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > BURST_GAP_US)
+            ).cast("long"),
+        )
+        .withColumn("burst_id", F.sum("new_burst").over(wrun))
+    )
+    return (
+        marked.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "burst_id",
+            F.col("first.event_id").alias("keep_event_id"),
+            F.col("first.ts").alias("burst_start"),
+            "n_events",
+            "span_us",
+        )
+        .orderBy("user_id", "event_type", "burst_id")
+    )
+
+
+BURST_COLLAPSE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), marked AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {BURST_GAP_US}
+              THEN 1 ELSE 0 END AS new_burst
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *,
+         CAST(sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS burst_id
+  FROM marked
+)
+SELECT user_id, event_type, burst_id,
+       first(event_id ORDER BY ts, event_id) AS keep_event_id,
+       min(ts) AS burst_start,
+       count(*) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS span_us
+FROM numbered
+GROUP BY user_id, event_type, burst_id
+ORDER BY user_id, event_type, burst_id
+"""
+
+QUERIES["burst_collapse_events"] = burst_collapse_events
+ORACLES["burst_collapse_events"] = BURST_COLLAPSE_SQL
