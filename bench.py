@@ -116,6 +116,21 @@ HEADLINE = [
     "dsir_select_docs",
     "group_having_frequent_buyers",
     "channel_overlap_full_outer",
+    # round-10 additions: lakehouse metadata/incremental/bloom paths,
+    # asymmetric containment, GIF codec, Q47 shape, basket rules,
+    # burst collapse, SCD2 point-in-time join, JL projection
+    "tablelog_stats_only_agg",
+    "tablelog_incremental_agg",
+    "tablelog_bloom_point_lookup",
+    "dedup_containment_pairs",
+    "gif_decode_roundtrip",
+    "monthly_deviation_rank",
+    "market_basket_rules",
+    "burst_collapse_events",
+    "scd2_pit_join",
+    "random_projection_embed",
+    "dedup_canonical_quality",
+    "decontaminate_semantic",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
@@ -149,6 +164,10 @@ REPEATS = {
     # round-5 (judge round 5) additions above the 1.5s line
     "split_leakage_free": 3,
     "dedup_substring_spans": 3,
+    # round-6 additions expected above the 1.5s line (pair joins /
+    # cluster-dependent paths)
+    "dedup_containment_pairs": 3,
+    "dedup_canonical_quality": 3,
 }
 
 
