@@ -222,3 +222,30 @@ def test_random_projection_matches_numpy_replay(spark, sf_dir):
     for row, vid in enumerate(ids):
         for j in range(RP_OUT_DIM):
             assert got[(vid, j)] == want[row, j]
+
+
+def test_linear_attribution_conserves_revenue(spark, sf_dir):
+    """Credits across all channels (incl. direct) must sum exactly to
+    total purchase revenue on the micro-cent grid — the remainder
+    assignment makes the books balance by construction."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.plans.temporal import attribution_linear
+    from trace_parquet_spark.sources.registry import load_table
+
+    total_credit = (
+        attribution_linear(spark, sf_dir)
+        .agg(F.sum("credit_micro_total"))
+        .collect()[0][0]
+    )
+    total_cents = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+        )
+        .collect()[0][0]
+    )
+    assert total_credit == total_cents * 1_000_000

@@ -360,3 +360,134 @@ ORDER BY user_id, event_type, burst_id
 
 QUERIES["burst_collapse_events"] = burst_collapse_events
 ORACLES["burst_collapse_events"] = BURST_COLLAPSE_SQL
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the fairness twin of
+    attribution_last_touch: every purchase splits its revenue EQUALLY
+    across all preceding non-purchase touches inside the 7-day
+    lookback (no touch → 'direct'). Credits stay on the exact
+    micro-cent integer grid: each touch gets cents·10⁶ DIV n and the
+    division remainder goes to the MOST RECENT touch, so per-purchase
+    credits always sum exactly to cents·10⁶ — the books balance to
+    the micro-cent by construction.
+
+    Plan: per-user window collects the preceding touch structs (rows
+    [unbounded, −1] — strictly before, so a purchase never credits
+    itself even under timestamp ties), a higher-order filter keeps
+    the lookback, posexplode fans credits out, one agg by channel.
+    Array length is bounded by a USER's 7-day activity (the same
+    per-user-partition assumption every window here makes) — no
+    events⋈events self-join anywhere.
+
+    Oracle: a genuinely different derivation — the literal
+    purchase⋈touch join with per-purchase count/recency windows —
+    which must land on identical channel totals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touches = F.collect_list(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("tus"),
+                F.col("event_type").alias("tt"),
+            ),
+        )
+    ).over(w)
+    pus = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    p = (
+        ev.withColumn("touch_hist", touches)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.filter(
+                F.col("touch_hist"),
+                lambda t: t["tus"] >= pus - F.lit(ATTR_WINDOW_US),
+            ).alias("win_touches"),
+        )
+        .withColumn("n", F.size("win_touches").cast("long"))
+    )
+    direct = p.filter(F.col("n") == 0).select(
+        F.lit("direct").alias("channel"),
+        (F.col("cents") * 1_000_000).alias("credit_micro"),
+    )
+    credited = (
+        p.filter(F.col("n") > 0)
+        .select(
+            "p_id", "cents", "n", F.posexplode("win_touches").alias("idx", "t")
+        )
+        .select(
+            F.col("t.tt").alias("channel"),
+            (
+                F.expr("cents * 1000000 DIV n")
+                + F.when(
+                    F.col("idx") == F.col("n") - 1,
+                    F.expr("(cents * 1000000) % n"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("credit_micro"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.sum("credit_micro").cast("long").alias("credit_micro_total"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), p AS (
+  SELECT event_id AS p_id, user_id, ts, us AS pus,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM ev WHERE event_type = 'purchase'
+), t AS (
+  SELECT event_id, user_id, ts, us AS tus, event_type AS tt
+  FROM ev WHERE event_type <> 'purchase'
+), pairs AS (
+  SELECT p.p_id, p.cents, t.tt,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rdesc,
+         count(*) OVER (PARTITION BY p.p_id) AS n
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.p_id))
+   AND t.tus >= p.pus - {ATTR_WINDOW_US}
+), credited AS (
+  SELECT tt AS channel,
+         CAST(cents * 1000000 // n
+              + CASE WHEN rdesc = 1 THEN (cents * 1000000) % n ELSE 0 END
+              AS BIGINT) AS credit_micro
+  FROM pairs
+), direct AS (
+  SELECT 'direct' AS channel,
+         CAST(cents * 1000000 AS BIGINT) AS credit_micro
+  FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.p_id = p.p_id)
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+GROUP BY channel
+ORDER BY channel
+"""
+
+QUERIES["attribution_linear"] = attribution_linear
+ORACLES["attribution_linear"] = ATTRIBUTION_LINEAR_SQL
