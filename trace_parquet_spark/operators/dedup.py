@@ -868,7 +868,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation and the probe is prefix-small) is the 100 TB refinement
     of the same candidate-then-verify shape proven by
     dedup_setsim_prefix."""
-    sh = _doc_shingles_capped(spark, sf_dir)
+    # the capped relation feeds both join sides AND the size agg —
+    # cache it once (track_cache releases it when the next query
+    # builds) instead of re-deriving shingles + hot-set three times
+    sh = track_cache(_doc_shingles_capped(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
