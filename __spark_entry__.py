@@ -78,7 +78,7 @@ def _modules():
         udtf,
         zorder,
     )
-    from trace_parquet_spark.sources import tablelog
+    from trace_parquet_spark.sources import tablelog, tablelog_source
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -161,6 +161,7 @@ def _modules():
         ivf,
         pq,
         tablelog,
+        tablelog_source,
     )
 
 

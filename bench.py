@@ -131,6 +131,7 @@ HEADLINE = [
     "random_projection_embed",
     "dedup_canonical_quality",
     "decontaminate_semantic",
+    "attribution_linear",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -74,3 +74,109 @@ def test_streamed_table_supports_time_travel_and_feed(spark, tmp_path):
     feed = change_feed(spark, t, 0, 1, "id").collect()
     assert sorted(r.id for r in feed) == [3, 4, 5]
     assert {r.change_type for r in feed} == {"insert"}
+
+
+# ------------------------------------------------------- DataSource API
+
+
+def test_tablelog_datasource_batch_read(spark, tmp_path):
+    """spark.read.format('tablelog') plans from the log (per-file
+    partitions) and equals the library reader at every version."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import append, read_table
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "dsb")
+    append(spark.range(5).select(F.col("id").alias("k")), t)
+    append(spark.range(5, 9).select(F.col("id").alias("k")), t)
+    got = spark.read.format("tablelog").option("path", t).load()
+    assert sorted(r.k for r in got.collect()) == list(range(9))
+    v0 = (
+        spark.read.format("tablelog")
+        .option("path", t)
+        .option("as_of", "0")
+        .load()
+    )
+    assert sorted(r.k for r in v0.collect()) == list(range(5))
+    assert sorted(r.k for r in v0.collect()) == sorted(
+        r.k for r in read_table(spark, t, as_of=0).collect()
+    )
+
+
+def test_tablelog_datasource_stream_tails_commits(spark, tmp_path):
+    """The version-offset stream delivers each appended commit exactly
+    once, across multiple triggers and a checkpointed restart."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import append
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "dss")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    append(spark.range(0, 3).select(F.col("id").alias("k")), t)
+
+    def start():
+        return (
+            spark.readStream.format("tablelog")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    append(spark.range(3, 7).select(F.col("id").alias("k")), t)
+    q = start()
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(7))
+    # restart with no new commits: nothing re-delivered
+    q = start()
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(7))
+
+
+def test_tablelog_datasource_stream_rejects_deletes(spark, tmp_path):
+    """A commit that removes files fails the append-only stream loudly;
+    ignore_deletes=true streams the commit's adds instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import append, overwrite
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "dsd")
+    append(spark.range(0, 3).select(F.col("id").alias("k")), t)
+    overwrite(spark.range(10, 12).select(F.col("id").alias("k")), t)
+
+    def run(sink, ckpt, **opts):
+        reader = spark.readStream.format("tablelog").option("path", t)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / sink))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="not append-only"):
+        run("s1", "c1")
+    run("s2", "c2", ignore_deletes="true")
+    got = sorted(r.k for r in spark.read.parquet(str(tmp_path / "s2")).collect())
+    assert got == [0, 1, 2, 10, 11]

@@ -1,0 +1,242 @@
+"""The transaction-log table as a Spark DataSource — batch AND
+streaming — closing the loop sources/tablelog.py opened: the log
+format can now be consumed with ``spark.read.format("tablelog")`` and
+``spark.readStream.format("tablelog")`` like Delta, not only through
+the library API.
+
+- **Batch**: one InputPartition per live data file (the log is the
+  manifest — no directory listing), pyarrow-decoded executor-side.
+  A 1000-executor cluster reads 1000 files concurrently, exactly like
+  the gzjsonl connector (sources/pydatasource.py).
+- **Streaming**: the offset IS the log version — the property that
+  makes a lakehouse table a replayable stream. Each micro-batch
+  delivers the rows of files ADDED by commits in (start, end]; the
+  checkpoint stores versions, so restart/replay re-reads the exact
+  same commit range (readBetweenOffsets) and exactly-once composes
+  with any idempotent sink. Append-only by default: a commit that
+  REMOVES files (overwrite/MERGE/OPTIMIZE) fails the stream loudly —
+  Delta's documented behavior — unless ``ignore_deletes`` is set,
+  which delivers the commit's added files and documents that
+  copy-on-write rewrites re-deliver carried rows (Delta's
+  ignoreChanges contract).
+
+Reference: no counterpart (SURVEY §2.9 records streaming as absent);
+north-star storage/streaming extension, public Delta streaming-source
+semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from .tablelog import _log_dir, _read_log, _versions, latest_version
+
+
+def _table_schema(table: str, as_of: int | None = None) -> StructType:
+    _files, schema_json, _stats, _rows = _read_log(table, as_of)
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def _commit_actions(table: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(table), f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def _rows_of(table: str, rels: list[str], field_names: list[str]):
+    """Decode parquet files to tuples in schema field order. Missing
+    columns (pre-evolution files) surface as None, matching the
+    library reader's schema application."""
+    import pyarrow.parquet as pq
+
+    for rel in rels:
+        tb = pq.read_table(os.path.join(table, rel))
+        cols = {
+            name: (
+                tb.column(name).to_pylist()
+                if name in tb.column_names
+                else [None] * tb.num_rows
+            )
+            for name in field_names
+        }
+        for i in range(tb.num_rows):
+            yield tuple(cols[name][i] for name in field_names)
+
+
+class _TLFilePartition(InputPartition):
+    def __init__(self, rel: str):
+        self.rel = rel
+
+
+class TableLogBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("tablelog requires option 'path'")
+        self.as_of = (
+            int(options["as_of"]) if options.get("as_of") is not None else None
+        )
+        files, schema_json, _stats, _rows = _read_log(self.table, self.as_of)
+        self._files = files
+        self._names = StructType.fromJson(
+            json.loads(schema_json)
+        ).fieldNames()
+
+    def partitions(self):
+        return [_TLFilePartition(rel) for rel in self._files]
+
+    def read(self, partition: _TLFilePartition):
+        yield from _rows_of(self.table, [partition.rel], self._names)
+
+
+class TableLogStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"version": last delivered log version} (-1 = none)."""
+
+    def __init__(self, options):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("tablelog requires option 'path'")
+        self.ignore_deletes = str(
+            options.get("ignore_deletes", "false")
+        ).lower() in ("true", "1")
+
+    def _names(self) -> list[str]:
+        return _table_schema(self.table).fieldNames()
+
+    def _added_in(self, lo: int, hi: int) -> list[str]:
+        rels: list[str] = []
+        for v in _versions(self.table):
+            if lo < v <= hi:
+                c = _commit_actions(self.table, v)
+                if c.get("remove") and not self.ignore_deletes:
+                    raise ValueError(
+                        f"tablelog stream: commit {v} removes files — "
+                        "the table is not append-only; set "
+                        "ignore_deletes=true to stream adds anyway "
+                        "(copy-on-write rewrites will re-deliver "
+                        "carried rows)"
+                    )
+                rels.extend(c.get("add", []))
+        return rels
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def read(self, start: dict):
+        lv = latest_version(self.table)
+        hi = -1 if lv is None else lv
+        rels = self._added_in(start["version"], hi)
+        rows = list(_rows_of(self.table, rels, self._names())) if rels else []
+        return iter(rows), {"version": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rels = self._added_in(start["version"], end["version"])
+        return iter(list(_rows_of(self.table, rels, self._names())))
+
+    def commit(self, end: dict) -> None:
+        pass  # log entries are immutable; nothing to release
+
+
+class TableLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tablelog"
+
+    def schema(self):
+        table = self.options.get("path")
+        if not table:
+            raise ValueError("tablelog requires option 'path'")
+        as_of = self.options.get("as_of")
+        return _table_schema(table, int(as_of) if as_of is not None else None)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return TableLogBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return TableLogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TableLogDataSource)
+
+
+# --------------------------------------------------------------------------
+# driver-gated query
+# --------------------------------------------------------------------------
+
+
+def tablelog_source_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the DataSource batch path under the oracle gate: the
+    standard two-append orders-slice recipe, read back through
+    ``spark.read.format("tablelog")`` (per-file InputPartitions
+    planned from the log, pyarrow decode executor-side) and
+    aggregated by key parity. The oracle recomputes from orders —
+    agreement proves the connector surfaces exactly the committed
+    snapshot through Catalyst, not just through the library reader."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import append
+
+    register(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_ds_")
+    try:
+        append(orders.filter(F.col("o_orderkey") % 3 == 0), t)
+        append(orders.filter(F.col("o_orderkey") % 3 == 1), t)
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .groupBy((F.col("o_orderkey") % 2).alias("parity"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("parity")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "parity long, n_rows long, total_cents long"
+    ).orderBy("parity")
+
+
+TABLELOG_SOURCE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1
+ORDER BY parity
+"""
+
+QUERIES = {"tablelog_source_batch_read": tablelog_source_batch_read}
+ORACLES = {"tablelog_source_batch_read": TABLELOG_SOURCE_SQL}
