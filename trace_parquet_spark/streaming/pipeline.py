@@ -181,13 +181,22 @@ def click_purchase_stream_join(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases matched to a prior click by
+    """Stream-stream join: purchases matched to a prior click by
     the same user within ``horizon``. Both sides carry watermarks and
     the join condition carries the time band — that pair is what lets
     Spark expire buffered rows (state is bounded by watermark +
     horizon; an unbounded stream-stream join would buffer forever).
     The streaming twin of operators/asof.py's batch as-of join.
+
+    ``how="left_outer"`` adds the OUTER semantics only a watermark
+    makes possible on streams: an unmatched purchase is emitted
+    null-padded once the watermark proves no future click can still
+    match it (before that point "no match yet" is indistinguishable
+    from "match still in flight") — the conversion-failure feed a
+    marketing pipeline actually wants, and the state-eviction corner
+    the inner join never exercises.
     """
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
@@ -208,7 +217,7 @@ def click_purchase_stream_join(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
         ),
-        "inner",
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
