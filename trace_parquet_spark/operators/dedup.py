@@ -172,7 +172,8 @@ sh AS (
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (exact over the
     df-capped shingle universe — see SHINGLE_DF_CAP)."""
-    sh = _doc_shingles_capped(spark, sf_dir)
+    # cached once: feeds both join sides and the size aggregation
+    sh = track_cache(_doc_shingles_capped(spark, sf_dir))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
