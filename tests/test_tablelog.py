@@ -405,3 +405,79 @@ def test_bloom_prunes_everything_for_absent_key(spark, tmp_path):
     # deterministic data + md5 probes: the absent key misses every
     # file's filter, so planning touches nothing
     assert scanned == 0
+
+
+# ----------------------------------------------- checkpoints / expiration
+
+
+def test_checkpoint_replay_equals_full_replay(spark, tmp_path):
+    """A checkpoint is a pure optimization: reads with and without it
+    land on identical snapshots at every version >= the checkpoint."""
+    from trace_parquet_spark.sources.tablelog import write_checkpoint
+
+    t = str(tmp_path / "cp")
+    append(spark.range(0, 4), t)
+    append(spark.range(4, 6), t)
+    write_checkpoint(t, 1)
+    append(spark.range(6, 9), t)
+    assert _ids(read_table(spark, t)) == list(range(9))
+    assert _ids(read_table(spark, t, as_of=1)) == list(range(6))
+    assert _ids(read_table(spark, t, as_of=0)) == list(range(4))
+
+
+def test_expire_snapshots_retention_contract(spark, tmp_path):
+    """After expire(keep_from=1): v>=1 still reads exactly (from the
+    checkpoint), v0 raises, and data files only v0 referenced are
+    physically gone."""
+    import pytest as _pytest
+
+    from trace_parquet_spark.sources.tablelog import expire_snapshots
+
+    t = str(tmp_path / "exp")
+    append(spark.range(0, 4), t)
+    overwrite(spark.range(10, 13), t)  # v1: v0's files now unreachable
+    append(spark.range(13, 15), t)
+    res = expire_snapshots(t, keep_from=1)
+    assert res["logs_expired"] == 1
+    assert res["files_deleted"] >= 1  # v0-only files physically removed
+    assert _ids(read_table(spark, t)) == list(range(10, 15))
+    assert _ids(read_table(spark, t, as_of=1)) == [10, 11, 12]
+    with _pytest.raises(ValueError, match="no committed version"):
+        read_table(spark, t, as_of=0)
+
+
+def test_expire_preserves_txn_idempotence(spark, tmp_path):
+    """Exactly-once markers survive expiration via the checkpoint: a
+    replayed batch whose commit was expired still lands once."""
+    from trace_parquet_spark.sources.tablelog import (
+        append_stream_batch,
+        expire_snapshots,
+        txn_committed,
+    )
+
+    t = str(tmp_path / "txnexp")
+    append_stream_batch(spark.range(0, 3), t, app="a", batch_id=0)
+    append_stream_batch(spark.range(3, 5), t, app="a", batch_id=1)
+    expire_snapshots(t, keep_from=1)
+    assert txn_committed(t, "a", 0)  # marker carried by the checkpoint
+    assert txn_committed(t, "a", 1)
+    # replay of batch 0 after its commit json was expired: no-op
+    assert append_stream_batch(spark.range(0, 3), t, app="a", batch_id=0) is None
+    assert _ids(read_table(spark, t)) == list(range(5))
+
+
+def test_stream_rejects_expired_offsets(spark, tmp_path):
+    from trace_parquet_spark.sources.tablelog import expire_snapshots
+    from trace_parquet_spark.sources.tablelog_source import (
+        TableLogStreamReader,
+    )
+
+    t = str(tmp_path / "sexp")
+    append(spark.range(0, 3).withColumnRenamed("id", "k"), t)
+    append(spark.range(3, 5).withColumnRenamed("id", "k"), t)
+    expire_snapshots(t, keep_from=1)
+    rdr = TableLogStreamReader({"path": t})
+    with pytest.raises(ValueError, match="expired"):
+        rdr._added_in(-1, 1)
+    # offsets at/after the checkpoint still stream
+    assert rdr._added_in(0, 1) != []

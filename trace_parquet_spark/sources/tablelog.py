@@ -53,7 +53,9 @@ def _versions(table: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        int(f[:-5])
+        for f in os.listdir(d)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
     )
 
 
@@ -69,7 +71,15 @@ def _read_log(
     per-file column stats, per-file row counts). Stats and row counts
     are immutable alongside their files: a file's [min, max] and row
     count are recorded by the commit that added it and never change,
-    so replay is a plain union keyed by path."""
+    so replay is a plain union keyed by path.
+
+    Replay seeks the newest CHECKPOINT ≤ as_of when one exists (see
+    write_checkpoint) and replays only the JSON tail — O(tail) not
+    O(commits), and the only correct read path once history below the
+    checkpoint has been expired."""
+    cp = _read_log_from_checkpoint(table, as_of)
+    if cp is not None:
+        return cp
     vs = _versions(table)
     if as_of is not None:
         vs = [v for v in vs if v <= as_of]
@@ -381,17 +391,35 @@ def read_table(
     return df
 
 
-def txn_committed(table: str, app: str, batch_id: int) -> bool:
-    """Has (app, batch_id) already committed? The log scan is
-    O(commits) of tiny JSON — the same idempotence ledger Delta keeps
-    as per-application transaction versions."""
+def _txns_up_to(table: str, version: int) -> list[list]:
+    """All (app, batch_id) markers visible at ``version``: the newest
+    checkpoint's carried txns plus the JSON tail's."""
+    out: list[list] = []
+    base = -1
+    cps = [v for v in _checkpoints(table) if v <= version]
+    if cps:
+        base = cps[-1]
+        with open(_checkpoint_path(table, base)) as fh:
+            out.extend(json.load(fh).get("txns", []))
     for v in _versions(table):
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
-        t = c.get("txn")
-        if t and t.get("app") == app and t.get("batch_id") == batch_id:
-            return True
-    return False
+        if base < v <= version:
+            with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+                t = json.load(fh).get("txn")
+            if t:
+                out.append([t["app"], t["batch_id"]])
+    return out
+
+
+def txn_committed(table: str, app: str, batch_id: int) -> bool:
+    """Has (app, batch_id) already committed? Checkpoint-carried
+    markers + the O(tail) JSON scan — the same idempotence ledger
+    Delta keeps as per-application transaction versions."""
+    lv = latest_version(table)
+    cps = _checkpoints(table)
+    hi = max([lv if lv is not None else -1] + cps)
+    if hi < 0:
+        return False
+    return [app, batch_id] in _txns_up_to(table, hi)
 
 
 def append_stream_batch(
@@ -1220,3 +1248,134 @@ ORDER BY o_custkey
 
 QUERIES["tablelog_bloom_point_lookup"] = tablelog_bloom_point_lookup
 ORACLES["tablelog_bloom_point_lookup"] = TABLELOG_BLOOM_SQL
+
+
+# --------------------------------------------------------------------------
+# log checkpoints + snapshot expiration
+# --------------------------------------------------------------------------
+
+# Replay is O(commits); on a table absorbing thousands of streaming
+# commits that becomes the planning bottleneck (and the reason Delta
+# writes periodic checkpoints). A checkpoint file materializes the
+# full replay state at version V — live files, schema, stats, rows —
+# so readers seek to the newest checkpoint ≤ as_of and replay only the
+# tail. Expiration then drops log entries (and data files) no kept
+# version can reach, bounding both planning cost and storage.
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.checkpoint.json")
+
+
+def _checkpoints(table: str) -> list[int]:
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(d)
+        if f.endswith(".checkpoint.json")
+    )
+
+
+def write_checkpoint(table: str, version: int | None = None) -> int:
+    """Materialize the replay state at ``version`` (default: latest)
+    into a checkpoint file. Pure optimization: readers that ignore
+    checkpoints still replay the full log to the same state, and the
+    checkpoint is written with the same create-exclusive atomicity as
+    commits (a racing writer of the SAME checkpoint loses harmlessly
+    — both bodies are identical by construction)."""
+    if version is None:
+        lv = latest_version(table)
+        if lv is None:
+            raise ValueError(f"{table} has no committed versions")
+        version = lv
+    files, schema, stats, rows = _read_log(table, version)
+    body = {
+        "live": files,
+        "schema": schema,
+        "stats": {f: stats[f] for f in files if f in stats},
+        "rows": {f: rows[f] for f in files if f in rows},
+        # exactly-once markers survive expiration (Delta checkpoints
+        # carry per-app txn versions for the same reason)
+        "txns": _txns_up_to(table, version),
+    }
+    path = _checkpoint_path(table, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return version  # identical body already published
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return version
+
+
+def _read_log_from_checkpoint(
+    table: str, as_of: int | None
+) -> tuple[list[str], str, dict, dict] | None:
+    """Checkpoint-seeking replay: newest checkpoint ≤ as_of, plus the
+    JSON tail. Returns None when no usable checkpoint exists (caller
+    falls back to the full replay)."""
+    cps = _checkpoints(table)
+    if as_of is not None:
+        cps = [v for v in cps if v <= as_of]
+    if not cps:
+        return None
+    base = cps[-1]
+    with open(_checkpoint_path(table, base)) as fh:
+        body = json.load(fh)
+    live = set(body["live"])
+    schema = body["schema"]
+    stats = dict(body["stats"])
+    rows = dict(body["rows"])
+    vs = [v for v in _versions(table) if v > base]
+    if as_of is not None:
+        vs = [v for v in vs if v <= as_of]
+    for v in vs:
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            commit = json.load(fh)
+        live |= set(commit.get("add", []))
+        live -= set(commit.get("remove", []))
+        schema = commit.get("schema") or schema
+        stats.update(commit.get("stats", {}))
+        rows.update(commit.get("rows", {}))
+    return sorted(live), schema, stats, rows
+
+
+def expire_snapshots(table: str, keep_from: int) -> dict:
+    """Expire history before ``keep_from``: requires (or writes) a
+    checkpoint at ``keep_from``, deletes older commit JSONs and
+    checkpoints, then deletes data files referenced ONLY by expired
+    versions. Time travel to any version ≥ keep_from keeps working
+    (the checkpoint carries its state); travel below keep_from now
+    raises — the documented retention contract (Delta's
+    logRetentionDuration mechanism). Returns counts."""
+    write_checkpoint(table, keep_from)
+    keep_files: set[str] = set()
+    for v in [v for v in _versions(table) if v >= keep_from]:
+        res = _read_log_from_checkpoint(table, v)
+        keep_files |= set(res[0])
+    dropped_logs = 0
+    for v in [v for v in _versions(table) if v < keep_from]:
+        os.remove(os.path.join(_log_dir(table), f"{v:020d}.json"))
+        dropped_logs += 1
+    for v in [v for v in _checkpoints(table) if v < keep_from]:
+        os.remove(_checkpoint_path(table, v))
+    dropped_files = 0
+    for root, _dirs, names in os.walk(table):
+        if os.path.basename(root) == "_log":
+            continue
+        for n in names:
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, table)
+            if rel.startswith("_log"):
+                continue
+            if n.startswith("part-") and n.endswith(".parquet"):
+                if rel not in keep_files:
+                    os.remove(full)
+                    dropped_files += 1
+    return {
+        "checkpoint": keep_from,
+        "logs_expired": dropped_logs,
+        "files_deleted": dropped_files,
+    }

@@ -113,6 +113,14 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         return _table_schema(self.table).fieldNames()
 
     def _added_in(self, lo: int, hi: int) -> list[str]:
+        vs = _versions(self.table)
+        if vs and lo < vs[0] - 1:
+            raise ValueError(
+                f"tablelog stream: commits <= {vs[0] - 1} have been "
+                "expired (expire_snapshots) — the requested offset "
+                f"{lo} cannot be replayed; restart the stream from a "
+                "fresh snapshot read"
+            )
         rels: list[str] = []
         for v in _versions(self.table):
             if lo < v <= hi:
