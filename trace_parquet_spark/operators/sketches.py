@@ -458,3 +458,187 @@ ORACLES = {
     "hll_register_estimate": HLL_SQL,
     "histogram_quantile_sketch": HIST_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# KMV set operations: segment-overlap estimation from mergeable samples
+# --------------------------------------------------------------------------
+
+KMV_OV_K = 64  # larger k than the per-group sketch: overlap needs resolution
+
+
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation between event-type segments from
+    KMV sketches — the SET-OPERATION face of bottom-k sketching: the
+    per-group sketch answers |A|; this answers |A∩B| and J(A,B)
+    WITHOUT an exact distinct-intersection pass. The mechanism (Beyer
+    et al., SIGMOD 2007): hash users SEGMENT-INDEPENDENTLY (the same
+    user must collide across segments — the opposite of the folded
+    per-group hash), keep each segment's k smallest; for a pair, the
+    k smallest of the sample UNION are a uniform sample of A∪B, so
+    ρ = |{v in that sample seen in both A's and B's sketches}|
+    estimates J·k, and |A∩B| ≈ ρ/k · (k−1)·2³²/θ with θ the kth
+    union value. When the union sample holds < k values the sketch IS
+    the union and every estimate is exact.
+
+    All-integer discipline: Jaccard on the ppm grid
+    (ρ·10⁶ div n_kept), intersection as one fused integer expression
+    (ρ·(k−1)·2³² div (θ·k)) — no floats anywhere, so the sketch
+    contents AND estimates hash-match the oracle bit-for-bit. The
+    exact intersection/Jaccard ride along as in-row evidence columns.
+
+    Scale: sketches are k rows per segment (mergeable — map-side
+    combine builds them distributively); pair estimation touches only
+    sketch rows (segments² · k), never the user universe again."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("event_type", "user_id").distinct()
+    h = stable_hash32(F.concat(F.lit("kmvo:"), F.col("user_id").cast("string")))
+    hashed = users.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sample = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_OV_K)
+        .select(F.col("event_type").alias("seg"), "h")
+    )
+    segs = sample.select("seg").distinct()
+    pairs = (
+        segs.select(F.col("seg").alias("seg_a"))
+        .crossJoin(segs.select(F.col("seg").alias("seg_b")))
+        .where(F.col("seg_a") < F.col("seg_b"))
+    )
+    cand = pairs.join(
+        F.broadcast(sample),
+        (F.col("seg") == F.col("seg_a")) | (F.col("seg") == F.col("seg_b")),
+    )
+    merged = cand.groupBy("seg_a", "seg_b", "h").agg(
+        F.max((F.col("seg") == F.col("seg_a")).cast("int")).alias("in_a"),
+        F.max((F.col("seg") == F.col("seg_b")).cast("int")).alias("in_b"),
+    )
+    wp = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+    kept = merged.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= KMV_OV_K
+    )
+    est = kept.groupBy("seg_a", "seg_b").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
+    )
+    exact = (
+        users.alias("x")
+        .join(
+            users.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("seg_a"),
+            F.col("y.event_type").alias("seg_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    sizes = users.groupBy(F.col("event_type").alias("seg")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    out = (
+        est.join(exact, ["seg_a", "seg_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("seg").alias("seg_a"), F.col("n_users").alias("na"))),
+            "seg_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("seg").alias("seg_b"), F.col("n_users").alias("nb"))),
+            "seg_b",
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_kept",
+            "rho",
+            F.expr(f"CAST(rho * 1000000 DIV n_kept AS BIGINT)").alias(
+                "jaccard_est_ppm"
+            ),
+            F.when(F.col("n_kept") < KMV_OV_K, F.col("rho"))
+            .otherwise(
+                F.expr(
+                    f"CAST(rho * {KMV_OV_K - 1} * 4294967296"
+                    f" DIV (theta * {KMV_OV_K}) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("inter_est"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("long")
+            .alias("exact_inter"),
+            F.expr(
+                "CAST(coalesce(exact_inter, 0) * 1000000"
+                " DIV (na + nb - coalesce(exact_inter, 0)) AS BIGINT)"
+            ).alias("exact_jaccard_ppm"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+    return out
+
+
+_KMVO_H = stable_hash32_sql("'kmvo:' || CAST(user_id AS VARCHAR)")
+
+KMV_OVERLAP_SQL = f"""
+WITH users AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT DISTINCT event_type, {_KMVO_H} AS h FROM users
+), sample AS (
+  SELECT event_type AS seg, h
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_OV_K}
+), segs AS (SELECT DISTINCT seg FROM sample),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b
+  FROM segs a JOIN segs b ON a.seg < b.seg
+), merged AS (
+  SELECT p.seg_a, p.seg_b, s.h,
+         max(CASE WHEN s.seg = p.seg_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.seg = p.seg_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sample s ON s.seg IN (p.seg_a, p.seg_b)
+  GROUP BY 1, 2, 3
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {KMV_OV_K}
+), est AS (
+  SELECT seg_a, seg_b,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         max(h) AS theta,
+         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+  FROM kept GROUP BY 1, 2
+), exact AS (
+  SELECT x.event_type AS seg_a, y.event_type AS seg_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM users x JOIN users y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT event_type AS seg, CAST(count(*) AS BIGINT) AS n_users
+  FROM users GROUP BY 1
+)
+SELECT e.seg_a, e.seg_b, e.n_kept, e.rho,
+       CAST(e.rho * 1000000 // e.n_kept AS BIGINT) AS jaccard_est_ppm,
+       CAST(CASE WHEN e.n_kept < {KMV_OV_K} THEN e.rho
+                 ELSE e.rho * {KMV_OV_K - 1} * 4294967296
+                      // (e.theta * {KMV_OV_K}) END AS BIGINT) AS inter_est,
+       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(coalesce(x.exact_inter, 0) * 1000000
+            // (sa.n_users + sb.n_users - coalesce(x.exact_inter, 0))
+            AS BIGINT) AS exact_jaccard_ppm
+FROM est e
+LEFT JOIN exact x ON e.seg_a = x.seg_a AND e.seg_b = x.seg_b
+JOIN sizes sa ON e.seg_a = sa.seg
+JOIN sizes sb ON e.seg_b = sb.seg
+ORDER BY e.seg_a, e.seg_b
+"""
+
+QUERIES["kmv_segment_overlap"] = kmv_segment_overlap
+ORACLES["kmv_segment_overlap"] = KMV_OVERLAP_SQL
