@@ -88,3 +88,84 @@ ORDER BY doc_id, pos
 
 QUERIES = {"explode_tokens_udtf": explode_tokens_udtf}
 ORACLES = {"explode_tokens_udtf": UDTF_TOKENS_SQL}
+
+
+# --------------------------------------------------------------------------
+# polymorphic UDTF: output schema computed by analyze() (Spark 4)
+# --------------------------------------------------------------------------
+
+SPLIT_N = 3  # parts per document in the gated query
+
+
+class SplitParts:
+    """Polymorphic UDTF: splits a text into N equal-width character
+    parts where N is a CONSTANT argument and the OUTPUT SCHEMA —
+    part_1..part_N string columns — is computed at plan time by
+    ``analyze()`` (the Spark 4 dynamic-schema UDTF surface; a static
+    returnType cannot express column count depending on an argument).
+    Width = ceil(len/N); missing tails yield empty strings, so every
+    row emits exactly one output row with N parts."""
+
+    @staticmethod
+    def analyze(doc_id, text, n):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None or not isinstance(n.value, int):
+            raise ValueError("split_parts: n must be a constant integer")
+        fields = [StructField("doc_id", LongType())] + [
+            StructField(f"part_{i}", StringType())
+            for i in range(1, n.value + 1)
+        ]
+        return AnalyzeResult(StructType(fields))
+
+    def eval(self, doc_id: int, text: str, n: int):
+        s = text or ""
+        w = -(-len(s) // n) if s else 0
+        parts = [
+            s[i * w : (i + 1) * w] if w else "" for i in range(n)
+        ]
+        yield (doc_id, *parts)
+
+
+def split_parts_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("split_parts", udtf(SplitParts))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < UDTF_DOC_MAX
+    )
+    docs.createOrReplaceTempView("udtf_docs_sp")
+    return spark.sql(
+        f"""
+        SELECT s.doc_id, s.part_1, s.part_2, s.part_3
+        FROM udtf_docs_sp d,
+             LATERAL split_parts(d.doc_id, d.text, {SPLIT_N}) s
+        ORDER BY s.doc_id
+        """
+    )
+
+
+# ceil-width substring replay; length(text)=0 rows yield empty parts
+UDTF_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE (length(text) + {SPLIT_N} - 1) // {SPLIT_N} END AS w
+  FROM documents WHERE doc_id < {UDTF_DOC_MAX}
+)
+SELECT doc_id,
+       substring(text, 1, w)         AS part_1,
+       substring(text, w + 1, w)     AS part_2,
+       substring(text, 2 * w + 1, w) AS part_3
+FROM d
+ORDER BY doc_id
+"""
+
+QUERIES["split_parts_udtf"] = split_parts_udtf
+ORACLES["split_parts_udtf"] = UDTF_SPLIT_SQL
