@@ -359,3 +359,137 @@ CORR_MATRIX_SQL = _corr_matrix_sql()
 
 QUERIES["corr_matrix_lineitem"] = corr_matrix_lineitem
 ORACLES["corr_matrix_lineitem"] = CORR_MATRIX_SQL
+
+
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift monitor
+# --------------------------------------------------------------------------
+
+
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the EXACT two-sample KS statistic
+    of each source's document-length distribution against the rest of
+    the corpus — the pipeline gate that catches a scraper change or a
+    broken extractor shifting a source's length profile long before
+    aggregate means move.
+
+    Exact, not binned: D = max_x |F_src(x) − F_rest(x)| evaluated at
+    every observed length over the shared value spine, carried as the
+    integer cross-product |cum_src·N_rest − cum_rest·N_src| and
+    divided ONCE onto the ppm grid — engine-identical, no float CDFs.
+    The argmax length (tie → smallest) is reported so the drift is
+    actionable.
+
+    Scale: lengths aggregate to the (source, x) grain first (one
+    fact-table shuffle); the spine is distinct-lengths × sources
+    (bounded by value cardinality, not rows), windows partition by
+    source, and the final argmax is a row_number over the spine —
+    nothing touches the corpus twice."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    n_tot = docs.count()
+    cnt = docs.groupBy("source", "x").agg(F.count("*").alias("c"))
+    tot_x = docs.groupBy("x").agg(F.count("*").alias("ct"))
+    n_src = docs.groupBy("source").agg(F.count("*").alias("ns"))
+    spine = (
+        docs.select("x").distinct()
+        .crossJoin(docs.select("source").distinct())
+    )
+    g = (
+        spine.join(cnt, ["source", "x"], "left")
+        .join(tot_x, "x")
+        .join(n_src, "source")
+        .select(
+            "source",
+            "x",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cs"),
+            (F.col("ct") - F.coalesce(F.col("c"), F.lit(0))).alias("cr"),
+            "ns",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        g.withColumn("cum_s", F.sum("cs").over(w))
+        .withColumn("cum_r", F.sum("cr").over(w))
+        .withColumn(
+            "d_scaled",
+            F.abs(
+                F.col("cum_s") * (F.lit(n_tot) - F.col("ns"))
+                - F.col("cum_r") * F.col("ns")
+            ),
+        )
+    )
+    warg = Window.partitionBy("source").orderBy(
+        F.desc("d_scaled"), F.asc("x")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(warg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_docs"),
+            F.expr(
+                f"CAST(d_scaled * 1000000 DIV (ns * ({n_tot} - ns)) AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.col("x").cast("long").alias("ks_at_len"),
+        )
+        .orderBy("source")
+    )
+
+
+KS_DRIFT_SQL = """
+WITH docs AS (
+  SELECT source, n_chars AS x FROM documents
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM docs),
+cnt AS (
+  SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1, 2
+), tot_x AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS ct FROM docs GROUP BY 1
+), n_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM docs GROUP BY 1
+), spine AS (
+  SELECT s.source, v.x
+  FROM (SELECT DISTINCT source FROM docs) s,
+       (SELECT DISTINCT x FROM docs) v
+), g AS (
+  SELECT sp.source, sp.x,
+         coalesce(c.c, 0) AS cs,
+         t.ct - coalesce(c.c, 0) AS cr,
+         ns.ns
+  FROM spine sp
+  LEFT JOIN cnt c ON sp.source = c.source AND sp.x = c.x
+  JOIN tot_x t ON sp.x = t.x
+  JOIN n_src ns ON sp.source = ns.source
+), scored AS (
+  SELECT source, x, ns,
+         sum(cs) OVER w AS cum_s,
+         sum(cr) OVER w AS cum_r
+  FROM g
+  WINDOW w AS (PARTITION BY source ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT source, x, ns,
+         abs(cum_s * ((SELECT n_tot FROM n) - ns) - cum_r * ns) AS d_scaled
+  FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY d_scaled DESC, x) AS rn
+  FROM d
+)
+SELECT source,
+       ns AS n_docs,
+       CAST(d_scaled * 1000000
+            // (ns * ((SELECT n_tot FROM n) - ns)) AS BIGINT) AS ks_ppm,
+       CAST(x AS BIGINT) AS ks_at_len
+FROM ranked
+WHERE rn = 1
+ORDER BY source
+"""
+
+QUERIES["ks_drift_by_source"] = ks_drift_by_source
+ORACLES["ks_drift_by_source"] = KS_DRIFT_SQL
