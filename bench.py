@@ -132,6 +132,8 @@ HEADLINE = [
     "dedup_canonical_quality",
     "decontaminate_semantic",
     "attribution_linear",
+    "kmv_segment_overlap",
+    "ks_drift_by_source",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
