@@ -246,3 +246,34 @@ def test_scd2_pit_join_avoids_range_join(spark, sf_dir, qs):
     # the carry is a window over the unioned stream, not a join
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Window") >= 2  # version numbering + the carry
+
+
+def test_kmv_overlap_touches_users_once(spark, sf_dir, qs):
+    """Pair estimation must run on sketch rows only: no join in the
+    plan carries the distinct-user relation twice except the exact
+    evidence join; no Python, no cartesian."""
+    plan = _plan(qs["kmv_segment_overlap"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_windows_partition_by_source(spark, sf_dir, qs):
+    """The CDF windows must partition by source (never a global
+    window) and the plan stays JVM-side."""
+    plan = _plan(qs["ks_drift_by_source"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    import re as _re
+
+    # every Window node's partition spec mentions source
+    specs = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    win_specs = [s for s in specs if s]
+    assert win_specs, "expected window nodes in the KS plan"
+    assert all("source" in s for s in win_specs), win_specs
+
+
+def test_market_basket_supports_broadcast(spark, sf_dir, qs):
+    """Item supports and the scalar basket count ride broadcasts; the
+    only shuffle join is the basket self-join on the order key."""
+    plan = _plan(qs["market_basket_rules"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
