@@ -493,3 +493,133 @@ ORDER BY source
 
 QUERIES["ks_drift_by_source"] = ks_drift_by_source
 ORACLES["ks_drift_by_source"] = KS_DRIFT_SQL
+
+
+PSI_BUCKET_W = 50  # fixed-width length buckets for the PSI profile
+
+
+def psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs rest-of-corpus — the
+    feature-monitoring standard next to the KS statistic: PSI =
+    Σ_b (p_b − q_b)·ln(p_b/q_b) over fixed-width length buckets, with
+    add-one (Laplace) smoothing so empty buckets stay defined and the
+    metric deterministic.
+
+    Exactness discipline: the log ratio's operands are exact int64
+    products ((c_s+1)(N_r+B) etc., all < 2^53 so the double division
+    is bit-identical), each bucket's ln lands on the micro-nat grid
+    (floor(ln·1e6 + 0.5) — the libm-parity rule doc_surprisal/PMI
+    use), the (p−q) factor is carried as the integer cross-product,
+    and ONE truncating division at the end yields PSI in micro-nats.
+
+    Scale: one fact shuffle to (source, bucket) counts; the spine is
+    buckets × sources (constant-bounded); everything after is
+    arithmetic on that tiny grid."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") / PSI_BUCKET_W).cast("long").alias("b")
+    )
+    n_tot = docs.count()
+    cnt = docs.groupBy("source", "b").agg(F.count("*").alias("c"))
+    tot_b = docs.groupBy("b").agg(F.count("*").alias("ct"))
+    n_src = docs.groupBy("source").agg(F.count("*").alias("ns"))
+    n_buckets = docs.select("b").distinct().count()
+    spine = (
+        docs.select("b").distinct()
+        .crossJoin(docs.select("source").distinct())
+    )
+    g = (
+        spine.join(cnt, ["source", "b"], "left")
+        .join(tot_b, "b")
+        .join(n_src, "source")
+        .select(
+            "source",
+            "b",
+            "ns",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("cs1"),
+            (
+                F.col("ct") - F.coalesce(F.col("c"), F.lit(0)) + 1
+            ).alias("cr1"),
+        )
+        .withColumn("nr", F.lit(n_tot) - F.col("ns"))
+    )
+    B = n_buckets
+    num = F.col("cs1") * (F.col("nr") + F.lit(B))
+    den = F.col("cr1") * (F.col("ns") + F.lit(B))
+    terms = g.select(
+        "source",
+        "ns",
+        "nr",
+        (
+            (num - den)
+            * F.floor(
+                F.log(num.cast("double") / den.cast("double")) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.first("ns").alias("ns"),
+            F.first("nr").alias("nr"),
+            F.sum("term").alias("t"),
+        )
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_docs"),
+            F.expr(
+                f"CAST(t DIV ((ns + {B}) * (nr + {B})) AS BIGINT)"
+            ).alias("psi_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def _psi_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT source, CAST(n_chars // {PSI_BUCKET_W} AS BIGINT) AS b
+  FROM documents
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM docs),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_b FROM docs),
+cnt AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1, 2
+), tot_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM docs GROUP BY 1
+), n_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM docs GROUP BY 1
+), spine AS (
+  SELECT s.source, v.b
+  FROM (SELECT DISTINCT source FROM docs) s,
+       (SELECT DISTINCT b FROM docs) v
+), g AS (
+  SELECT sp.source, sp.b, ns.ns,
+         (SELECT n_tot FROM n) - ns.ns AS nr,
+         coalesce(c.c, 0) + 1 AS cs1,
+         t.ct - coalesce(c.c, 0) + 1 AS cr1
+  FROM spine sp
+  LEFT JOIN cnt c ON sp.source = c.source AND sp.b = c.b
+  JOIN tot_b t ON sp.b = t.b
+  JOIN n_src ns ON sp.source = ns.source
+), terms AS (
+  SELECT source, ns, nr,
+         (cs1 * (nr + (SELECT n_b FROM nb))
+          - cr1 * (ns + (SELECT n_b FROM nb)))
+         * CAST(floor(ln(CAST(cs1 * (nr + (SELECT n_b FROM nb)) AS DOUBLE)
+                         / CAST(cr1 * (ns + (SELECT n_b FROM nb)) AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS term
+  FROM g
+)
+SELECT source,
+       CAST(ns AS BIGINT) AS n_docs,
+       CAST(sum(term) // ((ns + (SELECT n_b FROM nb))
+                          * (nr + (SELECT n_b FROM nb))) AS BIGINT)
+         AS psi_micro
+FROM terms
+GROUP BY source, ns, nr
+ORDER BY source
+"""
+
+
+QUERIES["psi_drift_by_source"] = psi_drift_by_source
+ORACLES["psi_drift_by_source"] = _psi_sql()
