@@ -942,3 +942,66 @@ ORDER BY contained_doc, container_doc
 
 QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
 ORACLES["dedup_containment_pairs"] = DEDUP_CONTAIN_SQL
+
+
+# --------------------------------------------------------------------------
+# novelty scoring (diversity-aware selection signal)
+# --------------------------------------------------------------------------
+
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    that appear NOWHERE else in the corpus (df = 1) — the
+    diversity-selection signal dual to dedup: dedup drops what repeats,
+    novelty ranks what doesn't. Selection pipelines mix this with
+    quality scores to avoid over-sampling templated content that
+    survives near-dup removal.
+
+    One shuffle to shingle df, one join back, one doc-grain agg;
+    novelty on the integer ppm grid. Uses the UNCAPPED shingle
+    universe — the df-cap guards pairing fan-out, which this
+    aggregation doesn't have (per-shingle work is O(df) rows, already
+    linear)."""
+    sh = _doc_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("CAST(n_unique * 1000000 DIV n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NOVELTY_SQL = f"""
+WITH sh_all AS (
+  SELECT DISTINCT doc_id,
+         unnest({shingles_sql("text", SHINGLE_N)}) AS s
+  FROM documents
+), dfreq AS (
+  SELECT s, count(*) AS df FROM sh_all GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM sh_all a JOIN dfreq d ON a.s = d.s
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+QUERIES["doc_novelty_scores"] = doc_novelty_scores
+ORACLES["doc_novelty_scores"] = DOC_NOVELTY_SQL
