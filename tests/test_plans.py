@@ -277,3 +277,9 @@ def test_market_basket_supports_broadcast(spark, sf_dir, qs):
     plan = _plan(qs["market_basket_rules"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir, qs):
+    plan = _plan(qs["weighted_sample_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan

@@ -115,3 +115,73 @@ ORACLES = {
     "hash_sample_events": HASH_SAMPLE_SQL,
     "stratified_hash_sample_docs": STRATIFIED_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+WEIGHTED_K = 100
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement — the missing
+    sibling of the uniform/stratified hash samplers: select K docs
+    with inclusion probability ∝ n_chars (token-budget-proportional
+    selection, the way a corpus sample should weight long documents).
+    A-ES (Efraimidis & Spirakis 2006): each item draws u ∈ (0,1] and
+    ranks by -ln(u)/w; the K smallest keys are the sample.
+
+    Determinism discipline: u = (h+1)/2³² from the md5 hash family
+    (exact double: both operands < 2⁵³), -ln(u) lands on the micro-nat
+    libm-parity grid as an int64, and the rank key m/w is ONE double
+    division of exact integers — bit-identical in any IEEE engine, so
+    the selected set and order hash-match. Top-K via orderBy+limit
+    (TakeOrderedAndProject — no global sort).
+
+    Scale: embarrassingly parallel (a hash and two divisions per row);
+    the only coordination is the top-K itself, which Spark runs as
+    per-partition heaps + a K-row driver merge."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    h = stable_hash32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    m = F.floor(-F.log(u) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    keyed = docs.select(
+        "doc_id", "w", m.alias("key_micronat")
+    ).withColumn("key", F.col("key_micronat").cast("double") / F.col("w"))
+    return (
+        keyed.orderBy("key", "doc_id")
+        .limit(WEIGHTED_K)
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            "key_micronat",
+        )
+        .orderBy(
+            F.col("key_micronat").cast("double") / F.col("weight"), "doc_id"
+        )
+    )
+
+
+_WS_H = stable_hash32_sql("'ws:' || CAST(doc_id AS VARCHAR)")
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         greatest(n_chars, 1) AS w,
+         CAST(floor(-ln(CAST({_WS_H} + 1 AS DOUBLE) / 4294967296.0)
+                    * 1000000 + 0.5) AS BIGINT) AS key_micronat
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS weight,
+       key_micronat
+FROM keyed
+ORDER BY CAST(key_micronat AS DOUBLE) / w, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+QUERIES["weighted_sample_docs"] = weighted_sample_docs
+ORACLES["weighted_sample_docs"] = WEIGHTED_SAMPLE_SQL
