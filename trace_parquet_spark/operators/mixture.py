@@ -372,3 +372,98 @@ ORACLES = {
     "temperature_mixture_sample": TEMPERATURE_SQL,
     "dsir_select_docs": DSIR_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# top-p token-budget selection per source
+# --------------------------------------------------------------------------
+
+NUCLEUS_P_PCT = 80  # keep the best docs covering 80% of token mass
+
+
+def nucleus_select_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation by quality prefix — the
+    corpus-curation analogue of nucleus (top-p) sampling: rank each
+    source's documents by quality (word count as the stand-in scalar,
+    tie → doc_id) and keep the minimal prefix whose cumulative token
+    mass reaches P% of the source's total; the doc that crosses the
+    threshold is included. Reports, per source, how many docs and
+    tokens survive and the realized share — the knob a mixture
+    pipeline tunes when a source's long tail is mostly noise.
+
+    Integer discipline: the threshold test is the cross-product
+    (cum_before · 100 < total · P), the realized share lands on the
+    ppm grid with one truncating division. One shuffle to doc-grain
+    words, a source-partitioned window, one agg."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("nw")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("nw"), F.asc("doc_id"))
+    wall = Window.partitionBy("source")
+    staged = (
+        docs.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("nw").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("total", F.sum("nw").over(wall))
+    )
+    kept = staged.filter(
+        F.col("cum_before") * 100 < F.col("total") * NUCLEUS_P_PCT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("nw").cast("long").alias("tokens_kept"),
+            F.first("total").cast("long").alias("tokens_total"),
+        )
+        .select(
+            "source",
+            "n_docs_kept",
+            "tokens_kept",
+            F.expr(
+                "CAST(tokens_kept * 1000000 DIV tokens_total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+from ..functions.text import tokens_sql as _tok_sql  # noqa: E402
+
+NUCLEUS_SQL = f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         CAST(len({_tok_sql("text")}) AS BIGINT) AS nw
+  FROM documents
+), staged AS (
+  SELECT source, doc_id, nw,
+         coalesce(sum(nw) OVER (PARTITION BY source
+                                ORDER BY nw DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before,
+         sum(nw) OVER (PARTITION BY source) AS total
+  FROM docs
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(nw) AS BIGINT) AS tokens_kept,
+       CAST(sum(nw) * 1000000 // CAST(max(total) AS BIGINT) AS BIGINT)
+         AS share_ppm
+FROM staged
+WHERE cum_before * 100 < total * {NUCLEUS_P_PCT}
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["nucleus_select_by_source"] = nucleus_select_by_source
+ORACLES["nucleus_select_by_source"] = NUCLEUS_SQL
