@@ -1005,3 +1005,157 @@ ORDER BY a.doc_id
 
 QUERIES["doc_novelty_scores"] = doc_novelty_scores
 ORACLES["doc_novelty_scores"] = DOC_NOVELTY_SQL
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration
+# --------------------------------------------------------------------------
+
+
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality evidence for the MinHash family: for every
+    LSH candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching minhashes / 16) side-by-side with the exact Jaccard and
+    the absolute error — the calibration table that justifies trusting
+    banded LSH at a scale where exact verification is rationed. All
+    ppm-grid integers; the oracle re-derives signatures AND exact
+    overlaps independently, so the hash match certifies the estimator
+    itself, not just the plumbing.
+
+    Scale: signatures are doc-grain (cached, 17 columns); estimate
+    cost is candidates × 16 integer equality tests; the exact side is
+    the candidate-restricted re-shingle join every LSH verify uses."""
+    sh_full = _doc_shingles(spark, sf_dir)
+    hot = track_cache(
+        sh_full.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    sh_capped = sh_full.join(F.broadcast(hot), "s", "left_anti")
+    sig = track_cache(minhash_signatures(sh_capped))
+    bands = _band_signatures(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = track_cache(
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
+        cand_docs, "doc_id", "left_semi"
+    )
+    sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
+    ca = sh_c.alias("ca")
+    cb = sh_c.alias("cb")
+    inter = (
+        ca.join(
+            cb,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
+        )
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"xb{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"xa{i}") == F.col(f"xb{i}")).cast("long")
+        for i in range(N_HASHES)
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("za")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("zb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("est_matches"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("ni"),
+            "za",
+            "zb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("est_matches").cast("long").alias("est_matches"),
+            F.expr(f"CAST(est_matches * 1000000 DIV {N_HASHES} AS BIGINT)").alias(
+                "est_ppm"
+            ),
+            F.expr(
+                "CAST(ni * 1000000 DIV (za + zb - ni) AS BIGINT)"
+            ).alias("true_ppm"),
+            F.expr(
+                f"CAST(abs(est_matches * 1000000 DIV {N_HASHES}"
+                " - ni * 1000000 DIV (za + zb - ni)) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MH_EQ = " + ".join(
+    f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_cte()},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({_MH_EQ} AS BIGINT) AS est_matches,
+       CAST(({_MH_EQ}) * 1000000 // {N_HASHES} AS BIGINT) AS est_ppm,
+       CAST(coalesce(i.n_inter, 0) * 1000000
+            // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) AS BIGINT)
+         AS true_ppm,
+       CAST(abs(({_MH_EQ}) * 1000000 // {N_HASHES}
+                - coalesce(i.n_inter, 0) * 1000000
+                  // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))
+            AS BIGINT) AS err_ppm
+FROM candidates c
+JOIN sig x ON c.doc_a = x.doc_id
+JOIN sig y ON c.doc_b = y.doc_id
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sz za ON c.doc_a = za.doc_id
+JOIN sz zb ON c.doc_b = zb.doc_id
+ORDER BY c.doc_a, c.doc_b
+"""
+
+QUERIES["minhash_estimate_calibration"] = minhash_estimate_calibration
+ORACLES["minhash_estimate_calibration"] = MINHASH_CALIBRATION_SQL
