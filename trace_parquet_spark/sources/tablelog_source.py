@@ -248,3 +248,111 @@ ORDER BY parity
 
 QUERIES = {"tablelog_source_batch_read": tablelog_source_batch_read}
 ORACLES = {"tablelog_source_batch_read": TABLELOG_SOURCE_SQL}
+
+
+def federated_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source federation under the oracle gate: ONE relational query
+    over three different connectors — the native parquet table, the
+    custom gzjsonl Python DataSource, and the transaction-log format's
+    DataSource — each holding a disjoint residue-class slice of
+    documents, unioned with per-connector lineage and aggregated. The
+    oracle recomputes everything from the parquet documents table
+    alone, so agreement proves each connector surfaces its slice
+    byte-exactly AND that Catalyst composes them in one plan (the
+    "query anything through one engine" property the reference's
+    single hardwired source lacks — SURVEY §2.1 S8).
+
+    Slices: doc_id % 3 == 0 stays parquet, == 1 is written out as
+    gzip JSONL and read back through gzjsonl, == 2 goes through a
+    logged table. Payload is char count so the gzjsonl writer's
+    bigint/int/string schema fits."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import pydatasource
+    from .registry import load_table
+    from .tablelog import append as tl_append
+
+    pydatasource.register(spark)
+    register(spark)
+    # gzjsonl implements pushFilters(); Spark 4 requires the opt-in
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    work = tempfile.mkdtemp(prefix="fed_")
+    try:
+        gz_dir = f"{work}/gz"
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            F.col("doc_id").alias("trace_id"),
+            (F.col("n") % 1000).cast("int").alias("param_index"),
+            F.col("n").cast("string").alias("payload"),
+        ).write.format("gzjsonl").option("path", gz_dir).mode(
+            "append"
+        ).save()
+        tl_dir = f"{work}/tl"
+        tl_append(docs.filter(F.col("doc_id") % 3 == 2), tl_dir)
+
+        p_part = docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.lit("parquet").alias("connector"), "doc_id", "n"
+        )
+        p_gz = (
+            spark.read.format("gzjsonl")
+            .option("path", gz_dir)
+            .load()
+            .select(
+                F.lit("gzjsonl").alias("connector"),
+                F.col("trace_id").alias("doc_id"),
+                F.col("payload").cast("long").alias("n"),
+            )
+        )
+        p_tl = (
+            spark.read.format("tablelog")
+            .option("path", tl_dir)
+            .load()
+            .select(F.lit("tablelog").alias("connector"), "doc_id", "n")
+        )
+        out = (
+            p_part.unionByName(p_gz)
+            .unionByName(p_tl)
+            .groupBy("connector")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n").cast("long").alias("total_chars"),
+                F.min("doc_id").cast("long").alias("min_doc"),
+                F.max("doc_id").cast("long").alias("max_doc"),
+            )
+            .orderBy("connector")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "connector string, n_docs long, total_chars long,"
+        " min_doc long, max_doc long",
+    ).orderBy("connector")
+
+
+FEDERATED_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         CASE doc_id % 3 WHEN 0 THEN 'parquet'
+                         WHEN 1 THEN 'gzjsonl'
+                         ELSE 'tablelog' END AS connector
+  FROM documents
+)
+SELECT connector,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM d
+GROUP BY connector
+ORDER BY connector
+"""
+
+QUERIES["federated_source_union"] = federated_source_union
+ORACLES["federated_source_union"] = FEDERATED_SQL
