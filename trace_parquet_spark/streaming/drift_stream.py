@@ -1,0 +1,150 @@
+"""Streaming distribution-drift monitor: per-micro-batch exact KS
+statistic of the incoming drop against everything ingested before it —
+the data-quality gate a production feed runs ON ARRIVAL, not in a
+nightly audit. Streaming twin of plans/statistics.ks_drift_by_source.
+
+Mechanism (the lakehouse-state pattern shared with
+streaming/{dedup,heavy}_stream.py):
+
+- cumulative state is ONE value-grain histogram relation
+  (``hist/b{N}`` = counts of n_chars after batch N) — histograms are
+  the mergeable summary, so absorbing a drop is a sum-by-value union,
+  never a rescan of history;
+- per batch, the drop's histogram is compared against the cumulative
+  histogram STRICTLY BEFORE it with the exact two-sample KS on the
+  integer cross-product grid (max_x |cum_b·N_ref − cum_ref·N_b|, one
+  ppm division at the end — the same float-free formula the batch
+  operator uses);
+- every write is batch-addressed and reads only state < bid, so
+  foreachBatch replays are idempotent and a checkpointed restart
+  resumes exactly;
+- batch 0 has no reference: it seeds the state and reports NULL drift
+  (a monitor must distinguish "no baseline yet" from "no drift").
+
+Scale: state is value-cardinality bounded (lengths, not rows); the
+per-batch comparison joins two tiny histograms; the drop is scanned
+once. Reference: no counterpart (SURVEY §2.9 streaming absent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup_stream import DOC_SCHEMA, _batch_dirs
+
+_HIST_SCHEMA = "x long, c long"
+_KS_SCHEMA = "batch_id long, n_batch long, n_ref long, ks_ppm long"
+
+
+def _latest_hist(spark: SparkSession, state_dir: str, below: int) -> DataFrame:
+    dirs = _batch_dirs(state_dir, "hist", below)
+    if not dirs:
+        return spark.createDataFrame([], _HIST_SCHEMA)
+    return spark.read.schema(_HIST_SCHEMA).parquet(dirs[-1])
+
+
+def _ks_ppm(batch_hist: DataFrame, ref_hist: DataFrame) -> int | None:
+    """Exact two-sample KS (in ppm) between two value-count
+    histograms; None when either side is empty."""
+    b = batch_hist.groupBy("x").agg(F.sum("c").alias("cb"))
+    r = ref_hist.groupBy("x").agg(F.sum("c").alias("cr"))
+    g = b.join(r, "x", "full_outer").select(
+        "x",
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    tot = g.agg(
+        F.sum("cb").alias("nb"), F.sum("cr").alias("nr")
+    ).collect()[0]
+    if not tot.nb or not tot.nr:
+        return None
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    # the histogram spine is value-cardinality bounded, so the single
+    # ordered pass here is over a tiny relation, not the stream
+    d = (
+        g.withColumn("cum_b", F.sum("cb").over(w))
+        .withColumn("cum_r", F.sum("cr").over(w))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_b") * F.lit(int(tot.nr))
+                    - F.col("cum_r") * F.lit(int(tot.nb))
+                )
+            ).alias("d")
+        )
+        .collect()[0]
+        .d
+    )
+    return int(d * 1_000_000 // (int(tot.nb) * int(tot.nr)))
+
+
+def ingest_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, bid: int
+) -> None:
+    """Score one drop against the pre-batch cumulative histogram, then
+    fold it in. Reads only state strictly before ``bid``; overwrites
+    its own batch-addressed outputs — replay-idempotent."""
+    bh = (
+        batch_df.select(F.length("text").cast("long").alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ref = _latest_hist(spark, state_dir, bid)
+    n_batch = bh.agg(F.sum("c")).collect()[0][0] or 0
+    n_ref = ref.agg(F.sum("c")).collect()[0][0] or 0
+    ks = _ks_ppm(bh, ref)
+    row = [(bid, int(n_batch), int(n_ref), ks)]
+    spark.createDataFrame(row, _KS_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "ks", f"b{bid}")
+    )
+    merged = (
+        ref.unionByName(bh)
+        .groupBy("x")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "hist", f"b{bid}")
+    )
+
+
+def drift_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(batch_id, n_batch, n_ref, ks_ppm) for every scored drop."""
+    root = os.path.join(state_dir, "ks")
+    if not os.path.isdir(root):
+        return spark.createDataFrame([], _KS_SCHEMA)
+    below = (
+        max(int(d[1:]) for d in os.listdir(root) if d[1:].isdigit()) + 1
+    )
+    dirs = _batch_dirs(state_dir, "ks", below)
+    return (
+        spark.read.schema(_KS_SCHEMA).parquet(*dirs).orderBy("batch_id")
+    )
+
+
+def run_drift_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Attach the monitor to a parquet-file document stream (one file
+    ≈ one drop); offsets in the checkpoint, idempotence in the
+    batch-addressed state."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
