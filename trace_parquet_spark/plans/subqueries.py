@@ -18,6 +18,7 @@ present).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
@@ -102,3 +103,77 @@ ORACLES = {
     "not_in_null_aware": NOT_IN_SQL,
     "lateral_top_order_per_customer": LATERAL_SQL,
 }
+
+
+def multi_exists_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35/Q69 shape: segment customers by MULTIPLE correlated
+    existence predicates in one query — EXISTS(orders), EXISTS(urgent
+    order), NOT EXISTS(high-value order) — and aggregate the segments
+    per nation. Each predicate must decorrelate to a semi/anti join
+    (never a per-row subquery); the segment flags become conditional
+    aggregates.
+
+    Spark side: explicit left_semi/left_anti joins produce boolean
+    flag columns via a distinct-key join + null check — the plan the
+    optimizer should reach from the EXISTS formulation, stated
+    directly so the shape is pinned.
+
+    Scale: three key-grained distinct relations (customer-key sets),
+    each joined once; the wide fact table is scanned once per
+    predicate and reduced to keys before any join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders")
+    has_order = o.select("o_custkey").distinct().withColumn(
+        "has_o", F.lit(1)
+    )
+    has_urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("has_u", F.lit(1))
+    )
+    has_big = (
+        o.filter(F.col("o_totalprice") > 150000)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("has_b", F.lit(1))
+    )
+    seg = (
+        c.join(has_order, c.c_custkey == has_order.o_custkey, "left")
+        .drop("o_custkey")
+        .join(has_urgent, c.c_custkey == has_urgent.o_custkey, "left")
+        .drop("o_custkey")
+        .join(has_big, c.c_custkey == has_big.o_custkey, "left")
+        .drop("o_custkey")
+        .filter(
+            F.col("has_o").isNotNull()
+            & F.col("has_u").isNotNull()
+            & F.col("has_b").isNull()
+        )
+    )
+    return (
+        seg.join(F.broadcast(n), seg.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+MULTI_EXISTS_SQL = """
+SELECT n.n_name, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 150000)
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+QUERIES["multi_exists_segmentation"] = multi_exists_segmentation
+ORACLES["multi_exists_segmentation"] = MULTI_EXISTS_SQL
