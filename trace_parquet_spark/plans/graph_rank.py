@@ -245,11 +245,116 @@ ORDER BY root, node
 """
 
 
+
+SSSP_ROUNDS = 6  # Bellman-Ford relaxation rounds (>= sparsified diameter)
+COST_SCALE = PSCALE * PSCALE  # edge cost = inverse transition probability
+
+
+def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from every nation over
+    the sparsified trade graph (bfs_trade_levels' edges), minimizing
+    total inverse-transition-probability cost — "cheapest trade
+    route" where rarely-used links cost more. BFS answers hops; this
+    answers weighted distance.
+
+    Exact by construction: edge cost = COST_SCALE // p is an integer,
+    path costs are sums of <= SSSP_ROUNDS integers, and min is
+    order-independent — no float ever appears. SSSP_ROUNDS fixed
+    relaxation rounds of textbook distributed Bellman-Ford
+    (state ⋈ edges, union, min per (root, node)); after round k the
+    state holds exact shortest costs over paths of <= k edges, so any
+    k >= diameter yields true shortest paths. The oracle replays the
+    same rounds as chained CTEs (the pagerank _iter_ctes pattern) —
+    fixed-round semantics, not an unbounded fixpoint, so both sides
+    terminate deterministically even if a cost-improving cycle lurks.
+
+    Scale: the nation-collapsed edge relation is <= N² rows and
+    broadcasts; state is (roots × nodes), hash-partitioned on the
+    grouping key, so each round is one co-partitioned min-agg — the
+    same shape as the BFS loop but carrying costs. localCheckpoint
+    truncates per-round lineage (constraint propagation otherwise
+    grows superlinearly with rounds)."""
+    edges = (
+        _trade_probs(spark, sf_dir)
+        .where((F.col("p") >= BFS_P_MIN) & (F.col("src") != F.col("dst")))
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.expr(f"CAST({COST_SCALE} div p AS LONG)").alias("cost"),
+        )
+        .transform(track_cache)
+    )
+    state = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("long").alias("root"),
+            F.col("n_nationkey").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            state.join(F.broadcast(edges), state.node == edges.src)
+            .select("root", F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("cost")).alias("dist"))
+        )
+        state = (
+            state.unionAll(relaxed)
+            .groupBy("root", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return state.orderBy("root", "node")
+
+
+def _sssp_iter_ctes() -> str:
+    steps = []
+    for k in range(1, SSSP_ROUNDS + 1):
+        steps.append(f"""d{k} AS (
+  SELECT root, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT root, node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT d.root, e.dst AS node, d.dist + e.cost AS dist
+    FROM d{k - 1} d JOIN edges e ON d.node = e.src
+  ) GROUP BY root, node
+)""")
+    return ",\n".join(steps)
+
+
+SSSP_SQL = f"""
+WITH flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders   o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+), outw AS (
+  SELECT src, sum(w) AS ow FROM flows GROUP BY src
+), edges AS (
+  SELECT CAST(f.src AS BIGINT) AS src, CAST(f.dst AS BIGINT) AS dst,
+         CAST({COST_SCALE} // ((f.w * {PSCALE}) // o.ow) AS BIGINT) AS cost
+  FROM flows f JOIN outw o ON f.src = o.src
+  WHERE (f.w * {PSCALE}) // o.ow >= {BFS_P_MIN} AND f.src <> f.dst
+), d0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS root,
+         CAST(n_nationkey AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM nation
+),
+{_sssp_iter_ctes()}
+SELECT root, node, dist FROM d{SSSP_ROUNDS}
+ORDER BY root, node
+"""
+
 QUERIES = {
     "pagerank_trade_graph": pagerank_trade_graph,
     "bfs_trade_levels": bfs_trade_levels,
+    "sssp_trade_costs": sssp_trade_costs,
 }
 ORACLES = {
     "pagerank_trade_graph": PAGERANK_SQL,
     "bfs_trade_levels": BFS_SQL,
+    "sssp_trade_costs": SSSP_SQL,
 }

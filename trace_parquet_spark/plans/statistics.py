@@ -623,3 +623,327 @@ ORDER BY source
 
 QUERIES["psi_drift_by_source"] = psi_drift_by_source
 ORACLES["psi_drift_by_source"] = _psi_sql()
+
+
+# ---------------------------------------------------------------------------
+# OLS regression per group (exact power sums -> one double chain)
+# ---------------------------------------------------------------------------
+
+
+def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) least-squares fit of extended
+    price (y, dollars) against quantity (x): slope, intercept and R²
+    from the SAME exact integer power sums group_moments_lineitem
+    uses — slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²), intercept = ȳ − slope·x̄,
+    R² = cov²/(varx·vary) — each a single fixed chain of double ops
+    over DECIMAL(38,0) integers, so DuckDB reproduces every bit.
+
+    Scale: one partial-agg shuffle on a 6-value key; the exchange
+    carries 6 rows of 6 sums per task regardless of input size (the
+    regression itself is O(groups) post-shuffle arithmetic). The
+    reference computes no statistics (SURVEY §0: one filter+sort
+    query); this extends §2.4's aggregate surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.col("l_quantity").cast("long")
+    qy = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    g = (
+        li.select(qx.alias("qx"), qy.alias("qy"), "l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("qy").cast(dec) * F.col("qy")).alias("syy"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    cov = (n.cast(dec) * F.col("sxy") - sx.cast(dec) * sy).cast("double")
+    varx = (n.cast(dec) * F.col("sxx") - sx.cast(dec) * sx).cast("double")
+    vary = (n.cast(dec) * F.col("syy") - sy.cast(dec) * sy).cast("double")
+    slope_cents = cov / varx  # cents of price per unit of quantity
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        n,
+        (slope_cents / F.lit(100.0)).alias("slope"),
+        (
+            (sy.cast("double") / n.cast("double")
+             - slope_cents * (sx.cast("double") / n.cast("double")))
+            / F.lit(100.0)
+        ).alias("intercept"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+OLS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT)                          AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)   AS sx,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT)                                   AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT)                                   AS sxx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT)                                   AS sxy
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+), c AS (
+  SELECT l_returnflag, l_linestatus, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           AS cov,
+         CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           AS varx,
+         CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+           AS vary
+  FROM sums
+)
+SELECT l_returnflag, l_linestatus, n,
+       (cov / varx) / 100.0                                AS slope,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        - (cov / varx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+                                                           AS intercept,
+       cov * cov / (varx * vary)                           AS r2
+FROM c
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES["ols_by_group"] = ols_by_group
+ORACLES["ols_by_group"] = OLS_SQL
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point scan per event type
+# ---------------------------------------------------------------------------
+
+CUSUM_TAU = 1.358  # sup|Brownian bridge| 95% critical value (Kolmogorov)
+
+
+def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point scan per event type: the point where
+    the centered prefix sum |Σ_{j≤i} x_j − i·μ| peaks, plus the
+    bridge-normalized statistic C = max|·|/(σ√n) and a drift flag at
+    the 95% Kolmogorov critical value.
+
+    Float-free until the last step: x rides the cents grid, the
+    centered prefix is carried as the exact integer n·P_i − i·S
+    (DECIMAL(38,0) — n·P ≈ 2^41 at sf0.1, headroom to ~sf1e7), the
+    argmax row is picked by integer ordering (ties broken on ts,
+    event_id), and C is ONE fixed chain over exact integers:
+    |nD| / (√(nΣx²−S²)·√n). The flag compares two identically-
+    computed doubles, so both engines agree bitwise.
+
+    Scale: one shuffle partitions by event_type; the prefix sum is a
+    linear in-partition window scan and the group sums ride the same
+    partitioning (no second exchange). Keys are independent, so a
+    1000-executor cluster works keys in parallel; a single giant
+    series would instead use the two-pass segmented prefix-sum
+    (per-partition partials -> broadcast offsets) that
+    window_running_total documents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pfx = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "x",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+        F.row_number().over(w).alias("i"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    dec = "decimal(38,0)"
+    d = pfx.join(g, "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "i",
+        "n",
+        "s",
+        "q",
+        F.abs(
+            F.col("n").cast(dec) * F.col("pfx") - F.col("i").cast(dec) * F.col("s")
+        ).alias("abs_nd"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("abs_nd").desc(), "ts", "event_id"
+    )
+    stat = (
+        F.col("abs_nd").cast("double")
+        / (
+            F.sqrt(
+                (F.col("n").cast(dec) * F.col("q") - F.col("s").cast(dec) * F.col("s"))
+                .cast("double")
+            )
+            * F.sqrt(F.col("n").cast("double"))
+        )
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("ts").alias("change_ts"),
+            F.col("i").cast("long").alias("change_pos"),
+            F.col("abs_nd").cast("long").alias("abs_nd"),
+            stat.alias("cusum_stat"),
+            (stat > F.lit(CUSUM_TAU)).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = f"""
+WITH x AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+), p AS (
+  SELECT event_type, ts, event_id, x,
+         sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+  FROM x
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM x GROUP BY event_type
+), d AS (
+  SELECT p.event_type, p.ts, p.event_id, p.i, g.n, g.s, g.q,
+         abs(CAST(g.n AS HUGEINT) * p.pfx - CAST(p.i AS HUGEINT) * g.s)
+           AS abs_nd
+  FROM p JOIN g USING (event_type)
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs_nd DESC, ts, event_id) AS rk,
+         CAST(abs_nd AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+                        AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE))) AS cusum_stat
+  FROM d
+)
+SELECT event_type,
+       n AS n_events,
+       ts AS change_ts,
+       CAST(i AS BIGINT) AS change_pos,
+       CAST(abs_nd AS BIGINT) AS abs_nd,
+       cusum_stat,
+       cusum_stat > {CUSUM_TAU} AS drift_flag
+FROM r WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+QUERIES["cusum_changepoint_scan"] = cusum_changepoint_scan
+ORACLES["cusum_changepoint_scan"] = CUSUM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (data-quality screen)
+# ---------------------------------------------------------------------------
+
+
+def benford_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the classic fraud/corruption screen for monetary
+    columns. Per digit d∈1..9: observed count, expected count on the
+    micro grid (n·p_d where p_d = floor(log10(1+1/d)·1e6+0.5) — the
+    same libm-parity rule the PSI/PMI family uses), the signed ppm
+    deviation 1e6·O_d − n·p_d, and the per-digit χ² contribution
+    (1e6·O−n·p)² // (n·p) — exact integer throughout (the square
+    rides DECIMAL(38,0); ≈10^24 at sf0.1, headroom to ~sf1e6).
+
+    Scale: the digit is unary string arithmetic on the cents grid
+    (JVM-side, codegen), one partial-agg shuffle to a 9-row spine,
+    then constant-size arithmetic. The left join onto the 1..9 spine
+    keeps zero-observed digits defined."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    v = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    obs = (
+        orders.select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    n_tot = orders.count()
+    dec = "decimal(38,0)"
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p_micro = F.floor(
+        F.log((F.col("digit").cast("double") + F.lit(1.0)) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    g = (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.lit(n_tot) * p_micro).alias("exp_micro"),
+        )
+        .withColumn(
+            "dev_ppm", F.lit(1_000_000) * F.col("n_obs") - F.col("exp_micro")
+        )
+    )
+    return g.select(
+        "digit",
+        "n_obs",
+        "exp_micro",
+        "dev_ppm",
+        F.expr(
+            f"CAST((CAST(dev_ppm AS {dec}) * dev_ppm) DIV exp_micro AS BIGINT)"
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+BENFORD_SQL = """
+WITH o AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice > 0
+), obs AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM o GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM o),
+spine AS (
+  SELECT CAST(range AS INT) AS digit FROM range(1, 10)
+), g AS (
+  SELECT s.digit,
+         coalesce(obs.n_obs, 0) AS n_obs,
+         (SELECT n_tot FROM n)
+           * CAST(floor(ln((CAST(s.digit AS DOUBLE) + 1.0)
+                           / CAST(s.digit AS DOUBLE))
+                        / ln(10.0) * 1e6 + 0.5) AS BIGINT) AS exp_micro
+  FROM spine s LEFT JOIN obs ON s.digit = obs.digit
+), d AS (
+  SELECT digit, n_obs, exp_micro,
+         1000000 * n_obs - exp_micro AS dev_ppm
+  FROM g
+)
+SELECT digit, n_obs, exp_micro, dev_ppm,
+       CAST((CAST(dev_ppm AS HUGEINT) * dev_ppm) // exp_micro AS BIGINT)
+         AS chi2_term
+FROM d
+ORDER BY digit
+"""
+
+
+QUERIES["benford_digit_dq"] = benford_digit_dq
+ORACLES["benford_digit_dq"] = BENFORD_SQL
