@@ -234,3 +234,106 @@ def test_sssp_edges_broadcast_and_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(
         graph_rank._trade_probs(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics + chi2 + PCA
+# ---------------------------------------------------------------------------
+
+
+def test_mad_and_trimmed_mean_match_numpy(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(
+            (r["ts"], r["event_id"], int(np.floor(r["value"] * 100 + 0.5)))
+        )
+    mad = {r["event_type"]: r for r in statistics.mad_by_group(spark, sf_dir).collect()}
+    tm = {
+        r["event_type"]: r
+        for r in statistics.trimmed_mean_by_group(spark, sf_dir).collect()
+    }
+    for et, rows in groups.items():
+        xs = np.array(sorted(x for _, _, x in rows), dtype=np.float64)
+        med = np.percentile(xs, 50)  # type-7, matches percentile()
+        assert mad[et]["median_value"] == med / 100.0
+        assert mad[et]["mad_value"] == np.percentile(np.abs(xs - med), 50) / 100.0
+        n = len(xs)
+        k = n * statistics.TRIM_PCT // 100
+        kept = xs[k : n - k]
+        assert tm[et]["n_kept"] == len(kept)
+        assert abs(tm[et]["trimmed_mean"] - kept.mean() / 100.0) < 1e-9
+
+
+def test_chi2_margins_consistent(spark, sf_dir):
+    rows = statistics.chi2_independence_events(spark, sf_dir).collect()
+    n = sum(r["n_obs"] for r in rows)
+    by_type: dict[str, int] = {}
+    by_dow: dict[int, int] = {}
+    for r in rows:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + r["n_obs"]
+        by_dow[r["dow"]] = by_dow.get(r["dow"], 0) + r["n_obs"]
+    for r in rows:
+        rc = by_type[r["event_type"]] * by_dow[r["dow"]]
+        assert r["exp_milli"] == rc * 1000 // n
+        cross = n * r["n_obs"] - rc
+        assert r["chi2_term_micro"] == cross * cross * 1_000_000 // (n * rc)
+        assert r["chi2_term_micro"] >= 0
+    assert set(by_dow) <= set(range(1, 8))
+
+
+def test_pca_matches_numpy_replay(spark, sf_dir):
+    from trace_parquet_spark.operators import featurize
+
+    out = {
+        r["vec_id"]: r
+        for r in featurize.pca_project_embeddings(spark, sf_dir).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in emb]
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in emb])
+    mu = m.mean(axis=0)
+    cov = (m.T @ m) / len(m) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][: featurize.PCA_K]
+    comps = evecs[:, order].T
+    for k in range(featurize.PCA_K):
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    scores = (m - mu) @ comps.T
+    centered = ((m - mu) ** 2).sum(axis=1)
+    assert set(out) == set(ids)
+    for i, vid in enumerate(ids):
+        got = np.array(out[vid]["scores"])
+        assert np.allclose(got, scores[i], atol=1e-8)
+        ppm = out[vid]["var_kept_ppm"]
+        assert 0 <= ppm <= 1_000_000
+        expect_ppm = int(
+            np.floor(1e6 * (scores[i] ** 2).sum() / centered[i] + 0.5)
+        )
+        assert abs(ppm - expect_ppm) <= 1
+    # orthonormal components => kept variance ratio matches eigenvalues
+    _, _, var_ratio = featurize._pca_model(spark, sf_dir)
+    mean_kept = np.mean([(scores[i] ** 2).sum() / centered[i] for i in range(len(ids))])
+    assert abs(var_ratio - evals[order].sum() / evals.sum()) < 1e-12
+    assert 0.0 < mean_kept < 1.0
+
+
+def test_pca_projection_path_is_jvm_only(spark, sf_dir):
+    from trace_parquet_spark.operators import featurize
+
+    df = featurize.pca_project_embeddings(spark, sf_dir)
+    plan = _plan(df)
+    # the fit stage's mapInPandas already ran at build time; the
+    # returned per-row projection plan must be pure JVM expressions
+    assert "Python" not in plan
+    assert "mapInPandas" not in plan

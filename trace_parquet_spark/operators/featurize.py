@@ -276,3 +276,123 @@ ORDER BY e.vec_id, j
 
 QUERIES["random_projection_embed"] = random_projection_embed
 ORACLES["random_projection_embed"] = RANDOM_PROJECTION_SQL
+
+
+PCA_K = 8  # components kept
+PCA_IN_DIM = RP_IN_DIM  # 64, same embedding table
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Fit stage: mean vector + top-K eigenvectors of the covariance.
+
+    Distributed as partial Gram matrices: each partition emits ONE row
+    (n, Σx, ΣxxT flattened) from an Arrow-batched numpy pass, so the
+    driver collect is bounded by #partitions × (1 + d + d²) doubles —
+    a model-sized pull (the centroid/codebook discipline), never data.
+    The d×d eigendecomposition is driver-side numpy; eigenvector signs
+    are fixed (largest-|coordinate| positive) so the model is
+    deterministic up to eigenvalue ties."""
+    import numpy as np
+    import pandas as pd
+
+    d = PCA_IN_DIM
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    rows = emb.mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order].T  # K × d
+    for k in range(PCA_K):
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    var_ratio = float(evals[order].sum() / evals.sum())
+    return mu, comps, var_ratio
+
+
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-project the embedding table 64 → 8 dims: the classical
+    decorrelating reduction next to random_projection_embed's
+    data-oblivious one (JL keeps distances cheaply; PCA keeps the
+    most variance per kept dim and is the standard pre-step for
+    IVF/PQ codebooks).
+
+    Two stages. Fit: one Arrow-batched scan producing per-partition
+    Gram partials (see _pca_model — collect is model-sized, bounded
+    by partition count, not rows). Project: pure JVM expressions —
+    each score is aggregate(zip_with(x, w_k)) − μ·w_k with the K×d
+    component matrix inlined as literals (no Python in the per-row
+    path, no second shuffle; the output keeps vec_id order only for
+    the gate's determinism).
+
+    Rows-only entry (eigendecomposition isn't SQL-expressible); the
+    in-row evidence is var_kept_ppm = 1e6·‖scores‖²/‖x−μ‖² (W
+    orthonormal ⟹ it must sit in [0, 1e6] and average ≈ the model's
+    explained-variance ratio — asserted in tests/test_round7.py
+    against a full numpy replay)."""
+    import numpy as np
+
+    mu, comps, _ = _pca_model(spark, sf_dir)
+
+    def dot_expr(vec: "np.ndarray", sub_mu: bool) -> str:
+        arr = ", ".join(repr(float(v)) + "D" for v in vec)
+        if sub_mu:
+            mu_arr = ", ".join(repr(float(v)) + "D" for v in mu)
+            return (
+                f"aggregate(zip_with(embedding, array({mu_arr}), "
+                "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+                "0D, (acc, v) -> acc + v)"
+            )
+        b = float(np.dot(mu, vec))
+        return (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, v) -> acc + v) "
+            f"- {b!r}D"
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score_cols = [
+        F.expr(dot_expr(comps[k], False)).alias(f"pc{k}") for k in range(PCA_K)
+    ]
+    projected = emb.select(
+        "vec_id",
+        "label",
+        *score_cols,
+        F.expr(dot_expr(comps[0], True)).alias("norm2_centered"),
+    )
+    kept = sum(
+        (F.col(f"pc{k}") * F.col(f"pc{k}") for k in range(1, PCA_K)),
+        F.col("pc0") * F.col("pc0"),
+    )
+    return projected.select(
+        "vec_id",
+        "label",
+        F.array(*[F.col(f"pc{k}") for k in range(PCA_K)]).alias("scores"),
+        F.floor(F.lit(1e6) * kept / F.col("norm2_centered") + F.lit(0.5))
+        .cast("long")
+        .alias("var_kept_ppm"),
+    ).orderBy("vec_id")
+
+
+QUERIES["pca_project_embeddings"] = pca_project_embeddings

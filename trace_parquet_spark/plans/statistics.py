@@ -947,3 +947,240 @@ ORDER BY digit
 
 QUERIES["benford_digit_dq"] = benford_digit_dq
 ORACLES["benford_digit_dq"] = BENFORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: MAD and trimmed mean per group
+# ---------------------------------------------------------------------------
+
+
+def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and median-absolute-deviation of event value per event
+    type — the robust (breakdown-point-0.5) counterparts of mean/σ
+    that heavy-tailed telemetry needs.
+
+    Exactness: values ride the cents grid, so both medians are type-7
+    interpolations between integers (or half-grid deviations) —
+    (a+b)/2 on dyadic grids is exact in IEEE double, and Spark's
+    `percentile` and DuckDB's `quantile_cont` share the
+    p·(n−1)-position definition bit-for-bit here.
+
+    Scale: percentile is an exact-rank aggregate (per-group sort in
+    the agg buffer); two passes — median, then deviation median — with
+    the 5-row median relation broadcast back. For a wide-key version
+    at 100 TB the mergeable-histogram twin
+    (equi_depth_price_buckets_approx) is the registered scale path."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med_cents"),
+        F.count("*").alias("n_events"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_events",
+        "med_cents",
+        F.abs(F.col("x").cast("double") - F.col("med_cents")).alias("dev"),
+    )
+    return (
+        dev.groupBy("event_type", "n_events", "med_cents")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad_cents"))
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("med_cents") / F.lit(100.0)).alias("median_value"),
+            (F.col("mad_cents") / F.lit(100.0)).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM x GROUP BY event_type
+), dev AS (
+  SELECT x.event_type, med.n_events,
+         abs(CAST(x.x AS DOUBLE) - med.med_cents) AS dev
+  FROM x JOIN med ON x.event_type = med.event_type
+)
+SELECT d.event_type,
+       d.n_events,
+       (SELECT med_cents FROM med m WHERE m.event_type = d.event_type) / 100.0
+         AS median_value,
+       quantile_cont(d.dev, 0.5) / 100.0 AS mad_value
+FROM dev d
+GROUP BY d.event_type, d.n_events
+ORDER BY d.event_type
+"""
+
+
+QUERIES["mad_by_group"] = mad_by_group
+ORACLES["mad_by_group"] = MAD_SQL
+
+
+TRIM_PCT = 5  # drop the lowest/highest 5% before averaging
+
+
+def trimmed_mean_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of event value per event type: drop the
+    ⌊n·0.05⌋ smallest and largest observations (ties broken on ts,
+    event_id so the cut is total-order deterministic) and average the
+    rest — outlier-robust without the median's information loss.
+
+    Exact: ranks are integers, the surviving sum rides the cents
+    grid, and the mean is one double division of exact ints.
+
+    Scale: one shuffle to partition by event_type; rank and both
+    group counts ride the same in-partition sort (a single window
+    pipeline, no second exchange before the final agg)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "ts", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k = F.floor(F.col("n") * TRIM_PCT / 100).cast("long")
+    kept = ranked.where((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.first("n").cast("long").alias("n_events"),
+            F.count("*").alias("n_kept"),
+            F.sum("x").alias("s"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            (F.col("s").cast("double") / F.col("n_kept").cast("double")
+             / F.lit(100.0)).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH x AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+), ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, ts, event_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM x
+), kept AS (
+  SELECT * FROM ranked
+  WHERE rk > n * {TRIM_PCT} // 100 AND rk <= n - n * {TRIM_PCT} // 100
+)
+SELECT event_type,
+       CAST(min(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+         AS trimmed_mean
+FROM kept
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["trimmed_mean_by_group"] = trimmed_mean_by_group
+ORACLES["trimmed_mean_by_group"] = TRIMMED_MEAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event type x day of week)
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence screen on the event-type × day-of-week
+    contingency table — "is traffic mix stable across the week?".
+    Per cell: observed count, expected count in milli-units
+    (R_i·C_j·1000 // n), and the χ² contribution in micro-units
+    ((n·O − R·C)²·1e6 // (n·R·C)) — all exact integers (the squared
+    cross term tops out near 10^26 at sf0.1, inside DECIMAL(38,0)).
+
+    Scale: one partial-agg shuffle to the (types × 7) cell grid;
+    margins derive from the cells (grouped re-aggregation of a
+    constant-size relation), so the fact table is scanned once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n_tot = load_table(spark, sf_dir, "events").count()
+    dec = "decimal(38,0)"
+    g = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").cast("long").alias("n_obs"),
+            F.expr("CAST(r * c * 1000 DIV " + str(n_tot) + " AS BIGINT)").alias(
+                "exp_milli"
+            ),
+            (
+                F.lit(n_tot).cast(dec) * F.col("o") - F.col("r").cast(dec) * F.col("c")
+            ).alias("cross"),
+            (F.lit(n_tot).cast(dec) * F.col("r") * F.col("c")).alias("den"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        "exp_milli",
+        F.expr("CAST(cross * cross * 1000000 DIV den AS BIGINT)").alias(
+            "chi2_term_micro"
+        ),
+    ).orderBy("event_type", "dow")
+
+
+CHI2_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(dayofweek(ts) AS INT) + 1 AS dow FROM events
+), cells AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY event_type, dow
+), rm AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type
+), cm AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY dow
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM ev),
+g AS (
+  SELECT cells.event_type, cells.dow, cells.o AS n_obs,
+         rm.r * cm.c * 1000 // (SELECT n_tot FROM n) AS exp_milli,
+         CAST((SELECT n_tot FROM n) AS HUGEINT) * cells.o
+           - CAST(rm.r AS HUGEINT) * cm.c AS crs,
+         CAST((SELECT n_tot FROM n) AS HUGEINT) * rm.r * cm.c AS den
+  FROM cells JOIN rm ON cells.event_type = rm.event_type
+             JOIN cm ON cells.dow = cm.dow
+)
+SELECT event_type, dow, n_obs,
+       CAST(exp_milli AS BIGINT) AS exp_milli,
+       CAST(crs * crs * 1000000 // den AS BIGINT) AS chi2_term_micro
+FROM g
+ORDER BY event_type, dow
+"""
+
+
+QUERIES["chi2_independence_events"] = chi2_independence_events
+ORACLES["chi2_independence_events"] = CHI2_SQL
