@@ -134,6 +134,17 @@ HEADLINE = [
     "attribution_linear",
     "kmv_segment_overlap",
     "ks_drift_by_source",
+    # round-11 additions: robust/regression/conformance statistics,
+    # graph clustering + weighted SSSP, PCA projection
+    "ols_by_group",
+    "cusum_changepoint_scan",
+    "benford_digit_dq",
+    "mad_by_group",
+    "trimmed_mean_by_group",
+    "chi2_independence_events",
+    "clustering_coefficient",
+    "sssp_trade_costs",
+    "pca_project_embeddings",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
@@ -171,6 +182,12 @@ REPEATS = {
     # cluster-dependent paths)
     "dedup_containment_pairs": 3,
     "dedup_canonical_quality": 3,
+    # round-11 additions above the 1.5s line (driver-looped or
+    # multi-stage: SSSP rounds, CC consumer, per-row PCA evidence)
+    "sssp_trade_costs": 3,
+    "clustering_coefficient": 3,
+    "pca_project_embeddings": 3,
+    "cusum_changepoint_scan": 3,
 }
 
 

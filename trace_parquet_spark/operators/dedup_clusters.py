@@ -196,11 +196,18 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
         ).localCheckpoint(eager=True)
-        # fixpoint: the symmetric edge sets are equal (both directions
-        # probed on checkpointed data — cheap)
+        # fixpoint: the symmetric edge sets are equal. Both exceptAll
+        # directions ride ONE union under a single limit(1), so the
+        # probe is one Spark job per round instead of two (both sides
+        # read checkpointed data; the empty-difference scan is cheap,
+        # the per-job fixed overhead was not)
         done = (
-            small.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(small).limit(1).count() == 0
+            small.exceptAll(e)
+            .select(F.lit(1).alias("d"))
+            .union(e.exceptAll(small).select(F.lit(1).alias("d")))
+            .limit(1)
+            .count()
+            == 0
         )
         e = small
         if done:
