@@ -337,3 +337,55 @@ def test_pca_projection_path_is_jvm_only(spark, sf_dir):
     # returned per-row projection plan must be pure JVM expressions
     assert "Python" not in plan
     assert "mapInPandas" not in plan
+
+
+def test_vocab_growth_matches_numpy_replay(spark, sf_dir):
+    import re
+
+    from trace_parquet_spark.operators import text_analysis
+
+    out = {
+        r["source"]: r
+        for r in text_analysis.vocab_growth_by_source(spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r["text"].lower().strip())
+        groups.setdefault(r["source"], []).append((r["doc_id"], norm.split(" ")))
+    for src, rows in groups.items():
+        rows.sort()
+        seen: set = set()
+        ct = cv = 0
+        xs, ys = [], []
+        for _, words in rows:
+            words = [w for w in words if w != ""]
+            if not words:
+                continue  # token-less docs never reach per_doc
+            ct += len(words)
+            for w_ in words:
+                if w_ not in seen:
+                    seen.add(w_)
+                    cv += 1
+            xs.append(int(np.floor(np.log(ct) * 1e6 + 0.5)))
+            ys.append(int(np.floor(np.log(cv) * 1e6 + 0.5)))
+        n = len(xs)
+        if n < 2:
+            assert src not in out
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        cov = float(n * sxy - sx * sy)
+        varx = float(n * sxx - sx * sx)
+        beta = cov / varx
+        r = out[src]
+        assert r["n_docs"] == n
+        assert abs(r["heaps_beta"] - beta) < 1e-12
+        assert 0.0 <= r["heaps_beta"] < 1.0  # sublinear vocabulary growth
+        if r["r2"] is not None:
+            assert 0.0 <= r["r2"] <= 1.0

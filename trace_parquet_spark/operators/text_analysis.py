@@ -11,7 +11,7 @@ builders' ``*_sql`` twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -201,3 +201,161 @@ ORDER BY source
 
 QUERIES["token_budget_by_source"] = token_budget_by_source
 ORACLES["token_budget_by_source"] = TOKEN_BUDGET_SQL
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth per source
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit per source: V(k) ≈ K·k^β relates cumulative
+    vocabulary size V to cumulative token count k as a corpus grows —
+    β far from the typical 0.4-0.6 band flags synthetic/templated
+    text, and the fit predicts how much NEW vocabulary another 10×
+    of a source buys (the question a data-mixture planner asks).
+
+    Construction: docs stream in doc_id order within each source;
+    a word's first occurrence is charged to min(doc_id), so
+    cum_vocab after doc d is exact without re-scanning history.
+    Both cumulative series then land on the micro-nat ln grid and
+    β is the OLS slope in log-log space — the exact-integer-sums →
+    one-double-chain discipline of ols_by_group, so DuckDB matches
+    bitwise.
+
+    Scale: two shuffles on (source, word) — distinct + min(doc_id) —
+    then per-source windows and a 5-row regression. The per-doc
+    checkpoint relation (one row per doc) is the largest intermediate;
+    nothing driver-side."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = docs.select(
+        "source", "doc_id", F.explode(tokens("text")).alias("word")
+    ).where(F.col("word") != "")
+    per_doc = tok.groupBy("source", "doc_id").agg(F.count("*").alias("n_tok"))
+    first_occ = tok.groupBy("source", "word").agg(F.min("doc_id").alias("fo"))
+    new_words = first_occ.groupBy("source", F.col("fo").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    series = (
+        per_doc.join(new_words, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "source",
+            F.sum("n_tok").over(w).alias("ct"),
+            F.sum("n_new").over(w).alias("cv"),
+        )
+    )
+    lx = F.floor(F.log(F.col("ct").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    ly = F.floor(F.log(F.col("cv").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    dec = "decimal(38,0)"
+    g = (
+        series.select("source", lx.alias("x"), ly.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        )
+        # a 1-doc source has zero x-variance (ct strictly increases
+        # only across docs) — no fit exists, drop it in both engines
+        .where(F.col("n") >= 2)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n.cast(dec) * F.col("sxy") - sx.cast(dec) * sy).cast("double")
+    varx = (n.cast(dec) * F.col("sxx") - sx.cast(dec) * sx).cast("double")
+    vary = (n.cast(dec) * F.col("syy") - sy.cast(dec) * sy).cast("double")
+    beta = cov / varx
+    return g.select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        beta.alias("heaps_beta"),
+        (
+            (sy.cast("double") / n.cast("double")
+             - beta * (sx.cast("double") / n.cast("double")))
+            / F.lit(1e6)
+        ).alias("heaps_ln_k"),
+        # vary = 0 (no new vocabulary after the first checkpoint)
+        # leaves r2 undefined — NULL in both engines
+        F.when(vary != 0, cov * cov / (varx * vary)).alias("r2"),
+    ).orderBy("source")
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH tok AS (
+  SELECT source, doc_id, unnest({tokens_sql("text")}) AS word
+  FROM documents
+), tok_nz AS (
+  SELECT * FROM tok WHERE word <> ''
+), per_doc AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+  FROM tok_nz GROUP BY source, doc_id
+), first_occ AS (
+  SELECT source, word, min(doc_id) AS fo FROM tok_nz GROUP BY source, word
+), new_words AS (
+  SELECT source, fo AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_occ GROUP BY source, fo
+), series AS (
+  SELECT p.source,
+         sum(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ct,
+         sum(coalesce(nw.n_new, 0))
+           OVER (PARTITION BY p.source ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM per_doc p
+  LEFT JOIN new_words nw ON p.source = nw.source AND p.doc_id = nw.doc_id
+), pts AS (
+  SELECT source,
+         CAST(floor(ln(CAST(ct AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cv AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM series
+), sums AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts GROUP BY source
+  HAVING count(*) >= 2
+), c AS (
+  SELECT source, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           AS cov,
+         CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           AS varx,
+         CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+           AS vary
+  FROM sums
+)
+SELECT source,
+       n AS n_docs,
+       cov / varx AS heaps_beta,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        - (cov / varx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6
+         AS heaps_ln_k,
+       CASE WHEN vary <> 0 THEN cov * cov / (varx * vary) END AS r2
+FROM c
+ORDER BY source
+"""
+
+QUERIES["vocab_growth_by_source"] = vocab_growth_by_source
+ORACLES["vocab_growth_by_source"] = VOCAB_GROWTH_SQL
