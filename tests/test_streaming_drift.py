@@ -83,3 +83,98 @@ def test_stream_restart_resumes(spark, tmp_path):
     assert len(rep) == 3
     assert rep[2].n_ref == 80
     assert rep[2].ks_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# streaming sequential CUSUM
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_alarm_on_shift_not_on_stable(spark, tmp_path):
+    import math
+
+    from trace_parquet_spark.streaming.drift_stream import (
+        CUSUM_K_MICRO,
+        cusum_ingest_batch,
+        cusum_report,
+    )
+
+    state = str(tmp_path / "cstate")
+    base, same, shifted = _drops()
+    # several stable drops, then a run of shifted ones
+    drops = [base, same, same, shifted, shifted, shifted]
+    for bid, rows in enumerate(drops):
+        cusum_ingest_batch(spark, state, _docs(spark, rows), bid)
+    rep = {r.batch_id: r for r in cusum_report(spark, state).collect()}
+    assert rep[0].z_micro is None and not rep[0].alarm  # no baseline
+    assert not rep[1].alarm and not rep[2].alarm  # stable inflow
+    assert any(rep[b].alarm for b in (3, 4, 5))  # mean shift pages
+    # exact z replay for batch 1 against the batch-0 reference
+    xs0 = [ln for _, ln in base]
+    xs1 = [ln for _, ln in same]
+    n, s, q = len(xs0), sum(xs0), sum(v * v for v in xs0)
+    nb, sb = len(xs1), sum(xs1)
+    z = (n * sb - s * nb) / (math.sqrt(nb) * math.sqrt(n * q - s * s))
+    z_micro = int(math.floor(z * 1e6 + 0.5))
+    assert rep[1].z_micro == z_micro
+    assert rep[1].sp_micro == max(0, z_micro - CUSUM_K_MICRO)
+
+
+def test_cusum_replay_is_idempotent(spark, tmp_path):
+    from trace_parquet_spark.streaming.drift_stream import (
+        cusum_ingest_batch,
+        cusum_report,
+    )
+
+    state = str(tmp_path / "cstate")
+    base, same, shifted = _drops()
+    for bid, rows in enumerate([base, same, shifted]):
+        cusum_ingest_batch(spark, state, _docs(spark, rows), bid)
+    before = [tuple(r) for r in cusum_report(spark, state).collect()]
+    # replay the last batch (foreachBatch redelivery after a crash)
+    cusum_ingest_batch(spark, state, _docs(spark, shifted), 2)
+    after = [tuple(r) for r in cusum_report(spark, state).collect()]
+    assert before == after
+
+
+def test_cusum_stream_end_to_end(spark, tmp_path):
+    import os
+    import time
+
+    from trace_parquet_spark.streaming.drift_stream import (
+        cusum_report,
+        run_cusum_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "cstate")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base, same, shifted = _drops()
+    for i, rows in enumerate([base, same, shifted, shifted]):
+        _docs(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/drop{i}"
+        )
+    # register files under one dir root for the file stream
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    k = 0
+    for i in range(4):
+        d = f"{src}/drop{i}"
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.link(f"{d}/{f}", f"{flat}/part{k}_{i}.parquet")
+                k += 1
+    q = run_cusum_stream(spark, flat, state, ckpt)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rep = cusum_report(spark, state).collect()
+            if len(rep) >= 4 and any(r.alarm for r in rep):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rep = {r.batch_id: r for r in cusum_report(spark, state).collect()}
+    assert len(rep) >= 4
+    assert any(r.alarm for r in rep.values())

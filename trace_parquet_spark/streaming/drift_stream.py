@@ -148,3 +148,116 @@ def run_drift_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequential CUSUM control chart
+# ---------------------------------------------------------------------------
+
+_CUSUM_STATE_SCHEMA = "n long, s long, q long, sp long, sn long"
+_CUSUM_REP_SCHEMA = (
+    "batch_id long, n_batch long, n_ref long, z_micro long, "
+    "sp_micro long, sn_micro long, alarm boolean"
+)
+CUSUM_K_MICRO = 500_000  # slack: 0.5 sigma per batch in micro-z units
+CUSUM_H_MICRO = 4_000_000  # alarm threshold: 4 sigma cumulative
+
+
+def _latest_cusum_state(spark: SparkSession, state_dir: str, below: int):
+    dirs = _batch_dirs(state_dir, "cusum", below)
+    if not dirs:
+        return None
+    return spark.read.schema(_CUSUM_STATE_SCHEMA).parquet(dirs[-1]).collect()[0]
+
+
+def cusum_ingest_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, bid: int
+) -> None:
+    """Sequential (tabular) CUSUM on document length: the streaming
+    twin of plans/statistics.cusum_changepoint_scan. The offline scan
+    finds WHERE a finished series broke; this page-detects a mean
+    shift AS DROPS ARRIVE with O(1) state — the textbook
+    S⁺ = max(0, S⁺ + z − k) / S⁻ = max(0, S⁻ − z − k) recursion at
+    batch granularity, alarming when either side clears H.
+
+    Exactness/idempotence: cumulative state is three integer power
+    sums (n, Σx, Σx²) plus the two CUSUM accumulators kept in integer
+    micro-z units (z is ONE fixed double chain over exact ints —
+    (n·s_b − s·n_b)/(√n_b·√(n·q − s²)) — then floored to the 1e-6
+    grid, so the recursion is integer arithmetic and a replayed batch
+    recomputes the identical state). Reads only state < bid;
+    batch-addressed overwrites — the drift_stream replay contract.
+
+    Scale: the drop is scanned once for (count, sum, sumsq) — a
+    map-side-combined aggregate; state is five integers regardless of
+    history length."""
+    agg = batch_df.select(
+        F.length("text").cast("long").alias("x")
+    ).agg(
+        F.count("*").alias("nb"),
+        F.coalesce(F.sum("x"), F.lit(0)).alias("sb"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).alias("qb"),
+    ).collect()[0]
+    nb, sb, qb = int(agg.nb), int(agg.sb), int(agg.qb)
+    st = _latest_cusum_state(spark, state_dir, bid)
+    if st is None:
+        n = s = q = sp = sn = 0
+    else:
+        n, s, q, sp, sn = int(st.n), int(st.s), int(st.q), int(st.sp), int(st.sn)
+    z_micro = None
+    alarm = False
+    if n >= 2 and nb > 0 and n * q - s * s > 0:
+        import math
+
+        z = (n * sb - s * nb) / (math.sqrt(nb) * math.sqrt(n * q - s * s))
+        z_micro = int(math.floor(z * 1e6 + 0.5))
+        sp = max(0, sp + z_micro - CUSUM_K_MICRO)
+        sn = max(0, sn - z_micro - CUSUM_K_MICRO)
+        alarm = sp > CUSUM_H_MICRO or sn > CUSUM_H_MICRO
+    rep = [(bid, nb, n, z_micro, sp, sn, alarm)]
+    spark.createDataFrame(rep, _CUSUM_REP_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "cusumrep", f"b{bid}"))
+    new_state = [(n + nb, s + sb, q + qb, sp, sn)]
+    spark.createDataFrame(new_state, _CUSUM_STATE_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "cusum", f"b{bid}"))
+
+
+def cusum_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(batch_id, n_batch, n_ref, z_micro, sp_micro, sn_micro, alarm)
+    for every scored drop."""
+    root = os.path.join(state_dir, "cusumrep")
+    if not os.path.isdir(root):
+        return spark.createDataFrame([], _CUSUM_REP_SCHEMA)
+    below = (
+        max(int(d[1:]) for d in os.listdir(root) if d[1:].isdigit()) + 1
+    )
+    dirs = _batch_dirs(state_dir, "cusumrep", below)
+    return (
+        spark.read.schema(_CUSUM_REP_SCHEMA).parquet(*dirs).orderBy("batch_id")
+    )
+
+
+def run_cusum_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Attach the CUSUM chart to a parquet-file document stream."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cusum_ingest_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
