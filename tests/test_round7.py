@@ -389,3 +389,27 @@ def test_vocab_growth_matches_numpy_replay(spark, sf_dir):
         assert 0.0 <= r["heaps_beta"] < 1.0  # sublinear vocabulary growth
         if r["r2"] is not None:
             assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_gini_matches_python_replay(spark, sf_dir):
+    out = {r["source"]: r for r in statistics.gini_by_source(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "doc_id", "n_chars")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in docs:
+        groups.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    assert set(out) == set(groups)
+    for src, rows in groups.items():
+        rows.sort()
+        xs = [x for x, _ in rows]
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        num = 2 * six - (n + 1) * sx
+        den = n * sx
+        r = out[src]
+        assert (r["gini_num"], r["gini_den"]) == (num, den)
+        assert r["gini"] == num / den
+        assert 0.0 <= r["gini"] < 1.0

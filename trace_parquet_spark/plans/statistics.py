@@ -1184,3 +1184,80 @@ ORDER BY event_type, dow
 
 QUERIES["chi2_independence_events"] = chi2_independence_events
 ORACLES["chi2_independence_events"] = CHI2_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration per source
+# ---------------------------------------------------------------------------
+
+
+def gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the standard
+    inequality summary for a corpus (0 = every doc the same size,
+    → 1 = a few giants carry all the bytes). A mixture planner reads
+    this next to token_budget_by_source: equal budgets from sources
+    with wildly different concentration behave differently downstream.
+
+    Exact: with lengths sorted ascending and ranked 1..n inside each
+    source (ties on doc_id — rank·value sums are tie-order invariant),
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Both sides are exact int64
+    (Σi·x ≲ n²·max_len ≈ 2^50 at sf0.1-per-source; DECIMAL(38,0) for
+    headroom), emitted plus ONE double division for the ratio.
+
+    Scale: one shuffle partitions docs by source; the rank window and
+    the sums ride that partitioning — sources are independent, so a
+    1000-executor cluster works them in parallel (never a global
+    sort)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    dec = "decimal(38,0)"
+    ranked = docs.select(
+        "source", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast(dec) * F.col("x")).alias("six"),
+    )
+    num = (F.lit(2).cast(dec) * F.col("six")
+           - (F.col("n") + 1).cast(dec) * F.col("sx"))
+    den = F.col("n").cast(dec) * F.col("sx")
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("sx").cast("long").alias("total_chars"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    ).orderBy("source")
+
+
+GINI_SQL = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS i
+  FROM documents
+), g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(i AS HUGEINT) * x) AS six
+  FROM ranked GROUP BY source
+)
+SELECT source,
+       n AS n_docs,
+       sx AS total_chars,
+       CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS BIGINT) AS gini_num,
+       CAST(CAST(n AS HUGEINT) * sx AS BIGINT) AS gini_den,
+       CAST(CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS BIGINT) AS DOUBLE)
+         / CAST(CAST(CAST(n AS HUGEINT) * sx AS BIGINT) AS DOUBLE) AS gini
+FROM g
+ORDER BY source
+"""
+
+
+QUERIES["gini_by_source"] = gini_by_source
+ORACLES["gini_by_source"] = GINI_SQL
