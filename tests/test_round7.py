@@ -413,3 +413,41 @@ def test_gini_matches_python_replay(spark, sf_dir):
         assert (r["gini_num"], r["gini_den"]) == (num, den)
         assert r["gini"] == num / den
         assert 0.0 <= r["gini"] < 1.0
+
+
+def test_quantile_normalize_matches_python_replay(spark, sf_dir):
+    out = {
+        r["doc_id"]: r
+        for r in statistics.quantile_normalize_lengths(spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    all_sorted = sorted((r["n_chars"], r["doc_id"]) for r in docs)
+    values = [x for x, _ in all_sorted]
+    n_tot = len(values)
+    groups: dict[str, list] = {}
+    for r in docs:
+        groups.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    for src, rows in groups.items():
+        rows.sort()
+        ns = len(rows)
+        for r0, (x, did) in enumerate(rows, start=1):
+            if ns == 1:
+                j = (n_tot - 1) // 2
+            else:
+                j = (2 * (r0 - 1) * (n_tot - 1) + (ns - 1)) // (2 * (ns - 1))
+            got = out[did]
+            assert got["n_chars"] == x
+            assert got["qnorm_chars"] == values[j], (src, did, j)
+    # a source spanning the whole corpus maps ~identity at the ends
+    assert len(out) == n_tot
+
+
+def test_quantile_normalize_spine_is_broadcast(spark, sf_dir):
+    plan = _plan(statistics.quantile_normalize_lengths(spark, sf_dir))
+    # the position-range lookup joins a value-cardinality-bounded
+    # spine via broadcast; the row-sized side never sorts globally
+    assert "BroadcastNestedLoopJoin" in plan

@@ -1261,3 +1261,110 @@ ORDER BY source
 
 QUERIES["gini_by_source"] = gini_by_source
 ORACLES["gini_by_source"] = GINI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of per-source lengths onto the global grid
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document length per source: each doc maps to
+    the GLOBAL length distribution's value at the doc's within-source
+    quantile — after this, every source has (as nearly as ranks allow)
+    the same length distribution, the microarray-style correction for
+    batch effects a mixture planner applies before comparing sources.
+
+    Pure rank arithmetic, no floats: within-source rank r of n_s docs
+    targets global 0-based position j = round((r−1)·(N−1)/(n_s−1))
+    (integer round-half-up; a 1-doc source maps to the global median
+    position). The global order statistic at j comes from the
+    VALUE-GRAIN cumulative histogram — (value, start, end) position
+    ranges — never a data-sized global sort: the spine is
+    length-cardinality bounded (the KS/PSI discipline), broadcast into
+    a range join.
+
+    Scale: one per-source rank window (sources independent), one
+    value-grain aggregation, a constant-size spine cumsum, one
+    broadcast range join. Nothing global touches row-sized data."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    n_tot = docs.count()
+    ws = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "x",
+        F.row_number().over(ws).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).cast("long").alias("ns"),
+    )
+    # integer round-half-up via DIV — the double-division shortcut is
+    # only exact below 2^53 and this must hold at any rank magnitude
+    j = F.when(F.col("ns") == 1, F.lit((n_tot - 1) // 2)).otherwise(
+        F.expr(
+            f"(2 * (r - 1) * {n_tot - 1} + (ns - 1)) div (2 * (ns - 1))"
+        )
+    ).cast("long")
+    hist = docs.groupBy("x").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    spine = hist.select(
+        F.col("x").alias("v"),
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("start"),
+        (F.coalesce(F.sum("c").over(wv), F.lit(0)) + F.col("c") - 1).alias(
+            "end"
+        ),
+    )
+    return (
+        ranked.withColumn("j", j)
+        .join(
+            F.broadcast(spine),
+            (F.col("j") >= F.col("start")) & (F.col("j") <= F.col("end")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("x").alias("n_chars"),
+            F.col("v").alias("qnorm_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUANTILE_NORM_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM docs),
+ranked AS (
+  SELECT doc_id, source, x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM docs
+), tgt AS (
+  SELECT doc_id, source, x,
+         CASE WHEN ns = 1 THEN ((SELECT n_tot FROM n) - 1) // 2
+              ELSE (2 * (r - 1) * ((SELECT n_tot FROM n) - 1) + (ns - 1))
+                   // (2 * (ns - 1))
+         END AS j
+  FROM ranked
+), hist AS (
+  SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY x
+), spine AS (
+  SELECT v,
+         coalesce(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS strt,
+         coalesce(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + c - 1 AS fin
+  FROM hist
+)
+SELECT t.doc_id, t.source, t.x AS n_chars, s.v AS qnorm_chars
+FROM tgt t JOIN spine s ON t.j >= s.strt AND t.j <= s.fin
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["quantile_normalize_lengths"] = quantile_normalize_lengths
+ORACLES["quantile_normalize_lengths"] = QUANTILE_NORM_SQL
