@@ -451,3 +451,84 @@ def test_quantile_normalize_spine_is_broadcast(spark, sf_dir):
     # the position-range lookup joins a value-cardinality-bounded
     # spine via broadcast; the row-sized side never sorts globally
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_repeat_buyers_partitions_disjoint(spark, sf_dir):
+    from trace_parquet_spark.plans import ds_shapes
+
+    rows = ds_shapes.repeat_buyers_intersect(spark, sf_dir).collect()
+    all3 = {r["o_custkey"] for r in rows if r["months_active"] == "all_three"}
+    only12 = {
+        r["o_custkey"] for r in rows if r["months_active"] == "jan_feb_not_mar"
+    }
+    assert all3.isdisjoint(only12)
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    months: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in orders:
+        d = r["o_orderdate"]
+        if d.year == 1995 and d.month in months:
+            months[d.month].add(r["o_custkey"])
+    assert all3 == months[1] & months[2] & months[3]
+    assert only12 == (months[1] & months[2]) - months[3]
+
+
+def test_mode_by_group_matches_replay(spark, sf_dir):
+    from collections import Counter
+
+    from trace_parquet_spark.plans import relational_more
+
+    out = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in relational_more.mode_by_group(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .collect()
+    )
+    groups: dict[tuple, Counter] = {}
+    for r in li:
+        groups.setdefault(
+            (r["l_returnflag"], r["l_linestatus"]), Counter()
+        )[int(r["l_quantity"])] += 1
+    for key, cnt in groups.items():
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (out[key]["mode_qty"], out[key]["mode_count"]) == best
+
+
+def test_activity_streaks_matches_replay(spark, sf_dir):
+    from trace_parquet_spark.plans import sequences
+
+    out = {
+        r["user_id"]: r for r in sequences.activity_streaks(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_user: dict[int, set] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], set()).add(r["ts"].date())
+    for uid, dates in by_user.items():
+        ds = sorted(dates)
+        streaks = []
+        start = prev = None
+        for d in ds:
+            if prev is not None and (d - prev).days == 1:
+                prev = d
+            else:
+                if start is not None:
+                    streaks.append((start, (prev - start).days + 1))
+                start = prev = d
+        streaks.append((start, (prev - start).days + 1))
+        best = min(streaks, key=lambda sd: (-sd[1], sd[0]))
+        r = out[uid]
+        assert r["n_active_days"] == len(ds)
+        assert r["n_streaks"] == len(streaks)
+        assert r["longest_streak"] == best[1]
+        assert r["longest_streak_start"].date() == best[0]

@@ -506,3 +506,63 @@ LIMIT {4 * TOPK}
 
 QUERIES["monthly_deviation_rank"] = monthly_deviation_rank
 ORACLES["monthly_deviation_rank"] = MONTHLY_DEV_SQL
+
+
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38-shape multi-way INTERSECT: customers who ordered in
+    each of three consecutive months (1995-01..03), with their margin
+    over the pairwise overlaps via EXCEPT (the Q87 companion — in
+    month 1 and 2 but NOT 3). One row per retained customer plus a
+    months_active tag so the result is self-describing.
+
+    Scale: each month's key set is one pushdown-filtered scan +
+    distinct; INTERSECT/EXCEPT hash-partition on the key — the same
+    exchange reused across both operators (co-partitioned by
+    construction). No fact-table rescans past the first pass."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def month_keys(m: int):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= f"1995-0{m}-01")
+                & (F.col("o_orderdate") < f"1995-0{m + 1}-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    m1, m2, m3 = month_keys(1), month_keys(2), month_keys(3)
+    all3 = m1.intersect(m2).intersect(m3).select(
+        "o_custkey", F.lit("all_three").alias("months_active")
+    )
+    only12 = (
+        m1.intersect(m2)
+        .exceptAll(m3)
+        .select("o_custkey", F.lit("jan_feb_not_mar").alias("months_active"))
+    )
+    return all3.unionAll(only12).orderBy("months_active", "o_custkey")
+
+
+REPEAT_BUYERS_SQL = """
+WITH m1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-02-01'
+), m2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= '1995-02-01' AND o_orderdate < '1995-03-01'
+), m3 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'
+)
+SELECT o_custkey, 'all_three' AS months_active
+FROM (SELECT * FROM m1 INTERSECT SELECT * FROM m2
+      INTERSECT SELECT * FROM m3)
+UNION ALL
+SELECT o_custkey, 'jan_feb_not_mar' AS months_active
+FROM (SELECT * FROM m1 INTERSECT SELECT * FROM m2
+      EXCEPT SELECT * FROM m3)
+ORDER BY months_active, o_custkey
+"""
+
+QUERIES["repeat_buyers_intersect"] = repeat_buyers_intersect
+ORACLES["repeat_buyers_intersect"] = REPEAT_BUYERS_SQL

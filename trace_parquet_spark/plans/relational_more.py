@@ -312,3 +312,59 @@ ORACLES = {
     "q10_returned_items": Q10_SQL,
     "setops_multiset": SETOPS_MULTISET_SQL,
 }
+
+
+def mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent quantity per (returnflag, linestatus) — the mode,
+    with count ties broken toward the SMALLEST value so the answer is
+    unique and engine-independent. Completes the location-statistics
+    family (mean: q1, median/MAD: mad_by_group, mode: here).
+
+    Scale: one partial-agg shuffle to (group, value) counts — the
+    value grid is 50-ary so the counted relation is tiny — then a
+    per-group argmax window over that grid, never over rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "qty")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("c"), F.asc("qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+MODE_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus, qty
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                               ORDER BY c DESC, qty) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_linestatus, qty AS mode_qty, c AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag, l_linestatus
+"""
+
+QUERIES["mode_by_group"] = mode_by_group
+ORACLES["mode_by_group"] = MODE_SQL

@@ -134,3 +134,93 @@ ORACLES = {
     "path_pattern_match": PATH_PATTERN_SQL,
     "event_transition_matrix": TRANSITION_SQL,
 }
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks — the gaps-and-islands shape: a
+    user's distinct active days split into runs of CONSECUTIVE dates
+    via the classic daynum − row_number island key (constant within a
+    run, jumps at every gap). Emits per user the engagement summary a
+    retention dashboard wants: active days, number of streaks, the
+    longest streak and when it started (ties → earliest).
+
+    Scale: one shuffle partitions distinct (user, day) rows by user;
+    the rank window, the island aggregation, and the final per-user
+    argmax all ride that partitioning (users independent — no global
+    anything). Day numbers are exact integers (datediff vs epoch), so
+    the island key needs no date arithmetic parity care."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "dn"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dn")
+    islands = (
+        days.withColumn("isl", F.col("dn") - F.row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.min("dn").alias("start_dn"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("start_dn")
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(pick))
+        .groupBy("user_id")
+        .agg(
+            F.sum("streak_len").cast("long").alias("n_active_days"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max(F.when(F.col("rn") == 1, F.col("streak_len"))).cast("long").alias(
+                "longest_streak"
+            ),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.max(F.when(F.col("rn") == 1, F.col("start_dn"))).cast("int"),
+            ).cast("timestamp").alias("longest_streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS dn
+  FROM events
+), keyed AS (
+  SELECT user_id, dn,
+         dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS isl
+  FROM days
+), islands AS (
+  SELECT user_id, isl,
+         CAST(count(*) AS BIGINT) AS streak_len,
+         min(dn) AS start_dn
+  FROM keyed GROUP BY user_id, isl
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY streak_len DESC, start_dn) AS rn
+  FROM islands
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(CASE WHEN rn = 1 THEN streak_len END) AS BIGINT)
+         AS longest_streak,
+       CAST(DATE '1970-01-01'
+         + to_days(CAST(max(CASE WHEN rn = 1 THEN start_dn END) AS INT))
+         AS TIMESTAMP) AS longest_streak_start
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["activity_streaks"] = activity_streaks
+ORACLES["activity_streaks"] = ACTIVITY_STREAKS_SQL
