@@ -532,3 +532,72 @@ def test_activity_streaks_matches_replay(spark, sf_dir):
         assert r["n_streaks"] == len(streaks)
         assert r["longest_streak"] == best[1]
         assert r["longest_streak_start"].date() == best[0]
+
+
+def test_runs_and_acf_match_python_replay(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(
+            (r["ts"], r["event_id"], int(np.floor(r["value"] * 100 + 0.5)))
+        )
+    runs_out = {
+        r["event_type"]: r
+        for r in statistics.runs_test_by_type(spark, sf_dir).collect()
+    }
+    acf_out = {
+        r["event_type"]: r
+        for r in statistics.autocorr_lag1_by_type(spark, sf_dir).collect()
+    }
+    for et, rows in groups.items():
+        rows.sort()
+        xs = [x for _, _, x in rows]
+        med = np.percentile(np.array(sorted(xs), dtype=np.float64), 50)
+        signs = [1 if x > med else 0 for x in xs if x != med]
+        n1 = sum(signs)
+        n2 = len(signs) - n1
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        r = runs_out[et]
+        assert (r["n_above"], r["n_below"], r["n_runs"]) == (n1, n2, runs)
+        n = n1 + n2
+        mu = 2 * n1 * n2 / n + 1
+        var = (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+        assert abs(r["runs_z"] - (runs - mu) / np.sqrt(var)) < 1e-9
+        # lag-1 autocorrelation
+        a = np.array(xs, dtype=np.float64)
+        m = a.mean()
+        r1 = ((a[:-1] - m) * (a[1:] - m)).sum() / ((a - m) ** 2).sum()
+        assert abs(acf_out[et]["acf_lag1"] - r1) < 1e-9
+
+
+def test_zipf_fit_matches_python_replay(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from trace_parquet_spark.operators import text_analysis
+
+    row = text_analysis.zipf_fit_tokens(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r["text"].lower().strip())
+        for w_ in norm.split(" "):
+            if w_:
+                cnt[w_] += 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : text_analysis.ZIPF_TOP_K
+    ]
+    xs = [int(np.floor(np.log(i + 1) * 1e6 + 0.5)) for i in range(len(top))]
+    ys = [int(np.floor(np.log(c) * 1e6 + 0.5)) for _, c in top]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    cov = float(n * sum(a * b for a, b in zip(xs, ys)) - sx * sy)
+    varx = float(n * sum(v * v for v in xs) - sx * sx)
+    assert row["n_points"] == n
+    assert abs(row["zipf_exponent"] - (-cov / varx)) < 1e-12
+    assert 0.0 < row["zipf_exponent"] < 3.0
+    assert 0.0 <= row["r2"] <= 1.0

@@ -359,3 +359,102 @@ ORDER BY source
 
 QUERIES["vocab_growth_by_source"] = vocab_growth_by_source
 ORACLES["vocab_growth_by_source"] = VOCAB_GROWTH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the top-K tokens
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 500
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: frequency of
+    the rank-r token ≈ C·r^(−s); the exponent s (≈1 for natural text)
+    is the companion diagnostic to vocab_growth_by_source's Heaps β —
+    templated/synthetic corpora bend both. Fit restricted to the
+    top-K tokens so the ranked relation is CONSTANT-bounded: the
+    corpus-sized count relation reduces via TakeOrderedAndProject
+    (never a global sort), and ranks/regression live on K rows.
+
+    Same micro-nat log-log OLS as the Heaps fit: exact integer sums,
+    one double chain per output — bit-equal cross-engine."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    pts = counts.select(
+        F.row_number().over(w).cast("long").alias("r"), "cnt"
+    ).select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    g = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n.cast(dec) * F.col("sxy") - sx.cast(dec) * sy).cast("double")
+    varx = (n.cast(dec) * F.col("sxx") - sx.cast(dec) * sx).cast("double")
+    vary = (n.cast(dec) * F.col("syy") - sy.cast(dec) * sy).cast("double")
+    return g.select(
+        n.cast("long").alias("n_points"),
+        (F.lit(0.0) - cov / varx).alias("zipf_exponent"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest({tokens_sql("text")}) AS word FROM documents
+  ) WHERE word <> ''
+  GROUP BY word
+  ORDER BY cnt DESC, word
+  LIMIT {ZIPF_TOP_K}
+), pts AS (
+  SELECT CAST(floor(ln(CAST(row_number()
+                            OVER (ORDER BY cnt DESC, word) AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM counts
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+)
+SELECT n AS n_points,
+       0.0 - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                  AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                    AS DOUBLE) AS zipf_exponent,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                   AS DOUBLE)) AS r2
+FROM g
+"""
+
+QUERIES["zipf_fit_tokens"] = zipf_fit_tokens
+ORACLES["zipf_fit_tokens"] = ZIPF_SQL

@@ -1368,3 +1368,220 @@ ORDER BY t.doc_id
 
 QUERIES["quantile_normalize_lengths"] = quantile_normalize_lengths
 ORACLES["quantile_normalize_lengths"] = QUANTILE_NORM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per event type
+# ---------------------------------------------------------------------------
+
+
+def runs_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness per event type: the
+    time-ordered value sequence is signed above/below its group median
+    (median ties excluded, the standard treatment), runs of equal sign
+    are counted with a lag window, and the z statistic
+    (R − μ_R)/σ_R with μ_R = 2·n1·n2/n + 1 flags serial dependence —
+    trending or oscillating feeds that CUSUM's mean-shift lens misses.
+
+    Exact: the median is a type-7 quantile on the cents grid, signs
+    and the run count R are integers, and z is ONE double chain over
+    exact int64 products. Scale: the sign/lag pass rides one
+    event_type partitioning (the cusum shape); the median join
+    broadcasts a 5-row relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    signed = (
+        ev.join(F.broadcast(med), "event_type")
+        .where(F.col("x").cast("double") != F.col("med"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            (F.col("x").cast("double") > F.col("med")).cast("int").alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = signed.select(
+        "event_type",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull() | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    g = runs.groupBy("event_type").agg(
+        F.sum("sgn").alias("n1"),
+        (F.count("*") - F.sum("sgn")).alias("n2"),
+        F.sum("is_start").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    dec = "decimal(38,0)"
+    two_n1n2 = (F.lit(2).cast(dec) * n1 * n2)
+    mu_num = two_n1n2  # mu_R = 2 n1 n2 / n + 1
+    var_num = two_n1n2 * (two_n1n2 - n.cast(dec))  # over n^2 (n-1)
+    z = (
+        (r.cast("double") - (mu_num.cast("double") / n.cast("double") + F.lit(1.0)))
+        / F.sqrt(
+            var_num.cast("double")
+            / (n.cast(dec) * n * (n - 1)).cast("double")
+        )
+    )
+    return g.select(
+        "event_type",
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        z.alias("runs_z"),
+    ).orderBy("event_type")
+
+
+RUNS_TEST_SQL = """
+WITH x AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med FROM x GROUP BY event_type
+), signed AS (
+  SELECT x.event_type, x.ts, x.event_id,
+         CAST(CAST(x.x AS DOUBLE) > med.med AS INT) AS sgn
+  FROM x JOIN med ON x.event_type = med.event_type
+  WHERE CAST(x.x AS DOUBLE) <> med.med
+), runs AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) IS DISTINCT FROM sgn
+              THEN 1 ELSE 0 END AS is_start
+  FROM signed
+), g AS (
+  SELECT event_type,
+         CAST(sum(sgn) AS BIGINT) AS n1,
+         CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+         CAST(sum(is_start) AS BIGINT) AS r
+  FROM runs GROUP BY event_type
+)
+SELECT event_type,
+       n1 AS n_above,
+       n2 AS n_below,
+       r AS n_runs,
+       (CAST(r AS DOUBLE)
+        - (CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+             / CAST(n1 + n2 AS DOUBLE) + 1.0))
+       / sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n2
+                   * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)) AS DOUBLE)
+              / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                     * (n1 + n2 - 1) AS DOUBLE)) AS runs_z
+FROM g
+ORDER BY event_type
+"""
+
+
+QUERIES["runs_test_by_type"] = runs_test_by_type
+ORACLES["runs_test_by_type"] = RUNS_TEST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per event type
+# ---------------------------------------------------------------------------
+
+
+def autocorr_lag1_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the time-ordered value series per
+    event type — the serial-dependence summary next to the runs test's
+    hypothesis flag: r1 = Σ(xᵢ−x̄)(xᵢ₊₁−x̄) / Σ(xᵢ−x̄)², computed as
+    (n²·Σxy − n·S·(Sh+St) + (n−1)·S²) / (n·(n·Q − S²)) over exact
+    integer sums (Σxy from a lag window over adjacent pairs; Sh/St
+    are S minus the last/first element). One double division at the
+    end — the power-sum discipline, bit-equal cross-engine.
+
+    Scale: one event_type partitioning carries the lag window and all
+    group sums (the cusum shape); n²Σxy ≈ 10²² at sf0.1 rides
+    DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    g = staged.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("q"),
+        F.sum(F.col("xp").cast(dec) * F.col("x")).alias("sxy"),
+        F.sum(F.when(F.col("i") == 1, F.col("x")).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("i") == F.col("n"), F.col("x")).otherwise(0)).alias(
+            "xn"
+        ),
+    )
+    n, s, q = F.col("n").cast(dec), F.col("s"), F.col("q")
+    sh = (F.col("s") - F.col("xn")).cast(dec)
+    st = (F.col("s") - F.col("x1")).cast(dec)
+    num = (
+        n * n * F.col("sxy")
+        - n * s * (sh + st)
+        + (n - 1) * s.cast(dec) * s
+    ).cast("double")
+    den = (n * (n * q - s.cast(dec) * s)).cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        (num / den).alias("acf_lag1"),
+    ).orderBy("event_type")
+
+
+AUTOCORR_SQL = """
+WITH x AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+), staged AS (
+  SELECT event_type, x,
+         lag(x) OVER w AS xp,
+         row_number() OVER w AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM x
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), g AS (
+  SELECT event_type,
+         min(n) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS q,
+         sum(CAST(xp AS HUGEINT) * x) AS sxy,
+         CAST(sum(CASE WHEN i = 1 THEN x ELSE 0 END) AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN i = n THEN x ELSE 0 END) AS BIGINT) AS xn
+  FROM staged GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(CAST(n AS HUGEINT) * n * sxy
+            - CAST(n AS HUGEINT) * s * ((s - xn) + (s - x1))
+            + CAST(n - 1 AS HUGEINT) * s * s AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT)
+                * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                AS DOUBLE) AS acf_lag1
+FROM g
+ORDER BY event_type
+"""
+
+
+QUERIES["autocorr_lag1_by_type"] = autocorr_lag1_by_type
+ORACLES["autocorr_lag1_by_type"] = AUTOCORR_SQL
