@@ -601,3 +601,66 @@ def test_zipf_fit_matches_python_replay(spark, sf_dir):
     assert abs(row["zipf_exponent"] - (-cov / varx)) < 1e-12
     assert 0.0 < row["zipf_exponent"] < 3.0
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_kaplan_meier_matches_python_replay(spark, sf_dir):
+    from trace_parquet_spark.plans import funnels
+
+    rows = funnels.kaplan_meier_conversion(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    tmax = max(r["ts"] for r in ev)
+    sign: dict[int, object] = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            if r["user_id"] not in sign or r["ts"] < sign[r["user_id"]]:
+                sign[r["user_id"]] = r["ts"]
+    purch: dict[int, object] = {}
+    for r in ev:
+        if r["event_type"] == "purchase" and r["user_id"] in sign:
+            if r["ts"] > sign[r["user_id"]]:
+                if r["user_id"] not in purch or r["ts"] < purch[r["user_id"]]:
+                    purch[r["user_id"]] = r["ts"]
+    times = []
+    for uid, t0 in sign.items():
+        if uid in purch:
+            times.append(((purch[uid].date() - t0.date()).days, True))
+        else:
+            times.append(((tmax.date() - t0.date()).days, False))
+    n_total = len(times)
+    from collections import Counter
+
+    at = Counter(t for t, _ in times)
+    d = Counter(t for t, e in times if e)
+    surv = 1.0
+    got = {r["t_days"]: r for r in rows}
+    assert sorted(got) == sorted(d)
+    removed = 0
+    micro = 0
+    dead = False
+    for t in sorted(at):
+        n_risk = n_total - removed
+        removed += at[t]
+        if d[t] == 0:
+            continue
+        r = got[t]
+        assert r["n_risk"] == n_risk
+        assert r["d_events"] == d[t]
+        if n_risk == d[t]:
+            dead = True
+        if not dead:
+            micro += int(np.floor(np.log((n_risk - d[t]) / n_risk) * 1e6 + 0.5))
+            assert r["s_micro_nats"] == micro
+            assert r["s_hat_ppm"] == int(np.floor(np.exp(micro / 1e6) * 1e6 + 0.5))
+            surv *= 1 - d[t] / n_risk
+            # grid estimate within 2 ppm + accumulated grid drift of
+            # the true KM product
+            assert abs(r["s_hat_ppm"] / 1e6 - surv) < 2e-6 + 1e-4
+        else:
+            assert r["s_micro_nats"] is None and r["s_hat_ppm"] == 0
+    # survival is monotone non-increasing on the emitted curve
+    ppms = [r["s_hat_ppm"] for r in rows]
+    assert all(a >= b for a, b in zip(ppms, ppms[1:]))

@@ -260,3 +260,162 @@ ORACLES = {
     "cohort_retention": COHORT_SQL,
     "time_to_convert": TIME_TO_CONVERT_SQL,
 }
+
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion at
+    day grain, WITH censoring — the estimator time_to_convert's
+    percentiles cannot replace: users who signed up but never
+    purchased are right-censored at the corpus horizon (max event ts)
+    instead of being silently dropped, so late cohorts stop biasing
+    conversion speed down. Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over conversion
+    days; censored-at-t users count at risk at t (the standard
+    convention).
+
+    Exactness: every nᵢ, dᵢ is an integer on the DAY-grain spine
+    (value-cardinality bounded — the KS/PSI discipline); each factor's
+    ln((n−d)/n) lands on the micro-nat grid, the product becomes a
+    spine cumsum of integers, and Ŝ is ONE exp() over the exact
+    micro-nat sum. Scale: two per-user aggregates (user_id shuffles),
+    one count-per-day aggregation, then constant-size spine windows;
+    the horizon is a cutoff scalar.
+
+    A day where every remaining at-risk user converts (n = d) sends
+    Ŝ to exactly 0 — emitted with NULL micro-nats (ln 0 undefined)
+    and s_hat 0."""
+    ev = load_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    users = sign.join(purch, "user_id", "left").select(
+        "user_id",
+        F.coalesce(
+            F.datediff(F.to_date("t1"), F.to_date("t0")),
+            F.datediff(F.to_date(F.lit(tmax)), F.to_date("t0")),
+        ).cast("long").alias("t"),
+        F.col("t1").isNotNull().alias("is_event"),
+    )
+    n_total = users.count()
+    per_day = users.groupBy("t").agg(
+        F.count("*").alias("n_at"),
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        per_day.withColumn(
+            "n_risk", F.lit(n_total) - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))
+        )
+        .where(F.col("d") > 0)
+    )
+    term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    wsum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = spine.withColumn("term", term).select(
+        "t",
+        "n_risk",
+        "d",
+        F.when(
+            F.max(F.col("term").isNull().cast("int")).over(wsum) == 0,
+            F.sum("term").over(wsum),
+        ).alias("s_micro_nats"),
+    )
+    return curve.select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        "s_micro_nats",
+        # Java Math.exp and libm exp disagree in the last ulp for some
+        # inputs (measured 7e-18); the ppm grid absorbs it
+        F.coalesce(
+            F.floor(
+                F.exp(F.col("s_micro_nats").cast("double") / F.lit(1e6))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("s_hat_ppm"),
+    ).orderBy("t_days")
+
+
+KM_SQL = """
+WITH sign AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN sign s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), horizon AS (SELECT max(ts) AS tmax FROM events),
+users AS (
+  SELECT s.user_id,
+         CAST(coalesce(
+           date_diff('day', CAST(s.t0 AS DATE), CAST(p.t1 AS DATE)),
+           date_diff('day', CAST(s.t0 AS DATE),
+                     CAST((SELECT tmax FROM horizon) AS DATE))
+         ) AS BIGINT) AS t,
+         p.t1 IS NOT NULL AS is_event
+  FROM sign s LEFT JOIN purch p ON s.user_id = p.user_id
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users),
+per_day AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(CAST(is_event AS BIGINT)) AS BIGINT) AS d
+  FROM users GROUP BY t
+), spine AS (
+  SELECT t, d,
+         (SELECT n_total FROM n)
+           - coalesce(sum(n_at) OVER (ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_risk
+  FROM per_day
+), ev_days AS (
+  SELECT t, n_risk, d,
+         CASE WHEN n_risk > d
+              THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT)
+         END AS term
+  FROM spine WHERE d > 0
+), curve AS (
+  SELECT t, n_risk, d,
+         CASE WHEN max(CAST(term IS NULL AS INT))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 0
+              THEN sum(term) OVER (ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+         END AS s_micro_nats
+  FROM ev_days
+)
+SELECT t AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS d_events,
+       CAST(s_micro_nats AS BIGINT) AS s_micro_nats,
+       coalesce(CAST(floor(exp(CAST(s_micro_nats AS DOUBLE) / 1e6)
+                           * 1e6 + 0.5) AS BIGINT),
+                CAST(0 AS BIGINT)) AS s_hat_ppm
+FROM curve
+ORDER BY t_days
+"""
+
+QUERIES["kaplan_meier_conversion"] = kaplan_meier_conversion
+ORACLES["kaplan_meier_conversion"] = KM_SQL
