@@ -664,3 +664,26 @@ def test_kaplan_meier_matches_python_replay(spark, sf_dir):
     # survival is monotone non-increasing on the emitted curve
     ppms = [r["s_hat_ppm"] for r in rows]
     assert all(a >= b for a, b in zip(ppms, ppms[1:]))
+
+
+def test_rfm_scores_consistent(spark, sf_dir):
+    from trace_parquet_spark.plans import funnels
+
+    rows = funnels.rfm_segments(spark, sf_dir).collect()
+    assert rows
+    rec = sorted(r["recency_days"] for r in rows)
+    freq = sorted(r["frequency"] for r in rows)
+    mon = sorted(r["monetary_cents"] for r in rows)
+    r33, r66 = np.percentile(rec, [100 / 3, 200 / 3])
+    f33, f66 = np.percentile(freq, [100 / 3, 200 / 3])
+    m33, m66 = np.percentile(mon, [100 / 3, 200 / 3])
+    for r in rows:
+        exp_r = 3 if r["recency_days"] <= r33 else (2 if r["recency_days"] <= r66 else 1)
+        exp_f = 1 if r["frequency"] <= f33 else (2 if r["frequency"] <= f66 else 3)
+        exp_m = (
+            1
+            if r["monetary_cents"] <= m33
+            else (2 if r["monetary_cents"] <= m66 else 3)
+        )
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (exp_r, exp_f, exp_m)
+        assert r["segment"] == f"{exp_r}{exp_f}{exp_m}"

@@ -419,3 +419,121 @@ ORDER BY t_days
 
 QUERIES["kaplan_meier_conversion"] = kaplan_meier_conversion
 ORACLES["kaplan_meier_conversion"] = KM_SQL
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: per user the classic
+    recency(days since last purchase) / frequency(purchase count) /
+    monetary(exact cents) triple, each scored 1-3 against the
+    tercile cutoffs of the purchaser population, plus the combined
+    segment label — the standard CRM partitioning.
+
+    Determinism: metrics are exact integers; tercile cutoffs are
+    type-7 quantiles over those integers (.0/.5 values exact in
+    double); scores compare int against cutoff with <= in both
+    engines. Scale: one purchase-grain shuffle to per-user metrics;
+    the six cutoffs are a scalar pull broadcast into the scoring
+    projection (percentile here is exact-rank — at extreme user
+    cardinality swap in approx_percentile, same shape). Horizon =
+    max event ts (cutoff scalar)."""
+    ev = load_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.lit(tmax)), F.to_date(F.max("ts")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    cuts = per_user.agg(
+        F.expr("percentile(recency_days, 0.3333333333333333)").alias("r33"),
+        F.expr("percentile(recency_days, 0.6666666666666666)").alias("r66"),
+        F.expr("percentile(frequency, 0.3333333333333333)").alias("f33"),
+        F.expr("percentile(frequency, 0.6666666666666666)").alias("f66"),
+        F.expr("percentile(monetary_cents, 0.3333333333333333)").alias("m33"),
+        F.expr("percentile(monetary_cents, 0.6666666666666666)").alias("m66"),
+    ).collect()[0]
+
+    def score(col: str, lo: float, hi: float, invert: bool):
+        c = F.col(col).cast("double")
+        first, last = (3, 1) if invert else (1, 3)
+        return (
+            F.when(c <= F.lit(lo), F.lit(first))
+            .when(c <= F.lit(hi), F.lit(2))
+            .otherwise(F.lit(last))
+            .cast("long")
+        )
+
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", float(cuts.r33), float(cuts.r66), True).alias(
+            "r_score"
+        ),
+        score("frequency", float(cuts.f33), float(cuts.f66), False).alias(
+            "f_score"
+        ),
+        score("monetary_cents", float(cuts.m33), float(cuts.m66), False).alias(
+            "m_score"
+        ),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")
+
+
+RFM_SQL = """
+WITH horizon AS (SELECT max(ts) AS tmax FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+                        CAST((SELECT tmax FROM horizon) AS DATE))
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), cuts AS (
+  SELECT quantile_cont(recency_days, 0.3333333333333333) AS r33,
+         quantile_cont(recency_days, 0.6666666666666666) AS r66,
+         quantile_cont(frequency, 0.3333333333333333) AS f33,
+         quantile_cont(frequency, 0.6666666666666666) AS f66,
+         quantile_cont(monetary_cents, 0.3333333333333333) AS m33,
+         quantile_cont(monetary_cents, 0.6666666666666666) AS m66
+  FROM per_user
+), scored AS (
+  SELECT u.user_id, u.recency_days, u.frequency, u.monetary_cents,
+         CAST(CASE WHEN CAST(u.recency_days AS DOUBLE) <= c.r33 THEN 3
+                   WHEN CAST(u.recency_days AS DOUBLE) <= c.r66 THEN 2
+                   ELSE 1 END AS BIGINT) AS r_score,
+         CAST(CASE WHEN CAST(u.frequency AS DOUBLE) <= c.f33 THEN 1
+                   WHEN CAST(u.frequency AS DOUBLE) <= c.f66 THEN 2
+                   ELSE 3 END AS BIGINT) AS f_score,
+         CAST(CASE WHEN CAST(u.monetary_cents AS DOUBLE) <= c.m33 THEN 1
+                   WHEN CAST(u.monetary_cents AS DOUBLE) <= c.m66 THEN 2
+                   ELSE 3 END AS BIGINT) AS m_score
+  FROM per_user u, cuts c
+)
+SELECT *,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+ORDER BY user_id
+"""
+
+QUERIES["rfm_segments"] = rfm_segments
+ORACLES["rfm_segments"] = RFM_SQL
