@@ -145,6 +145,15 @@ HEADLINE = [
     "clustering_coefficient",
     "sssp_trade_costs",
     "pca_project_embeddings",
+    # round-12 additions: corpus-law fits, survival/RFM analytics,
+    # serial-dependence monitors, classic SQL shapes
+    "vocab_growth_by_source",
+    "zipf_fit_tokens",
+    "kaplan_meier_conversion",
+    "rfm_segments",
+    "activity_streaks",
+    "quantile_normalize_lengths",
+    "runs_test_by_type",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
