@@ -687,3 +687,84 @@ def test_rfm_scores_consistent(spark, sf_dir):
         )
         assert (r["r_score"], r["f_score"], r["m_score"]) == (exp_r, exp_f, exp_m)
         assert r["segment"] == f"{exp_r}{exp_f}{exp_m}"
+
+
+def test_logrank_consistent_with_km_inputs(spark, sf_dir):
+    from trace_parquet_spark.plans import funnels
+
+    row = funnels.logrank_cohort_test(spark, sf_dir).collect()[0]
+    assert row["n_early"] + row["n_late"] > 0
+    assert row["n_event_days"] > 0
+    assert row["v_sum_micro"] > 0
+    # z must equal the ratio of its own emitted exact components
+    assert (
+        abs(
+            row["logrank_z"]
+            - row["oe_sum_micro"] / np.sqrt(row["v_sum_micro"] * 1e6)
+        )
+        < 1e-12
+    )
+
+
+def test_ccf_matches_numpy_replay(spark, sf_dir):
+    out = {
+        r["lag"]: r for r in statistics.crosscorr_daily_types(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts")
+        .collect()
+    )
+    from collections import Counter
+
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for r in ev:
+        d = (r["ts"].date() - __import__("datetime").date(1970, 1, 1)).days
+        if r["event_type"] == statistics.CCF_X_TYPE:
+            cx[d] += 1
+        elif r["event_type"] == statistics.CCF_Y_TYPE:
+            cy[d] += 1
+    days = sorted(set(cx) | set(cy))
+    lo, hi = days[0], days[-1]
+    xs = np.array([cx.get(d, 0) for d in range(lo, hi + 1)], dtype=np.float64)
+    ys = np.array([cy.get(d, 0) for d in range(lo, hi + 1)], dtype=np.float64)
+    for lag in range(-statistics.CCF_MAX_LAG, statistics.CCF_MAX_LAG + 1):
+        if lag >= 0:
+            a, b = xs[: len(xs) - lag or None], ys[lag:]
+        else:
+            a, b = xs[-lag:], ys[: len(ys) + lag]
+        want = np.corrcoef(a, b)[0, 1]
+        assert out[lag]["n_days"] == len(a)
+        assert abs(out[lag]["ccf"] - want) < 1e-9
+
+
+def test_trigrams_match_replay(spark, sf_dir):
+    from collections import Counter
+
+    from trace_parquet_spark.plans import sequences
+
+    rows = sequences.event_trigrams_frequent(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    cnt: Counter = Counter()
+    for uid, es in streams.items():
+        es.sort()
+        types = [t for _, _, t in es]
+        for i in range(len(types) - 2):
+            cnt[tuple(types[i : i + 3])] += 1
+    n_tri = sum(cnt.values())
+    want = {k: v for k, v in cnt.items() if v >= sequences.TRIGRAM_MIN_SUPPORT}
+    got = {(r["e1"], r["e2"], r["e3"]): r for r in rows}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k]["support"] == v
+        assert got[k]["share_ppm"] == v * 1_000_000 // n_tri

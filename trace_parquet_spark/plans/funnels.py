@@ -537,3 +537,192 @@ ORDER BY user_id
 
 QUERIES["rfm_segments"] = rfm_segments
 ORACLES["rfm_segments"] = RFM_SQL
+
+
+def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing conversion survival of EARLY vs LATE
+    signups (split at the median signup day) — "did conversion speed
+    change?" asked properly, i.e. censoring-aware, where comparing
+    time_to_convert percentiles silently drops never-converters.
+
+    Per conversion day t (shared spine with kaplan_meier_conversion):
+    group-1 at-risk n1, total at-risk n, total events d, observed d1;
+    the classic O−E = d1 − d·n1/n and hypergeometric variance
+    v = d·(n1/n)·(1−n1/n)·(n−d)/(n−1) accumulate over the spine and
+    z = Σ(O−E)/√Σv. Each per-day term is ONE fixed double chain over
+    exact integers floored to the 1e-6 grid (the PSI discipline), so
+    the sums are integers and both engines agree bitwise.
+
+    Scale: the same two user-grain aggregates as KM plus day-grain
+    spine arithmetic; the cohort split is a broadcast scalar (median
+    signup epoch-day, type-7 on integers)."""
+    ev = load_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    med_day = sign.agg(
+        F.expr(
+            "percentile(datediff(to_date(t0), to_date('1970-01-01')), 0.5)"
+        )
+    ).collect()[0][0]
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    users = sign.join(purch, "user_id", "left").select(
+        F.coalesce(
+            F.datediff(F.to_date("t1"), F.to_date("t0")),
+            F.datediff(F.to_date(F.lit(tmax)), F.to_date("t0")),
+        ).cast("long").alias("t"),
+        F.col("t1").isNotNull().alias("is_event"),
+        (
+            F.datediff(F.to_date("t0"), F.to_date(F.lit("1970-01-01")))
+            .cast("double")
+            <= F.lit(float(med_day))
+        ).alias("early"),
+    )
+    per_day = users.groupBy("t").agg(
+        F.count("*").alias("n_at"),
+        F.sum(F.col("early").cast("long")).alias("n1_at"),
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+        F.sum((F.col("is_event") & F.col("early")).cast("long")).alias("d1"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        per_day.select(
+            "t",
+            "d",
+            "d1",
+            (
+                F.sum("n_at").over(wcum).cast("long")
+            ).alias("gone"),
+            (
+                F.sum("n1_at").over(wcum).cast("long")
+            ).alias("gone1"),
+        )
+        .withColumn("gone", F.coalesce(F.col("gone"), F.lit(0)))
+        .withColumn("gone1", F.coalesce(F.col("gone1"), F.lit(0)))
+    )
+    n_total = users.count()
+    n1_total = users.where("early").count()
+    n = F.lit(n_total) - F.col("gone")
+    n1 = F.lit(n1_total) - F.col("gone1")
+    d, d1 = F.col("d"), F.col("d1")
+    oe_micro = F.floor(
+        (
+            d1.cast("double")
+            - d.cast("double") * n1.cast("double") / n.cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    v_micro = F.when(
+        n > 1,
+        F.floor(
+            (
+                d.cast("double")
+                * (n1.cast("double") / n.cast("double"))
+                * (F.lit(1.0) - n1.cast("double") / n.cast("double"))
+                * ((n - d).cast("double") / (n - 1).cast("double"))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    terms = spine.where(F.col("d") > 0).select(
+        oe_micro.alias("oe"), v_micro.alias("v")
+    )
+    g = terms.agg(
+        F.count("*").alias("n_days"),
+        F.sum("oe").alias("oe_sum_micro"),
+        F.sum("v").alias("v_sum_micro"),
+    )
+    return g.select(
+        F.col("n_days").cast("long").alias("n_event_days"),
+        F.lit(n1_total).cast("long").alias("n_early"),
+        F.lit(n_total - n1_total).cast("long").alias("n_late"),
+        F.col("oe_sum_micro").cast("long").alias("oe_sum_micro"),
+        F.col("v_sum_micro").cast("long").alias("v_sum_micro"),
+        (
+            F.col("oe_sum_micro").cast("double")
+            / F.sqrt(F.col("v_sum_micro").cast("double") * F.lit(1e6))
+        ).alias("logrank_z"),
+    )
+
+
+LOGRANK_SQL = """
+WITH sign AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), med AS (
+  SELECT quantile_cont(date_diff('day', DATE '1970-01-01',
+                                 CAST(t0 AS DATE)), 0.5) AS md
+  FROM sign
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN sign s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), horizon AS (SELECT max(ts) AS tmax FROM events),
+users AS (
+  SELECT CAST(coalesce(
+           date_diff('day', CAST(s.t0 AS DATE), CAST(p.t1 AS DATE)),
+           date_diff('day', CAST(s.t0 AS DATE),
+                     CAST((SELECT tmax FROM horizon) AS DATE))
+         ) AS BIGINT) AS t,
+         p.t1 IS NOT NULL AS is_event,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(s.t0 AS DATE))
+              AS DOUBLE) <= (SELECT md FROM med) AS early
+  FROM sign s LEFT JOIN purch p ON s.user_id = p.user_id
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CAST(early AS BIGINT)) AS BIGINT) AS n1_total
+  FROM users
+), per_day AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(CAST(early AS BIGINT)) AS BIGINT) AS n1_at,
+         CAST(sum(CAST(is_event AS BIGINT)) AS BIGINT) AS d,
+         CAST(sum(CAST(is_event AND early AS BIGINT)) AS BIGINT) AS d1
+  FROM users GROUP BY t
+), spine AS (
+  SELECT t, d, d1,
+         (SELECT n_total FROM tot)
+           - coalesce(sum(n_at) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n,
+         (SELECT n1_total FROM tot)
+           - coalesce(sum(n1_at) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n1
+  FROM per_day
+), terms AS (
+  SELECT CAST(floor((CAST(d1 AS DOUBLE)
+                     - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS oe,
+         CASE WHEN n > 1 THEN
+           CAST(floor((CAST(d AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)))
+                      * 1e6 + 0.5) AS BIGINT)
+         ELSE 0 END AS v
+  FROM spine WHERE d > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+       (SELECT n1_total FROM tot) AS n_early,
+       (SELECT n_total - n1_total FROM tot) AS n_late,
+       CAST(sum(oe) AS BIGINT) AS oe_sum_micro,
+       CAST(sum(v) AS BIGINT) AS v_sum_micro,
+       CAST(sum(oe) AS DOUBLE) / sqrt(CAST(sum(v) AS DOUBLE) * 1e6)
+         AS logrank_z
+FROM terms
+"""
+
+QUERIES["logrank_cohort_test"] = logrank_cohort_test
+ORACLES["logrank_cohort_test"] = LOGRANK_SQL

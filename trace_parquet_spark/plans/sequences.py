@@ -224,3 +224,72 @@ ORDER BY user_id
 
 QUERIES["activity_streaks"] = activity_streaks
 ORACLES["activity_streaks"] = ACTIVITY_STREAKS_SQL
+
+
+TRIGRAM_MIN_SUPPORT = 5
+
+
+def event_trigrams_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral trigrams: consecutive event-type triples
+    inside each user's time-ordered stream, kept at support ≥ 5 —
+    the order-3 extension of event_transition_matrix's Markov pairs
+    (funnel designers read these as observed paths, not hypothesized
+    ones). Each triple also reports its share of all trigrams in ppm.
+
+    Scale: one user_id partitioning carries the two lead windows
+    (lead is frame-free — no buffering beyond two rows); the count
+    aggregation reuses the exchange grain (type-triple cardinality
+    is tiny). Determinism: ties in ts break on event_id, the house
+    total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+    )
+    n_tri = tri.count()
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= TRIGRAM_MIN_SUPPORT)
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "support",
+            F.expr(f"CAST(support * 1000000 DIV {n_tri} AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("support"), "e1", "e2", "e3")
+    )
+
+
+TRIGRAMS_SQL = f"""
+WITH tri AS (
+  SELECT user_id,
+         event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT * FROM tri WHERE e3 IS NOT NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_tri FROM t)
+SELECT e1, e2, e3,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(*) * 1000000 // (SELECT n_tri FROM n) AS BIGINT)
+         AS share_ppm
+FROM t
+GROUP BY e1, e2, e3
+HAVING count(*) >= {TRIGRAM_MIN_SUPPORT}
+ORDER BY support DESC, e1, e2, e3
+"""
+
+QUERIES["event_trigrams_frequent"] = event_trigrams_frequent
+ORACLES["event_trigrams_frequent"] = TRIGRAMS_SQL

@@ -1585,3 +1585,126 @@ ORDER BY event_type
 
 QUERIES["autocorr_lag1_by_type"] = autocorr_lag1_by_type
 ORACLES["autocorr_lag1_by_type"] = AUTOCORR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Daily lead-lag cross-correlation between event types
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 3
+CCF_X_TYPE = "view"
+CCF_Y_TYPE = "purchase"
+
+
+def crosscorr_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the view and purchase DAILY count series
+    at lags −3..+3 — the lead-lag diagnostic ("do views predict
+    purchases k days out?") behind attribution windows. corr(lag L)
+    pairs x_day with y_{day+L} over the gapfilled shared day spine
+    (missing days count 0 — absence is signal).
+
+    Exact: daily counts are integers on a complete generated spine,
+    per-lag Pearson runs on exact power sums (the ols_by_group
+    chain). Scale: the fact table reduces once to (type, day) counts;
+    everything after is arithmetic on the day-spine × 7 lags grid —
+    constant-bounded, broadcast-joined."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE)
+    )
+    days = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("dn"),
+    )
+    bounds = days.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    counts = days.groupBy("event_type", "dn").agg(F.count("*").alias("c"))
+    spine = spark.range(lo, hi + 1).select(F.col("id").alias("dn"))
+
+    def series(t: str, alias: str):
+        return spine.join(
+            counts.where(F.col("event_type") == t).select("dn", "c"), "dn", "left"
+        ).select("dn", F.coalesce("c", F.lit(0)).cast("long").alias(alias))
+
+    xa = series(CCF_X_TYPE, "x")
+    xb = series(CCF_Y_TYPE, "y")
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    paired = (
+        lags.crossJoin(xa)
+        .withColumn("dn2", F.col("dn") + F.col("lag"))
+        .join(xb.withColumnRenamed("dn", "dn2"), "dn2")
+    )
+    dec = "decimal(38,0)"
+    g = paired.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n.cast(dec) * F.col("sxy") - sx.cast(dec) * sy).cast("double")
+    vx = (n.cast(dec) * F.col("sxx") - sx.cast(dec) * sx).cast("double")
+    vy = (n.cast(dec) * F.col("syy") - sy.cast(dec) * sy).cast("double")
+    return g.select(
+        "lag",
+        n.cast("long").alias("n_days"),
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("ccf"),
+    ).orderBy("lag")
+
+
+CCF_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS dn
+  FROM events WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
+), bounds AS (SELECT min(dn) AS lo, max(dn) AS hi FROM ev),
+counts AS (
+  SELECT event_type, dn, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY event_type, dn
+), spine AS (
+  SELECT CAST(unnest(generate_series((SELECT lo FROM bounds),
+                                     (SELECT hi FROM bounds))) AS BIGINT)
+    AS dn
+), xa AS (
+  SELECT s.dn, coalesce(c.c, 0) AS x
+  FROM spine s LEFT JOIN counts c
+    ON s.dn = c.dn AND c.event_type = '{CCF_X_TYPE}'
+), xb AS (
+  SELECT s.dn, coalesce(c.c, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.dn = c.dn AND c.event_type = '{CCF_Y_TYPE}'
+), lags AS (
+  SELECT CAST(range AS BIGINT) AS lag
+  FROM range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1)
+), paired AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN xa a ON TRUE
+  JOIN xb b ON b.dn = a.dn + l.lag
+), g AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM paired GROUP BY lag
+)
+SELECT lag,
+       n AS n_days,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                        AS DOUBLE))) AS ccf
+FROM g
+ORDER BY lag
+"""
+
+
+QUERIES["crosscorr_daily_types"] = crosscorr_daily_types
+ORACLES["crosscorr_daily_types"] = CCF_SQL
