@@ -225,3 +225,114 @@ def test_ts_bounds_nanos_is_exact_between(start, span_us):
         inside_nanos = lo <= n <= hi
         inside_micros = s_us <= n // 1000 <= e_us
         assert inside_nanos == inside_micros, n
+
+
+# ---------------------------------------------------------------------------
+# round-7 statistics kernels on randomized event tables (tie-heavy)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def tiny_events(draw):
+    """Random events with DELIBERATE ties: values from a 5-point grid
+    and timestamps from a 6-slot grid, so argmax/rank tie-break rules
+    actually fire."""
+    n = draw(st.integers(4, 24))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                (
+                    BASE + pd.Timedelta(seconds=draw(st.integers(0, 5)) * 60)
+                ).to_pydatetime(),
+                draw(st.integers(1, 3)),
+                draw(st.sampled_from(["a", "b"])),
+                float(draw(st.sampled_from([0.0, 1.25, 2.5, 2.5, 7.75]))),
+                "{}",
+            )
+        )
+    return rows
+
+
+def _write_events(spark, tmpdir, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "events.parquet")
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tiny_events())
+def test_cusum_property_random_tables(spark, tmp_path_factory, rows):
+    import numpy as np
+
+    from trace_parquet_spark.plans.statistics import cusum_changepoint_scan
+
+    tmpdir = str(tmp_path_factory.mktemp("cusumprop"))
+    _write_events(spark, tmpdir, rows)
+    out = {r["event_type"]: r for r in cusum_changepoint_scan(spark, tmpdir).collect()}
+    groups = {}
+    for eid, ts, uid, et, val, _ in rows:
+        groups.setdefault(et, []).append((ts, eid, int(np.floor(val * 100 + 0.5))))
+    for et, g in groups.items():
+        g.sort()
+        xs = [x for _, _, x in g]
+        n, s = len(xs), sum(xs)
+        pfx, best = 0, None
+        for i, (ts, eid, x) in enumerate(g, start=1):
+            pfx += x
+            nd = abs(n * pfx - i * s)
+            key = (-nd, ts, eid)
+            if best is None or key < best[0]:
+                best = (key, i, nd)
+        r = out[et]
+        assert (r["change_pos"], r["abs_nd"]) == (best[1], best[2])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tiny_events())
+def test_trimmed_mean_and_mode_property_random_tables(
+    spark, tmp_path_factory, rows
+):
+    import numpy as np
+
+    from trace_parquet_spark.plans.statistics import (
+        TRIM_PCT,
+        trimmed_mean_by_group,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("trimprop"))
+    _write_events(spark, tmpdir, rows)
+    out = {
+        r["event_type"]: r
+        for r in trimmed_mean_by_group(spark, tmpdir).collect()
+    }
+    groups = {}
+    for eid, ts, uid, et, val, _ in rows:
+        groups.setdefault(et, []).append(
+            (int(np.floor(val * 100 + 0.5)), ts, eid)
+        )
+    for et, g in groups.items():
+        g.sort()
+        xs = [x for x, _, _ in g]
+        n = len(xs)
+        k = n * TRIM_PCT // 100
+        kept = xs[k : n - k]
+        r = out[et]
+        assert r["n_kept"] == len(kept)
+        assert abs(r["trimmed_mean"] - sum(kept) / len(kept) / 100.0) < 1e-12

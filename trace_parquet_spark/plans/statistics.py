@@ -665,17 +665,21 @@ def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx = (n.cast(dec) * F.col("sxx") - sx.cast(dec) * sx).cast("double")
     vary = (n.cast(dec) * F.col("syy") - sy.cast(dec) * sy).cast("double")
     slope_cents = cov / varx  # cents of price per unit of quantity
+    # degenerate groups (constant x or y) leave the fit undefined:
+    # NULL in both engines rather than an ANSI divide-by-zero
+    ok_x = varx != 0
     return g.select(
         "l_returnflag",
         "l_linestatus",
         n,
-        (slope_cents / F.lit(100.0)).alias("slope"),
-        (
+        F.when(ok_x, slope_cents / F.lit(100.0)).alias("slope"),
+        F.when(
+            ok_x,
             (sy.cast("double") / n.cast("double")
              - slope_cents * (sx.cast("double") / n.cast("double")))
-            / F.lit(100.0)
+            / F.lit(100.0),
         ).alias("intercept"),
-        (cov * cov / (varx * vary)).alias("r2"),
+        F.when(ok_x & (vary != 0), cov * cov / (varx * vary)).alias("r2"),
     ).orderBy("l_returnflag", "l_linestatus")
 
 
@@ -705,11 +709,13 @@ WITH sums AS (
   FROM sums
 )
 SELECT l_returnflag, l_linestatus, n,
-       (cov / varx) / 100.0                                AS slope,
-       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-        - (cov / varx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
-                                                           AS intercept,
-       cov * cov / (varx * vary)                           AS r2
+       CASE WHEN varx <> 0 THEN (cov / varx) / 100.0 END   AS slope,
+       CASE WHEN varx <> 0 THEN
+         (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+          - (cov / varx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+       END                                                 AS intercept,
+       CASE WHEN varx <> 0 AND vary <> 0
+            THEN cov * cov / (varx * vary) END             AS r2
 FROM c
 ORDER BY l_returnflag, l_linestatus
 """
@@ -783,15 +789,16 @@ def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = Window.partitionBy("event_type").orderBy(
         F.col("abs_nd").desc(), "ts", "event_id"
     )
-    stat = (
+    spread = (
+        F.col("n").cast(dec) * F.col("q") - F.col("s").cast(dec) * F.col("s")
+    )
+    # a constant series has zero variance: the statistic is undefined
+    # (NULL) and no drift can be claimed (surfaced by the hypothesis
+    # random-table test, which generates degenerate groups)
+    stat = F.when(
+        spread > 0,
         F.col("abs_nd").cast("double")
-        / (
-            F.sqrt(
-                (F.col("n").cast(dec) * F.col("q") - F.col("s").cast(dec) * F.col("s"))
-                .cast("double")
-            )
-            * F.sqrt(F.col("n").cast("double"))
-        )
+        / (F.sqrt(spread.cast("double")) * F.sqrt(F.col("n").cast("double"))),
     )
     return (
         d.withColumn("rk", F.row_number().over(pick))
@@ -803,7 +810,9 @@ def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("long").alias("change_pos"),
             F.col("abs_nd").cast("long").alias("abs_nd"),
             stat.alias("cusum_stat"),
-            (stat > F.lit(CUSUM_TAU)).alias("drift_flag"),
+            F.coalesce(stat > F.lit(CUSUM_TAU), F.lit(False)).alias(
+                "drift_flag"
+            ),
         )
         .orderBy("event_type")
     )
@@ -834,10 +843,12 @@ WITH x AS (
   SELECT *,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY abs_nd DESC, ts, event_id) AS rk,
-         CAST(abs_nd AS DOUBLE)
-           / (sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
-                        AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE))) AS cusum_stat
+         CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+              THEN CAST(abs_nd AS DOUBLE)
+                   / (sqrt(CAST(CAST(n AS HUGEINT) * q
+                                - CAST(s AS HUGEINT) * s AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE)))
+         END AS cusum_stat
   FROM d
 )
 SELECT event_type,
@@ -846,7 +857,7 @@ SELECT event_type,
        CAST(i AS BIGINT) AS change_pos,
        CAST(abs_nd AS BIGINT) AS abs_nd,
        cusum_stat,
-       cusum_stat > {CUSUM_TAU} AS drift_flag
+       coalesce(cusum_stat > {CUSUM_TAU}, FALSE) AS drift_flag
 FROM r WHERE rk = 1
 ORDER BY event_type
 """
@@ -1429,12 +1440,14 @@ def runs_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_n1n2 = (F.lit(2).cast(dec) * n1 * n2)
     mu_num = two_n1n2  # mu_R = 2 n1 n2 / n + 1
     var_num = two_n1n2 * (two_n1n2 - n.cast(dec))  # over n^2 (n-1)
-    z = (
-        (r.cast("double") - (mu_num.cast("double") / n.cast("double") + F.lit(1.0)))
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (n > 1),
+        (r.cast("double")
+         - (mu_num.cast("double") / n.cast("double") + F.lit(1.0)))
         / F.sqrt(
             var_num.cast("double")
             / (n.cast(dec) * n * (n - 1)).cast("double")
-        )
+        ),
     )
     return g.select(
         "event_type",
@@ -1474,13 +1487,15 @@ SELECT event_type,
        n1 AS n_above,
        n2 AS n_below,
        r AS n_runs,
-       (CAST(r AS DOUBLE)
-        - (CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
-             / CAST(n1 + n2 AS DOUBLE) + 1.0))
-       / sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n2
-                   * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)) AS DOUBLE)
-              / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
-                     * (n1 + n2 - 1) AS DOUBLE)) AS runs_z
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+         (CAST(r AS DOUBLE)
+          - (CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) + 1.0))
+         / sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n2
+                     * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)) AS DOUBLE)
+                / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                       * (n1 + n2 - 1) AS DOUBLE))
+       END AS runs_z
 FROM g
 ORDER BY event_type
 """
@@ -1544,7 +1559,7 @@ def autocorr_lag1_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
-        (num / den).alias("acf_lag1"),
+        F.when(den != 0, num / den).alias("acf_lag1"),
     ).orderBy("event_type")
 
 
@@ -1572,12 +1587,14 @@ WITH x AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_events,
-       CAST(CAST(n AS HUGEINT) * n * sxy
-            - CAST(n AS HUGEINT) * s * ((s - xn) + (s - x1))
-            + CAST(n - 1 AS HUGEINT) * s * s AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT)
-                * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
-                AS DOUBLE) AS acf_lag1
+       CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s <> 0 THEN
+         CAST(CAST(n AS HUGEINT) * n * sxy
+              - CAST(n AS HUGEINT) * s * ((s - xn) + (s - x1))
+              + CAST(n - 1 AS HUGEINT) * s * s AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT)
+                  * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                  AS DOUBLE)
+       END AS acf_lag1
 FROM g
 ORDER BY event_type
 """
