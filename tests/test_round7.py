@@ -768,3 +768,50 @@ def test_trigrams_match_replay(spark, sf_dir):
     for k, v in want.items():
         assert got[k]["support"] == v
         assert got[k]["share_ppm"] == v * 1_000_000 // n_tri
+
+
+def test_k_anonymity_and_dp_release(spark, sf_dir):
+    import hashlib
+
+    from trace_parquet_spark.operators import forget
+
+    rows = forget.k_anonymity_audit(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "value", "user_id")
+        .collect()
+    )
+    combos: dict[tuple, tuple] = {}
+    for r in ev:
+        dow = r["ts"].isoweekday() % 7 + 1  # Sunday=1 like Spark dayofweek
+        key = (
+            r["event_type"],
+            dow,
+            int(np.floor(r["value"] / forget.KANON_VALUE_BUCKET)),
+        )
+        n, users = combos.get(key, (0, set()))
+        users = users or set()
+        users.add(r["user_id"])
+        combos[key] = (n + 1, users)
+    got = {(r["event_type"], r["dow"], r["value_bucket"]): r for r in rows}
+    assert set(got) == set(combos)
+    for key, (n, users) in combos.items():
+        r = got[key]
+        assert (r["n_rows"], r["n_users"]) == (n, len(users))
+        assert r["k_ok"] == (n >= forget.K_ANON)
+        assert r["l_ok"] == (len(users) >= forget.L_DIV)
+
+    # DP release: exact replay of the seeded Laplace draw
+    dp = {r["event_type"]: r for r in forget.dp_noisy_event_counts(spark, sf_dir).collect()}
+    for et, r in dp.items():
+        h = int(hashlib.md5(f"dp:{et}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        t = 1.0 - 2.0 * abs(u - 0.5)
+        lnm = int(np.floor(np.log(t) * 1e6 + 0.5))
+        sgn = 1 if u >= 0.5 else -1
+        noise = -sgn * forget.DP_EPSILON * lnm
+        assert r["noise_micro"] == noise
+        assert r["released_micro"] == r["n_true"] * 1_000_000 + noise
+        # inverse-CDF sign convention: u above/below ½ sets the side
+        assert (r["noise_micro"] >= 0) == (u >= 0.5)

@@ -81,3 +81,136 @@ ORDER BY table_name
 
 QUERIES = {"cascade_forget_audit": cascade_forget_audit}
 ORACLES = {"cascade_forget_audit": CASCADE_FORGET_SQL}
+
+
+# ---------------------------------------------------------------------------
+# privacy auditing: k-anonymity / l-diversity and DP noisy release
+# ---------------------------------------------------------------------------
+
+K_ANON = 5  # minimum group size per quasi-identifier combination
+L_DIV = 3  # minimum distinct users (sensitive attribute diversity)
+KANON_VALUE_BUCKET = 50  # dollars per value bucket
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the events table before a
+    release: the quasi-identifier combination (event_type, day-of-
+    week, 50-unit value bucket) must cover >= K rows (re-identification
+    resistance) and >= L distinct users (diversity of the sensitive
+    attribute) — the table-level check a privacy review runs next to
+    cascade_forget_audit's erasure accounting. Every combination is a
+    row with its counts and both verdicts; violations sort first.
+
+    Scale: one partial-agg shuffle to the quasi-identifier grid
+    (types × 7 × value buckets — cardinality-bounded); distinct users
+    ride the same exchange via count_distinct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        (F.floor(F.col("value") / KANON_VALUE_BUCKET)).cast("long").alias(
+            "value_bucket"
+        ),
+        "user_id",
+    )
+    g = ev.groupBy("event_type", "dow", "value_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return g.select(
+        "event_type",
+        "dow",
+        "value_bucket",
+        "n_rows",
+        "n_users",
+        (F.col("n_rows") >= K_ANON).alias("k_ok"),
+        (F.col("n_users") >= L_DIV).alias("l_ok"),
+    ).orderBy("k_ok", "l_ok", "event_type", "dow", "value_bucket")
+
+
+K_ANON_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) AS INT) + 1 AS dow,
+         CAST(floor(value / {KANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+         user_id
+  FROM events
+), g AS (
+  SELECT event_type, dow, value_bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ev GROUP BY event_type, dow, value_bucket
+)
+SELECT event_type, dow, value_bucket, n_rows, n_users,
+       n_rows >= {K_ANON} AS k_ok,
+       n_users >= {L_DIV} AS l_ok
+FROM g
+ORDER BY k_ok, l_ok, event_type, dow, value_bucket
+"""
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLES["k_anonymity_audit"] = K_ANON_SQL
+
+
+DP_EPSILON = 1  # Laplace scale b = sensitivity/epsilon = 1
+
+
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release per event type via the
+    Laplace mechanism — made DETERMINISTIC (and therefore cross-engine
+    gateable) by drawing the uniform from the repo's md5 hash family
+    instead of an RNG: u = (h + 0.5)/2³², then the standard inverse-
+    CDF draw noise = −sgn(u−½)·b·ln(1 − 2|u−½|). In production the
+    hash input includes a release nonce; the mechanism, sensitivity
+    accounting, and grid are what this operator demonstrates.
+
+    Exactness: u and 1−2|u−½| are one fixed double chain from an
+    integer hash; the ln lands on the micro-nat grid; the released
+    value is exact integer micro arithmetic (count·1e6 + noise_micro).
+
+    Scale: one partial-agg count plus per-row-of-5 hash arithmetic."""
+    from ..functions.hashing import stable_hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    h = stable_hash32(F.concat(F.lit("dp:"), F.col("event_type")))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    t = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    ln_micro = F.floor(F.log(t) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    sgn = F.when(u >= F.lit(0.5), F.lit(1)).otherwise(F.lit(-1))
+    noise_micro = (F.lit(0) - sgn * F.lit(DP_EPSILON) * ln_micro).cast("long")
+    return g.select(
+        "event_type",
+        "n_true",
+        noise_micro.alias("noise_micro"),
+        (F.col("n_true") * F.lit(1_000_000) + noise_micro).alias(
+            "released_micro"
+        ),
+    ).orderBy("event_type")
+
+
+_DP_HASH = "CAST(('0x' || substring(md5('dp:' || event_type), 1, 8)) AS BIGINT)"
+
+DP_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+), h AS (
+  SELECT event_type, n_true,
+         (CAST({_DP_HASH} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM g
+), n AS (
+  SELECT event_type, n_true,
+         CAST(0 - (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                * {DP_EPSILON}
+                * CAST(floor(ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6 + 0.5)
+                       AS BIGINT) AS BIGINT) AS noise_micro
+  FROM h
+)
+SELECT event_type, n_true, noise_micro,
+       CAST(n_true * 1000000 + noise_micro AS BIGINT) AS released_micro
+FROM n
+ORDER BY event_type
+"""
+
+QUERIES["dp_noisy_event_counts"] = dp_noisy_event_counts
+ORACLES["dp_noisy_event_counts"] = DP_SQL
