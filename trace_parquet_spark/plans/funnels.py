@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from ..session import track_cache
 
 STAGES = ["signup", "view", "click", "purchase"]
 
@@ -305,11 +306,13 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("t"),
         F.col("t1").isNotNull().alias("is_event"),
     )
-    n_total = users.count()
+    # per_day is consumed twice (totals + spine); cache the tiny
+    # day-grain relation so the user-join plan runs once
     per_day = users.groupBy("t").agg(
         F.count("*").alias("n_at"),
         F.sum(F.col("is_event").cast("long")).alias("d"),
-    )
+    ).transform(track_cache)
+    n_total = per_day.agg(F.sum("n_at")).collect()[0][0] or 0
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     spine = (
         per_day.withColumn(
@@ -592,7 +595,7 @@ def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("early").cast("long")).alias("n1_at"),
         F.sum(F.col("is_event").cast("long")).alias("d"),
         F.sum((F.col("is_event") & F.col("early")).cast("long")).alias("d1"),
-    )
+    ).transform(track_cache)
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     spine = (
         per_day.select(
@@ -609,8 +612,12 @@ def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gone", F.coalesce(F.col("gone"), F.lit(0)))
         .withColumn("gone1", F.coalesce(F.col("gone1"), F.lit(0)))
     )
-    n_total = users.count()
-    n1_total = users.where("early").count()
+    # totals derive from the cached day-grain relation — the
+    # signup/purchase join plan executes once, not three times
+    tot = per_day.agg(
+        F.sum("n_at").alias("nt"), F.sum("n1_at").alias("n1t")
+    ).collect()[0]
+    n_total, n1_total = int(tot.nt or 0), int(tot.n1t or 0)
     n = F.lit(n_total) - F.col("gone")
     n1 = F.lit(n1_total) - F.col("gone1")
     d, d1 = F.col("d"), F.col("d1")
