@@ -154,6 +154,10 @@ HEADLINE = [
     "activity_streaks",
     "quantile_normalize_lengths",
     "runs_test_by_type",
+    "logrank_cohort_test",
+    "crosscorr_daily_types",
+    "event_trigrams_frequent",
+    "k_anonymity_audit",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -815,3 +815,29 @@ def test_k_anonymity_and_dp_release(spark, sf_dir):
         assert r["released_micro"] == r["n_true"] * 1_000_000 + noise
         # inverse-CDF sign convention: u above/below ½ sets the side
         assert (r["noise_micro"] >= 0) == (u >= 0.5)
+
+
+ROUND7_NEW_QUERIES = [
+    "ols_by_group", "cusum_changepoint_scan", "benford_digit_dq",
+    "mad_by_group", "trimmed_mean_by_group", "chi2_independence_events",
+    "gini_by_source", "quantile_normalize_lengths", "runs_test_by_type",
+    "autocorr_lag1_by_type", "crosscorr_daily_types", "mode_by_group",
+    "activity_streaks", "repeat_buyers_intersect", "event_trigrams_frequent",
+    "vocab_growth_by_source", "zipf_fit_tokens", "kaplan_meier_conversion",
+    "logrank_cohort_test", "rfm_segments", "clustering_coefficient",
+    "sssp_trade_costs", "pca_project_embeddings", "k_anonymity_audit",
+    "dp_noisy_event_counts",
+]
+
+
+def test_round7_plans_have_no_python_in_query_path(spark, sf_dir):
+    """Blanket plan sweep: every query added this round keeps its
+    per-row path JVM-side (the PCA fit's mapInPandas runs at build
+    time and never appears in the returned plan)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ROUND7_NEW_QUERIES:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "Python" not in plan, name
+        assert "mapInPandas" not in plan, name
