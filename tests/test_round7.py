@@ -841,3 +841,26 @@ def test_round7_plans_have_no_python_in_query_path(spark, sf_dir):
         plan = _plan(qs[name](spark, sf_dir))
         assert "Python" not in plan, name
         assert "mapInPandas" not in plan, name
+
+
+def test_cms_join_estimate_bounds(spark, sf_dir):
+    from trace_parquet_spark.operators import sketches
+
+    rows = sketches.cms_join_size_estimate(spark, sf_dir).collect()
+    assert len(rows) == sketches.CMS_DEPTH
+    exact_join = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    est = rows[0]["cms_join_est"]
+    for r in rows:
+        assert r["exact_join_size"] == exact_join
+        assert r["ip"] >= exact_join  # every depth row overcounts
+        assert r["cms_join_est"] == est
+    assert est == min(r["ip"] for r in rows)
+    assert est >= exact_join  # CMS inner product never undercounts
+    assert rows[0]["err_ppm"] >= 0

@@ -642,3 +642,115 @@ ORDER BY e.seg_a, e.seg_b
 
 QUERIES["kmv_segment_overlap"] = kmv_segment_overlap
 ORACLES["kmv_segment_overlap"] = KMV_OVERLAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: sketch-based equi-join size estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join size estimation from two Count-Min sketches — the
+    AGMS/CMS inner-product identity: |A ⋈_k B| = Σ_k cntA(k)·cntB(k)
+    is estimated by min_j Σ_bucket A_j[b]·B_j[b], never touching the
+    join itself. join_size_estimates computes the exact pre-flight
+    number by shuffling both key sets; this is the sketch path a
+    100 TB optimizer uses when even the key-grain aggregates are too
+    big to move — two CMS builds (map-side combined, ≤ depth×width
+    rows each) and a constant-size inner product.
+
+    One row per depth with its inner product, the estimate (min over
+    depths, always an overcount in expectation), the exact size, and
+    the signed error in ppm — all exact integers from the shared md5
+    family. Orders-side key: o_custkey; customer side: c_custkey
+    (so the estimate targets the orders⋈customer join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def sketch_of(df: DataFrame, col: str):
+        h = stable_hash32_x4(F.col(col).cast("string"), CMS_SEED)
+        return (
+            df.select(F.explode(_cms_pairs(h, CMS_WIDTH)).alias("jb"))
+            .select("jb.j", "jb.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+    sa = sketch_of(orders, "o_custkey")
+    sb = sketch_of(cust, "c_custkey")
+    inner = (
+        sa.alias("a")
+        .join(F.broadcast(sb.alias("b")), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("ip"))
+    )
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("ca"))
+        .join(
+            cust.groupBy("c_custkey").agg(F.count("*").alias("cb")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long"))
+        .collect()[0][0]
+        or 0
+    )
+    w = Window.orderBy(F.lit(1))
+    return (
+        inner.withColumn("est", F.min("ip").over(w))
+        .select(
+            "j",
+            "ip",
+            F.col("est").cast("long").alias("cms_join_est"),
+            F.lit(exact).cast("long").alias("exact_join_size"),
+            F.expr(
+                f"CAST((est - {exact}) * 1000000 DIV {max(exact, 1)} AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("j")
+    )
+
+
+def _cms_join_sql() -> str:
+    ha = stable_hash32_x4_sql("CAST(o_custkey AS VARCHAR)", CMS_SEED)
+    hb = stable_hash32_x4_sql("CAST(c_custkey AS VARCHAR)", CMS_SEED)
+    pa = "\n  UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS j, CAST({ha[j]} % {CMS_WIDTH} AS BIGINT)"
+        f" AS bucket FROM orders"
+        for j in range(CMS_DEPTH)
+    )
+    pb = "\n  UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS j, CAST({hb[j]} % {CMS_WIDTH} AS BIGINT)"
+        f" AS bucket FROM customer"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH pa AS (
+  {pa}
+), pb AS (
+  {pb}
+), sa AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM pa GROUP BY j, bucket
+), sb AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM pb GROUP BY j, bucket
+), inner_p AS (
+  SELECT sa.j, CAST(sum(sa.c * sb.c) AS BIGINT) AS ip
+  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+  GROUP BY sa.j
+), exact AS (
+  SELECT CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT) AS x
+  FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) ca
+  JOIN (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1) cb
+    ON ca.k = cb.k
+)
+SELECT j, ip,
+       CAST(min(ip) OVER () AS BIGINT) AS cms_join_est,
+       (SELECT x FROM exact) AS exact_join_size,
+       CAST((min(ip) OVER () - (SELECT x FROM exact)) * 1000000
+            // greatest((SELECT x FROM exact), 1) AS BIGINT) AS err_ppm
+FROM inner_p
+ORDER BY j
+"""
+
+
+QUERIES["cms_join_size_estimate"] = cms_join_size_estimate
+ORACLES["cms_join_size_estimate"] = _cms_join_sql()
