@@ -180,3 +180,100 @@ def test_tablelog_datasource_stream_rejects_deletes(spark, tmp_path):
     run("s2", "c2", ignore_deletes="true")
     got = sorted(r.k for r in spark.read.parquet(str(tmp_path / "s2")).collect())
     assert got == [0, 1, 2, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming MERGE upserts
+# ---------------------------------------------------------------------------
+
+
+def test_merge_stream_batch_idempotent_and_latest_wins(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources.tablelog import merge_stream_batch
+
+    t = str(tmp_path / "mt")
+
+    def updates(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    r0 = merge_stream_batch(spark, updates([(1, "a"), (2, "b")]), t, "id", "m", 0)
+    assert r0 is not None and r0["version"] == 0
+    r1 = merge_stream_batch(
+        spark, updates([(2, "B2"), (3, "c")]), t, "id", "m", 1
+    )
+    assert r1 is not None
+    # crash-replay of batch 1: marker present -> skipped entirely
+    assert (
+        merge_stream_batch(spark, updates([(2, "XXX")]), t, "id", "m", 1) is None
+    )
+    got = {
+        r.id: r.v
+        for r in read_table(spark, t).select("id", "v").collect()
+    }
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    # the skipped replay really wrote nothing (version unchanged)
+    assert latest_version(t) == r1["version"]
+    # non-idempotent hazard check: replaying batch 0 AFTER batch 1
+    # must not resurrect the old value of key 2
+    assert (
+        merge_stream_batch(spark, updates([(2, "b")]), t, "id", "m", 0) is None
+    )
+    got2 = {
+        r.id: r.v for r in read_table(spark, t).select("id", "v").collect()
+    }
+    assert got2[2] == "B2"
+
+
+def test_merge_stream_end_to_end_restart(spark, tmp_path):
+    import time
+
+    from trace_parquet_spark.sources.tablelog import run_merge_stream
+
+    src = str(tmp_path / "usrc")
+    t = str(tmp_path / "ut")
+    ck = str(tmp_path / "uck")
+    os.makedirs(src)
+
+    def drop(i, rows):
+        tmp = f"{src}/d{i}.tmp"
+        spark.createDataFrame(rows, "id long, v string").coalesce(1).write.parquet(
+            tmp
+        )
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{src}/drop{i}.parquet")
+
+    drop(0, [(1, "a"), (2, "b")])
+    drop(1, [(2, "B2"), (3, "c")])
+    q = run_merge_stream(spark, src, "id long, v string", t, "id", ck)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                got = {
+                    r.id: r.v
+                    for r in read_table(spark, t).select("id", "v").collect()
+                }
+            except Exception:
+                got = {}
+            if got.get(3) == "c":
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # restart with one more drop: offsets resume, no re-merge of 0/1
+    drop(2, [(1, "A3"), (4, "d")])
+    q2 = run_merge_stream(spark, src, "id long, v string", t, "id", ck)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = {
+                r.id: r.v
+                for r in read_table(spark, t).select("id", "v").collect()
+            }
+            if got.get(4) == "d":
+                break
+            time.sleep(1)
+    finally:
+        q2.stop()
+    assert got == {1: "A3", 2: "B2", 3: "c", 4: "d"}

@@ -208,7 +208,11 @@ def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
 
 
 def merge_upsert(
-    spark: SparkSession, table: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key: str,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert by ``key``): update matched rows,
     insert unmatched ones — Delta's MERGE INTO mechanism.
@@ -227,6 +231,10 @@ def merge_upsert(
     as usual.
 
     Returns {"version", "files_rewritten", "files_kept"}.
+
+    ``txn=(app, batch_id)`` stamps the commit with a transaction
+    marker so a streaming caller (merge_stream_batch) can make the
+    MERGE idempotent under micro-batch replay.
     """
     from pyspark.sql import functions as F
 
@@ -270,18 +278,17 @@ def merge_upsert(
     new_files = _stage_files(merged, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
-    _commit(
-        table,
-        version,
-        {
-            "add": new_files,
-            "remove": sorted(touched),
-            "schema": schema_json,
-            "rows": _footer_rows(table, new_files),
-            "stats": _footer_stats(table, new_files, key),
-            "stats_col": key,
-        },
-    )
+    actions = {
+        "add": new_files,
+        "remove": sorted(touched),
+        "schema": schema_json,
+        "rows": _footer_rows(table, new_files),
+        "stats": _footer_stats(table, new_files, key),
+        "stats_col": key,
+    }
+    if txn is not None:
+        actions["txn"] = {"app": txn[0], "batch_id": txn[1]}
+    _commit(table, version, actions)
     return {
         "version": version,
         "files_rewritten": len(touched),
@@ -455,6 +462,62 @@ def append_stream_batch(
         actions["stats_col"] = stats_col
     _commit(table, version, actions)
     return version
+
+
+def merge_stream_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    app: str,
+    batch_id: int,
+) -> dict | None:
+    """Exactly-once foreachBatch MERGE: the streaming-upsert half of
+    append_stream_batch — a replayed micro-batch whose (app,
+    batch_id) marker is already in the log is skipped WITHOUT
+    rewriting anything, so CDC-style streams land each update exactly
+    once even across crash/replay (the non-append case is where this
+    matters most: re-running a MERGE is NOT naturally idempotent when
+    later batches updated the same keys in between). Returns the
+    merge report, or None when the batch was already applied."""
+    if txn_committed(table, app, batch_id):
+        return None
+    if latest_version(table) is None:
+        # bootstrap: the first batch creates the table — a txn-marked
+        # append with key stats so later merges can prune files
+        v = append_stream_batch(df, table, app, batch_id, stats_col=key)
+        return {"version": v, "files_rewritten": 0, "files_kept": 0}
+    return merge_upsert(spark, table, df, key, txn=(app, batch_id))
+
+
+def run_merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    table: str,
+    key: str,
+    checkpoint_dir: str,
+    app: str = "merge-stream",
+    max_files_per_trigger: int = 1,
+):
+    """Stream a parquet-file source of updates into a logged table as
+    exactly-once MERGE upserts — latest version of each key wins
+    within the stream's arrival order (per-batch atomicity from the
+    log commit; idempotence from the txn markers)."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_stream_batch(spark, batch_df, table, key, app, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def run_append_stream(
