@@ -864,3 +864,47 @@ def test_cms_join_estimate_bounds(spark, sf_dir):
     assert est == min(r["ip"] for r in rows)
     assert est >= exact_join  # CMS inner product never undercounts
     assert rows[0]["err_ppm"] >= 0
+
+
+def test_markov_attribution_against_linear_solve(spark, sf_dir):
+    from trace_parquet_spark.plans import temporal
+
+    rows = temporal.attribution_markov_removal(spark, sf_dir).collect()
+    assert [r["channel"] for r in rows] == sorted(temporal.MARKOV_CHANNELS)
+    cnt_rows = [
+        (r["src"], r["dst"], int(r["cnt"]))
+        for r in temporal._markov_transition_counts(spark, sf_dir).collect()
+    ]
+
+    def solve(removed):
+        # exact absorption probability: v = (I - Q)^-1 * b, from START
+        states = sorted({s for s, _, _ in cnt_rows})
+        idx = {s: i for i, s in enumerate(states)}
+        import numpy as np
+
+        out = {s: 0 for s in states}
+        for s, _, c in cnt_rows:
+            out[s] += c
+        q = np.zeros((len(states), len(states)))
+        b = np.zeros(len(states))
+        for s, d, c in cnt_rows:
+            if removed is not None and d == removed:
+                continue
+            if d == "conv":
+                b[idx[s]] += c / out[s]
+            elif d != "null" and d in idx:
+                q[idx[s], idx[d]] += c / out[s]
+        v = np.linalg.solve(np.eye(len(states)) - q, b)
+        return v[idx["START"]]
+
+    for r in rows:
+        exact_base = solve(None)
+        exact_rem = solve(r["channel"])
+        # K-round floor iteration converges from below to the solve
+        assert r["base_conv_micro"] <= exact_base * 1e6 + 1
+        assert r["removed_conv_micro"] <= exact_rem * 1e6 + 1
+        assert abs(r["base_conv_micro"] / 1e6 - exact_base) < 0.01
+        assert abs(r["removed_conv_micro"] / 1e6 - exact_rem) < 0.01
+        assert r["base_conv_micro"] >= r["removed_conv_micro"]
+    tot = sum(r["weight_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000

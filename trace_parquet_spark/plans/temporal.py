@@ -491,3 +491,241 @@ ORDER BY channel
 
 QUERIES["attribution_linear"] = attribution_linear
 ORACLES["attribution_linear"] = ATTRIBUTION_LINEAR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain (removal-effect) attribution
+# ---------------------------------------------------------------------------
+
+MARKOV_SCALE = 10**6
+MARKOV_ITERS = 40
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cnt) over user journeys: START → first touch,
+    channel → next touch, purchase mapped to the absorbing 'conv',
+    unconverted journey ends → absorbing 'null'. Distributed: one
+    user-partitioned window pass over events truncated at the first
+    purchase; the output is (channels+1)×(channels+2) rows at most."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.row_number().over(w))
+        )
+        .over(Window.partitionBy("user_id"))
+        .alias("conv_rn"),
+    )
+    journey = ranked.where(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    ).select(
+        "user_id",
+        "rn",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    stepped = journey.select(
+        "user_id",
+        "rn",
+        "state",
+        F.lead("state").over(wj).alias("nxt"),
+    )
+    starts = stepped.where(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("state").alias("dst")
+    )
+    steps = stepped.where(F.col("state") != "conv").select(
+        F.col("state").alias("src"),
+        F.coalesce(F.col("nxt"), F.lit("null")).alias("dst"),
+    )
+    return (
+        starts.unionAll(steps)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _markov_absorb(cnt_rows, removed: str | None) -> int:
+    """Exact integer K-round absorption probability (scaled) of
+    reaching 'conv' from START; transitions INTO ``removed`` are
+    redirected to 'null' (numerator drops them, denominators keep the
+    full out-mass — the standard removal effect)."""
+    from collections import defaultdict
+
+    cnt: dict = defaultdict(dict)
+    out: dict = defaultdict(int)
+    for src, dst, c in cnt_rows:
+        cnt[src][dst] = c
+        out[src] += c
+    states = set(out)
+    v = {s: 0 for s in states}
+    for _ in range(MARKOV_ITERS):
+        nv = {}
+        for s in states:
+            acc = 0
+            for dst, c in cnt[s].items():
+                if removed is not None and dst == removed:
+                    continue
+                if dst == "conv":
+                    acc += c * MARKOV_SCALE
+                elif dst == "null":
+                    continue
+                else:
+                    acc += c * v.get(dst, 0)
+            nv[s] = acc // out[s]
+        v = nv
+    return v.get("START", 0)
+
+
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution by removal effect — the third model
+    next to attribution_last_touch and attribution_linear, and the
+    only one that credits channels by their CAUSAL role in the journey
+    graph rather than by position: conversion probability is computed
+    from the START state of the journey Markov chain, then re-computed
+    with each channel removed (its inbound transitions redirected to
+    the null absorber); the drop is the channel's removal effect, and
+    credit shares normalize those drops.
+
+    Exactness: transition counts are distributed integers; absorption
+    runs MARKOV_ITERS synchronous rounds of integer arithmetic on the
+    MARKOV_SCALE grid (floor division each round — monotone from
+    below, K fixed, so both engines land identical integers; the
+    oracle unrolls the same rounds as MATERIALIZED CTEs, the pagerank
+    pattern). 40 rounds bounds the truncation under the slowest
+    journey mixing seen in the fixtures (residual < 1%; the exact
+    linear-solve comparison is pytest-pinned).
+
+    Scale: the single data-sized pass is the user-partitioned journey
+    window; the chain itself is (channels+1)×(channels+2) counts —
+    a model-sized driver pull (centroid discipline), and 5 scenarios
+    × 40 rounds of 6×6 integer arithmetic is nanoseconds anywhere."""
+    cnt_rows = [
+        (r["src"], r["dst"], int(r["cnt"]))
+        for r in _markov_transition_counts(spark, sf_dir).collect()
+    ]
+    base = _markov_absorb(cnt_rows, None)
+    effects = []
+    for ch in MARKOV_CHANNELS:
+        removed = _markov_absorb(cnt_rows, ch)
+        effects.append((ch, base, removed, base - removed))
+    tot_eff = sum(e for _, _, _, e in effects)
+    rows = [
+        (
+            ch,
+            b,
+            r,
+            e,
+            (e * 1_000_000 // tot_eff) if tot_eff > 0 else None,
+        )
+        for ch, b, r, e in effects
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_micro long, removed_conv_micro long, "
+        "effect_micro long, weight_ppm long",
+    ).orderBy("channel")
+
+
+def _markov_sql() -> str:
+    states = ("START",) + MARKOV_CHANNELS
+
+    def val(k: int, scen: str, dst_expr: str) -> str:
+        """value of dst in round k−1 under scenario scen."""
+        removed = f"WHEN {dst_expr} = '{scen}' THEN 0" if scen != "base" else ""
+        prev = " ".join(
+            f"WHEN {dst_expr} = '{s}' THEN"
+            f" (SELECT v FROM v_{scen}_{k - 1} WHERE state = '{s}')"
+            for s in states
+        )
+        return f"""CASE WHEN {dst_expr} = 'conv' THEN {MARKOV_SCALE}
+             WHEN {dst_expr} = 'null' THEN 0 {removed} {prev} ELSE 0 END"""
+
+    ctes = []
+    scens = ["base"] + list(MARKOV_CHANNELS)
+    for scen in scens:
+        ctes.append(
+            f"""v_{scen}_0 AS MATERIALIZED (
+  SELECT unnest(['{"', '".join(states)}']) AS state, CAST(0 AS BIGINT) AS v
+)"""
+        )
+        for k in range(1, MARKOV_ITERS + 1):
+            ctes.append(
+                f"""v_{scen}_{k} AS MATERIALIZED (
+  SELECT o.src AS state,
+         CAST(coalesce(sum(c.cnt * ({val(k, scen, "c.dst")})), 0)
+              // o.outc AS BIGINT) AS v
+  FROM outs o LEFT JOIN cnt c ON c.src = o.src
+  GROUP BY o.src, o.outc
+)"""
+            )
+    finals = "\n  UNION ALL ".join(
+        f"""SELECT '{ch}' AS channel,
+       (SELECT v FROM v_base_{MARKOV_ITERS} WHERE state = 'START')
+         AS base_conv_micro,
+       (SELECT v FROM v_{ch}_{MARKOV_ITERS} WHERE state = 'START')
+         AS removed_conv_micro"""
+        for ch in MARKOV_CHANNELS
+    )
+    return f"""
+WITH rn0 AS MATERIALIZED (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), ranked AS MATERIALIZED (
+  SELECT user_id, event_type, rn,
+         min(CASE WHEN event_type = 'purchase' THEN rn END)
+           OVER (PARTITION BY user_id) AS conv_rn
+  FROM rn0
+), journey AS MATERIALIZED (
+  SELECT user_id, rn,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS state
+  FROM ranked
+  WHERE conv_rn IS NULL OR rn <= conv_rn
+), stepped AS MATERIALIZED (
+  SELECT user_id, rn, state,
+         lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM journey
+), trans AS MATERIALIZED (
+  SELECT 'START' AS src, state AS dst FROM stepped WHERE rn = 1
+  UNION ALL
+  SELECT state AS src, coalesce(nxt, 'null') AS dst
+  FROM stepped WHERE state <> 'conv'
+), cnt AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM trans GROUP BY src, dst
+), outs AS MATERIALIZED (
+  SELECT src, CAST(sum(cnt) AS BIGINT) AS outc FROM cnt GROUP BY src
+),
+{','.join(ctes)},
+f AS (
+  {finals}
+), tot AS (
+  SELECT sum(base_conv_micro - removed_conv_micro) AS te FROM f
+)
+SELECT channel,
+       CAST(base_conv_micro AS BIGINT) AS base_conv_micro,
+       CAST(removed_conv_micro AS BIGINT) AS removed_conv_micro,
+       CAST(base_conv_micro - removed_conv_micro AS BIGINT) AS effect_micro,
+       CASE WHEN (SELECT te FROM tot) > 0
+            THEN CAST((base_conv_micro - removed_conv_micro) * 1000000
+                      // (SELECT te FROM tot) AS BIGINT)
+       END AS weight_ppm
+FROM f
+ORDER BY channel
+"""
+
+
+QUERIES["attribution_markov_removal"] = attribution_markov_removal
+ORACLES["attribution_markov_removal"] = _markov_sql()
