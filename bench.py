@@ -158,6 +158,8 @@ HEADLINE = [
     "crosscorr_daily_types",
     "event_trigrams_frequent",
     "k_anonymity_audit",
+    "attribution_markov_removal",
+    "cms_join_size_estimate",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
