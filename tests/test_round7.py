@@ -908,3 +908,47 @@ def test_markov_attribution_against_linear_solve(spark, sf_dir):
         assert r["base_conv_micro"] >= r["removed_conv_micro"]
     tot = sum(r["weight_ppm"] for r in rows)
     assert 1_000_000 - len(rows) <= tot <= 1_000_000
+
+
+def test_lift_table_matches_replay(spark, sf_dir):
+    from trace_parquet_spark.plans import funnels
+
+    rows = funnels.lift_table_deciles(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        sc, cv = per_user.get(r["user_id"], (0, 0))
+        per_user[r["user_id"]] = (
+            sc + (r["event_type"] == "view"),
+            max(cv, r["event_type"] == "purchase"),
+        )
+    users = sorted(per_user.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    n = len(users)
+    tot = sum(cv for _, (_, cv) in users)
+    from collections import defaultdict
+
+    dec = defaultdict(lambda: [0, 0, None, None])
+    for i, (uid, (sc, cv)) in enumerate(users):
+        d = i * funnels.LIFT_BUCKETS // n
+        e = dec[d]
+        e[0] += 1
+        e[1] += cv
+        e[2] = sc if e[2] is None else min(e[2], sc)
+        e[3] = sc if e[3] is None else max(e[3], sc)
+    got = {r["decile"]: r for r in rows}
+    assert set(got) == set(dec)
+    cum = 0
+    for d in sorted(dec):
+        nu, nc, lo, hi = dec[d]
+        cum += nc
+        r = got[d]
+        assert (r["n_users"], r["n_conv"]) == (nu, nc)
+        assert (r["min_score"], r["max_score"]) == (lo, hi)
+        assert r["lift_micro"] == nc * n * 1_000_000 // (nu * max(tot, 1))
+        assert r["cum_gain_ppm"] == cum * 1_000_000 // max(tot, 1)
+    # monotone cumulative gains ending at ~100%
+    assert rows[-1]["cum_gain_ppm"] >= 999_000 or tot == 0

@@ -733,3 +733,118 @@ FROM terms
 
 QUERIES["logrank_cohort_test"] = logrank_cohort_test
 ORACLES["logrank_cohort_test"] = LOGRANK_SQL
+
+
+LIFT_BUCKETS = 10
+
+
+def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the standard evaluation
+    of a targeting score: users ranked by engagement score (view
+    count as the stand-in model score), cut into deciles, each row
+    reporting conversion rate, lift over the base rate, and the
+    cumulative share of all converters captured — "top 30% of scores
+    capture X% of buyers".
+
+    Determinism: the decile cut is rank arithmetic, not value
+    thresholds — row_number ties break on user_id, decile =
+    (rank−1)·B // n — so equal scores split reproducibly. Rates and
+    lifts ride exact integer products with one final double chain
+    (lift in micro units uses integer cross-products; base rate
+    divides out exactly).
+
+    Scale: one user-grain aggregate, then a rank window. The global
+    rank here is the exact presentation form; the RFM pattern
+    (broadcast percentile thresholds) is the swap when user
+    cardinality makes a global rank window unreasonable — documented
+    rather than silently applied since the decile contract is exact
+    ranks."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    w = Window.orderBy(F.desc("score"), "user_id")
+    n_users = per_user.count()
+    ranked = per_user.select(
+        "score",
+        "conv",
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "score",
+        "conv",
+        F.expr(
+            f"CAST((rn - 1) * {LIFT_BUCKETS} div {n_users} AS BIGINT)"
+        ).alias("decile"),
+    )
+    g = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+    tot = per_user.agg(F.sum("conv")).collect()[0][0] or 0
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.withColumn("cum_conv", F.sum("n_conv").over(wc))
+        .select(
+            "decile",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_conv").cast("long").alias("n_conv"),
+            F.col("min_score").cast("long").alias("min_score"),
+            F.col("max_score").cast("long").alias("max_score"),
+            (
+                F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+            ).alias("conv_rate"),
+            F.expr(
+                f"CAST(n_conv * {n_users} * 1000000"
+                f" DIV (n_users * {max(tot, 1)}) AS BIGINT)"
+            ).alias("lift_micro"),
+            F.expr(
+                f"CAST(cum_conv * 1000000 DIV {max(tot, 1)} AS BIGINT)"
+            ).alias("cum_gain_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+LIFT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(event_type = 'view' AS BIGINT)) AS BIGINT) AS score,
+         CAST(max(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(conv) AS BIGINT) AS tot FROM per_user),
+ranked AS (
+  SELECT score, conv,
+         CAST((row_number() OVER (ORDER BY score DESC, user_id) - 1)
+              * {LIFT_BUCKETS} // (SELECT n_users FROM n) AS BIGINT) AS decile
+  FROM per_user
+), g AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv,
+         CAST(min(score) AS BIGINT) AS min_score,
+         CAST(max(score) AS BIGINT) AS max_score
+  FROM ranked GROUP BY decile
+), c AS (
+  SELECT *,
+         CAST(sum(n_conv) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_conv
+  FROM g
+)
+SELECT decile, n_users, n_conv, min_score, max_score,
+       CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+       CAST(n_conv * (SELECT n_users FROM n) * 1000000
+            // (n_users * greatest((SELECT tot FROM n), 1)) AS BIGINT)
+         AS lift_micro,
+       CAST(cum_conv * 1000000 // greatest((SELECT tot FROM n), 1) AS BIGINT)
+         AS cum_gain_ppm
+FROM c
+ORDER BY decile
+"""
+
+QUERIES["lift_table_deciles"] = lift_table_deciles
+ORACLES["lift_table_deciles"] = LIFT_SQL
