@@ -952,3 +952,34 @@ def test_lift_table_matches_replay(spark, sf_dir):
         assert r["cum_gain_ppm"] == cum * 1_000_000 // max(tot, 1)
     # monotone cumulative gains ending at ~100%
     assert rows[-1]["cum_gain_ppm"] >= 999_000 or tot == 0
+
+
+def test_auc_matches_sklearn_free_replay(spark, sf_dir):
+    from trace_parquet_spark.plans import funnels
+
+    row = funnels.score_auc(spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        sc, cv = per_user.get(r["user_id"], (0, 0))
+        per_user[r["user_id"]] = (
+            sc + (r["event_type"] == "view"),
+            max(cv, r["event_type"] == "purchase"),
+        )
+    pos = [sc for sc, cv in per_user.values() if cv]
+    neg = [sc for sc, cv in per_user.values() if not cv]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert row["auc"] is None
+        return
+    # brute-force pairwise AUC with half-credit ties
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    want = wins / (len(pos) * len(neg))
+    assert abs(row["auc"] - want) < 1e-12
+    assert row["auc_num2"] / row["auc_den2"] == row["auc"]

@@ -848,3 +848,96 @@ ORDER BY decile
 
 QUERIES["lift_table_deciles"] = lift_table_deciles
 ORACLES["lift_table_deciles"] = LIFT_SQL
+
+
+def score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the engagement score as a converter classifier —
+    the threshold-free companion to lift_table_deciles, computed
+    exactly as the Mann-Whitney statistic with MIDRANKS for ties:
+    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+
+    Everything lives on the SCORE-GRAIN spine (cardinality-bounded —
+    the KS/PSI discipline): per score value, positives and totals;
+    midranks in half-units keep the tie adjustment integer
+    (2·rank = 2·cum_below + cnt + 1), so the AUC numerator and
+    denominator are exact int64 and the ratio is one double chain.
+    Never a per-row rank window.
+
+    Scale: one user-grain aggregate, one score-grain aggregate, a
+    bounded-spine cumsum — three shuffles, none row-ranked."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    g = per_user.groupBy("score").agg(
+        F.count("*").alias("nt"),
+        F.sum("conv").alias("np"),
+    )
+    wv = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    spine = g.select(
+        "score",
+        "nt",
+        "np",
+        F.coalesce(F.sum("nt").over(wv), F.lit(0)).alias("cum_below"),
+    )
+    dec = "decimal(38,0)"
+    sums = spine.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("nt") - F.col("np")).alias("n_neg"),
+        F.sum(
+            F.col("np").cast(dec)
+            * (F.lit(2) * F.col("cum_below") + F.col("nt") + 1)
+        ).alias("r2"),
+    )
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    num2 = (F.col("r2") - n_pos.cast(dec) * (n_pos + 1)).cast("long")
+    den2 = (F.lit(2).cast(dec) * n_pos * n_neg).cast("long")
+    return sums.select(
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        num2.alias("auc_num2"),
+        den2.alias("auc_den2"),
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            num2.cast("double") / den2.cast("double"),
+        ).alias("auc"),
+    )
+
+
+SCORE_AUC_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(event_type = 'view' AS BIGINT)) AS BIGINT) AS score,
+         CAST(max(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(conv) AS BIGINT) AS np
+  FROM per_user GROUP BY score
+), spine AS (
+  SELECT score, nt, np,
+         coalesce(sum(nt) OVER (ORDER BY score
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_below
+  FROM g
+), sums AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(nt - np) AS BIGINT) AS n_neg,
+         sum(CAST(np AS HUGEINT) * (2 * cum_below + nt + 1)) AS r2
+  FROM spine
+)
+SELECT n_pos, n_neg,
+       CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS auc_num2,
+       CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS BIGINT) AS auc_den2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+              AS DOUBLE)
+           / CAST(CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS BIGINT)
+                  AS DOUBLE)
+       END AS auc
+FROM sums
+"""
+
+QUERIES["score_auc"] = score_auc
+ORACLES["score_auc"] = SCORE_AUC_SQL
