@@ -160,6 +160,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "attribution_markov_removal",
     "cms_join_size_estimate",
+    "lift_table_deciles",
+    "score_auc",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
