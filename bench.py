@@ -205,6 +205,12 @@ REPEATS = {
     "clustering_coefficient": 3,
     "pca_project_embeddings": 3,
     "cusum_changepoint_scan": 3,
+    # round-12: remaining >1.5s single-run entries (house rule)
+    "png_decode_roundtrip": 3,
+    "tablelog_time_travel_totals": 3,
+    "tablelog_incremental_agg": 3,
+    "market_basket_rules": 3,
+    "dedup_ngram_pairs": 3,
 }
 
 

@@ -983,3 +983,42 @@ def test_auc_matches_sklearn_free_replay(spark, sf_dir):
     want = wins / (len(pos) * len(neg))
     assert abs(row["auc"] - want) < 1e-12
     assert row["auc_num2"] / row["auc_den2"] == row["auc"]
+
+
+def test_mase_matches_replay(spark, sf_dir):
+    from collections import Counter
+
+    out = {
+        r["event_type"]: r
+        for r in statistics.forecast_baseline_mase(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts")
+        .collect()
+    )
+    import datetime
+
+    cnt: dict[str, Counter] = {}
+    lo, hi = None, None
+    for r in ev:
+        d = (r["ts"].date() - datetime.date(1970, 1, 1)).days
+        cnt.setdefault(r["event_type"], Counter())[d] += 1
+        lo = d if lo is None else min(lo, d)
+        hi = d if hi is None else max(hi, d)
+    for et, c in cnt.items():
+        series = [c.get(d, 0) for d in range(lo, hi + 1)]
+        s = statistics.MASE_SEASON
+        pts = [
+            (series[i], series[i - 1], series[i - s])
+            for i in range(s, len(series))
+        ]
+        n = len(pts)
+        ae1 = sum(abs(a - b) for a, b, _ in pts)
+        ae7 = sum(abs(a - b) for a, _, b in pts)
+        r = out[et]
+        assert r["n_days"] == n
+        assert r["mae_naive"] == ae1 / n
+        assert r["mae_seasonal"] == ae7 / n
+        if ae7 > 0:
+            assert r["mase_micro"] == ae1 * 1_000_000 // ae7

@@ -1725,3 +1725,117 @@ ORDER BY lag
 
 QUERIES["crosscorr_daily_types"] = crosscorr_daily_types
 ORACLES["crosscorr_daily_types"] = CCF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline evaluation (MASE) on daily event counts
+# ---------------------------------------------------------------------------
+
+MASE_SEASON = 7  # weekly seasonality
+
+
+def forecast_baseline_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline scorecard per event type on the daily count
+    series: mean absolute error of the naive forecast (yesterday's
+    count) vs the seasonal-naive forecast (same weekday last week),
+    plus their ratio — the MASE denominator convention
+    (Hyndman-Koehler): any real forecasting model must beat these
+    before it earns a deploy, and seasonal/naive already says whether
+    the series has weekly structure.
+
+    Exact: counts live on a gapfilled day spine per type (missing
+    days are real zeros), absolute errors are integers, each MAE is
+    one double division of exact sums, and the MASE ratio is the
+    integer cross-product on the micro grid (NULL when the seasonal
+    error is zero).
+
+    Scale: one shuffle to (type, day) counts; the spine crossjoin is
+    types × days (bounded); lag windows partition by type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("dn"),
+    )
+    bounds = ev.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    counts = ev.groupBy("event_type", "dn").agg(F.count("*").alias("c"))
+    spine = (
+        spark.range(lo, hi + 1)
+        .select(F.col("id").alias("dn"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    series = spine.join(counts, ["event_type", "dn"], "left").select(
+        "event_type", "dn", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("dn")
+    lagged = series.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", MASE_SEASON).over(w).alias("c7"),
+    ).where(F.col("c7").isNotNull())
+    g = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.abs(F.col("c") - F.col("c1"))).alias("ae1"),
+        F.sum(F.abs(F.col("c") - F.col("c7"))).alias("ae7"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("ae1").cast("double") / F.col("n_days").cast("double")).alias(
+            "mae_naive"
+        ),
+        (F.col("ae7").cast("double") / F.col("n_days").cast("double")).alias(
+            "mae_seasonal"
+        ),
+        F.when(
+            F.col("ae7") > 0,
+            F.expr("CAST(ae1 * 1000000 DIV ae7 AS BIGINT)"),
+        ).alias("mase_micro"),
+    ).orderBy("event_type")
+
+
+MASE_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS dn
+  FROM events
+), bounds AS (SELECT min(dn) AS lo, max(dn) AS hi FROM ev),
+counts AS (
+  SELECT event_type, dn, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY event_type, dn
+), spine AS (
+  SELECT t.event_type, CAST(d.dn AS BIGINT) AS dn
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds))) AS dn) d
+), series AS (
+  SELECT s.event_type, s.dn, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.dn = c.dn
+), lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER w AS c1,
+         lag(c, {MASE_SEASON}) OVER w AS c7
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY dn)
+), l AS (SELECT * FROM lagged WHERE c7 IS NOT NULL),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(abs(c - c1)) AS BIGINT) AS ae1,
+         CAST(sum(abs(c - c7)) AS BIGINT) AS ae7
+  FROM l GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(ae1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_naive,
+       CAST(ae7 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_seasonal,
+       CASE WHEN ae7 > 0 THEN CAST(ae1 * 1000000 // ae7 AS BIGINT) END
+         AS mase_micro
+FROM g
+ORDER BY event_type
+"""
+
+
+QUERIES["forecast_baseline_mase"] = forecast_baseline_mase
+ORACLES["forecast_baseline_mase"] = MASE_SQL
