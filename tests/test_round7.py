@@ -810,7 +810,7 @@ def test_k_anonymity_and_dp_release(spark, sf_dir):
         t = 1.0 - 2.0 * abs(u - 0.5)
         lnm = int(np.floor(np.log(t) * 1e6 + 0.5))
         sgn = 1 if u >= 0.5 else -1
-        noise = -sgn * forget.DP_EPSILON * lnm
+        noise = -sgn * forget.DP_B * lnm
         assert r["noise_micro"] == noise
         assert r["released_micro"] == r["n_true"] * 1_000_000 + noise
         # inverse-CDF sign convention: u above/below ½ sets the side

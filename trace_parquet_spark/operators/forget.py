@@ -151,7 +151,7 @@ QUERIES["k_anonymity_audit"] = k_anonymity_audit
 ORACLES["k_anonymity_audit"] = K_ANON_SQL
 
 
-DP_EPSILON = 1  # Laplace scale b = sensitivity/epsilon = 1
+DP_B = 1  # Laplace SCALE b = sensitivity/epsilon (sens 1, eps 1)
 
 
 def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +177,9 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
     ln_micro = F.floor(F.log(t) * F.lit(1e6) + F.lit(0.5)).cast("long")
     sgn = F.when(u >= F.lit(0.5), F.lit(1)).otherwise(F.lit(-1))
-    noise_micro = (F.lit(0) - sgn * F.lit(DP_EPSILON) * ln_micro).cast("long")
+    # X = -sgn(u-1/2) * b * ln(1-2|u-1/2|); b carried directly so the
+    # epsilon accounting cannot invert (b = sens/eps, NOT eps itself)
+    noise_micro = (F.lit(0) - sgn * F.lit(DP_B) * ln_micro).cast("long")
     return g.select(
         "event_type",
         "n_true",
@@ -188,7 +190,9 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-_DP_HASH = "CAST(('0x' || substring(md5('dp:' || event_type), 1, 8)) AS BIGINT)"
+from ..functions.hashing import stable_hash32_sql as _sh32_sql  # noqa: E402
+
+_DP_HASH = _sh32_sql("'dp:' || event_type")
 
 DP_SQL = f"""
 WITH g AS (
@@ -201,7 +205,7 @@ WITH g AS (
 ), n AS (
   SELECT event_type, n_true,
          CAST(0 - (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
-                * {DP_EPSILON}
+                * {DP_B}
                 * CAST(floor(ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6 + 0.5)
                        AS BIGINT) AS BIGINT) AS noise_micro
   FROM h

@@ -414,8 +414,10 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vary = (n.cast(dec) * F.col("syy") - sy.cast(dec) * sy).cast("double")
     return g.select(
         n.cast("long").alias("n_points"),
-        (F.lit(0.0) - cov / varx).alias("zipf_exponent"),
-        (cov * cov / (varx * vary)).alias("r2"),
+        F.when(varx != 0, F.lit(0.0) - cov / varx).alias("zipf_exponent"),
+        F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary)).alias(
+            "r2"
+        ),
     )
 
 
@@ -444,15 +446,20 @@ WITH counts AS (
   FROM pts
 )
 SELECT n AS n_points,
-       0.0 - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-                  AS DOUBLE)
-             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-                    AS DOUBLE) AS zipf_exponent,
-       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
+         0.0 - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                    AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE)
+       END AS zipf_exponent,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <> 0 THEN
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
          * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
          / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
             * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
-                   AS DOUBLE)) AS r2
+                   AS DOUBLE))
+       END AS r2
 FROM g
 """
 

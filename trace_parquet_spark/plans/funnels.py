@@ -656,9 +656,10 @@ def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_total - n1_total).cast("long").alias("n_late"),
         F.col("oe_sum_micro").cast("long").alias("oe_sum_micro"),
         F.col("v_sum_micro").cast("long").alias("v_sum_micro"),
-        (
+        F.when(
+            F.col("v_sum_micro") > 0,
             F.col("oe_sum_micro").cast("double")
-            / F.sqrt(F.col("v_sum_micro").cast("double") * F.lit(1e6))
+            / F.sqrt(F.col("v_sum_micro").cast("double") * F.lit(1e6)),
         ).alias("logrank_z"),
     )
 
@@ -726,8 +727,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_event_days,
        (SELECT n_total - n1_total FROM tot) AS n_late,
        CAST(sum(oe) AS BIGINT) AS oe_sum_micro,
        CAST(sum(v) AS BIGINT) AS v_sum_micro,
-       CAST(sum(oe) AS DOUBLE) / sqrt(CAST(sum(v) AS DOUBLE) * 1e6)
-         AS logrank_z
+       CASE WHEN sum(v) > 0 THEN
+         CAST(sum(oe) AS DOUBLE) / sqrt(CAST(sum(v) AS DOUBLE) * 1e6)
+       END AS logrank_z
 FROM terms
 """
 
@@ -760,12 +762,17 @@ def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than silently applied since the decile contract is exact
     ranks."""
     ev = load_table(spark, sf_dir, "events")
+    # cached: consumed by the totals pull AND the ranked plan — one
+    # fact-table scan, one user-grain shuffle total
     per_user = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "view").cast("long")).alias("score"),
         F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
-    )
+    ).transform(track_cache)
     w = Window.orderBy(F.desc("score"), "user_id")
-    n_users = per_user.count()
+    totals = per_user.agg(
+        F.count("*").alias("nu"), F.sum("conv").alias("tc")
+    ).collect()[0]
+    n_users = int(totals.nu)
     ranked = per_user.select(
         "score",
         "conv",
@@ -783,7 +790,7 @@ def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
-    tot = per_user.agg(F.sum("conv")).collect()[0][0] or 0
+    tot = int(totals.tc or 0)
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return (
         g.withColumn("cum_conv", F.sum("n_conv").over(wc))

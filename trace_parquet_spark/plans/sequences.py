@@ -252,17 +252,19 @@ def event_trigrams_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("e3").isNotNull())
     )
-    n_tri = tri.count()
+    counts = tri.groupBy("e1", "e2", "e3").agg(F.count("*").alias("support"))
+    # the denominator is the pre-HAVING support sum — a window over
+    # the tiny type-triple grid, not a second window pass over events
+    wall = Window.partitionBy()
     return (
-        tri.groupBy("e1", "e2", "e3")
-        .agg(F.count("*").alias("support"))
+        counts.withColumn("n_tri", F.sum("support").over(wall))
         .where(F.col("support") >= TRIGRAM_MIN_SUPPORT)
         .select(
             "e1",
             "e2",
             "e3",
             "support",
-            F.expr(f"CAST(support * 1000000 DIV {n_tri} AS BIGINT)").alias(
+            F.expr("CAST(support * 1000000 DIV n_tri AS BIGINT)").alias(
                 "share_ppm"
             ),
         )

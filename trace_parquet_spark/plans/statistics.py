@@ -893,7 +893,6 @@ def benford_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").alias("n_obs"))
     )
-    n_tot = orders.count()
     dec = "decimal(38,0)"
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     p_micro = F.floor(
@@ -902,13 +901,18 @@ def benford_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
+    # first digits of positive integers are exhaustive over 1..9, so
+    # n_tot = Σ n_obs over the spine — a window sum over 9 rows, not a
+    # second scan of the fact table
+    wall = Window.partitionBy()
     g = (
         spine.join(F.broadcast(obs), "digit", "left")
         .select(
             "digit",
             F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
-            (F.lit(n_tot) * p_micro).alias("exp_micro"),
+            p_micro.alias("p_micro"),
         )
+        .withColumn("exp_micro", F.sum("n_obs").over(wall) * F.col("p_micro"))
         .withColumn(
             "dev_ppm", F.lit(1_000_000) * F.col("n_obs") - F.col("exp_micro")
         )
@@ -918,8 +922,12 @@ def benford_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "exp_micro",
         "dev_ppm",
-        F.expr(
-            f"CAST((CAST(dev_ppm AS {dec}) * dev_ppm) DIV exp_micro AS BIGINT)"
+        F.when(
+            F.col("exp_micro") > 0,
+            F.expr(
+                f"CAST((CAST(dev_ppm AS {dec}) * dev_ppm) DIV exp_micro"
+                " AS BIGINT)"
+            ),
         ).alias("chi2_term"),
     ).orderBy("digit")
 
@@ -949,8 +957,9 @@ spine AS (
   FROM g
 )
 SELECT digit, n_obs, exp_micro, dev_ppm,
-       CAST((CAST(dev_ppm AS HUGEINT) * dev_ppm) // exp_micro AS BIGINT)
-         AS chi2_term
+       CASE WHEN exp_micro > 0 THEN
+         CAST((CAST(dev_ppm AS HUGEINT) * dev_ppm) // exp_micro AS BIGINT)
+       END AS chi2_term
 FROM d
 ORDER BY digit
 """
@@ -1136,22 +1145,26 @@ def chi2_independence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
     rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
-    n_tot = load_table(spark, sf_dir, "events").count()
+    # n rides a window sum over the cell GRID (bounded), so the fact
+    # table really is scanned once — no second count job
+    wall = Window.partitionBy()
     dec = "decimal(38,0)"
     g = (
         cells.join(F.broadcast(rows_m), "event_type")
         .join(F.broadcast(cols_m), "dow")
+        .withColumn("n_tot", F.sum("o").over(wall))
         .select(
             "event_type",
             "dow",
             F.col("o").cast("long").alias("n_obs"),
-            F.expr("CAST(r * c * 1000 DIV " + str(n_tot) + " AS BIGINT)").alias(
+            F.expr("CAST(r * c * 1000 DIV n_tot AS BIGINT)").alias(
                 "exp_milli"
             ),
             (
-                F.lit(n_tot).cast(dec) * F.col("o") - F.col("r").cast(dec) * F.col("c")
+                F.col("n_tot").cast(dec) * F.col("o")
+                - F.col("r").cast(dec) * F.col("c")
             ).alias("cross"),
-            (F.lit(n_tot).cast(dec) * F.col("r") * F.col("c")).alias("den"),
+            (F.col("n_tot").cast(dec) * F.col("r") * F.col("c")).alias("den"),
         )
     )
     return g.select(
@@ -1668,7 +1681,9 @@ def crosscorr_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "lag",
         n.cast("long").alias("n_days"),
-        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("ccf"),
+        F.when((vx != 0) & (vy != 0), cov / (F.sqrt(vx) * F.sqrt(vy))).alias(
+            "ccf"
+        ),
     ).orderBy("lag")
 
 
@@ -1713,11 +1728,14 @@ counts AS (
 )
 SELECT lag,
        n AS n_days,
-       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-                      AS DOUBLE))
-            * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
-                        AS DOUBLE))) AS ccf
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <> 0 THEN
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                        AS DOUBLE))
+              * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                          AS DOUBLE)))
+       END AS ccf
 FROM g
 ORDER BY lag
 """

@@ -613,6 +613,13 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["src"], r["dst"], int(r["cnt"]))
         for r in _markov_transition_counts(spark, sf_dir).collect()
     ]
+    known = set(MARKOV_CHANNELS) | {"START", "conv", "null"}
+    seen = {s for s, _, _ in cnt_rows} | {d for _, d, _ in cnt_rows}
+    if not seen <= known:
+        # the unrolled oracle enumerates exactly these states; a new
+        # event type must be added to MARKOV_CHANNELS, not silently
+        # valued 0 on one engine only
+        raise ValueError(f"unknown journey states: {sorted(seen - known)}")
     base = _markov_absorb(cnt_rows, None)
     effects = []
     for ch in MARKOV_CHANNELS:
