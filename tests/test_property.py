@@ -336,3 +336,81 @@ def test_trimmed_mean_and_mode_property_random_tables(
         r = out[et]
         assert r["n_kept"] == len(kept)
         assert abs(r["trimmed_mean"] - sum(kept) / len(kept) / 100.0) < 1e-12
+
+
+@st.composite
+def tiny_docs(draw):
+    """Random documents with tied lengths and single-doc sources."""
+    n = draw(st.integers(2, 20))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                "w " * draw(st.integers(1, 30)),
+                "en",
+                draw(st.sampled_from(["s1", "s2", "s3"])),
+                0,
+            )
+        )
+    return [(i, t, lg, src, len(t)) for i, t, lg, src, _ in rows]
+
+
+def _write_docs(spark, tmpdir, rows):
+    import os
+
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "documents.parquet")
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tiny_docs())
+def test_gini_and_quantile_norm_properties(spark, tmp_path_factory, rows):
+    from trace_parquet_spark.plans.statistics import (
+        gini_by_source,
+        quantile_normalize_lengths,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("giniprop"))
+    _write_docs(spark, tmpdir, rows)
+    gini = {r["source"]: r for r in gini_by_source(spark, tmpdir).collect()}
+    by_src: dict[str, list] = {}
+    for i, t, lg, src, nch in rows:
+        by_src.setdefault(src, []).append(nch)
+    for src, xs in by_src.items():
+        r = gini[src]
+        # bounds and exact rational consistency
+        assert 0 <= r["gini"] < 1
+        assert r["gini"] == r["gini_num"] / r["gini_den"]
+        # permutation invariance is structural (sorted ranks); equal
+        # values => gini 0
+        if len(set(xs)) == 1:
+            assert r["gini_num"] == (
+                2 * sum((i + 1) * x for i, x in enumerate(sorted(xs)))
+                - (len(xs) + 1) * sum(xs)
+            )
+    qn = {r["doc_id"]: r for r in quantile_normalize_lengths(spark, tmpdir).collect()}
+    all_sorted = sorted(nch for _, _, _, _, nch in rows)
+    assert len(qn) == len(rows)
+    for did, r in qn.items():
+        # the normalized value is always a real global order statistic
+        assert r["qnorm_chars"] in all_sorted
+    # per-source monotonicity: higher raw length never maps lower
+    for src, _ in by_src.items():
+        pts = sorted(
+            (r["n_chars"], r["doc_id"], r["qnorm_chars"])
+            for r in qn.values()
+            if any(
+                rr[3] == src and rr[0] == r["doc_id"] for rr in rows
+            )
+        )
+        for (x1, _, q1), (x2, _, q2) in zip(pts, pts[1:]):
+            assert q1 <= q2
