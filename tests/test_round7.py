@@ -1022,3 +1022,47 @@ def test_mase_matches_replay(spark, sf_dir):
         assert r["mae_seasonal"] == ae7 / n
         if ae7 > 0:
             assert r["mase_micro"] == ae1 * 1_000_000 // ae7
+
+
+def test_langid_confusion_margins(spark, sf_dir):
+    from trace_parquet_spark.operators import text_analysis
+
+    rows = text_analysis.langid_confusion(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_true: dict[str, int] = {}
+    for r in rows:
+        by_true[r["lang_true"]] = by_true.get(r["lang_true"], 0) + r["n_docs"]
+    for r in rows:
+        assert (
+            r["row_share_ppm"]
+            == r["n_docs"] * 1_000_000 // by_true[r["lang_true"]]
+        )
+
+
+def test_cluster_capped_sample_contract(spark, sf_dir):
+    from collections import Counter
+
+    from trace_parquet_spark.operators import dedup_clusters
+
+    rows = dedup_clusters.cluster_capped_sample(spark, sf_dir).collect()
+    per_cluster = Counter(r["cluster_id"] for r in rows)
+    assert max(per_cluster.values()) <= dedup_clusters.CLUSTER_CAP_K
+    # K=1 restriction reproduces the canonical pick exactly
+    canon = {
+        r["cluster_id"]: r["canonical_doc_id"]
+        for r in dedup_clusters.dedup_canonical_quality(spark, sf_dir).collect()
+    }
+    top = {
+        r["cluster_id"]: r["doc_id"] for r in rows if r["quality_rank"] == 1
+    }
+    for cid, did in canon.items():
+        assert top[cid] == did
+    # every document survives somewhere or was dropped from a cluster
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    dropped = sum(
+        r["n_dropped"] for r in rows if r["quality_rank"] == 1
+    )
+    assert len(rows) + dropped == n_docs
+    for r in rows:
+        assert 1 <= r["quality_rank"] <= dedup_clusters.CLUSTER_CAP_K

@@ -448,3 +448,96 @@ ORDER BY cluster_id
 
 QUERIES["dedup_canonical_quality"] = dedup_canonical_quality
 ORACLES["dedup_canonical_quality"] = DEDUP_CANONICAL_SQL
+
+
+CLUSTER_CAP_K = 2  # survivors kept per near-dup cluster
+
+
+def cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most K best copies per near-dup cluster — the
+    generalization of dedup_canonical_quality's argmax (K=1) that a
+    training mix actually wants: full dedup throws away benign
+    paraphrase diversity, no dedup overweights boilerplate; capping
+    keeps the K highest-quality copies (word count, doc_id
+    tie-break) and every unclustered doc. One row per SURVIVOR with
+    its cluster, quality rank, and how many siblings were dropped.
+
+    Plan shape: cluster labels (banded-LSH pairs → star CC) left-join
+    the full doc relation (singletons label themselves), per-cluster
+    rank window, rank ≤ K filter. The window partitions by cluster —
+    never global; the label relation scales with near-dup count and
+    is never force-broadcast (the house rule)."""
+    from ..functions.text import tokens
+
+    labels = _labels_star(spark, sf_dir)
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_words")
+    )
+    labeled = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    sized = labeled.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")),
+    )
+    return (
+        sized.where(F.col("rn") <= CLUSTER_CAP_K)
+        .select(
+            "cluster_id",
+            "doc_id",
+            "n_words",
+            F.col("rn").cast("long").alias("quality_rank"),
+            (F.col("cluster_size") - F.least(
+                F.col("cluster_size"), F.lit(CLUSTER_CAP_K).cast("long")
+            )).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id", "quality_rank")
+    )
+
+
+CLUSTER_CAPPED_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {_PAIRS_BODY}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT e.src AS doc_id, r.r
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+labeled AS (
+  SELECT d.doc_id,
+         CAST(len({_tokens_sql("d.text")}) AS BIGINT) AS n_words,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_words DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cs
+  FROM labeled
+)
+SELECT cluster_id, doc_id, n_words,
+       CAST(rn AS BIGINT) AS quality_rank,
+       CAST(cs - least(cs, {CLUSTER_CAP_K}) AS BIGINT) AS n_dropped
+FROM ranked
+WHERE rn <= {CLUSTER_CAP_K}
+ORDER BY cluster_id, quality_rank
+"""
+
+QUERIES["cluster_capped_sample"] = cluster_capped_sample
+ORACLES["cluster_capped_sample"] = CLUSTER_CAPPED_SQL

@@ -465,3 +465,57 @@ FROM g
 
 QUERIES["zipf_fit_tokens"] = zipf_fit_tokens
 ORACLES["zipf_fit_tokens"] = ZIPF_SQL
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against
+    the table's stored `lang` labels — the eval lang_id_counts lacks:
+    per (true, predicted) cell count plus the cell's share of its
+    true-label row in ppm, so per-language recall reads directly off
+    the diagonal. The monitoring pattern for any cheap heuristic
+    running in front of an expensive model.
+
+    Scale: one scan computing the prediction JVM-side, one
+    partial-agg shuffle to the (true × predicted) grid (language
+    cardinality bounded); row margins ride an unpartitioned window
+    over that grid."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    staged = docs.select(
+        F.col("lang").alias("lang_true"),
+        lang_id_from("text", tokens("text")).alias("lang_pred"),
+    )
+    cells = staged.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    wrow = Window.partitionBy("lang_true")
+    return (
+        cells.withColumn("row_n", F.sum("n_docs").over(wrow))
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV row_n AS BIGINT)").alias(
+                "row_share_ppm"
+            ),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH cells AS (
+  SELECT lang AS lang_true, {lang_id_sql("text")} AS lang_pred,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n_docs,
+       CAST(n_docs * 1000000
+            // sum(n_docs) OVER (PARTITION BY lang_true) AS BIGINT)
+         AS row_share_ppm
+FROM cells
+ORDER BY lang_true, lang_pred
+"""
+
+QUERIES["langid_confusion"] = langid_confusion
+ORACLES["langid_confusion"] = LANGID_CONFUSION_SQL
