@@ -162,6 +162,9 @@ HEADLINE = [
     "cms_join_size_estimate",
     "lift_table_deciles",
     "score_auc",
+    "forecast_baseline_mase",
+    "langid_confusion",
+    "cluster_capped_sample",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
@@ -211,6 +214,7 @@ REPEATS = {
     "tablelog_incremental_agg": 3,
     "market_basket_rules": 3,
     "dedup_ngram_pairs": 3,
+    "cluster_capped_sample": 3,
 }
 
 
