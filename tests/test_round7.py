@@ -1066,3 +1066,24 @@ def test_cluster_capped_sample_contract(spark, sf_dir):
     assert len(rows) + dropped == n_docs
     for r in rows:
         assert 1 <= r["quality_rank"] <= dedup_clusters.CLUSTER_CAP_K
+
+
+def test_registry_hygiene():
+    """Every oracle key has a query; names are unique across modules
+    (a duplicate would silently shadow in the merged registry)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    total = 0
+    seen = set()
+    dupes = []
+    for mod in entry_mod._modules():
+        for name in mod.QUERIES:
+            total += 1
+            if name in seen:
+                dupes.append(name)
+            seen.add(name)
+    assert not dupes, dupes
+    assert total == len(qs)
