@@ -1087,3 +1087,62 @@ def test_registry_hygiene():
             seen.add(name)
     assert not dupes, dupes
     assert total == len(qs)
+
+
+def test_watermark_lateness_replay(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in statistics.watermark_lateness_profile(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "event_id", "ts")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(
+            (r["event_id"], int(r["ts"].timestamp()))
+        )
+    for et, rows in groups.items():
+        rows.sort()
+        mx, lates = None, []
+        for _, t in rows:
+            mx = t if mx is None else max(mx, t)
+            lates.append(mx - t)
+        r = out[et]
+        assert r["n_events"] == len(lates)
+        assert r["n_late"] == sum(1 for v in lates if v > 0)
+        assert r["max_late_s"] == max(lates)
+        assert r["p99_late_s"] == np.percentile(np.array(lates, dtype=np.float64), 99)
+        assert r["late_ppm"] == r["n_late"] * 1_000_000 // r["n_events"]
+
+
+def test_incremental_retractions_equals_recompute(spark, sf_dir):
+    from trace_parquet_spark.plans import incremental
+
+    got = {
+        r["n_name"]: (r["n_orders"], r["revenue"])
+        for r in incremental.incremental_join_retractions(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    agg: dict[int, list] = {}
+    for o in orders:
+        is_delta = o["o_orderkey"] % incremental._DELTA_MOD == 0
+        if not is_delta and o["o_orderstatus"] == "F":
+            continue  # retracted history
+        nk = cust[o["o_custkey"]]
+        n, c = agg.get(nk, (0, 0))
+        agg[nk] = (n + 1, c + int(np.floor(o["o_totalprice"] * 100 + 0.5)))
+    want = {
+        nation[nk]: (n, c / 100.0) for nk, (n, c) in agg.items() if n > 0
+    }
+    assert got == want

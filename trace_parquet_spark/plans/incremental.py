@@ -212,3 +212,99 @@ ORDER BY n.n_name
 
 QUERIES["incremental_join_refresh"] = incremental_join_refresh
 ORACLES["incremental_join_refresh"] = INCREMENTAL_JOIN_SQL
+
+
+def incremental_join_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance under inserts AND DELETES —
+    the signed-multiplicity (Z-set / differential-dataflow) extension
+    of incremental_join_refresh, which only handles growth: the
+    per-nation revenue view absorbs one batch containing both new
+    orders (weight +1) and retractions of history ('F'-status orders
+    being cancelled, weight −1) without rejoining history. Algebraic
+    aggregates absorb signed deltas directly — merge(V(H), ⊕signed Δ)
+    — and a key whose maintained multiplicity reaches 0 is eliminated
+    (never emitted as a ghost row), the property that makes signed
+    deltas compose.
+
+    The oracle recomputes the view from (H ∖ deletes) ∪ inserts — the
+    incremental path must land on identical bytes.
+
+    Scale: history partials are a nation-sized stored relation; the
+    refresh joins only the delta (both signs) against the broadcast
+    dimension — O(|Δ|) like the insert-only twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    hist = orders.filter(F.col("o_orderkey") % _DELTA_MOD != 0)
+    inserts = orders.filter(F.col("o_orderkey") % _DELTA_MOD == 0).withColumn(
+        "sgn", F.lit(1)
+    )
+    deletes = hist.filter(F.col("o_orderstatus") == "F").withColumn(
+        "sgn", F.lit(-1)
+    )
+
+    def signed_partial(o: DataFrame) -> DataFrame:
+        return (
+            o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("sgn").cast("long").alias("n"),
+                F.sum(
+                    F.col("sgn")
+                    * F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("long").alias("cents"),
+            )
+        )
+
+    merged = (
+        signed_partial(hist.withColumn("sgn", F.lit(1)))
+        .unionAll(signed_partial(inserts.unionByName(deletes)))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .where(F.col("n") > 0)  # multiplicity-zero elimination
+    )
+    return (
+        merged.join(
+            F.broadcast(nation), merged.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            "n_name",
+            F.col("n").alias("n_orders"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+INCR_RETRACTIONS_SQL = f"""
+WITH effective AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % {_DELTA_MOD} = 0
+     OR (o_orderkey % {_DELTA_MOD} <> 0 AND o_orderstatus <> 'F')
+), v AS (
+  SELECT c.c_nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM effective o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+)
+SELECT n.n_name,
+       v.n AS n_orders,
+       CAST(v.cents AS DOUBLE) / 100.0 AS revenue
+FROM v JOIN nation n ON v.c_nationkey = n.n_nationkey
+WHERE v.n > 0
+ORDER BY n.n_name
+"""
+
+QUERIES["incremental_join_retractions"] = incremental_join_retractions
+ORACLES["incremental_join_retractions"] = INCR_RETRACTIONS_SQL

@@ -1857,3 +1857,94 @@ ORDER BY event_type
 
 QUERIES["forecast_baseline_mase"] = forecast_baseline_mase
 ORACLES["forecast_baseline_mase"] = MASE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness profile (out-of-orderness measurement)
+# ---------------------------------------------------------------------------
+
+
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does each event type's data actually arrive? In
+    arrival order (event_id — the ingest sequence), an event's
+    LATENESS is running_max(event_time) − event_time: exactly the
+    quantity a Structured-Streaming watermark bounds. The profile
+    (max, p50/p95/p99 over late events, late fraction) is how you SET
+    `withWatermark` from data instead of folklore — pick p99 and you
+    know the drop rate you signed up for.
+
+    Exact: lateness is integer seconds (running max via a window on
+    the epoch-seconds grid), percentiles are type-7 over those
+    integers, the late fraction is an integer ppm ratio.
+
+    Scale: one shuffle partitions by event_type; the running max and
+    the aggregate ride that partitioning. Same per-key-series note as
+    cusum: a single giant key would use the segmented two-pass max."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (F.max("t").over(w) - F.col("t")).alias("late_s"),
+    )
+    g = late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        F.max("late_s").alias("max_late_s"),
+        F.expr("percentile(late_s, 0.5)").alias("p50_late_s"),
+        F.expr("percentile(late_s, 0.95)").alias("p95_late_s"),
+        F.expr("percentile(late_s, 0.99)").alias("p99_late_s"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.expr("CAST(n_late * 1000000 DIV n_events AS BIGINT)").alias(
+            "late_ppm"
+        ),
+        F.col("max_late_s").cast("long").alias("max_late_s"),
+        "p50_late_s",
+        "p95_late_s",
+        "p99_late_s",
+    ).orderBy("event_type")
+
+
+WATERMARK_LATENESS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS BIGINT) AS t
+  FROM events
+), late AS (
+  SELECT event_type,
+         max(t) OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t AS late_s
+  FROM ev
+), g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(late_s > 0 AS BIGINT)) AS BIGINT) AS n_late,
+         CAST(max(late_s) AS BIGINT) AS max_late_s,
+         quantile_cont(late_s, 0.5) AS p50_late_s,
+         quantile_cont(late_s, 0.95) AS p95_late_s,
+         quantile_cont(late_s, 0.99) AS p99_late_s
+  FROM late GROUP BY event_type
+)
+SELECT event_type, n_events, n_late,
+       CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
+       max_late_s, p50_late_s, p95_late_s, p99_late_s
+FROM g
+ORDER BY event_type
+"""
+
+
+QUERIES["watermark_lateness_profile"] = watermark_lateness_profile
+ORACLES["watermark_lateness_profile"] = WATERMARK_LATENESS_SQL
