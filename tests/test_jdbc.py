@@ -84,3 +84,88 @@ def test_jdbc_predicate_pushdown(spark, seeded):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "PARAM_INDEX" in plan
     assert filtered.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming sink into Derby
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_sink_replay_and_partial_crash(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources.jdbc import (
+        jdbc_sink_batch,
+        read_jdbc,
+    )
+
+    db = tmp_path_factory.mktemp("derbysink") / "sinkdb"
+    url = f"jdbc:derby:{db};create=true"
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").cast("long").alias("v"))
+
+    assert jdbc_sink_batch(spark, batch(0, 5), url, "sink_t", "app", 0)
+    assert jdbc_sink_batch(spark, batch(5, 8), url, "sink_t", "app", 1)
+    # crash-replay of batch 1: marker present -> skipped
+    assert not jdbc_sink_batch(spark, batch(5, 8), url, "sink_t", "app", 1)
+
+    def rows():
+        df = read_jdbc(spark, url, "sink_t", driver="org.apache.derby.jdbc.EmbeddedDriver")
+        return sorted(r["v"] for r in df.collect())
+
+    assert rows() == list(range(8))
+
+    # simulate a crash BETWEEN data write and marker commit: rows for
+    # batch 2 land but no marker — a replay must not duplicate them
+    partial = batch(8, 11).withColumn("sink_app", F.lit("app")).withColumn(
+        "sink_batch_id", F.lit(2).cast("long")
+    )
+    partial.write.mode("append").format("jdbc").option("url", url).option(
+        "dbtable", "sink_t"
+    ).option("driver", "org.apache.derby.jdbc.EmbeddedDriver").save()
+    assert rows() == list(range(11))  # partial rows present, no marker
+    assert jdbc_sink_batch(spark, batch(8, 11), url, "sink_t", "app", 2)
+    assert rows() == list(range(11))  # delete-then-insert: still once
+
+
+def test_jdbc_stream_end_to_end(spark, tmp_path_factory):
+    import os
+    import time
+
+    from trace_parquet_spark.sources.jdbc import read_jdbc, run_jdbc_stream
+
+    base = tmp_path_factory.mktemp("derbystream")
+    src = str(base / "src")
+    ck = str(base / "ck")
+    db = base / "streamdb"
+    url = f"jdbc:derby:{db};create=true"
+    os.makedirs(src)
+    for i in range(3):
+        tmp = f"{src}/d{i}.tmp"
+        spark.range(i * 4, i * 4 + 4).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{src}/drop{i}.parquet")
+    q = run_jdbc_stream(spark, src, "id long", url, "ev_t", ck)
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    r["id"]
+                    for r in read_jdbc(
+                        spark,
+                        url,
+                        "ev_t",
+                        driver="org.apache.derby.jdbc.EmbeddedDriver",
+                    ).collect()
+                )
+            except Exception:
+                got = []
+            if got == list(range(12)):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == list(range(12))
