@@ -165,6 +165,8 @@ HEADLINE = [
     "forecast_baseline_mase",
     "langid_confusion",
     "cluster_capped_sample",
+    "watermark_lateness_profile",
+    "incremental_join_retractions",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
