@@ -414,3 +414,88 @@ def test_gini_and_quantile_norm_properties(spark, tmp_path_factory, rows):
         )
         for (x1, _, q1), (x2, _, q2) in zip(pts, pts[1:]):
             assert q1 <= q2
+
+
+@st.composite
+def conversion_events(draw):
+    """Random signup/purchase histories with censoring: some users
+    never purchase, some purchase before signup (must not count)."""
+    n_users = draw(st.integers(2, 8))
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        t0 = draw(st.integers(0, 5))
+        rows.append((eid, t0, u, "signup"))
+        eid += 1
+        for _ in range(draw(st.integers(0, 3))):
+            tp = draw(st.integers(0, 12))
+            rows.append((eid, tp, u, "purchase"))
+            eid += 1
+    return rows
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(conversion_events())
+def test_kaplan_meier_property_random_tables(spark, tmp_path_factory, rows):
+    import os
+
+    import numpy as np
+
+    from trace_parquet_spark.plans.funnels import kaplan_meier_conversion
+
+    tmpdir = str(tmp_path_factory.mktemp("kmprop"))
+    spark.createDataFrame(
+        [
+            (
+                eid,
+                (BASE + pd.Timedelta(days=day)).to_pydatetime(),
+                uid,
+                et,
+                1.0,
+                "{}",
+            )
+            for eid, day, uid, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "events.parquet")
+    )
+    curve = kaplan_meier_conversion(spark, tmpdir).collect()
+    # python replay with the same censoring convention
+    sign, purch = {}, {}
+    tmax = max(day for _, day, _, _ in rows)
+    for eid, day, uid, et in rows:
+        if et == "signup":
+            sign[uid] = min(sign.get(uid, day), day)
+    for eid, day, uid, et in rows:
+        if et == "purchase" and uid in sign and day > sign[uid]:
+            purch[uid] = min(purch.get(uid, day), day)
+    times = [
+        (purch[u] - t0, True) if u in purch else (tmax - t0, False)
+        for u, t0 in sign.items()
+    ]
+    from collections import Counter
+
+    at = Counter(t for t, _ in times)
+    d = Counter(t for t, e in times if e)
+    got = {r["t_days"]: r for r in curve}
+    assert sorted(got) == sorted(d)
+    removed = 0
+    surv_ppm_prev = 10**6
+    for t in sorted(at):
+        n_risk = len(times) - removed
+        removed += at[t]
+        if d[t] == 0:
+            continue
+        r = got[t]
+        assert (r["n_risk"], r["d_events"]) == (n_risk, d[t])
+        # survival is monotone non-increasing and in [0, 1e6]
+        assert 0 <= r["s_hat_ppm"] <= surv_ppm_prev
+        surv_ppm_prev = r["s_hat_ppm"]
+        if n_risk == d[t]:
+            assert r["s_hat_ppm"] == 0
