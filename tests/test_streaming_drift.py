@@ -178,3 +178,49 @@ def test_cusum_stream_end_to_end(spark, tmp_path):
     rep = {r.batch_id: r for r in cusum_report(spark, state).collect()}
     assert len(rep) >= 4
     assert any(r.alarm for r in rep.values())
+
+
+def test_cusum_random_drop_sequence_matches_recursion(spark, tmp_path):
+    """Randomized drop sequence: the stored S+/S- trajectory must
+    equal the pure-python tabular-CUSUM recursion over exact batch
+    sums (covers shrinking/growing batches and alternating shifts)."""
+    import math
+    import random
+
+    from trace_parquet_spark.streaming.drift_stream import (
+        CUSUM_K_MICRO,
+        cusum_ingest_batch,
+        cusum_report,
+    )
+
+    rng = random.Random(7)
+    state = str(tmp_path / "rstate")
+    drops = []
+    for b in range(6):
+        size = rng.randint(3, 30)
+        base_len = 100 if b % 2 == 0 else rng.choice([100, 40, 160])
+        drops.append(
+            [(b * 1000 + i, base_len + rng.randint(0, 5)) for i in range(size)]
+        )
+    for bid, rows in enumerate(drops):
+        cusum_ingest_batch(spark, state, _docs(spark, rows), bid)
+    rep = {r.batch_id: r for r in cusum_report(spark, state).collect()}
+    n = s = q = 0
+    sp = sn = 0
+    for bid, rows in enumerate(drops):
+        lens = [ln for _, ln in rows]
+        r = rep[bid]
+        if n >= 2 and n * q - s * s > 0:
+            z = (n * sum(lens) - s * len(lens)) / (
+                math.sqrt(len(lens)) * math.sqrt(n * q - s * s)
+            )
+            zm = int(math.floor(z * 1e6 + 0.5))
+            sp = max(0, sp + zm - CUSUM_K_MICRO)
+            sn = max(0, sn - zm - CUSUM_K_MICRO)
+            assert r.z_micro == zm
+        else:
+            assert r.z_micro is None
+        assert (r.sp_micro, r.sn_micro) == (sp, sn)
+        n += len(lens)
+        s += sum(lens)
+        q += sum(v * v for v in lens)
