@@ -224,3 +224,43 @@ def test_cusum_random_drop_sequence_matches_recursion(spark, tmp_path):
         n += len(lens)
         s += sum(lens)
         q += sum(v * v for v in lens)
+
+
+def test_drift_state_compaction_preserves_reports_and_state(spark, tmp_path):
+    import os
+
+    from trace_parquet_spark.streaming.drift_stream import (
+        compact_drift_state,
+        cusum_ingest_batch,
+        cusum_report,
+        drift_report,
+        ingest_batch,
+    )
+
+    state = str(tmp_path / "cstate")
+    base, same, shifted = _drops()
+    seq = [base, same, shifted, same, base, shifted, same, base, same, shifted, base, same]
+    for bid, rows in enumerate(seq):  # 12 batches: numeric-order regime
+        ingest_batch(spark, state, _docs(spark, rows), bid)
+        cusum_ingest_batch(spark, state, _docs(spark, rows), bid)
+    before_ks = [tuple(r) for r in drift_report(spark, state).collect()]
+    before_cu = [tuple(r) for r in cusum_report(spark, state).collect()]
+    compact_drift_state(spark, state)
+    after_ks = [tuple(r) for r in drift_report(spark, state).collect()]
+    after_cu = [tuple(r) for r in cusum_report(spark, state).collect()]
+    assert before_ks == after_ks and before_cu == after_cu
+    # superseded per-batch dirs are gone; one c-dir + the newest b
+    for name in ("hist", "ks", "cusum", "cusumrep"):
+        dirs = sorted(os.listdir(os.path.join(state, name)))
+        assert sum(d.startswith("c") for d in dirs) == 1
+        assert sum(d.startswith("b") for d in dirs) == 1  # only batch 11
+    # the stream continues cleanly after compaction AND a replay of
+    # the last (uncommitted) batch is still idempotent
+    cusum_ingest_batch(spark, state, _docs(spark, seq[-1]), 11)
+    ingest_batch(spark, state, _docs(spark, seq[-1]), 11)
+    assert [tuple(r) for r in cusum_report(spark, state).collect()] == before_cu
+    assert [tuple(r) for r in drift_report(spark, state).collect()] == before_ks
+    ingest_batch(spark, state, _docs(spark, base), 12)
+    cusum_ingest_batch(spark, state, _docs(spark, base), 12)
+    assert len(drift_report(spark, state).collect()) == 13
+    assert len(cusum_report(spark, state).collect()) == 13

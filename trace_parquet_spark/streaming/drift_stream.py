@@ -261,3 +261,61 @@ def run_cusum_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def drift_committed_through(state_dir: str) -> int | None:
+    """Highest batch id that can no longer replay: foreachBatch
+    commits batch N's offsets before batch N+1 starts, so everything
+    strictly below the newest state batch is final (the dedup-stream
+    contract)."""
+    root = os.path.join(state_dir, "hist")
+    if not os.path.isdir(root):
+        return None
+    bids = [int(d[1:]) for d in os.listdir(root) if d[1:].isdigit()]
+    return max(bids) - 1 if bids else None
+
+
+def compact_drift_state(
+    spark: SparkSession, state_dir: str, through: int | None = None
+) -> None:
+    """Bound the monitors' state-dir growth on unbounded streams —
+    the dedup_stream compact_state chore applied to the drift family:
+    ``hist``/``cusum`` hold CUMULATIVE snapshots (only the newest
+    matters — compaction rewrites it as ``c{N}`` and drops the
+    superseded dirs), ``ks``/``cusumrep`` are per-batch report rows
+    (compaction merges them into one ``c{N}``). Only batches that can
+    no longer replay are touched; readers resolve c ∪ later-b dirs to
+    identical rows (crash-safe tmp-rename publish, then cleanup)."""
+    import shutil
+
+    if through is None:
+        through = drift_committed_through(state_dir)
+    if through is None or through < 0:
+        return
+
+    def swap_in(merged: DataFrame, root: str) -> None:
+        tmp = os.path.join(root, f"tmp_c{through}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = os.path.join(root, f"c{through}")
+        os.rename(tmp, final)
+        for d in os.listdir(root):
+            if (
+                d[:1] in ("b", "c")
+                and d[1:].isdigit()
+                and int(d[1:]) <= through
+                and os.path.join(root, d) != final
+            ):
+                shutil.rmtree(os.path.join(root, d))
+
+    for name, schema, snapshot in (
+        ("hist", _HIST_SCHEMA, True),
+        ("cusum", _CUSUM_STATE_SCHEMA, True),
+        ("ks", _KS_SCHEMA, False),
+        ("cusumrep", _CUSUM_REP_SCHEMA, False),
+    ):
+        root = os.path.join(state_dir, name)
+        dirs = _batch_dirs(state_dir, name, through + 1)
+        if not dirs or dirs == [os.path.join(root, f"c{through}")]:
+            continue
+        src = [dirs[-1]] if snapshot else dirs
+        swap_in(spark.read.schema(schema).parquet(*src), root)
