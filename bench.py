@@ -167,6 +167,8 @@ HEADLINE = [
     "cluster_capped_sample",
     "watermark_lateness_profile",
     "incremental_join_retractions",
+    "nelson_aalen_hazard",
+    "topk_with_ties",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

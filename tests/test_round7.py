@@ -1146,3 +1146,54 @@ def test_incremental_retractions_equals_recompute(spark, sf_dir):
         nation[nk]: (n, c / 100.0) for nk, (n, c) in agg.items() if n > 0
     }
     assert got == want
+
+
+def test_nelson_aalen_consistency_with_km(spark, sf_dir):
+    from trace_parquet_spark.plans import funnels
+
+    na = {r["t_days"]: r for r in funnels.nelson_aalen_hazard(spark, sf_dir).collect()}
+    km = {
+        r["t_days"]: r for r in funnels.kaplan_meier_conversion(spark, sf_dir).collect()
+    }
+    assert set(na) == set(km)  # same event-day spine and risk sets
+    cum = 0
+    for t in sorted(na):
+        assert (na[t]["n_risk"], na[t]["d_events"]) == (
+            km[t]["n_risk"],
+            km[t]["d_events"],
+        )
+        term = na[t]["d_events"] * 1_000_000 // na[t]["n_risk"]
+        assert na[t]["haz_term_micro"] == term
+        cum += term
+        assert na[t]["cum_hazard_micro"] == cum
+        # exp(-H) >= S always (Jensen-flavored bound, strict once d>1)
+        if km[t]["s_hat_ppm"] > 0:
+            import math
+
+            assert math.exp(-cum / 1e6) * 1e6 >= km[t]["s_hat_ppm"] - 2
+
+
+def test_topk_with_ties_contract(spark, sf_dir):
+    from collections import Counter
+
+    from trace_parquet_spark.plans import relational_more
+
+    rows = relational_more.topk_with_ties(spark, sf_dir).collect()
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .collect()
+    )
+    by_prio: dict[str, list] = {}
+    for r in orders:
+        by_prio.setdefault(r["o_orderpriority"], []).append(
+            int(np.floor(r["o_totalprice"] * 100 + 0.5))
+        )
+    got_keys = Counter((r["o_orderpriority"], r["rk"]) for r in rows)
+    for prio, cents in by_prio.items():
+        uniq = sorted(set(cents), reverse=True)
+        kth = uniq[relational_more.TOPK_TIES_K - 1]
+        expect_n = sum(1 for c in cents if c >= kth)
+        assert sum(
+            v for (p, _), v in got_keys.items() if p == prio
+        ) == expect_n  # everyone tying the K-th value survives

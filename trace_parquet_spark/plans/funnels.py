@@ -948,3 +948,113 @@ FROM sums
 
 QUERIES["score_auc"] = score_auc
 ORACLES["score_auc"] = SCORE_AUC_SQL
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for signup→purchase conversion —
+    KM's additive sibling: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ estimates cumulative
+    conversion PRESSURE, and unlike Ŝ it needs no exp — every term is
+    one integer division on the micro grid ((d·1e6) DIV n) and the
+    curve is a window sum of integers: the whole estimator is exact
+    integer arithmetic end-to-end, no float anywhere.
+
+    Shares kaplan_meier_conversion's censoring construction and
+    day-grain spine; same scale shape."""
+    ev = load_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    users = sign.join(purch, "user_id", "left").select(
+        F.coalesce(
+            F.datediff(F.to_date("t1"), F.to_date("t0")),
+            F.datediff(F.to_date(F.lit(tmax)), F.to_date("t0")),
+        ).cast("long").alias("t"),
+        F.col("t1").isNotNull().alias("is_event"),
+    )
+    per_day = users.groupBy("t").agg(
+        F.count("*").alias("n_at"),
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+    ).transform(track_cache)
+    n_total = per_day.agg(F.sum("n_at")).collect()[0][0] or 0
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    spine = per_day.withColumn(
+        "n_risk", F.lit(n_total) - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))
+    ).where(F.col("d") > 0)
+    wsum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.withColumn(
+            "haz_term_micro",
+            F.expr("CAST(d * 1000000 DIV n_risk AS BIGINT)"),
+        )
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            "haz_term_micro",
+            F.sum("haz_term_micro").over(wsum).cast("long").alias(
+                "cum_hazard_micro"
+            ),
+        )
+        .orderBy("t_days")
+    )
+
+
+NELSON_AALEN_SQL = """
+WITH sign AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN sign s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), horizon AS (SELECT max(ts) AS tmax FROM events),
+users AS (
+  SELECT CAST(coalesce(
+           date_diff('day', CAST(s.t0 AS DATE), CAST(p.t1 AS DATE)),
+           date_diff('day', CAST(s.t0 AS DATE),
+                     CAST((SELECT tmax FROM horizon) AS DATE))
+         ) AS BIGINT) AS t,
+         p.t1 IS NOT NULL AS is_event
+  FROM sign s LEFT JOIN purch p ON s.user_id = p.user_id
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users),
+per_day AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(CAST(is_event AS BIGINT)) AS BIGINT) AS d
+  FROM users GROUP BY t
+), spine AS (
+  SELECT t, d,
+         (SELECT n_total FROM n)
+           - coalesce(sum(n_at) OVER (ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_risk
+  FROM per_day
+), ev_days AS (
+  SELECT t, n_risk, d,
+         CAST(d * 1000000 // n_risk AS BIGINT) AS haz_term_micro
+  FROM spine WHERE d > 0
+)
+SELECT t AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS d_events,
+       haz_term_micro,
+       CAST(sum(haz_term_micro) OVER (ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_micro
+FROM ev_days
+ORDER BY t_days
+"""
+
+QUERIES["nelson_aalen_hazard"] = nelson_aalen_hazard
+ORACLES["nelson_aalen_hazard"] = NELSON_AALEN_SQL

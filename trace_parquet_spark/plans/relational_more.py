@@ -368,3 +368,56 @@ ORDER BY l_returnflag, l_linestatus
 
 QUERIES["mode_by_group"] = mode_by_group
 ORACLES["mode_by_group"] = MODE_SQL
+
+
+TOPK_TIES_K = 3
+
+
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K order totals per priority WITH TIES — the rank() twin of
+    topk_per_group's row_number(): every order tying the K-th total
+    survives, so the result is value-deterministic without needing a
+    tie-break column (ANSI FETCH FIRST K ROWS WITH TIES semantics).
+
+    Scale: one priority-partitioned rank window over the cents grid;
+    output is K-ish rows per group (ties bounded by value collisions,
+    surfaced in the is_tie_overflow flag)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("cents"))
+    staged = orders.select(
+        "o_orderpriority", "o_orderkey", cents.alias("cents")
+    ).withColumn("rk", F.rank().over(w))
+    return (
+        staged.where(F.col("rk") <= TOPK_TIES_K)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("total"),
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("rk") == TOPK_TIES_K).alias("is_tie_overflow"),
+        )
+        .orderBy("o_orderpriority", F.desc("total"), "o_orderkey")
+    )
+
+
+TOPK_TIES_SQL = f"""
+WITH staged AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                    AS BIGINT) DESC) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey,
+       CAST(cents AS DOUBLE) / 100.0 AS total,
+       CAST(rk AS BIGINT) AS rk,
+       rk = {TOPK_TIES_K} AS is_tie_overflow
+FROM staged
+WHERE rk <= {TOPK_TIES_K}
+ORDER BY o_orderpriority, total DESC, o_orderkey
+"""
+
+QUERIES["topk_with_ties"] = topk_with_ties
+ORACLES["topk_with_ties"] = TOPK_TIES_SQL
