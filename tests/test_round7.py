@@ -826,7 +826,11 @@ ROUND7_NEW_QUERIES = [
     "vocab_growth_by_source", "zipf_fit_tokens", "kaplan_meier_conversion",
     "logrank_cohort_test", "rfm_segments", "clustering_coefficient",
     "sssp_trade_costs", "pca_project_embeddings", "k_anonymity_audit",
-    "dp_noisy_event_counts",
+    "dp_noisy_event_counts", "cms_join_size_estimate",
+    "attribution_markov_removal", "lift_table_deciles", "score_auc",
+    "forecast_baseline_mase", "langid_confusion", "cluster_capped_sample",
+    "watermark_lateness_profile", "incremental_join_retractions",
+    "nelson_aalen_hazard", "topk_with_ties",
 ]
 
 
