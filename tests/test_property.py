@@ -499,3 +499,61 @@ def test_kaplan_meier_property_random_tables(spark, tmp_path_factory, rows):
         surv_ppm_prev = r["s_hat_ppm"]
         if n_risk == d[t]:
             assert r["s_hat_ppm"] == 0
+
+
+@st.composite
+def tiny_orders(draw):
+    n = draw(st.integers(1, 30))
+    return [
+        (
+            i,
+            i % 5,
+            draw(st.sampled_from(["O", "F", "P"])),
+            float(draw(st.integers(1, 99999))) / 10.0,
+            (BASE + pd.Timedelta(days=i)).to_pydatetime(),
+            "1-URGENT",
+        )
+        for i in range(n)
+    ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tiny_orders())
+def test_benford_property_random_orders(spark, tmp_path_factory, rows):
+    import os
+
+    import numpy as np
+
+    from trace_parquet_spark.plans.statistics import benford_digit_dq
+
+    tmpdir = str(tmp_path_factory.mktemp("benford"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "orders.parquet")
+    )
+    out = benford_digit_dq(spark, tmpdir).collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    from collections import Counter
+
+    obs = Counter(
+        int(str(int(np.floor(p * 100 + 0.5)))[0])
+        for _, _, _, p, _, _ in rows
+        if p > 0
+    )
+    n = sum(obs.values())
+    for r in out:
+        p_micro = int(np.floor(np.log10(1 + 1 / r["digit"]) * 1e6 + 0.5))
+        assert r["n_obs"] == obs.get(r["digit"], 0)
+        assert r["exp_micro"] == n * p_micro
+        assert r["dev_ppm"] == 1_000_000 * r["n_obs"] - r["exp_micro"]
+        if r["exp_micro"] > 0:
+            assert r["chi2_term"] == r["dev_ppm"] ** 2 // r["exp_micro"]
+        else:
+            assert r["chi2_term"] is None
