@@ -557,3 +557,47 @@ def test_benford_property_random_orders(spark, tmp_path_factory, rows):
             assert r["chi2_term"] == r["dev_ppm"] ** 2 // r["exp_micro"]
         else:
             assert r["chi2_term"] is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tiny_orders())
+def test_topk_with_ties_property(spark, tmp_path_factory, rows):
+    import os
+
+    import numpy as np
+
+    from trace_parquet_spark.plans.relational_more import (
+        TOPK_TIES_K,
+        topk_with_ties,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("ties"))
+    # force heavy ties: quantize totals to a 4-value grid
+    rows = [
+        (k, c, s, float((int(p) % 4 + 1) * 100), d, pr)
+        for k, c, s, p, d, pr in rows
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "orders.parquet")
+    )
+    out = topk_with_ties(spark, tmpdir).collect()
+    all_cents = [int(np.floor(p * 100 + 0.5)) for _, _, _, p, _, _ in rows]
+    # rank(r) <= K  <=>  fewer than K rows have a strictly greater value
+    expect = sorted(
+        k
+        for (k, _, _, p, _, _), c in zip(
+            rows, (int(np.floor(p * 100 + 0.5)) for _, _, _, p, _, _ in rows)
+        )
+        if sum(1 for o in all_cents if o > c) < TOPK_TIES_K
+    )
+    assert sorted(r["o_orderkey"] for r in out) == expect
+    # rank values are dense-free (gaps allowed) but bounded by K
+    assert all(1 <= r["rk"] <= TOPK_TIES_K for r in out)
