@@ -133,11 +133,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle relation minus hot shingles (document frequency >
-    SHINGLE_DF_CAP). The hot set is the heavy-hitter tail — small by
-    construction (≤ |shingles|/cap), so it broadcasts and the removal
-    is a broadcast anti-join, not a shuffle. All pairing, minhash
-    signatures, and Jaccard sizes downstream use this capped relation,
-    so similarity is computed over the same universe in both engines.
+    SHINGLE_DF_CAP). The hot set is the heavy-hitter tail — usually
+    small (≤ |shingles|/cap), but that bound grows linearly with
+    corpus token mass, so on a boilerplate-heavy 100 TB crawl it can
+    reach 1e8+ shingles: NO forced broadcast — size/AQE decides (the
+    streaming twin, dedup_stream.py, applies the same rule). All
+    pairing, minhash signatures, and Jaccard sizes downstream use this
+    capped relation, so similarity is computed over the same universe
+    in both engines.
     """
     sh = _doc_shingles(spark, sf_dir)
     hot = (
@@ -146,7 +149,7 @@ def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    return sh.join(hot, "s", "left_anti")
 
 
 _SHINGLES_CTE = f"""
@@ -261,7 +264,7 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = track_cache(
         dfreq.filter(F.col("df") > SHINGLE_DF_CAP).select("s")
     )  # tiny; prefixes and verification must agree on the capped universe
-    sh = sh_full.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh_full.join(hot, "s", "left_anti")
 
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -311,7 +314,7 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
         cand_docs, "doc_id", "left_semi"
     )
-    sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
+    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     # restrict the co-shingle pairs to CANDIDATE pairs before the
@@ -460,7 +463,7 @@ def _minhash_pairs(
         .select("s")
         .transform(track_cache)  # tiny heavy-hitter set; two consumers must agree
     )
-    sh_capped = sh_full.join(F.broadcast(hot), "s", "left_anti")
+    sh_capped = sh_full.join(hot, "s", "left_anti")
     bands = _band_signatures(minhash_signatures(sh_capped))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -493,7 +496,7 @@ def _minhash_pairs(
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
         cand_docs, "doc_id", "left_semi"
     )
-    sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
+    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     # semi-join the co-shingle pair keys against candidates BEFORE the
@@ -1032,7 +1035,7 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    sh_capped = sh_full.join(F.broadcast(hot), "s", "left_anti")
+    sh_capped = sh_full.join(hot, "s", "left_anti")
     sig = track_cache(minhash_signatures(sh_capped))
     bands = _band_signatures(sig)
     a = bands.alias("a")
@@ -1057,7 +1060,7 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
         cand_docs, "doc_id", "left_semi"
     )
-    sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
+    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     inter = (

@@ -62,7 +62,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
         .transform(track_cache)  # tiny; signatures and verification must agree on it
     )
-    sh_capped = sh_full.join(F.broadcast(hot), "s", "left_anti")
+    sh_capped = sh_full.join(hot, "s", "left_anti")
     bands = _band_signatures(minhash_signatures(sh_capped)).crossJoin(
         F.broadcast(cut)
     )
@@ -92,7 +92,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs_c = docs.join(cand_docs, "doc_id", "left_semi")
-    sh_c = _shingles_of(docs_c).join(F.broadcast(hot), "s", "left_anti")
+    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     # candidate-pair restriction BEFORE the aggregation — verification

@@ -239,7 +239,10 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = part.filter(F.length("p_name") <= _FUZZY_SHORT_LEN)
     sa = short.select(F.col("p_partkey").alias("key_a"))
     sb = short.select(F.col("p_partkey").alias("key_b"))
-    cand_short = sa.join(F.broadcast(sb), F.col("key_a") < F.col("key_b"))
+    # no forced broadcast: the short-name subset scales with the part
+    # table on real data — size/AQE decides (tiny here under the
+    # constant FUZZY_KEY_MAX cap, so locally identical plan)
+    cand_short = sa.join(sb, F.col("key_a") < F.col("key_b"))
     cands = cand_grams.union(cand_short).distinct()
     a = part.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")

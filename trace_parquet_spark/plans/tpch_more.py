@@ -183,8 +183,11 @@ WHERE p_brand = 'Brand#1'
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds a threshold
     (HAVING over the lineitem aggregate), joined to customers.
-    The HAVING filter collapses lineitem to a tiny key set before
-    any wide join — the aggregate side broadcasts."""
+    The HAVING filter collapses lineitem before any wide join, but the
+    surviving key set (and customer) scale linearly with SF — no
+    forced broadcast; size/AQE decides (the classic Q18 plan shuffles
+    here at scale, and locally Spark still auto-broadcasts under the
+    threshold)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -194,8 +197,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 220)
     )
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
