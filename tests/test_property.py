@@ -542,10 +542,13 @@ def test_benford_property_random_orders(spark, tmp_path_factory, rows):
     assert [r["digit"] for r in out] == list(range(1, 10))
     from collections import Counter
 
+    # model mirrors the cents-grid population rule: rows flooring to
+    # v=0 (0 < p < 0.005) have no first digit and are excluded from
+    # both the digit cells and n_tot
     obs = Counter(
         int(str(int(np.floor(p * 100 + 0.5)))[0])
         for _, _, _, p, _, _ in rows
-        if p > 0
+        if p > 0 and int(np.floor(p * 100 + 0.5)) >= 1
     )
     n = sum(obs.values())
     for r in out:

@@ -802,10 +802,15 @@ def test_k_anonymity_and_dp_release(spark, sf_dir):
         assert r["k_ok"] == (n >= forget.K_ANON)
         assert r["l_ok"] == (len(users) >= forget.L_DIV)
 
-    # DP release: exact replay of the seeded Laplace draw
-    dp = {r["event_type"]: r for r in forget.dp_noisy_event_counts(spark, sf_dir).collect()}
+    # DP release: exact replay of the seeded Laplace draw; the real
+    # API refuses to run without a secret (mechanism is only private
+    # when keyed by a curator-held value)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="secret"):
+        forget.dp_noisy_event_counts(spark, sf_dir)
+    dp = {r["event_type"]: r for r in forget.dp_laplace_demo(spark, sf_dir).collect()}
     for et, r in dp.items():
-        h = int(hashlib.md5(f"dp:{et}".encode()).hexdigest()[:8], 16)
+        h = int(hashlib.md5(f"dp:{forget.DP_DEMO_SEED}:{et}".encode()).hexdigest()[:8], 16)
         u = (h + 0.5) / 4294967296.0
         t = 1.0 - 2.0 * abs(u - 0.5)
         lnm = int(np.floor(np.log(t) * 1e6 + 0.5))
@@ -826,7 +831,7 @@ ROUND7_NEW_QUERIES = [
     "vocab_growth_by_source", "zipf_fit_tokens", "kaplan_meier_conversion",
     "logrank_cohort_test", "rfm_segments", "clustering_coefficient",
     "sssp_trade_costs", "pca_project_embeddings", "k_anonymity_audit",
-    "dp_noisy_event_counts", "cms_join_size_estimate",
+    "dp_laplace_demo", "cms_join_size_estimate",
     "attribution_markov_removal", "lift_table_deciles", "score_auc",
     "forecast_baseline_mase", "langid_confusion", "cluster_capped_sample",
     "watermark_lateness_profile", "incremental_join_retractions",

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from trace_parquet_spark.operators.heavy_hitters import CAPACITY, TOPK
 from trace_parquet_spark.streaming.heavy_stream import (
+    compact_heavy_state,
     finalize,
+    heavy_committed_through,
     ingest_batch,
     run_heavy_stream,
 )
@@ -92,6 +94,32 @@ def test_sketch_state_stays_bounded(spark, tmp_path):
         ingest_batch(spark, state, _drop(spark, b), b)
         n = spark.read.parquet(f"{state}/mg/b{b}").count()
         assert n <= CAPACITY
+
+
+def test_compaction_bounds_dirs_and_preserves_finalize(spark, tmp_path):
+    """12-batch run: compaction must bound the state dir count (mg
+    grows one cumulative snapshot per batch without it), leave the
+    possibly-replaying frontier batch untouched, and change nothing
+    about finalize's exact top-k."""
+    state = str(tmp_path / "state")
+    drops = [_drop(spark, s, n_docs=6) for s in range(12)]
+    for b, d in enumerate(drops):
+        ingest_batch(spark, state, d, b)
+    before = [(r.token, r.n) for r in finalize(spark, state).collect()]
+    assert heavy_committed_through(state) == 10
+    compact_heavy_state(spark, state)
+    for fam in ("mg", "docs"):
+        dirs = sorted(os.listdir(f"{state}/{fam}"))
+        # one compacted dir + the frontier batch that may still replay
+        assert dirs == ["b11", "c10"], dirs
+    after = [(r.token, r.n) for r in finalize(spark, state).collect()]
+    assert after == before
+    # replay of the frontier batch after compaction is still idempotent
+    ingest_batch(spark, state, drops[11], 11)
+    assert [(r.token, r.n) for r in finalize(spark, state).collect()] == before
+    # and a second compaction pass is a no-op at the same watermark
+    compact_heavy_state(spark, state)
+    assert [(r.token, r.n) for r in finalize(spark, state).collect()] == before
 
 
 def test_many_batches_numeric_dir_order(spark, tmp_path):

@@ -154,14 +154,31 @@ ORACLES["k_anonymity_audit"] = K_ANON_SQL
 DP_B = 1  # Laplace SCALE b = sensitivity/epsilon (sens 1, eps 1)
 
 
-def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Published seed for the ORACLE-GATEABLE demo registry entry. A
+#: release keyed by a public seed is NOT private — anyone can recompute
+#: the noise — which is exactly why the demo entry is named
+#: ``dp_laplace_demo`` and the real API below refuses to run without a
+#: caller-supplied secret.
+DP_DEMO_SEED = "public-demo-seed"
+
+
+def dp_noisy_event_counts(
+    spark: SparkSession, sf_dir: str, secret: str | None = None
+) -> DataFrame:
     """Differentially-private count release per event type via the
-    Laplace mechanism — made DETERMINISTIC (and therefore cross-engine
-    gateable) by drawing the uniform from the repo's md5 hash family
-    instead of an RNG: u = (h + 0.5)/2³², then the standard inverse-
-    CDF draw noise = −sgn(u−½)·b·ln(1 − 2|u−½|). In production the
-    hash input includes a release nonce; the mechanism, sensitivity
-    accounting, and grid are what this operator demonstrates.
+    Laplace mechanism, derandomized through a keyed hash: the uniform
+    is u = (h + 0.5)/2³² with h = md5-hash32("dp:" + secret + ":" +
+    group key), then the standard inverse-CDF draw
+    noise = −sgn(u−½)·b·ln(1 − 2|u−½|).
+
+    The mechanism is private ONLY if ``secret`` is an unguessable
+    value known solely to the data curator (the noise is a
+    deterministic function of (secret, group key); a public or absent
+    secret lets anyone recompute the noise and recover exact counts).
+    It is therefore MANDATORY — this function fails loudly without it.
+    The registry/demo twin ``dp_laplace_demo`` pins the published
+    ``DP_DEMO_SEED`` so DuckDB can gate the arithmetic, and is named
+    so it cannot be mistaken for an actual DP release.
 
     Exactness: u and 1−2|u−½| are one fixed double chain from an
     integer hash; the ln lands on the micro-nat grid; the released
@@ -170,9 +187,19 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-agg count plus per-row-of-5 hash arithmetic."""
     from ..functions.hashing import stable_hash32
 
+    if not secret:
+        raise ValueError(
+            "dp_noisy_event_counts requires a non-empty secret seed: "
+            "without a secret the Laplace noise is recomputable by "
+            "anyone and the release provides zero privacy. Pass "
+            "secret=<curator-held value>, or use dp_laplace_demo if "
+            "you only want the deterministic mechanism demo."
+        )
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(F.count("*").alias("n_true"))
-    h = stable_hash32(F.concat(F.lit("dp:"), F.col("event_type")))
+    h = stable_hash32(
+        F.concat(F.lit(f"dp:{secret}:"), F.col("event_type"))
+    )
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     t = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
     ln_micro = F.floor(F.log(t) * F.lit(1e6) + F.lit(0.5)).cast("long")
@@ -192,7 +219,7 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..functions.hashing import stable_hash32_sql as _sh32_sql  # noqa: E402
 
-_DP_HASH = _sh32_sql("'dp:' || event_type")
+_DP_HASH = _sh32_sql(f"'dp:{DP_DEMO_SEED}:' || event_type")
 
 DP_SQL = f"""
 WITH g AS (
@@ -216,5 +243,14 @@ FROM n
 ORDER BY event_type
 """
 
-QUERIES["dp_noisy_event_counts"] = dp_noisy_event_counts
-ORACLES["dp_noisy_event_counts"] = DP_SQL
+def dp_laplace_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Laplace-mechanism DEMO keyed by the published
+    DP_DEMO_SEED — NOT a private release (the seed is public, so the
+    noise is recomputable); exists to oracle-gate the mechanism's
+    arithmetic. For an actual DP release call dp_noisy_event_counts
+    with a curator-held secret."""
+    return dp_noisy_event_counts(spark, sf_dir, secret=DP_DEMO_SEED)
+
+
+QUERIES["dp_laplace_demo"] = dp_laplace_demo
+ORACLES["dp_laplace_demo"] = DP_SQL

@@ -888,8 +888,18 @@ def benford_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps zero-observed digits defined."""
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     v = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    # population is defined on the CENTS grid in BOTH engines: a row
+    # with 0 < price < 0.005 floors to v=0, which has no first digit
+    # in 1..9 — filtering v >= 1 here and in the oracle keeps the
+    # digit cells and n_tot computed over the identical row set
     obs = (
-        orders.select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        orders.select(v.alias("v"))
+        .where(F.col("v") >= 1)
+        .select(
+            F.substring(F.col("v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
         .groupBy("digit")
         .agg(F.count("*").alias("n_obs"))
     )
@@ -934,8 +944,11 @@ def benford_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENFORD_SQL = """
 WITH o AS (
+  -- cents-grid population, identical to the Spark side: v >= 1 drops
+  -- sub-half-cent rows that have no first digit in 1..9
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-  FROM orders WHERE o_totalprice > 0
+  FROM orders
+  WHERE o_totalprice > 0 AND floor(o_totalprice * 100 + 0.5) >= 1
 ), obs AS (
   SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n_obs

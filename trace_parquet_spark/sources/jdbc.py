@@ -14,6 +14,8 @@ through the same ``scan_trace_param`` signature.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +101,79 @@ def _jdbc_scalar(spark: SparkSession, url: str, sql: str):
         conn.close()
 
 
+def _bind(ps, params) -> None:
+    """Bind positional params: str → setString, int → setLong."""
+    for i, p in enumerate(params, start=1):
+        if isinstance(p, str):
+            ps.setString(i, p)
+        else:
+            ps.setLong(i, int(p))
+
+
+def _jdbc_exec_params(spark: SparkSession, url: str, sql: str, params) -> None:
+    """Execute with a PreparedStatement and bound parameters — the
+    only safe way to carry caller-supplied VALUES (app names, batch
+    ids): string interpolation would let a quote in the app name break
+    the marker statements and silently defeat the exactly-once
+    protocol. Identifiers (table names) cannot be bound in JDBC; they
+    are validated against _IDENT_RE instead."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        ps = conn.prepareStatement(sql)
+        try:
+            _bind(ps, params)
+            ps.execute()
+        finally:
+            ps.close()
+    finally:
+        conn.close()
+
+
+def _jdbc_scalar_params(spark: SparkSession, url: str, sql: str, params):
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        ps = conn.prepareStatement(sql)
+        try:
+            _bind(ps, params)
+            rs = ps.executeQuery()
+            try:
+                return rs.getLong(1) if rs.next() else None
+            finally:
+                rs.close()
+        finally:
+            ps.close()
+    finally:
+        conn.close()
+
+
+#: Identifier whitelist for names that must be spliced into SQL text
+#: (table names — JDBC cannot bind identifiers).
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_]+$")
+#: App names travel only as bound parameters, so quoting is safe; the
+#: charset/length check just keeps them inside the VARCHAR(64) marker
+#: column and out of log-forgery territory.
+_APP_RE = re.compile(r"^[A-Za-z0-9_.:-]{1,64}$")
+
+
+def _require_ident(kind: str, value: str) -> str:
+    if not _IDENT_RE.match(value or ""):
+        raise ValueError(
+            f"{kind} {value!r} must match [A-Za-z0-9_]+ — it is spliced "
+            "into SQL statements and anything else would corrupt the "
+            "exactly-once marker protocol"
+        )
+    return value
+
+
+def _require_app(value: str) -> str:
+    if not _APP_RE.match(value or ""):
+        raise ValueError(
+            f"app {value!r} must match [A-Za-z0-9_.:-]{{1,64}} (it is "
+            "stored in the VARCHAR(64) marker column)"
+        )
+    return value
+
+
 def _ensure_table(spark: SparkSession, url: str, ddl: str) -> None:
     """CREATE TABLE, tolerating Derby's 'already exists' (X0Y32 — the
     engine has no IF NOT EXISTS)."""
@@ -131,7 +206,11 @@ def jdbc_sink_batch(
 
     Scale: the data write is Spark's ordinary partitioned JDBC
     append; control statements are three single-row/driver-side SQL
-    round-trips per micro-batch."""
+    round-trips per micro-batch (PreparedStatement-bound values; table
+    and app names validated against [A-Za-z0-9_]+ at entry because
+    identifiers cannot be bound)."""
+    _require_ident("table", table)
+    _require_app(app)
     _ensure_table(
         spark,
         url,
@@ -139,11 +218,11 @@ def jdbc_sink_batch(
         "(app VARCHAR(64) NOT NULL, batch_id BIGINT NOT NULL, "
         f"PRIMARY KEY (app, batch_id))",
     )
-    seen = _jdbc_scalar(
+    seen = _jdbc_scalar_params(
         spark,
         url,
-        f"SELECT count(*) FROM {table}_markers "
-        f"WHERE app = '{app}' AND batch_id = {batch_id}",
+        f"SELECT count(*) FROM {table}_markers WHERE app = ? AND batch_id = ?",
+        (app, batch_id),
     )
     if seen:
         return False
@@ -151,7 +230,7 @@ def jdbc_sink_batch(
         "sink_batch_id", F.lit(batch_id).cast("long")
     )
     try:
-        _jdbc_exec(
+        _jdbc_exec_params(
             spark,
             url,
             # Spark's JDBC writer creates QUOTED lower-case columns;
@@ -159,8 +238,9 @@ def jdbc_sink_batch(
             # Spark's Derby dialect writes StringType as CLOB, which
             # cannot compare to a CHAR literal without a cast
             f'DELETE FROM {table} '
-            f'WHERE CAST("sink_app" AS VARCHAR(64)) = \'{app}\' '
-            f'AND "sink_batch_id" = {batch_id}',
+            f'WHERE CAST("sink_app" AS VARCHAR(64)) = ? '
+            f'AND "sink_batch_id" = ?',
+            (app, batch_id),
         )
         table_exists = True
     except Exception as e:  # noqa: BLE001 — first batch creates the table
@@ -172,10 +252,11 @@ def jdbc_sink_batch(
     ).option("url", url).option("dbtable", table).option(
         "driver", driver
     ).save()
-    _jdbc_exec(
+    _jdbc_exec_params(
         spark,
         url,
-        f"INSERT INTO {table}_markers VALUES ('{app}', {batch_id})",
+        f"INSERT INTO {table}_markers VALUES (?, ?)",
+        (app, batch_id),
     )
     return True
 

@@ -37,7 +37,8 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -471,6 +472,7 @@ def merge_stream_batch(
     key: str,
     app: str,
     batch_id: int,
+    order_col: str | None = None,
 ) -> dict | None:
     """Exactly-once foreachBatch MERGE: the streaming-upsert half of
     append_stream_batch — a replayed micro-batch whose (app,
@@ -479,9 +481,39 @@ def merge_stream_batch(
     once even across crash/replay (the non-append case is where this
     matters most: re-running a MERGE is NOT naturally idempotent when
     later batches updated the same keys in between). Returns the
-    merge report, or None when the batch was already applied."""
+    merge report, or None when the batch was already applied.
+
+    A realistic CDC micro-batch can carry SEVERAL updates to one key;
+    merge_upsert (left_anti + union) would land them all as duplicate
+    rows. So the batch is first collapsed to one row per key: with
+    ``order_col`` the greatest value wins (row_number DESC — supply a
+    strictly-increasing version/ts column; order_col ties within one
+    key pick an arbitrary winner); without it, multiple rows per key
+    are a contract violation and fail loudly rather than corrupting
+    the table."""
     if txn_committed(table, app, batch_id):
         return None
+    if order_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dup = (
+            df.groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_stream_batch: batch {batch_id} has multiple rows "
+                f"for key {dup[0][0]!r}; pass order_col=<version column> "
+                "to keep the latest per key, or pre-dedupe the batch"
+            )
     if latest_version(table) is None:
         # bootstrap: the first batch creates the table — a txn-marked
         # append with key stats so later merges can prune files
@@ -499,11 +531,15 @@ def run_merge_stream(
     checkpoint_dir: str,
     app: str = "merge-stream",
     max_files_per_trigger: int = 1,
+    order_col: str | None = None,
 ):
     """Stream a parquet-file source of updates into a logged table as
     exactly-once MERGE upserts — latest version of each key wins
     within the stream's arrival order (per-batch atomicity from the
-    log commit; idempotence from the txn markers)."""
+    log commit; idempotence from the txn markers). Pass ``order_col``
+    when a micro-batch may carry several updates to one key: the
+    greatest order_col value per key is kept (see
+    merge_stream_batch); without it such a batch fails loudly."""
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -511,7 +547,9 @@ def run_merge_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_stream_batch(spark, batch_df, table, key, app, batch_id)
+        merge_stream_batch(
+            spark, batch_df, table, key, app, batch_id, order_col=order_col
+        )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -267,12 +267,20 @@ def drift_committed_through(state_dir: str) -> int | None:
     """Highest batch id that can no longer replay: foreachBatch
     commits batch N's offsets before batch N+1 starts, so everything
     strictly below the newest state batch is final (the dedup-stream
-    contract)."""
-    root = os.path.join(state_dir, "hist")
-    if not os.path.isdir(root):
-        return None
-    bids = [int(d[1:]) for d in os.listdir(root) if d[1:].isdigit()]
-    return max(bids) - 1 if bids else None
+    contract). The watermark is the max across WHICHEVER state
+    families exist — a deployment running only the CUSUM monitor (no
+    KS ingest, so no ``hist`` dir) must still compact cusum/cusumrep
+    state; each family's own monitor writes per batch, so its newest
+    dir is the same frontier."""
+    best = None
+    for name in ("hist", "cusum"):
+        root = os.path.join(state_dir, name)
+        if not os.path.isdir(root):
+            continue
+        bids = [int(d[1:]) for d in os.listdir(root) if d[1:].isdigit()]
+        if bids:
+            best = max(bids) if best is None else max(best, max(bids))
+    return best - 1 if best is not None else None
 
 
 def compact_drift_state(

@@ -137,6 +137,68 @@ def finalize(spark: SparkSession, state_dir: str, below: int | None = None) -> D
     )
 
 
+def heavy_committed_through(state_dir: str) -> int | None:
+    """Highest batch id that can no longer replay (the dedup-stream
+    contract: foreachBatch commits batch N's offsets before N+1
+    starts, so only the newest on-disk batch may replay)."""
+    root = os.path.join(state_dir, "mg")
+    if not os.path.isdir(root):
+        return None
+    ids = [
+        int(d[1:])
+        for d in os.listdir(root)
+        if d[:1] in ("b", "c") and d[1:].isdigit()
+    ]
+    return max(ids) - 1 if ids else None
+
+
+def compact_heavy_state(
+    spark: SparkSession, state_dir: str, through: int | None = None
+) -> None:
+    """Bound the sketch/corpus state-dir growth on unbounded streams —
+    the same chore dedup_stream.compact_state and
+    drift_stream.compact_drift_state perform, so the heavy-hitter
+    family keeps the identical operational contract: ``mg`` holds
+    CUMULATIVE ≤CAPACITY-row snapshots (only the newest matters —
+    rewritten as ``c{N}``, superseded dirs dropped), ``docs`` is the
+    append-union corpus store (merged into one ``c{N}``). Only
+    batches that can no longer replay are touched; readers resolve
+    c ∪ later-b dirs to identical rows, so ``finalize`` output is
+    unchanged (pinned in tests/test_streaming_heavy.py). Crash-safe:
+    tmp-write, atomic rename, then cleanup."""
+    import shutil
+
+    if through is None:
+        through = heavy_committed_through(state_dir)
+    if through is None or through < 0:
+        return
+
+    def swap_in(merged: DataFrame, root: str) -> None:
+        tmp = os.path.join(root, f"tmp_c{through}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = os.path.join(root, f"c{through}")
+        os.rename(tmp, final)
+        for d in os.listdir(root):
+            if (
+                d[:1] in ("b", "c")
+                and d[1:].isdigit()
+                and int(d[1:]) <= through
+                and os.path.join(root, d) != final
+            ):
+                shutil.rmtree(os.path.join(root, d))
+
+    for name, schema, snapshot in (
+        ("mg", _MG_SCHEMA, True),
+        ("docs", DOC_SCHEMA, False),
+    ):
+        root = os.path.join(state_dir, name)
+        dirs = _batch_dirs(state_dir, name, through + 1)
+        if not dirs or dirs == [os.path.join(root, f"c{through}")]:
+            continue
+        src = [dirs[-1]] if snapshot else dirs
+        swap_in(spark.read.schema(schema).parquet(*src), root)
+
+
 def run_heavy_stream(
     spark: SparkSession,
     source_dir: str,
