@@ -169,6 +169,8 @@ HEADLINE = [
     "incremental_join_retractions",
     "nelson_aalen_hazard",
     "topk_with_ties",
+    # round-13 additions (judge round 6): baseline JPEG codec
+    "jpeg_decode_roundtrip",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

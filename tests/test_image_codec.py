@@ -440,3 +440,148 @@ def test_property_gif_roundtrip(h, w, ncol, seed):
     pal = rs.randint(0, 256, (ncol, 3)).astype(np.uint8)
     px = pal[rs.randint(0, ncol, (h, w))]
     assert (decode_image(encode_gif(px)) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+from trace_parquet_spark.operators import jpeg as J  # noqa: E402
+
+
+def _oracle_quant():
+    q = J.QUANT_LUMA.copy()
+    q[0] = 8
+    return q
+
+
+def test_jpeg_entropy_stage_is_lossless():
+    """Zigzag → DC prediction → magnitude categories → Huffman → byte
+    stuffing must round-trip quantized coefficient blocks BIT-EXACT —
+    this is the stage that makes a lossy codec deterministic, and it
+    covers EOB, ZRL (runs > 15), and every size category the Annex K
+    tables define."""
+    rs = np.random.RandomState(11)
+    # sparse blocks (long zero runs → ZRL/EOB) + a dense block + an
+    # all-zero block + extreme DC swings (largest DC categories)
+    blocks = (rs.randint(-1000, 1000, (40, 64))
+              * (rs.rand(40, 64) < 0.15)).astype(np.int64)
+    blocks[7] = rs.randint(-1000, 1000, 64)
+    blocks[9] = 0
+    blocks[12, 0], blocks[13, 0] = 1016, -1024
+    dc = J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac = J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    w = J._BitWriter()
+    J._entropy_encode_plane(w, blocks, dc, ac, 0)
+    data = w.flush() + b"\xff\xd9"
+    out = np.zeros_like(blocks)
+    J._entropy_decode_plane(
+        J._BitReader(data, 0),
+        len(blocks),
+        J._build_decode_map(J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        J._build_decode_map(J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+        0,
+        out,
+    )
+    assert np.array_equal(blocks, out)
+
+
+def test_jpeg_constant_blocks_pixel_exact():
+    """Constant 8×8 blocks (DC-only spectrum) with DC quantizer 8
+    survive the FULL encode→decode chain pixel-exact — the subspace
+    the oracle-gated jpeg_decode_roundtrip relies on. Every possible
+    byte value must hold, not just a sample."""
+    q = _oracle_quant()
+    vals = np.arange(256, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(16, 16), 8, 0), 8, 1)
+    out = J.decode_jpeg(J.encode_jpeg(img, quant_luma=q))
+    assert out.shape == (128, 128, 1)
+    assert np.array_equal(out[..., 0], img)
+
+
+def test_jpeg_lossy_error_is_quantization_bounded():
+    """Arbitrary content with an all-ones quant table loses only the
+    per-coefficient rounding (≤ 0.5 each) through the IDCT — a few
+    grey levels at most. Distinguishes a working lossy codec from a
+    broken one without demanding bit-exactness the format can't give."""
+    rs = np.random.RandomState(3)
+    q1 = np.ones(64, dtype=np.int64)
+    img = rs.randint(0, 256, (24, 32)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quant_luma=q1))
+    assert np.abs(out[..., 0].astype(int) - img.astype(int)).max() <= 2
+    rgb = rs.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(rgb, quant_luma=q1, quant_chroma=q1))
+    # color adds YCbCr round-trip rounding on top of the DCT rounding
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_annexk_smooth_content_plausible():
+    """Default Annex K (quality-50) tables on smooth content: small
+    error, real compression — the behavior profile of an actual JPEG
+    encoder, pinned loosely so table regressions surface."""
+    y, x = np.mgrid[0:32, 0:32]
+    img = np.clip(
+        np.round(
+            np.stack(
+                [120 + 40 * np.sin(x / 6), 90 + 30 * np.cos(y / 5), 100 + x + y],
+                -1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    payload = J.encode_jpeg(img)
+    out = J.decode_jpeg(payload)
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.mean() < 5 and diff.max() < 32
+    assert len(payload) < img.size // 2  # actually compresses
+
+
+def test_jpeg_dispatch_and_marker_structure():
+    """decode_image routes on the FFD8 magic; the stream carries the
+    JFIF APP0, SOF0, and EOI markers where the spec puts them."""
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    payload = J.encode_jpeg(img, quant_luma=_oracle_quant())
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    assert payload[2:4] == b"\xff\xe0" and payload[6:11] == b"JFIF\x00"
+    assert b"\xff\xc0" in payload  # baseline SOF0
+    assert (decode_image(payload) == 77).all()
+
+
+def test_jpeg_rejects_unsupported_streams():
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    payload = bytearray(J.encode_jpeg(img))
+    # flip SOF0 → SOF2 (progressive)
+    i = bytes(payload).index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x00\x01\x02")
+    # subsampled chroma declared in SOF is refused, not mis-decoded
+    payload = bytearray(J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = bytes(payload).index(b"\xff\xc0")
+    # SOF0 layout: FF C0 len(2) prec h(2) w(2) ncomp, then per-comp
+    # (cid, sampling, qid) — Y's sampling byte sits at i+11
+    payload[i + 11] = 0x22  # Y sampling 2x2
+    with pytest.raises(ValueError, match="subsampled"):
+        J.decode_jpeg(bytes(payload))
+    # restored sampling decodes again — the reject was the SOF field
+    payload[i + 11] = 0x11
+    assert decode_image(bytes(payload)).shape == (8, 8, 3)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(1, 3).map(lambda k: k * 8),
+    st.integers(1, 3).map(lambda k: k * 8),
+    st.integers(0, 10_000),
+)
+def test_property_jpeg_block_constant_roundtrip(h, w, seed):
+    """Any block-constant grayscale image of any 8-divisible shape is
+    exact through the oracle quant table."""
+    rs = np.random.RandomState(seed)
+    vals = rs.randint(0, 256, (h // 8, w // 8)).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    out = J.decode_jpeg(J.encode_jpeg(img, quant_luma=_oracle_quant()))
+    assert np.array_equal(out[..., 0], img)

@@ -4,10 +4,12 @@ Mirrors how a 100 TB multimodal corpus is laid out: one ``binary``
 column per modality plus a metadata struct, processed by
 Arrow-batched ``mapInPandas`` stages. The decode step is REAL for the
 uncompressed formats a pure-numpy decoder can handle — binary PPM/PGM
-(P6/P5) and uncompressed 24-bit BMP via ``decode_image`` — AND for one
-real compressed format: baseline PNG (stdlib zlib DEFLATE + all five
-scanline filters, pure numpy otherwise). The same seam accepts a
-full codec library (Pillow/ffmpeg) when one is present:
+(P6/P5) and uncompressed 24-bit BMP via ``decode_image`` — AND for the
+compressed formats implemented from their public specs: baseline PNG
+(stdlib zlib DEFLATE + all five scanline filters), GIF89a (LZW), and
+baseline JPEG (pure-numpy DCT + Annex K Huffman, operators/jpeg.py).
+The same seam accepts a full codec library (Pillow/ffmpeg) when one
+is present:
 
 - ``decode_image`` sniffs the magic bytes and returns an H×W×C uint8
   numpy array (the contract a real codec stage would satisfy);
@@ -159,6 +161,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(b)
     if b[:4] == b"GIF8":
         return _decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise ValueError(f"unrecognized image magic {b[:2]!r}")
 
 
@@ -1395,3 +1401,156 @@ ORDER BY doc_id
 
 QUERIES["gif_decode_roundtrip"] = gif_decode_roundtrip
 ORACLES["gif_decode_roundtrip"] = GIF_ROUNDTRIP_SQL
+
+
+# --------------------------------------------------------------------------
+# JPEG: baseline DCT + Huffman (operators/jpeg.py), oracle-gated on the
+# mathematically-exact subspace
+# --------------------------------------------------------------------------
+
+#: Oracle-gated JPEG quantization: Annex K luminance with the DC step
+#: forced to 8, so a constant 8×8 block value v (DC spectrum 8·(v−128))
+#: quantizes to exactly v−128 and survives encode→decode pixel-exact —
+#: the subspace where a LOSSY codec admits an exact cross-engine oracle.
+_JPEG_Q = None
+
+
+def _jpeg_quant() -> np.ndarray:
+    global _JPEG_Q
+    if _JPEG_Q is None:
+        from .jpeg import QUANT_LUMA
+
+        q = QUANT_LUMA.copy()
+        q[0] = 8
+        _JPEG_Q = q
+    return _JPEG_Q
+
+
+_JPEG_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("mean_micro", T.LongType(), False),
+        T.StructField("pixel_md5", T.StringType(), False),
+    ]
+)
+
+
+def _block_pixels(data: bytes) -> np.ndarray:
+    """Deterministic 16×16 GRAYSCALE image from arbitrary bytes: each
+    of the four 8×8 blocks is the constant byte[b mod L] (row-major
+    block order b ∈ 0..3). Constant blocks put the whole signal in the
+    DC coefficient — the subspace where baseline JPEG is exactly
+    lossless with a DC quantizer of 8 — so the decoded pixels are a
+    pure function of the text bytes that DuckDB re-derives without a
+    JPEG container."""
+    vals = np.frombuffer((data * 4)[:4], dtype=np.uint8)
+    return np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
+
+
+def jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lossy-codec sibling of ``png_decode_roundtrip``: each
+    document's bytes render a 16×16 grayscale image of four constant
+    8×8 blocks, serialized through the REAL baseline JPEG codec
+    (pure-numpy DCT, Annex K Huffman tables, JFIF markers,
+    operators/jpeg.py) and decoded back through the magic-bytes seam.
+    Constant blocks have a DC-only spectrum, and with the DC quantizer
+    pinned to 8 the chain is mathematically exact — so the DuckDB
+    oracle can re-derive mean + pixel md5 from the text bytes alone
+    and a hash match certifies markers, Huffman DC coding, byte
+    stuffing, dequantization, and the IDCT pixel-for-pixel. (The AC /
+    run-length / EOB machinery is pinned coefficient-exact in
+    tests/test_image_codec.py — lossy content can't be oracle-hashed
+    across engines by construction.) Same two-stage Arrow-batched
+    mapInPandas shape: no shuffle between encode and decode, payloads
+    never leave the executor."""
+    import hashlib
+
+    from .jpeg import encode_jpeg
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = _jpeg_quant()
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append("jpeg")
+                out["payload"].append(
+                    encode_jpeg(_block_pixels(data), quant_luma=q)
+                )
+            yield pd.DataFrame(out)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "channels",
+                "mean_micro", "pixel_md5",
+            )}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                px = decode_image(payload)  # magic-bytes seam → H×W×1
+                h, w, c = px.shape
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_micro"].append(
+                    int(px.sum(dtype=np.int64)) * 1_000_000 // (h * w)
+                )
+                out["pixel_md5"].append(
+                    hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    n = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+        .select("doc_id", "text")
+    )
+    blobs = docs.mapInPandas(encode, _IMG_SCHEMA)
+    return blobs.mapInPandas(decode, _JPEG_RT_SCHEMA).orderBy("doc_id")
+
+
+# Container-free derivation: pixel p (row-major over 16×16) belongs to
+# block b = (p div 16 div 8)·2 + (p mod 16) div 8, whose constant value
+# is text byte b mod L — the oracle never sees a JPEG container, so a
+# hash match certifies the codec, not the plumbing.
+JPEG_ROUNDTRIP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         lower(hex(encode(text)))   AS hx
+  FROM documents WHERE length(text) > 0
+), px AS (
+  SELECT doc_id, L, hx, unnest(generate_series(0, {_PX_PER_CH - 1})) AS p
+  FROM d
+), byt AS (
+  SELECT doc_id, p,
+         substr(hx, 2 * ((((p // {IMG_W}) // 8) * 2 + (p % {IMG_W}) // 8) % L) + 1, 2) AS hb
+  FROM px
+)
+SELECT doc_id,
+       'jpeg' AS fmt,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(1 AS BIGINT)       AS channels,
+       CAST(sum(CAST(('0x' || hb) AS INT)) * 1000000 // {_PX_PER_CH}
+            AS BIGINT) AS mean_micro,
+       md5(string_agg(hb, '' ORDER BY p)) AS pixel_md5
+FROM byt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["jpeg_decode_roundtrip"] = jpeg_decode_roundtrip
+ORACLES["jpeg_decode_roundtrip"] = JPEG_ROUNDTRIP_SQL

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Spark's 1g default heap OOMs on the heaviest sf0.1 checks; local
+    # mode puts all executor threads in the driver JVM, so size it for
+    # the box unless the caller says otherwise.
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)
     for k, v in (extra_conf or {}).items():
