@@ -70,6 +70,7 @@ def _modules():
         ranking,
         repetition,
         sampling,
+        scrub,
         similarity,
         sketches,
         skew,
@@ -141,6 +142,7 @@ def _modules():
         multimodal,
         corpus_pipeline,
         sampling,
+        scrub,
         mixture,
         sketches,
         skew,
