@@ -1206,3 +1206,54 @@ def test_topk_with_ties_contract(spark, sf_dir):
         assert sum(
             v for (p, _), v in got_keys.items() if p == prio
         ) == expect_n  # everyone tying the K-th value survives
+
+
+def test_scrub_chunk_fertility_plans_stay_jvm(spark, sf_dir):
+    """The scrub wave (judge round 6) is regexp/generator/agg built-ins
+    only: no Python stage anywhere, chunking is one Generate (explode
+    of a sequence — per-row, no join), fertility is one partial agg."""
+    from trace_parquet_spark.operators import scrub
+
+    for name in (
+        "pii_scrub_docs",
+        "chunk_documents",
+        "tokenizer_fertility_by_source",
+    ):
+        plan = _plan(scrub.QUERIES[name](spark, sf_dir))
+        assert "Python" not in plan, name
+        assert "Join" not in plan, name
+    chunk_plan = _plan(scrub.chunk_documents(spark, sf_dir))
+    assert chunk_plan.count("Generate") == 1
+    fert_plan = _plan(scrub.tokenizer_fertility_by_source(spark, sf_dir))
+    assert "partial" in fert_plan.lower() or "HashAggregate" in fert_plan
+
+
+def test_pii_scrub_category_order_and_counts(spark, sf_dir):
+    """Replacement order is load-bearing: the email's local part holds
+    digit runs that must be counted as the EMAIL (already redacted),
+    never double-counted as [NUM]; the synthetic contact line makes
+    expected counts derivable in closed form."""
+    rows = {
+        r["doc_id"]: r
+        for r in __import__("__spark_entry__").queries()["pii_scrub_docs"](
+            spark, sf_dir
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    for doc_id, r in rows.items():
+        base_digit_runs = len(
+            __import__("re").findall(r"\d{6,}", texts[doc_id])
+        )
+        assert r["n_emails"] == (1 if doc_id % 3 > 0 else 0)
+        assert r["n_ips"] == (1 if doc_id % 2 == 0 else 0)
+        # the appended acct number is one run; the email/ip digits are
+        # already gone by the time [NUM] applies
+        assert r["n_longnums"] == base_digit_runs + 1
+        assert "[EMAIL]" not in texts[doc_id]
