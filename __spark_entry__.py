@@ -169,8 +169,18 @@ def _modules():
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
+    owner: dict[str, str] = {}
     for mod in _modules():
         for name, fn in mod.QUERIES.items():
+            # a repeated name would silently shadow the earlier module's
+            # entry — and its oracle — turning the correctness gate into
+            # a self-consistent no-op for one of the two; fail loudly
+            if name in owner:
+                raise RuntimeError(
+                    f"duplicate registry key {name!r}: "
+                    f"{owner[name]} vs {mod.__name__}"
+                )
+            owner[name] = mod.__name__
             out[name] = _wrap(fn)
     return out
 

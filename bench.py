@@ -173,7 +173,7 @@ HEADLINE = [
     # corpus scrubbing/chunking
     "jpeg_decode_roundtrip",
     "pii_scrub_docs",
-    "chunk_documents",
+    "chunk_documents_overlap",
     "tokenizer_fertility_by_source",
 ]
 

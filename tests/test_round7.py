@@ -1216,13 +1216,13 @@ def test_scrub_chunk_fertility_plans_stay_jvm(spark, sf_dir):
 
     for name in (
         "pii_scrub_docs",
-        "chunk_documents",
+        "chunk_documents_overlap",
         "tokenizer_fertility_by_source",
     ):
         plan = _plan(scrub.QUERIES[name](spark, sf_dir))
         assert "Python" not in plan, name
         assert "Join" not in plan, name
-    chunk_plan = _plan(scrub.chunk_documents(spark, sf_dir))
+    chunk_plan = _plan(scrub.chunk_documents_overlap(spark, sf_dir))
     assert chunk_plan.count("Generate") == 1
     fert_plan = _plan(scrub.tokenizer_fertility_by_source(spark, sf_dir))
     assert "partial" in fert_plan.lower() or "HashAggregate" in fert_plan

@@ -18,9 +18,10 @@ final aggregate/sort) with full DuckDB oracles:
   nonzero counts. Patterns deliberately use the regex subset where
   Java (Spark) and RE2 (DuckDB) agree: literal classes, bounded
   repetition, \\b — no backrefs, no lookaround.
-- ``chunk_documents``: fixed-width sliding-window chunks
-  (CHUNK_W chars, stride CHUNK_S) via sequence+explode — the RAG /
-  long-context packing primitive. Start offsets are a generator
+- ``chunk_documents_overlap``: fixed-width SLIDING-WINDOW chunks
+  (CHUNK_W chars, stride CHUNK_S — overlapping, unlike
+  indexing.chunk_documents' disjoint shards) via sequence+explode —
+  the RAG / long-context packing primitive. Start offsets are a generator
   expression evaluated per row (no join, no shuffle); chunk text
   never leaves the projection that hashes it, so the operator ships
   (doc_id, chunk_id, start, len, md5) — bytes stay on the executor.
@@ -157,7 +158,7 @@ CHUNK_W = 120  # chunk width, chars
 CHUNK_S = 80  # stride, chars (40-char overlap)
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (doc, chunk): start offsets 0, S, 2S, … strictly
     below the doc length, each chunk the next W chars (tail chunks
     run short). sequence()+explode is a generator expression — per
@@ -206,8 +207,8 @@ FROM starts
 ORDER BY doc_id, chunk_id
 """
 
-QUERIES["chunk_documents"] = chunk_documents
-ORACLES["chunk_documents"] = CHUNK_SQL
+QUERIES["chunk_documents_overlap"] = chunk_documents_overlap
+ORACLES["chunk_documents_overlap"] = CHUNK_SQL
 
 
 # --------------------------------------------------------------------------

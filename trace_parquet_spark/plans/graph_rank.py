@@ -309,9 +309,14 @@ def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sssp_iter_ctes() -> str:
+    # MATERIALIZED is load-bearing: each d{k} references d{k-1} twice
+    # (carry + relax), and DuckDB's default CTE inlining would expand
+    # the whole join pipeline 2^ROUNDS times — at sf0.1 that spilled
+    # >79 GB and failed; materialized, each round is one tiny 25×25
+    # relation evaluated once.
     steps = []
     for k in range(1, SSSP_ROUNDS + 1):
-        steps.append(f"""d{k} AS (
+        steps.append(f"""d{k} AS MATERIALIZED (
   SELECT root, node, CAST(min(dist) AS BIGINT) AS dist FROM (
     SELECT root, node, dist FROM d{k - 1}
     UNION ALL
@@ -323,7 +328,7 @@ def _sssp_iter_ctes() -> str:
 
 
 SSSP_SQL = f"""
-WITH flows AS (
+WITH flows AS MATERIALIZED (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -332,12 +337,12 @@ WITH flows AS (
   GROUP BY s.s_nationkey, c.c_nationkey
 ), outw AS (
   SELECT src, sum(w) AS ow FROM flows GROUP BY src
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT CAST(f.src AS BIGINT) AS src, CAST(f.dst AS BIGINT) AS dst,
          CAST({COST_SCALE} // ((f.w * {PSCALE}) // o.ow) AS BIGINT) AS cost
   FROM flows f JOIN outw o ON f.src = o.src
   WHERE (f.w * {PSCALE}) // o.ow >= {BFS_P_MIN} AND f.src <> f.dst
-), d0 AS (
+), d0 AS MATERIALIZED (
   SELECT CAST(n_nationkey AS BIGINT) AS root,
          CAST(n_nationkey AS BIGINT) AS node,
          CAST(0 AS BIGINT) AS dist
