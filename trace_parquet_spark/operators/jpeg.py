@@ -210,6 +210,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data) - 1:
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -517,6 +519,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while True:
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while b[pos + 1] == 0xFF:  # optional fill bytes (T.81 B.1.1.2)
+            pos += 1
         tag = b[pos + 1]
         pos += 2
         if tag == 0xD9:  # EOI before scan — empty image
