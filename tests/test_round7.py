@@ -1257,3 +1257,62 @@ def test_pii_scrub_category_order_and_counts(spark, sf_dir):
         # already gone by the time [NUM] applies
         assert r["n_longnums"] == base_digit_runs + 1
         assert "[EMAIL]" not in texts[doc_id]
+
+
+def test_label_propagation_matches_python_replay(spark, sf_dir):
+    """Synchronous LP with min-label tie-break replayed in pure Python
+    from the independently-derived edge set: communities, sizes, and
+    the keep-when-isolated rule must match exactly."""
+    from collections import Counter
+
+    import duckdb
+
+    from trace_parquet_spark.plans.graph_rank import (
+        BFS_P_MIN,
+        LP_ROUNDS,
+        PSCALE,
+        label_propagation_communities,
+    )
+
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    dir_edges = con.execute(f"""
+        WITH flows AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders   o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey  = c.c_custkey
+          GROUP BY 1, 2
+        ), outw AS (SELECT src, sum(w) AS ow FROM flows GROUP BY src)
+        SELECT f.src, f.dst FROM flows f JOIN outw o ON f.src = o.src
+        WHERE (f.w * {PSCALE}) // o.ow >= {BFS_P_MIN} AND f.src <> f.dst
+    """).fetchall()
+    nodes = [r[0] for r in con.execute(
+        "SELECT n_nationkey FROM nation ORDER BY 1"
+    ).fetchall()]
+    nbrs: dict[int, list[int]] = {n: [] for n in nodes}
+    for s, d in set(dir_edges) | {(d, s) for s, d in dir_edges}:
+        nbrs[d].append(s)  # voters are in-neighbors of the symmetric set
+    labels = {n: n for n in nodes}
+    for _ in range(LP_ROUNDS):
+        new = {}
+        for n in nodes:
+            votes = Counter(labels[v] for v in nbrs[n])
+            if votes:
+                top = max(votes.values())
+                new[n] = min(l for l, c in votes.items() if c == top)
+            else:
+                new[n] = labels[n]
+        labels = new
+    sizes = Counter(labels.values())
+    got = label_propagation_communities(spark, sf_dir).collect()
+    assert len(got) == len(nodes)
+    for r in got:
+        assert labels[r["node"]] == r["community"], r
+        assert sizes[r["community"]] == r["community_size"], r
+    # at least two communities and not all singletons — the vote did work
+    assert 1 < len(sizes) < len(nodes) or len(sizes) == 1

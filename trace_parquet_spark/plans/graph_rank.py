@@ -363,3 +363,141 @@ ORACLES = {
     "bfs_trade_levels": BFS_SQL,
     "sssp_trade_costs": SSSP_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (Raghavan et al. 2007), made
+# deterministic: synchronous rounds, frequency vote with ties broken by
+# the SMALLEST label, isolated nodes keep their label. Fixed LP_ROUNDS
+# keeps both engines bit-identical (async/random LP converges faster
+# but is nondeterministic — wrong trade for a correctness-gated op).
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 4
+
+
+def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric closure of the sparsified trade edges — LP is defined
+    on an undirected graph, so each kept pair votes both ways."""
+    e = (
+        _trade_probs(spark, sf_dir)
+        .where((F.col("p") >= BFS_P_MIN) & (F.col("src") != F.col("dst")))
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+    )
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Communities on the trade graph via synchronous label
+    propagation: every node starts as its own label; each round a node
+    adopts the most frequent label among its neighbors (ties → the
+    smallest label; no neighbors → keep). LP_ROUNDS fixed rounds, then
+    report each node's community plus the community size.
+
+    Scale shape: ONE fact-table scan builds the nation-collapsed edge
+    relation (≤ N² rows); every round is edges ⋈ labels → (node,
+    label) count → per-node top-1 window — all on label-sized
+    relations, broadcastable, never touching lineitem again. At a
+    100 TB scale the same loop runs on a user- or domain-grain graph:
+    labels hash-partition on node, the vote groupBy map-side combines,
+    and rounds stay O(E) with no frontier blowup (unlike CC's
+    pair-relation, LP state is exactly one row per node)."""
+    from pyspark.sql import Window
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("node"), "n_name"
+    )
+    edges = _sym_edges(spark, sf_dir).transform(track_cache)
+    labels = nation.select("node", F.col("node").alias("label"))
+    pick = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("label").alias("won"))
+        )
+        labels = (
+            labels.join(votes, "node", "left")
+            .select("node", F.coalesce("won", "label").alias("label"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    out = nation.join(labels, "node").select(
+        "node", "n_name", F.col("label").alias("community")
+    )
+    size_w = Window.partitionBy("community")
+    return (
+        out.withColumn(
+            "community_size", F.count("*").over(size_w).cast("long")
+        )
+        .orderBy("community", "node")
+    )
+
+
+def _lp_iter_ctes() -> str:
+    # MATERIALIZED for the same reason as the SSSP oracle: l{k}
+    # references l{k-1} twice (vote + keep), and default CTE inlining
+    # would re-derive the edge pipeline 2^ROUNDS times.
+    steps = []
+    for k in range(1, LP_ROUNDS + 1):
+        steps.append(f"""l{k} AS MATERIALIZED (
+  SELECT p.node, CAST(COALESCE(w.label, p.label) AS BIGINT) AS label
+  FROM l{k - 1} p
+  LEFT JOIN (
+    SELECT dst AS node, label FROM (
+      SELECT e.dst, l.label,
+             row_number() OVER (
+               PARTITION BY e.dst
+               ORDER BY count(*) DESC, l.label
+             ) AS rn
+      FROM edges_sym e JOIN l{k - 1} l ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ) v WHERE rn = 1
+  ) w ON w.node = p.node
+)""")
+    return ",\n".join(steps)
+
+
+LP_SQL = f"""
+WITH flows AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders   o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+), outw AS (
+  SELECT src, sum(w) AS ow FROM flows GROUP BY src
+), dir_edges AS (
+  SELECT CAST(f.src AS BIGINT) AS src, CAST(f.dst AS BIGINT) AS dst
+  FROM flows f JOIN outw o ON f.src = o.src
+  WHERE (f.w * {PSCALE}) // o.ow >= {BFS_P_MIN} AND f.src <> f.dst
+), edges_sym AS MATERIALIZED (
+  SELECT src, dst FROM dir_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM dir_edges
+), l0 AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         CAST(n_nationkey AS BIGINT) AS label
+  FROM nation
+),
+{_lp_iter_ctes()}
+SELECT l.node, n.n_name, l.label AS community,
+       CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+         AS community_size
+FROM l{LP_ROUNDS} l JOIN nation n ON n.n_nationkey = l.node
+ORDER BY community, node
+"""
+
+QUERIES["label_propagation_communities"] = label_propagation_communities
+ORACLES["label_propagation_communities"] = LP_SQL
