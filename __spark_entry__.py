@@ -59,6 +59,7 @@ def _modules():
         packing,
         semantic,
         ivf,
+        kll,
         merge,
         mixture,
         pq,
@@ -161,6 +162,7 @@ def _modules():
         udtf,
         zorder,
         ivf,
+        kll,
         pq,
         tablelog,
         tablelog_source,
