@@ -175,6 +175,8 @@ HEADLINE = [
     "pii_scrub_docs",
     "chunk_documents_overlap",
     "tokenizer_fertility_by_source",
+    "label_propagation_communities",
+    "kll_quantile_sketch",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
