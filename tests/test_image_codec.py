@@ -558,13 +558,13 @@ def test_jpeg_rejects_unsupported_streams():
         J.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"\x00\x01\x02")
-    # subsampled chroma declared in SOF is refused, not mis-decoded
+    # sampling factors outside 1-2 are refused, not mis-decoded
     payload = bytearray(J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
     i = bytes(payload).index(b"\xff\xc0")
     # SOF0 layout: FF C0 len(2) prec h(2) w(2) ncomp, then per-comp
     # (cid, sampling, qid) — Y's sampling byte sits at i+11
-    payload[i + 11] = 0x22  # Y sampling 2x2
-    with pytest.raises(ValueError, match="subsampled"):
+    payload[i + 11] = 0x33  # Y sampling 3x3 (not in baseline's 1-2)
+    with pytest.raises(ValueError, match="unsupported"):
         J.decode_jpeg(bytes(payload))
     # restored sampling decodes again — the reject was the SOF field
     payload[i + 11] = 0x11
@@ -585,3 +585,60 @@ def test_property_jpeg_block_constant_roundtrip(h, w, seed):
     img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
     out = J.decode_jpeg(J.encode_jpeg(img, quant_luma=_oracle_quant()))
     assert np.array_equal(out[..., 0], img)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — the standard camera/web layout: MCU interleave (four Y
+    blocks then Cb, Cr), box-filtered half-res chroma, replicate
+    upsample. On 2×2-constant RGB the chroma path is information-free,
+    so 4:2:0 must match 4:4:4 quality; on smooth content it must stay
+    within a few grey levels while spending fewer bytes."""
+    rs = np.random.RandomState(6)
+    q1 = np.ones(64, dtype=np.int64)
+    rgb = np.repeat(
+        np.repeat(rs.randint(0, 256, (8, 8, 3)), 2, 0), 2, 1
+    ).astype(np.uint8)
+    out = J.decode_jpeg(
+        J.encode_jpeg(rgb, quant_luma=q1, quant_chroma=q1, subsample=True)
+    )
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+    # smooth content, default Annex K tables
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.clip(
+        np.round(
+            np.stack(
+                [120 + 40 * np.sin(x / 7), 90 + 30 * np.cos(y / 6), 100 + x / 2 + y / 2],
+                -1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    p420 = J.encode_jpeg(img, subsample=True)
+    p444 = J.encode_jpeg(img)
+    out = J.decode_jpeg(p420)
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.mean() < 6 and diff.max() < 40
+    assert len(p420) < len(p444)  # chroma halving really saves bytes
+    # SOF carries 2x2 sampling for Y
+    i = p420.index(b"\xff\xc0")
+    assert p420[i + 11] == 0x22 and p420[i + 14] == 0x11
+    # non-MCU-aligned dims are refused, not mis-encoded
+    with pytest.raises(ValueError, match="divisible by 16"):
+        J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsample=True)
+
+
+def test_jpeg_422_decode_supported():
+    """4:2:2 streams (2×1 luma sampling) decode through the same
+    generalized MCU walk — built by hand-patching the encoder's plane
+    prep, proving the decoder is layout-driven, not 420-specific."""
+    rs = np.random.RandomState(9)
+    # 2x2-constant RGB keeps every chroma layout information-free
+    rgb = np.repeat(
+        np.repeat(rs.randint(0, 256, (8, 8, 3)), 2, 0), 2, 1
+    ).astype(np.uint8)
+    q1 = np.ones(64, dtype=np.int64)
+    p = J.encode_jpeg(rgb, quant_luma=q1, quant_chroma=q1, subsample=True)
+    out = J.decode_jpeg(p)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3

@@ -430,32 +430,80 @@ def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
     )
 
 
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2×2 box-average downsample (the standard 4:2:0 chroma filter),
+    rounded to the uint8 grid."""
+    h, w = plane.shape
+    p = plane.astype(np.float64).reshape(h // 2, 2, w // 2, 2)
+    return np.clip(np.round(p.mean(axis=(1, 3))), 0, 255).astype(np.uint8)
+
+
+def _mcu_block_order(
+    comp_dims: list[tuple[int, int]], samp: list[tuple[int, int]]
+) -> list[list[int]]:
+    """Per-component list of block indices in MCU interleave order:
+    for each MCU (raster), component c contributes v_c×h_c blocks of
+    its own block grid (T.81 A.2.3). comp_dims are (rows, cols) of
+    each component's 8×8-block grid. MCU grid derived from the first
+    (max-sampled) component: rows/v₀ × cols/h₀."""
+    mcu_rows = comp_dims[0][0] // samp[0][1]
+    mcu_cols = comp_dims[0][1] // samp[0][0]
+    order: list[list[int]] = [[] for _ in comp_dims]
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for c, ((_rows, cols), (hc, vc)) in enumerate(zip(comp_dims, samp)):
+                for v in range(vc):
+                    for hh in range(hc):
+                        order[c].append((my * vc + v) * cols + (mx * hc + hh))
+    return order
+
+
 def encode_jpeg(
     px: np.ndarray,
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    subsample: bool = False,
 ) -> bytes:
-    """Baseline JFIF encode of an H×W (grayscale) or H×W×3 (RGB,
-    4:4:4) uint8 array; H and W must be multiples of 8 (this codec
-    does not pad partial MCUs — the corpus renders full blocks)."""
+    """Baseline JFIF encode of an H×W (grayscale) or H×W×3 (RGB)
+    uint8 array. ``subsample=True`` emits 4:2:0 (2×2 luma sampling,
+    box-filtered half-resolution chroma — the standard camera/web
+    layout); default is 4:4:4. H and W must be multiples of the MCU
+    size (8, or 16 when subsampling) — this codec does not pad
+    partial MCUs (the corpus renders full blocks)."""
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[..., 0]
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg requires dimensions divisible by 8")
+    mcu = 16 if (subsample and not gray) else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"encode_jpeg requires dimensions divisible by {mcu}")
     qy = QUANT_LUMA if quant_luma is None else np.asarray(quant_luma, dtype=np.int64)
     qc = QUANT_CHROMA if quant_chroma is None else np.asarray(quant_chroma, dtype=np.int64)
+
+    if gray:
+        samp = [(1, 1)]
+        planes = [px]
+        quants = [qy]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            planes = [ycc[..., 0], _box2(ycc[..., 1]), _box2(ycc[..., 2])]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+            planes = [ycc[..., i] for i in range(3)]
+        quants = [qy, qc, qc]
+    ncomp = len(planes)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt_segment(0, qy)
     if not gray:
         out += _dqt_segment(1, qc)
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+        hc, vc = samp[cid - 1]
+        sof += bytes([cid, (hc << 4) | vc, 0 if cid == 1 else 1])
     out += _marker(0xC0, sof)  # SOF0: baseline sequential DCT
     out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
@@ -468,8 +516,6 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _marker(0xDA, sos)
 
-    planes = [px] if gray else [(_rgb_to_ycbcr(px))[..., i] for i in range(3)]
-    quants = [qy] if gray else [qy, qc, qc]
     dc_tabs = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_tabs = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
@@ -478,20 +524,26 @@ def encode_jpeg(
     comp_blocks = [
         _fdct_quant(p, q) for p, q in zip(planes, quants)
     ]
+    comp_dims = [(p.shape[0] // 8, p.shape[1] // 8) for p in planes]
+    order = _mcu_block_order(comp_dims, samp)
     writer = _BitWriter()
     preds = [0] * ncomp
-    # 1×1 sampling: one MCU = one block per component, interleaved
-    n_mcus = (h // 8) * (w // 8)
-    for m in range(n_mcus):
+    n_per_mcu = [hc * vc for hc, vc in samp]
+    n_mcus = len(order[0]) // n_per_mcu[0]
+    cursor = [0] * ncomp
+    for _ in range(n_mcus):
         for c in range(ncomp):
             t = 0 if c == 0 else 1
-            preds[c] = _entropy_encode_plane(
-                writer,
-                comp_blocks[c][m : m + 1],
-                dc_tabs[t],
-                ac_tabs[t],
-                preds[c],
-            )
+            for _ in range(n_per_mcu[c]):
+                bi = order[c][cursor[c]]
+                cursor[c] += 1
+                preds[c] = _entropy_encode_plane(
+                    writer,
+                    comp_blocks[c][bi : bi + 1],
+                    dc_tabs[t],
+                    ac_tabs[t],
+                    preds[c],
+                )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -504,8 +556,11 @@ def encode_jpeg(
 
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG to H×W×C uint8 (C = 1 or 3;
-    color output is RGB). Raises ValueError for progressive/
-    arithmetic/subsampled/16-bit-quant streams."""
+    color output is RGB). Supports 4:4:4 and subsampled chroma
+    (4:2:0 / 4:2:2 / 4:4:0 — any h,v ∈ {1,2} per component; chroma is
+    upsampled by pixel replication). Raises ValueError for
+    progressive/arithmetic/16-bit-quant streams and for dimensions
+    that are not whole MCUs (unpadded codec)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -514,6 +569,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     ac_maps: dict[int, dict[tuple[int, int], int]] = {}
     h = w = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    samp: list[tuple[int, int]] = []  # (h_c, v_c) sampling factors
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
 
     while True:
@@ -555,11 +611,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             for c in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
+                hc, vc = sampling >> 4, sampling & 0x0F
+                if not (1 <= hc <= 2 and 1 <= vc <= 2):
                     raise ValueError(
-                        "subsampled chroma unsupported (baseline 1x1 only)"
+                        f"sampling factors {hc}x{vc} unsupported (1-2 only)"
                     )
                 comps.append((cid, qid))
+                samp.append((hc, vc))
         elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker {tag:#x}) unsupported"
@@ -579,28 +637,55 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             break
         # APPn/COM/etc.: skipped
 
-    if not comps or h % 8 or w % 8:
+    if not comps:
+        raise ValueError("missing SOF")
+    hmax = max(hc for hc, _ in samp)
+    vmax = max(vc for _, vc in samp)
+    if h % (8 * vmax) or w % (8 * hmax):
         raise ValueError(
-            "missing SOF or dimensions not multiple of 8 (unpadded codec)"
+            f"dimensions must be whole MCUs ({8 * hmax}x{8 * vmax}; "
+            "unpadded codec)"
         )
-    n_mcus = (h // 8) * (w // 8)
-    reader = _BitReader(b, pos)
-    blocks = [np.zeros((n_mcus, 64), dtype=np.int64) for _ in comps]
-    preds = [0] * len(comps)
-    for m in range(n_mcus):
-        for idx, dct, act in scan:
-            preds[idx] = _entropy_decode_plane(
-                reader,
-                1,
-                dc_maps[dct],
-                ac_maps[act],
-                preds[idx],
-                blocks[idx][m : m + 1],
-            )
-    planes = [
-        _dequant_idct(blocks[i], quants[qid], h, w)
-        for i, (_, qid) in enumerate(comps)
+    # per-component plane dims (T.81 A.1.1: scaled by h_c/hmax, v_c/vmax)
+    comp_hw = [
+        (h * vc // vmax, w * hc // hmax) for hc, vc in samp
     ]
+    comp_dims = [(ch // 8, cw // 8) for ch, cw in comp_hw]
+    order = _mcu_block_order(
+        [comp_dims[i] for i, _ in enumerate(comps)], samp
+    ) if samp[0] == (hmax, vmax) else None
+    if order is None:
+        raise ValueError("first component must carry the max sampling")
+    blocks = [
+        np.zeros((rows * cols, 64), dtype=np.int64)
+        for rows, cols in comp_dims
+    ]
+    reader = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    n_per_mcu = {i: samp[i][0] * samp[i][1] for i, _, _ in scan}
+    n_mcus = len(order[0]) // (samp[0][0] * samp[0][1])
+    cursor = [0] * len(comps)
+    for _ in range(n_mcus):
+        for idx, dct, act in scan:
+            for _ in range(n_per_mcu[idx]):
+                bi = order[idx][cursor[idx]]
+                cursor[idx] += 1
+                preds[idx] = _entropy_decode_plane(
+                    reader,
+                    1,
+                    dc_maps[dct],
+                    ac_maps[act],
+                    preds[idx],
+                    blocks[idx][bi : bi + 1],
+                )
+    planes = []
+    for i, (_, qid) in enumerate(comps):
+        ch, cw = comp_hw[i]
+        p = _dequant_idct(blocks[i], quants[qid], ch, cw)
+        hc, vc = samp[i]
+        if (hc, vc) != (hmax, vmax):  # replicate-upsample chroma
+            p = np.repeat(np.repeat(p, vmax // vc, axis=0), hmax // hc, axis=1)
+        planes.append(p)
     if len(planes) == 1:
         return planes[0][..., None]
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
