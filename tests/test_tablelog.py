@@ -533,3 +533,32 @@ def test_stream_rejects_expired_offsets(spark, tmp_path):
         rdr._added_in(-1, 1)
     # offsets at/after the checkpoint still stream
     assert rdr._added_in(0, 1) != []
+
+
+def test_commit_publish_is_torn_write_safe(spark, tmp_path):
+    """A crash mid-commit must leave either no commit or a complete
+    one: the payload lands in a private tmp (invisible to readers) and
+    appears at the final name via atomic link. A stray tmp from a
+    crashed writer never corrupts reads, and the next version claim
+    still works."""
+    import json
+    import os
+
+    from trace_parquet_spark.sources.tablelog import _log_dir
+
+    t = str(tmp_path / "torn")
+    append(spark.range(3), t)
+    # crashed writer: partial JSON payload abandoned in a tmp file
+    with open(os.path.join(_log_dir(t), ".tmp-deadbeef"), "w") as fh:
+        fh.write('{"add": ["data-x/part-0.par')  # torn mid-write
+    # readers are unaffected — the torn payload is not a commit
+    assert latest_version(t) == 0
+    assert _ids(read_table(spark, t)) == [0, 1, 2]
+    # and the log keeps accepting commits
+    append(spark.range(3, 5), t)
+    assert _ids(read_table(spark, t)) == [0, 1, 2, 3, 4]
+    # every published commit file is complete, parseable JSON
+    for f in os.listdir(_log_dir(t)):
+        if f.endswith(".json"):
+            with open(os.path.join(_log_dir(t), f)) as fh:
+                json.load(fh)

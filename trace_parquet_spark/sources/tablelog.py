@@ -104,17 +104,32 @@ def _read_log(
 
 
 def _commit(table: str, version: int, actions: dict) -> None:
-    """Publish one commit atomically; lose the race → raise."""
+    """Publish one commit atomically; lose the race → raise.
+
+    Two-step publish: the payload is fully written (and fsynced) to a
+    private tmp file first, then ``os.link`` makes it appear at the
+    final name — link is atomic AND refuses to overwrite, so it is
+    both the conditional-put race arbiter (loser gets EEXIST →
+    ConcurrentWriteError) and the torn-write guard: a crash at ANY
+    point leaves either no commit or a complete one, never a partial
+    JSON that would brick every subsequent read. (Writing straight
+    into the O_EXCL-created final file had exactly that failure mode.)
+    """
     os.makedirs(_log_dir(table), exist_ok=True)
     path = os.path.join(_log_dir(table), f"{version:020d}.json")
+    tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(actions, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         raise ConcurrentWriteError(
             f"version {version} of {table} was committed concurrently"
         ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump(actions, fh)
+    finally:
+        os.unlink(tmp)
 
 
 def _stage_files(df: DataFrame, table: str) -> list[str]:
