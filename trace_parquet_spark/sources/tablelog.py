@@ -1417,12 +1417,20 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         "txns": _txns_up_to(table, version),
     }
     path = _checkpoint_path(table, version)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return version  # identical body already published
-    with os.fdopen(fd, "w") as fh:
+    # same two-step publish as _commit: a torn checkpoint would brick
+    # every checkpoint-seeking replay, so the body lands whole in a
+    # tmp and appears atomically via no-overwrite link
+    tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
         json.dump(body, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass  # identical body already published
+    finally:
+        os.unlink(tmp)
     return version
 
 
