@@ -177,6 +177,7 @@ HEADLINE = [
     "tokenizer_fertility_by_source",
     "label_propagation_communities",
     "kll_quantile_sketch",
+    "tablelog_delete_vectors",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

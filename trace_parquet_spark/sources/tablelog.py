@@ -286,6 +286,15 @@ def merge_upsert(
         old = spark.read.schema(schema).parquet(
             *[os.path.join(table, f) for f in sorted(touched)]
         )
+        # deletion vectors on rewritten files must be APPLIED here, or
+        # the rewrite would resurrect deleted rows; kept files carry
+        # their mappings forward untouched, and the commit's "remove"
+        # drops the vectors the rewrite just folded in
+        dv_touched = {
+            f: s for f, s in _dv_state(table, None).items() if f in touched
+        }
+        if dv_touched:
+            old = _apply_dv(spark, table, old, dv_touched)
         merged = old.join(updates, on=key, how="left_anti").unionByName(
             updates.select(*schema.fieldNames())
         )
@@ -344,6 +353,11 @@ def optimize_table(
     df = spark.read.schema(schema).parquet(
         *[os.path.join(table, f) for f in files]
     )
+    # OPTIMIZE is where deletion vectors get folded away: the rewrite
+    # applies them, and removing every old file drops their mappings
+    dv_state = _dv_state(table, None)
+    if dv_state:
+        df = _apply_dv(spark, table, df, dv_state)
     stats_col = _committed_stats_col(table)
     if stats_col is not None:
         df = df.repartitionByRange(target_files, stats_col)
@@ -406,6 +420,9 @@ def read_table(
     if not paths:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*paths)
+    dv_state = _dv_state(table, as_of)
+    if dv_state:
+        df = _apply_dv(spark, table, df, dv_state)
     if pred_col is not None:
         from pyspark.sql import functions as F
 
@@ -629,6 +646,13 @@ def change_feed(
     for v in vs:
         with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
             c = json.load(fh)
+        if c.get("dv"):
+            raise ValueError(
+                f"change_feed: commit {v} publishes a deletion vector — "
+                "the file-diff derivation cannot see row-level deletes; "
+                "OPTIMIZE the table first (folds vectors into rewrites) "
+                "or derive changes from snapshot diffs"
+            )
         added |= set(c.get("add", []))
         removed |= set(c.get("remove", []))
     net_added = added - removed
@@ -680,15 +704,21 @@ def change_feed(
 def vacuum(table: str) -> list[str]:
     """Delete data files no commit references (failed writers' orphans
     and overwritten files). Never touches files live at ANY version
-    still in the log — time travel keeps working."""
+    still in the log — time travel keeps working. Deletion-vector
+    sidecars referenced by any commit are likewise protected."""
     referenced: set[str] = set()
+    dv_dirs: set[str] = set()
     for v in _versions(table):
         with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
             commit = json.load(fh)
         referenced |= set(commit.get("add", []))
+        dv_dirs |= set(commit.get("dv", {}).values())
     doomed = []
     for root, _dirs, names in os.walk(table):
         if os.path.basename(root) == "_log":
+            continue
+        rel_root = os.path.relpath(root, table)
+        if any(rel_root == d or rel_root.startswith(d + os.sep) for d in dv_dirs):
             continue
         for n in names:
             full = os.path.join(root, n)
@@ -700,6 +730,223 @@ def vacuum(table: str) -> list[str]:
                     doomed.append(rel)
                     os.remove(full)
     return sorted(doomed)
+
+
+# --------------------------------------------------------------------------
+# deletion vectors: merge-on-read row-level DELETE
+# --------------------------------------------------------------------------
+#
+# The Delta/Iceberg deletion-vector mechanism in this log: a DELETE
+# commit adds no data files and removes none — it publishes a SIDECAR
+# of (file, pos) row positions and maps each affected file to it via a
+# ``dv`` action. Readers apply the mapping as an anti-join on
+# (_metadata file identity, _metadata.row_index); writers that rewrite
+# a file (MERGE/OPTIMIZE) drop its mapping through the ordinary
+# ``remove`` replay. Invariant that keeps replay trivial: a new
+# sidecar mapped to file F always contains ALL of F's deleted
+# positions (the writer folds the previous ones in), so the newest
+# mapping alone is the complete truth and stale sidecar rows for F are
+# a subset of the current ones.
+#
+# Scale: positions never visit the driver — the matched (file, pos)
+# relation is computed, merged, and staged distributed; only the
+# O(affected files) mapping is collected into the commit JSON. The
+# read-side anti-join shuffles on (file, pos), the same cost structure
+# Delta pays to apply DVs without Photon's bitmap kernels.
+
+
+def _dv_state(table: str, as_of: int | None) -> dict[str, str]:
+    """file rel-path -> sidecar rel-path visible at ``as_of`` (replay:
+    removes drop mappings, dv actions supersede them)."""
+    state: dict[str, str] = {}
+    base = -1
+    cps = _checkpoints(table)
+    if as_of is not None:
+        cps = [v for v in cps if v <= as_of]
+    if cps:
+        base = cps[-1]
+        with open(_checkpoint_path(table, base)) as fh:
+            state.update(json.load(fh).get("dv", {}))
+    for v in _versions(table):
+        if v <= base or (as_of is not None and v > as_of):
+            continue
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        for f in c.get("remove", []):
+            state.pop(f, None)
+        state.update(c.get("dv", {}))
+    return state
+
+
+def _dv_counts(table: str, as_of: int | None) -> dict[str, int]:
+    """file rel-path -> deleted-row cardinality at ``as_of`` (same
+    replay shape as _dv_state; counts are cumulative per mapping)."""
+    state: dict[str, int] = {}
+    base = -1
+    cps = _checkpoints(table)
+    if as_of is not None:
+        cps = [v for v in cps if v <= as_of]
+    if cps:
+        base = cps[-1]
+        with open(_checkpoint_path(table, base)) as fh:
+            state.update(json.load(fh).get("dv_counts", {}))
+    for v in _versions(table):
+        if v <= base or (as_of is not None and v > as_of):
+            continue
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        for f in c.get("remove", []):
+            state.pop(f, None)
+        state.update(c.get("dv_counts", {}))
+    return state
+
+
+def _dv_positions(
+    spark: SparkSession, table: str, dv_state: dict[str, str]
+) -> DataFrame:
+    """The live (file, pos) deletion relation: union of the mapped
+    sidecars, restricted to currently-mapped files (stale rows for a
+    superseded mapping are a subset of the newer sidecar; stale rows
+    for rewritten files are dropped by the semi-join)."""
+    from pyspark.sql import functions as F
+
+    sidecars = sorted(set(dv_state.values()))
+    live = spark.createDataFrame(
+        [(f,) for f in dv_state], "file string"
+    )
+    rows = spark.read.parquet(
+        *[os.path.join(table, s) for s in sidecars]
+    ).select("file", "pos")
+    return rows.join(F.broadcast(live), "file", "left_semi").distinct()
+
+
+def _apply_dv(
+    spark: SparkSession, table: str, df: DataFrame, dv_state: dict[str, str]
+) -> DataFrame:
+    """Anti-join the deletion relation against the scan. File identity
+    is matched on the parquet part-file BASENAME (uuid-unique), which
+    is stable across absolute-path/URI formatting."""
+    from pyspark.sql import functions as F
+
+    if not dv_state:
+        return df
+    cols = df.columns
+    dv = _dv_positions(spark, table, dv_state).select(
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("_dv_base"),
+        F.col("pos").alias("_dv_pos"),
+    )
+    tagged = df.select(
+        *cols,
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_base"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    return (
+        tagged.join(
+            dv,
+            (tagged["_base"] == dv["_dv_base"])
+            & (tagged["_pos"] == dv["_dv_pos"]),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+
+
+def delete_where(
+    spark: SparkSession, table: str, condition
+) -> dict:
+    """Merge-on-read DELETE: rows matching ``condition`` (a Column or
+    SQL string) disappear from the current snapshot WITHOUT rewriting
+    any data file — one commit publishes a cumulative position sidecar
+    per affected file. Time travel before the commit still sees the
+    rows; vacuum keeps referenced sidecars; MERGE/OPTIMIZE later apply
+    or fold the vector away. Returns {"version", "rows_deleted",
+    "files_affected"}."""
+    from pyspark.sql import functions as F
+
+    files, schema_json, _stats, _rows = _read_log(table, None)
+    dv_state = _dv_state(table, None)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    paths = [os.path.join(table, f) for f in files]
+    if not paths:
+        raise ValueError(f"{table} has no data to delete from")
+    scan = spark.read.schema(schema).parquet(*paths)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    # rel-path lookup by basename (part names are uuid-unique)
+    base_map = spark.createDataFrame(
+        [(os.path.basename(f), f) for f in files], "base string, file string"
+    )
+    tagged = scan.select(
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("base"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    if dv_state:
+        # already-deleted rows must not re-match (their positions are
+        # folded into the new sidecar below regardless)
+        prior_rows = _dv_positions(spark, table, dv_state).select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("base"),
+            "pos",
+        )
+        tagged = tagged.join(prior_rows, ["base", "pos"], "left_anti")
+    matched = (
+        tagged.filter(cond)
+        .join(F.broadcast(base_map), "base")
+        .select("file", "pos")
+    )
+    matched = track_cache_local(matched)
+    n_new = matched.count()
+    if n_new == 0:
+        raise ValueError("DELETE matched no rows — nothing to commit")
+    affected = [r.file for r in matched.select("file").distinct().collect()]
+    # cumulative: fold the previous positions of affected files in
+    new_positions = matched
+    prior = {f: s for f, s in dv_state.items() if f in set(affected)}
+    if prior:
+        old_rows = _dv_positions(spark, table, prior)
+        new_positions = new_positions.unionByName(old_rows).distinct()
+    sidecar = f"dv-{uuid.uuid4().hex}"
+    new_positions.write.mode("overwrite").parquet(
+        os.path.join(table, sidecar)
+    )
+    counts = {
+        r.file: r.n
+        for r in spark.read.parquet(os.path.join(table, sidecar))
+        .groupBy("file")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": [],
+            "remove": [],
+            "schema": schema_json,
+            "dv": {f: sidecar for f in affected},
+            "dv_counts": counts,
+        },
+    )
+    return {
+        "version": version,
+        "rows_deleted": n_new,
+        "files_affected": len(affected),
+    }
+
+
+def track_cache_local(df: DataFrame) -> DataFrame:
+    """cache + register with the session tracker (import-cycle-free
+    local import)."""
+    from ..session import track_cache
+
+    return track_cache(df)
 
 
 # --------------------------------------------------------------------------
@@ -960,16 +1207,27 @@ def stats_only_totals(
     aggregation: planning cost is O(live files) of committed JSON, not
     a scan; at 100 TB that's the difference between milliseconds and a
     cluster job). Raises if any live file lacks recorded metadata —
-    correctness never silently falls back to a guess."""
+    correctness never silently falls back to a guess. COUNT subtracts
+    committed deletion-vector cardinalities; MIN/MAX refuse under a
+    live deletion vector (the extreme row may be among the deleted —
+    OPTIMIZE folds vectors away and restores exactness)."""
     files, _schema, stats, rows = _read_log(table, as_of)
     missing = [f for f in files if f not in rows]
     if missing:
         raise ValueError(f"{table}: no committed row counts for {missing}")
-    n = sum(rows[f] for f in files)
+    dv_counts = _dv_counts(table, as_of)
+    live_dv = {f: n for f, n in dv_counts.items() if f in set(files)}
+    n = sum(rows[f] for f in files) - sum(live_dv.values())
     lo = hi = None
     for f in files:
-        if rows[f] == 0:
-            continue  # empty part: nothing to contribute, no stats
+        if rows[f] - live_dv.get(f, 0) == 0:
+            continue  # empty (or fully-deleted) part: nothing to contribute
+        if f in live_dv:
+            raise ValueError(
+                f"{table}: {f} carries a deletion vector — committed "
+                "[min,max] may cover deleted rows; OPTIMIZE to restore "
+                "metadata-only MIN/MAX"
+            )
         if f not in stats or stats[f][0] is None:
             raise ValueError(f"{table}: no committed [min,max] for {f}")
         lo = stats[f][0] if lo is None else min(lo, stats[f][0])
@@ -1415,6 +1673,9 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         # exactly-once markers survive expiration (Delta checkpoints
         # carry per-app txn versions for the same reason)
         "txns": _txns_up_to(table, version),
+        # live deletion-vector state survives expiration too
+        "dv": _dv_state(table, version),
+        "dv_counts": _dv_counts(table, version),
     }
     path = _checkpoint_path(table, version)
     # same two-step publish as _commit: a torn checkpoint would brick
@@ -1503,3 +1764,75 @@ def expire_snapshots(table: str, keep_from: int) -> dict:
         "logs_expired": dropped_logs,
         "files_deleted": dropped_files,
     }
+
+
+def tablelog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive merge-on-read DELETE under the oracle gate: seed a logged
+    table with the shared orders slice (range-partitioned, stats on
+    o_orderkey), publish TWO deletion-vector commits (cents ≡ 0 mod 7,
+    then o_orderkey ≡ 0 mod 5 over the survivors — scattered rows, so
+    vectors land on many files and the second folds cumulatively over
+    the first), and aggregate BOTH the pre-delete snapshot (time
+    travel across live vectors) and the final snapshot. The oracle
+    replays the deletes as plain WHERE NOT predicates over orders —
+    agreement proves position-level application, cumulativeness, and
+    dv-aware time travel, with zero data files rewritten
+    (pinned in tests/test_tablelog_dv.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = _orders_slice(spark, sf_dir)
+    t = tempfile.mkdtemp(prefix="tablelog_dv_")
+    try:
+        append(
+            orders.repartitionByRange(6, "o_orderkey"), t,
+            stats_col="o_orderkey",
+        )
+        delete_where(spark, t, "cents % 7 = 0")
+        delete_where(spark, t, "o_orderkey % 5 = 0")
+
+        def agg(df: DataFrame, snap: str) -> DataFrame:
+            return (
+                df.groupBy((F.col("o_orderkey") % 3).alias("bucket"))
+                .agg(
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("total_cents"),
+                )
+                .select(F.lit(snap).alias("snap"), "*")
+            )
+
+        out = agg(read_table(spark, t, as_of=0), "v0").unionByName(
+            agg(read_table(spark, t), "v2")
+        ).orderBy("snap", "bucket")
+        rows = out.collect()  # materialize before the scratch dir goes
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snap string, bucket long, n_rows long, total_cents long"
+    ).orderBy("snap", "bucket")
+
+
+TABLELOG_DV_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+), v0 AS (
+  SELECT 'v0' AS snap, CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM o GROUP BY 2
+), v2 AS (
+  SELECT 'v2' AS snap, CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM o
+  WHERE NOT (cents % 7 = 0) AND NOT (o_orderkey % 5 = 0)
+  GROUP BY 2
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v2
+ORDER BY snap, bucket
+"""
+
+QUERIES["tablelog_delete_vectors"] = tablelog_delete_vectors
+ORACLES["tablelog_delete_vectors"] = TABLELOG_DV_SQL
