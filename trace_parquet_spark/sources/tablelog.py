@@ -899,7 +899,9 @@ def delete_where(
         .join(F.broadcast(base_map), "base")
         .select("file", "pos")
     )
-    matched = track_cache_local(matched)
+    from ..session import track_cache
+
+    matched = track_cache(matched)  # feeds count, mapping, and the sidecar
     n_new = matched.count()
     if n_new == 0:
         raise ValueError("DELETE matched no rows — nothing to commit")
@@ -939,14 +941,6 @@ def delete_where(
         "rows_deleted": n_new,
         "files_affected": len(affected),
     }
-
-
-def track_cache_local(df: DataFrame) -> DataFrame:
-    """cache + register with the session tracker (import-cycle-free
-    local import)."""
-    from ..session import track_cache
-
-    return track_cache(df)
 
 
 # --------------------------------------------------------------------------
