@@ -1,6 +1,6 @@
 """Model-based randomized testing of the transaction-log table format:
-a seeded random walk over {append, overwrite, merge, optimize,
-checkpoint, vacuum} is mirrored against a trivial in-memory model
+a seeded random walk over {append, overwrite, merge, delete (deletion
+vectors), optimize, checkpoint, vacuum} is mirrored against a trivial in-memory model
 (version -> set of rows); every committed version's snapshot must
 equal the model at every step. The model is obviously correct, so
 divergence pins a log-replay bug — the strongest cheap evidence that
@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from trace_parquet_spark.sources.tablelog import (
     append,
+    delete_where,
     merge_upsert,
     optimize_table,
     overwrite,
@@ -52,8 +53,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
 
         for _step in range(5):
             op = rng.choice(
-                ["append", "overwrite", "merge", "optimize", "checkpoint",
-                 "vacuum"]
+                ["append", "overwrite", "merge", "delete", "optimize",
+                 "checkpoint", "vacuum"]
             )
             if op == "append":
                 lo = rng.randrange(100, 900)
@@ -72,6 +73,17 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                        rng.randrange(2000, 3000): 7}
                 merge_upsert(spark, t, _df(spark, upd.items()), "k")
                 cur.update(upd)
+                commit_state()
+            elif op == "delete":
+                # merge-on-read: drop a random residue class of keys
+                m = rng.randrange(2, 5)
+                r = rng.randrange(m)
+                hit = {k for k in cur if k % m == r}
+                if not hit:
+                    continue  # nothing to delete this step
+                delete_where(spark, t, f"k % {m} = {r}")
+                for k in hit:
+                    del cur[k]
                 commit_state()
             elif op == "optimize":
                 optimize_table(spark, t, target_files=2)
