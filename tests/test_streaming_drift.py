@@ -293,3 +293,43 @@ def test_drift_state_compaction_preserves_reports_and_state(spark, tmp_path):
     cusum_ingest_batch(spark, state, _docs(spark, base), 12)
     assert len(drift_report(spark, state).collect()) == 13
     assert len(cusum_report(spark, state).collect()) == 13
+
+
+def test_lagging_family_frontier_never_compacted(spark, tmp_path):
+    """Round-6 advice (low): when KS and CUSUM run as SEPARATE streams
+    with independent batch ids, the committed-through watermark must
+    be the MIN across families — compacting the lagging family's
+    frontier batch would let a replay rebuild its cumulative snapshot
+    from an empty base."""
+    import os
+
+    from trace_parquet_spark.streaming.drift_stream import (
+        compact_drift_state,
+        cusum_ingest_batch,
+        cusum_report,
+        drift_committed_through,
+    )
+
+    state = str(tmp_path / "state")
+    base, same, shifted = _drops()
+    for bid, rows in enumerate([base, same, shifted, same, base, shifted]):
+        ingest_batch(spark, state, _docs(spark, rows), bid)  # KS: b0..b5
+    for bid, rows in enumerate([base, same, shifted]):
+        cusum_ingest_batch(spark, state, _docs(spark, rows), bid)  # b0..b2
+    # min(5, 2) - 1 = 1 — the cusum frontier (b2) is still replayable
+    assert drift_committed_through(state) == 1
+    before_ks = [tuple(r) for r in drift_report(spark, state).collect()]
+    before_cu = [tuple(r) for r in cusum_report(spark, state).collect()]
+    compact_drift_state(spark, state)
+    # cusum's frontier b2 survived compaction (replayable), c1 folded
+    assert "b2" in os.listdir(os.path.join(state, "cusum"))
+    assert [tuple(r) for r in drift_report(spark, state).collect()] == before_ks
+    assert [
+        tuple(r) for r in cusum_report(spark, state).collect()
+    ] == before_cu
+    # a replay of the cusum frontier batch after compaction is still
+    # idempotent (rebuilds from c1, not an empty base)
+    cusum_ingest_batch(spark, state, _docs(spark, shifted), 2)
+    assert [
+        tuple(r) for r in cusum_report(spark, state).collect()
+    ] == before_cu

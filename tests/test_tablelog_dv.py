@@ -136,3 +136,57 @@ def test_change_feed_refuses_dv_range(spark, tmp_path):
     delete_where(spark, t, "id = 0")
     with pytest.raises(ValueError, match="deletion vector"):
         change_feed(spark, t, 0, latest_version(t), "id")
+
+
+def test_expire_snapshots_keeps_live_dv_sidecars(spark, tmp_path):
+    """Round-6 advice (high): expire_snapshots built keep_files from
+    data-file adds only, so the walk deleted still-mapped dv sidecars
+    and read_table broke (or deletes were lost) after
+    delete_where + expire_snapshots."""
+    from trace_parquet_spark.sources.tablelog import expire_snapshots
+
+    t = str(tmp_path / "t")
+    _seed(spark, t)                       # v0
+    append(spark.range(20, 30), t)        # v1
+    delete_where(spark, t, "id % 5 = 0")  # v2: dv commit
+    expire_snapshots(t, keep_from=2)
+    got = _ids(read_table(spark, t))
+    assert got == [i for i in range(30) if i % 5 != 0]
+    # time travel at the retention boundary also still applies the dv
+    assert _ids(read_table(spark, t, as_of=2)) == got
+
+
+def test_vacuum_protects_sidecar_known_only_to_checkpoint(spark, tmp_path):
+    """Round-6 advice (medium): once the dv commit's log JSON is
+    expired (the mapping survives only in the checkpoint), vacuum
+    derived protection only from remaining commit JSONs and deleted
+    the still-referenced sidecar."""
+    from trace_parquet_spark.sources.tablelog import expire_snapshots
+
+    t = str(tmp_path / "t")
+    _seed(spark, t)                       # v0
+    delete_where(spark, t, "id = 7")      # v1: dv commit
+    append(spark.range(20, 25), t)        # v2
+    expire_snapshots(t, keep_from=2)      # v1's JSON is gone; cp has dv
+    vacuum(t)
+    got = _ids(read_table(spark, t))
+    assert got == [i for i in range(25) if i != 7]
+
+
+def test_delete_where_on_table_with_base_pos_file_columns(spark, tmp_path):
+    """Round-6 advice (low): delete_where's internal tagging columns
+    were named base/pos and collided with same-named user columns."""
+    t = str(tmp_path / "t")
+    df = spark.range(12).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("base"),
+        (F.col("id") + 100).alias("pos"),
+        F.concat(F.lit("f"), F.col("id")).alias("file"),
+    )
+    append(df.repartitionByRange(2, "id"), t, stats_col="id")
+    res = delete_where(spark, t, "base >= 10 AND pos < 108")
+    assert res["rows_deleted"] == 3  # ids 5,6,7
+    assert _ids(read_table(spark, t)) == [0, 1, 2, 3, 4, 8, 9, 10, 11]
+    # cumulative second delete over the collision schema
+    delete_where(spark, t, F.col("id") == 0)
+    assert _ids(read_table(spark, t)) == [1, 2, 3, 4, 8, 9, 10, 11]
