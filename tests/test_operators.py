@@ -94,7 +94,9 @@ def test_entry_contract(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     import __spark_entry__ as e
 
-    row = e.queries()["approx_distinct"](spark, sf_dir).collect()[0]
+    from trace_parquet_spark.plans.relational import approx_distinct_detail
+
+    row = approx_distinct_detail(spark, sf_dir).collect()[0]
     from trace_parquet_spark.sources.registry import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -106,3 +108,9 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     # the in-row acceptance evidence must agree with the recomputation
     assert row.exact_orders == exact[0] and row.exact_parts == exact[1]
     assert row.within_gate == 1
+    # the gated registry entry collapses to oracle-derivable columns
+    gated = e.queries()["approx_distinct"](spark, sf_dir).collect()[0]
+    assert gated.exact_orders == exact[0] and gated.within_gate == 1
+    assert sorted(gated.asDict()) == [
+        "exact_orders", "exact_parts", "gate_permille", "within_gate",
+    ]

@@ -45,18 +45,25 @@ def test_adc_estimates_near_exact_distance(prepared):
 
 
 def test_recall_gate_row(spark, sf_dir):
-    row = pq.ann_pq_recall(spark, sf_dir).first()
+    row = pq.ann_pq_recall_detail(spark, sf_dir).first()
     assert row["recall"] >= row["gate"]
     assert row["n_hits"] <= row["n_truth"]
     assert row["recall_micro"] == row["n_hits"] * 1_000_000 // row["n_truth"]
     assert row["recall_ok"] == 1
+    gated = pq.ann_pq_recall(spark, sf_dir).first()
+    assert gated.recall_ok == 1 and gated.n_truth == row["n_truth"]
+    assert gated.gate_micro == 800_000
 
 
 def test_topk_bf_hit_column_matches_brute_force(spark, sf_dir):
-    """ann_pq_topk's in-row evidence column must be the true top-k
-    membership indicator."""
+    """ann_pq_topk_detail's in-row evidence column must be the true
+    top-k membership indicator; the gated entry emits exactly the
+    brute-force rows with the calibration flag."""
     from trace_parquet_spark.operators.similarity import cosine_topk
 
     bf = {(r.query_id, r.vec_id) for r in cosine_topk(spark, sf_dir).collect()}
-    for r in pq.ann_pq_topk(spark, sf_dir).collect():
+    for r in pq.ann_pq_topk_detail(spark, sf_dir).collect():
         assert r.bf_hit == int((r.query_id, r.vec_id) in bf)
+    gated = pq.ann_pq_topk(spark, sf_dir).collect()
+    assert {(r.query_id, r.vec_id) for r in gated} == bf
+    assert all(r.recall_ok == 1 for r in gated)

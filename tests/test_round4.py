@@ -409,9 +409,12 @@ def test_star_cc_agrees_with_label_prop_and_survives_long_chains(spark, sf_dir):
 def test_compression_ratio_matches_python_gzip_golden(spark, sf_dir):
     import gzip as _gzip
 
-    from trace_parquet_spark.operators.hygiene import compression_ratio_docs
+    from trace_parquet_spark.operators.hygiene import (
+        compression_ratio_detail,
+        compression_ratio_docs,
+    )
 
-    rows = compression_ratio_docs(spark, sf_dir).collect()
+    rows = compression_ratio_detail(spark, sf_dir).collect()
     texts = {
         r.doc_id: r.text
         for r in load_table(spark, sf_dir, "documents").collect()
@@ -427,6 +430,10 @@ def test_compression_ratio_matches_python_gzip_golden(spark, sf_dir):
         assert r.ratio_mille == len(gz) * 1000 // len(raw)
         # the in-row golden checksum must be the CRC of the exact bytes
         assert r.gz_crc32 == _zlib.crc32(gz)
+    # the gated registry entry's flags all hold (oracle predicts 1s)
+    gated = compression_ratio_docs(spark, sf_dir).collect()
+    assert len(gated) == len(rows)
+    assert all(g.roundtrip_ok == 1 and g.gz_bounded == 1 for g in gated)
 
 
 def test_corr_matrix_matches_numpy(spark, sf_dir):

@@ -291,7 +291,7 @@ def test_pca_matches_numpy_replay(spark, sf_dir):
 
     out = {
         r["vec_id"]: r
-        for r in featurize.pca_project_embeddings(spark, sf_dir).collect()
+        for r in featurize.pca_project_detail(spark, sf_dir).collect()
     }
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -331,7 +331,7 @@ def test_pca_matches_numpy_replay(spark, sf_dir):
 def test_pca_projection_path_is_jvm_only(spark, sf_dir):
     from trace_parquet_spark.operators import featurize
 
-    df = featurize.pca_project_embeddings(spark, sf_dir)
+    df = featurize.pca_project_detail(spark, sf_dir)
     plan = _plan(df)
     # the fit stage's mapInPandas already ran at build time; the
     # returned per-row projection plan must be pure JVM expressions

