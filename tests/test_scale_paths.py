@@ -516,3 +516,43 @@ def test_split_leakage_free_never_straddles_clusters(spark, sf_dir):
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
     assert len(rows) == len(split_of)  # one row per doc
+
+
+def test_lift_approx_no_single_partition_window(spark, sf_dir):
+    """lift_table_deciles_approx exists to kill the exact version's
+    global row_number over user grain (round-6 verdict item 2) — its
+    plan must carry no WindowExec at all, and any SinglePartition
+    exchange may move only partial-agg scalar rows, never data."""
+    import re
+
+    from trace_parquet_spark.plans.funnels import (
+        lift_table_deciles,
+        lift_table_deciles_approx,
+    )
+
+    plan = (
+        lift_table_deciles_approx(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n[^\n]*", plan):
+        assert "partial_" in m.group(0), m.group(0)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    # semantic gate vs the exact twin: same totals; per-decile counts
+    # deviate by at most the largest tie group (the documented bound)
+    exact = {r.decile: r for r in lift_table_deciles(spark, sf_dir).collect()}
+    approx = {
+        r.decile: r
+        for r in lift_table_deciles_approx(spark, sf_dir).collect()
+    }
+    assert sum(r.n_users for r in exact.values()) == sum(
+        r.n_users for r in approx.values()
+    )
+    assert sum(r.n_conv for r in exact.values()) == sum(
+        r.n_conv for r in approx.values()
+    )
+    # the final decile's cumulative gain is 100% in both
+    last = max(exact)
+    assert exact[last].cum_gain_ppm == 1_000_000
+    assert approx[max(approx)].cum_gain_ppm == 1_000_000

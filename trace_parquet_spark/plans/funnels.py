@@ -756,11 +756,11 @@ def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides out exactly).
 
     Scale: one user-grain aggregate, then a rank window. The global
-    rank here is the exact presentation form; the RFM pattern
-    (broadcast percentile thresholds) is the swap when user
-    cardinality makes a global rank window unreasonable — documented
-    rather than silently applied since the decile contract is exact
-    ranks."""
+    rank here is the exact presentation form and this entry's oracle
+    ground truth; lift_table_deciles_approx below is the IMPLEMENTED
+    100 TB twin (score-grain histogram + broadcast theta cumsum, no
+    single-partition window) — run that one at real user
+    cardinality."""
     ev = load_table(spark, sf_dir, "events")
     # cached: consumed by the totals pull AND the ranked plan — one
     # fact-table scan, one user-grain shuffle total
@@ -855,6 +855,152 @@ ORDER BY decile
 
 QUERIES["lift_table_deciles"] = lift_table_deciles
 ORACLES["lift_table_deciles"] = LIFT_SQL
+
+
+def lift_table_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of lift_table_deciles (round-6 verdict item 2):
+    decile cuts from the SCORE-GRAIN histogram instead of a global
+    row_number over user grain. Scores are small integers (view
+    counts), so the per-score relation is value-grain-bounded; its
+    descending cumulative user count is a broadcast theta self-join
+    (score-grain × score-grain), each score group lands wholly in the
+    decile of its LAST exact rank — deviation from the exact cut is
+    bounded by tie-group size, and the assignment is deterministic, so
+    the DuckDB oracle re-derives it hash-identically (the
+    equi_depth_price_buckets_approx mechanism applied to the lift
+    table). The plan carries NO single-partition WindowExec at any
+    size (pinned in tests/test_scale_paths.py); the decile-grain
+    cumulative gain is another broadcast theta join over ≤B rows.
+
+    The exact-rank version stays registered as the presentation form;
+    at real scale this twin is the one to run."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    # score-grain histogram: one more user-grain-to-score-grain agg
+    hist = per_user.groupBy("score").agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("conv").cast("long").alias("nc"),
+    ).transform(track_cache)
+    h2 = hist.select(
+        F.col("score").alias("score2"),
+        F.col("nu").alias("nu2"),
+    )
+    # cum_end(score) = #users with score' > score, plus this group —
+    # i.e. the exact rank of the group's LAST row under (score DESC)
+    cum = (
+        hist.join(
+            F.broadcast(h2),
+            (F.col("score2") > F.col("score"))
+            | (F.col("score2") == F.col("score")),
+        )
+        .groupBy("score", "nu", "nc")
+        .agg(F.sum("nu2").alias("cum_end"))
+    )
+    totals = hist.agg(
+        F.sum("nu").alias("n_users"),
+        F.greatest(F.sum("nc"), F.lit(1)).alias("tot"),
+    )
+    bucketed = cum.crossJoin(F.broadcast(totals)).select(
+        F.expr(f"CAST((cum_end - 1) * {LIFT_BUCKETS} div n_users AS BIGINT)")
+        .alias("decile"),
+        "score",
+        "nu",
+        "nc",
+        "n_users",
+        "tot",
+    )
+    g = bucketed.groupBy("decile", "n_users", "tot").agg(
+        F.sum("nu").cast("long").alias("n_users_d"),
+        F.sum("nc").cast("long").alias("n_conv"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+    g2 = g.select(
+        F.col("decile").alias("decile2"), F.col("n_conv").alias("nc2")
+    )
+    return (
+        g.join(F.broadcast(g2), F.col("decile2") <= F.col("decile"))
+        .groupBy(
+            "decile", "n_users", "tot", "n_users_d", "n_conv",
+            "min_score", "max_score",
+        )
+        .agg(F.sum("nc2").alias("cum_conv"))
+        .select(
+            "decile",
+            F.col("n_users_d").alias("n_users"),
+            "n_conv",
+            "min_score",
+            "max_score",
+            (
+                F.col("n_conv").cast("double")
+                / F.col("n_users_d").cast("double")
+            ).alias("conv_rate"),
+            F.expr(
+                "CAST(n_conv * n_users * 1000000"
+                " DIV (n_users_d * tot) AS BIGINT)"
+            ).alias("lift_micro"),
+            F.expr("CAST(cum_conv * 1000000 DIV tot AS BIGINT)").alias(
+                "cum_gain_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+LIFT_APPROX_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(event_type = 'view' AS BIGINT)) AS BIGINT) AS score,
+         CAST(max(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), hist AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(conv) AS BIGINT) AS nc
+  FROM per_user GROUP BY score
+), n AS (
+  SELECT CAST(sum(nu) AS BIGINT) AS n_users,
+         greatest(CAST(sum(nc) AS BIGINT), 1) AS tot
+  FROM hist
+), cum AS (
+  SELECT score, nu, nc,
+         CAST(sum(nu) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_end
+  FROM hist
+), bucketed AS (
+  SELECT CAST((cum_end - 1) * {LIFT_BUCKETS}
+              // (SELECT n_users FROM n) AS BIGINT) AS decile,
+         score, nu, nc
+  FROM cum
+), g AS (
+  SELECT decile,
+         CAST(sum(nu) AS BIGINT) AS n_users,
+         CAST(sum(nc) AS BIGINT) AS n_conv,
+         CAST(min(score) AS BIGINT) AS min_score,
+         CAST(max(score) AS BIGINT) AS max_score
+  FROM bucketed GROUP BY decile
+), c AS (
+  SELECT *,
+         CAST(sum(n_conv) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_conv
+  FROM g
+)
+SELECT decile, n_users, n_conv, min_score, max_score,
+       CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+       CAST(n_conv * (SELECT n_users FROM n) * 1000000
+            // (n_users * (SELECT tot FROM n)) AS BIGINT) AS lift_micro,
+       CAST(cum_conv * 1000000 // (SELECT tot FROM n) AS BIGINT)
+         AS cum_gain_ppm
+FROM c
+ORDER BY decile
+"""
+
+QUERIES["lift_table_deciles_approx"] = lift_table_deciles_approx
+ORACLES["lift_table_deciles_approx"] = LIFT_APPROX_SQL
 
 
 def score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
