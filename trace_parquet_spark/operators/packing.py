@@ -156,6 +156,7 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depends on the LimitPushDownThroughWindow optimizer rescue
     # (pinned in tests/test_plans.py::test_bpe_rank_is_take_ordered).
     top = agg.orderBy(F.desc("n"), "pair").limit(MERGE_TOP_K)
+    # global window is post-top-k bounded: <= MERGE_TOP_K rows
     w_rank = Window.orderBy(F.desc("n"), "pair")
     return (
         top.withColumn("rank", F.row_number().over(w_rank).cast("long"))

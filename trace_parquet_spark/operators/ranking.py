@@ -198,6 +198,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
     # global sort/window over the corpus), then rank the k-row result.
     top = scored.orderBy(F.desc("score9"), F.col("doc_id")).limit(BM25_TOP)
+    # global window is post-top-k bounded: <= BM25_TOP rows
     w = Window.orderBy(F.desc("score9"), F.col("doc_id"))
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))

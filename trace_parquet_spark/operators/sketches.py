@@ -694,6 +694,7 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
         or 0
     )
+    # global window is sketch-depth bounded: |inner| = CMS depth rows
     w = Window.orderBy(F.lit(1))
     return (
         inner.withColumn("est", F.min("ip").over(w))

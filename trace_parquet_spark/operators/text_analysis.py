@@ -388,6 +388,7 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(ZIPF_TOP_K)
     )
+    # global window is post-limit bounded: <= ZIPF_TOP_K rows
     w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     pts = counts.select(
         F.row_number().over(w).cast("long").alias("r"), "cnt"

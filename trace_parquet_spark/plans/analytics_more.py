@@ -131,6 +131,8 @@ def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned exact here to stay oracle-checkable.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # deliberate row-grain global ntile: the oracle ground truth whose
+    # scale swap IS equi_depth_price_buckets_approx below
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         orders.select(

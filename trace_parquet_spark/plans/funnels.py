@@ -78,6 +78,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage_idx")
         .agg(F.count("*").alias("n_users"))
     )
+    # global window is stage-grain bounded: one row per funnel stage
     worder = Window.orderBy("stage_idx")
     return per_stage.select(
         F.col("stage_idx").cast("long").alias("stage_idx"),
@@ -313,6 +314,7 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_event").cast("long")).alias("d"),
     ).transform(track_cache)
     n_total = per_day.agg(F.sum("n_at")).collect()[0][0] or 0
+    # global windows are day-spine bounded: one row per calendar day
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     spine = (
         per_day.withColumn(
@@ -596,6 +598,7 @@ def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_event").cast("long")).alias("d"),
         F.sum((F.col("is_event") & F.col("early")).cast("long")).alias("d1"),
     ).transform(track_cache)
+    # global windows are day-spine bounded: one row per calendar day
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     spine = (
         per_day.select(
@@ -768,6 +771,8 @@ def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "view").cast("long")).alias("score"),
         F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
     ).transform(track_cache)
+    # deliberate row-grain global rank: the oracle ground truth whose
+    # scale swap IS lift_table_deciles_approx below
     w = Window.orderBy(F.desc("score"), "user_id")
     totals = per_user.agg(
         F.count("*").alias("nu"), F.sum("conv").alias("tc")
@@ -791,6 +796,7 @@ def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("max_score"),
     )
     tot = int(totals.tc or 0)
+    # global window is decile-grain bounded: <= LIFT_BUCKETS rows
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return (
         g.withColumn("cum_conv", F.sum("n_conv").over(wc))
@@ -1027,6 +1033,8 @@ def score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("nt"),
         F.sum("conv").alias("np"),
     )
+    # global window is score-grain bounded: |g| = distinct view-count
+    # values (the value grid), never user grain
     wv = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     spine = g.select(
         "score",
@@ -1132,6 +1140,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_event").cast("long")).alias("d"),
     ).transform(track_cache)
     n_total = per_day.agg(F.sum("n_at")).collect()[0][0] or 0
+    # global windows are day-spine bounded: one row per calendar day
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     spine = per_day.withColumn(
         "n_risk", F.lit(n_total) - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))

@@ -1344,6 +1344,8 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("long")
     hist = docs.groupBy("x").agg(F.count("*").alias("c"))
+    # global window is value-grain bounded: |hist| = distinct length
+    # values (the value grid), never row grain
     wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
     spine = hist.select(
         F.col("x").alias("v"),
