@@ -80,7 +80,7 @@ def _modules():
         udtf,
         zorder,
     )
-    from trace_parquet_spark.sources import tablelog, tablelog_source
+    from trace_parquet_spark.sources import formats, tablelog, tablelog_source
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -164,6 +164,7 @@ def _modules():
         ivf,
         kll,
         pq,
+        formats,
         tablelog,
         tablelog_source,
     )

@@ -178,8 +178,10 @@ HEADLINE = [
     "label_propagation_communities",
     "kll_quantile_sketch",
     "tablelog_delete_vectors",
-    # round-14 additions (judge round 6): the lift scale twin
+    # round-14 additions (judge round 6): the lift scale twin +
+    # CSV/JSON/ORC format parity
     "lift_table_deciles_approx",
+    "multi_format_roundtrip",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

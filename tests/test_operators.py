@@ -114,3 +114,27 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert sorted(gated.asDict()) == [
         "exact_orders", "exact_parts", "gate_permille", "within_gate",
     ]
+
+
+def test_multi_format_roundtrip_reconciles(spark, sf_dir):
+    """CSV/JSON/ORC writers+readers round-trip the shared orders slice
+    exactly: per-format counts reconcile with the residue classes and
+    the three formats partition the slice."""
+    from trace_parquet_spark.sources.formats import multi_format_roundtrip
+    from trace_parquet_spark.sources.registry import load_table
+
+    rows = {r.format: r for r in multi_format_roundtrip(spark, sf_dir).collect()}
+    assert sorted(rows) == ["csv", "json", "orc"]
+    sl = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderkey % 8 IN (0, 5)")
+    )
+    by_mod = {
+        int(r.m): int(r.n)
+        for r in sl.groupBy(F.expr("o_orderkey % 3").alias("m"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert rows["csv"].n_rows == by_mod.get(0, 0)
+    assert rows["json"].n_rows == by_mod.get(1, 0)
+    assert rows["orc"].n_rows == by_mod.get(2, 0)
