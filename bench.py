@@ -182,6 +182,7 @@ HEADLINE = [
     # CSV/JSON/ORC format parity
     "lift_table_deciles_approx",
     "multi_format_roundtrip",
+    "tablelog_change_feed_dv",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -190,3 +190,87 @@ def test_delete_where_on_table_with_base_pos_file_columns(spark, tmp_path):
     # cumulative second delete over the collision schema
     delete_where(spark, t, F.col("id") == 0)
     assert _ids(read_table(spark, t)) == [1, 2, 3, 4, 8, 9, 10, 11]
+
+
+def _brute_diff(spark, t, v0, v1):
+    """Ground truth: full snapshot diff by key between two versions."""
+    old = {r.id: tuple(sorted(r.asDict().items()))
+           for r in read_table(spark, t, as_of=v0).collect()}
+    new = {r.id: tuple(sorted(r.asDict().items()))
+           for r in read_table(spark, t, as_of=v1).collect()}
+    out = {}
+    for k in old.keys() | new.keys():
+        if k not in new:
+            out[k] = ("delete", old[k])
+        elif k not in old:
+            out[k] = ("insert", new[k])
+        elif old[k] != new[k]:
+            out[k] = ("update", new[k])
+    return out
+
+
+def test_change_feed_dv_equals_snapshot_diff(spark, tmp_path):
+    """change_feed_dv must equal a brute-force snapshot diff across an
+    op mix of appends, cumulative dv deletes, and a MERGE that both
+    resurrects dv-deleted keys and folds vectors into rewrites
+    (round-6 verdict item 6)."""
+    from trace_parquet_spark.sources.tablelog import change_feed_dv
+
+    t = str(tmp_path / "t")
+    df0 = spark.range(20).select(
+        "id", (F.col("id") * 10).alias("val")
+    )
+    append(df0.repartitionByRange(3, "id"), t, stats_col="id")    # v0
+    delete_where(spark, t, "id % 4 = 0")                          # v1 (dv)
+    append(
+        spark.range(20, 26).select("id", (F.col("id") * 10).alias("val")),
+        t, stats_col="id",
+    )                                                             # v2
+    delete_where(spark, t, "id % 5 = 0")                          # v3 (dv, cumulative)
+    updates = spark.createDataFrame(
+        [(4, 999), (7, 777), (100, 1000)], ["id", "val"]
+    )  # 4 was dv-deleted (resurrect), 7 is live (update), 100 is new
+    merge_upsert(spark, t, updates, "id")                         # v4
+    delete_where(spark, t, "id = 22")                             # v5 (dv)
+
+    vmax = latest_version(t)
+    for v0 in range(0, vmax):
+        for v1 in range(v0 + 1, vmax + 1):
+            feed = {
+                r.id: (
+                    r.change_type,
+                    tuple(sorted({"id": r.id, "val": r.val}.items())),
+                )
+                for r in change_feed_dv(spark, t, v0, v1, "id").collect()
+            }
+            brute = _brute_diff(spark, t, v0, v1)
+            # delete rows carry the pre-image; align brute accordingly
+            for k, (ct, img) in list(brute.items()):
+                if ct == "delete":
+                    pre = {
+                        r.id: tuple(sorted(r.asDict().items()))
+                        for r in read_table(spark, t, as_of=v0).collect()
+                    }[k]
+                    brute[k] = (ct, pre)
+            assert feed == brute, (v0, v1)
+
+
+def test_change_feed_dv_matches_plain_feed_on_dv_free_range(spark, tmp_path):
+    """On a range with no deletion vectors the dv-aware feed must be
+    exactly the plain change_feed."""
+    from trace_parquet_spark.sources.tablelog import change_feed_dv
+
+    t = str(tmp_path / "t")
+    append(spark.range(10).select("id", (F.col("id") + 1).alias("v")), t)
+    merge_upsert(
+        spark, t,
+        spark.createDataFrame([(3, 30), (50, 51)], ["id", "v"]),
+        "id",
+    )
+    a = sorted(
+        tuple(r) for r in change_feed(spark, t, 0, 1, "id").collect()
+    )
+    b = sorted(
+        tuple(r) for r in change_feed_dv(spark, t, 0, 1, "id").collect()
+    )
+    assert a == b and len(a) == 2

@@ -701,6 +701,133 @@ def change_feed(
     )
 
 
+def change_feed_dv(
+    spark: SparkSession, table: str, from_v: int, to_v: int, key: str
+) -> DataFrame:
+    """Row-level change feed ACROSS deletion-vector commits — the CDC
+    derivation change_feed refuses (merge-on-read tables). Net row
+    deltas come from three relations, all position-exact:
+
+    - OLD side: rows of net-removed files that were VISIBLE at from_v
+      (their dv(from_v) positions excluded), plus rows of persistent
+      files (live at both versions) at positions newly deleted in the
+      interval — dv(to_v) minus dv(from_v); the cumulative-sidecar
+      invariant (a newer mapping for file F folds all of F's previous
+      positions in) makes that set difference exactly the interval's
+      row-level deletes.
+    - NEW side: rows of net-added files visible at to_v (dv(to_v)
+      positions excluded).
+
+    The same full-outer key diff as change_feed then classifies
+    insert/delete/update, so MERGE rewrites (which drop a file's dv
+    mapping via the ordinary remove replay), plain appends, and pure
+    sidecar deletes all land as net row changes. Equal to a
+    brute-force snapshot diff on every op mix, pinned in
+    tests/test_tablelog_dv.py.
+
+    Scale: reads only net-touched files plus the persistent files that
+    actually carry new deletions; position screens are (file, pos)
+    joins on part basenames — nothing visits the driver but the file
+    manifest."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    vs = [v for v in _versions(table) if from_v < v <= to_v]
+    added: set[str] = set()
+    removed: set[str] = set()
+    for v in vs:
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        added |= set(c.get("add", []))
+        removed |= set(c.get("remove", []))
+    net_added = added - removed
+    net_removed = removed - added
+    files_from, _s0, _st0, _r0 = _read_log(table, from_v)
+    files_to, schema_json, _stats, _rows = _read_log(table, to_v)
+    persistent = sorted(set(files_from) & set(files_to))
+    dv_from = _dv_state(table, from_v)
+    dv_to = _dv_state(table, to_v)
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    cols = schema.fieldNames()
+    payload = [c for c in cols if c != key]
+
+    def _load_pos(rels) -> DataFrame:
+        """Rows of ``rels`` tagged with (part basename, row position)."""
+        rels = sorted(rels)
+        if not rels:
+            empty = StructType.fromJson(json.loads(schema_json))
+            return (
+                spark.createDataFrame([], empty)
+                .select(
+                    "*",
+                    F.lit(None).cast("string").alias("__base"),
+                    F.lit(None).cast("long").alias("__pos"),
+                )
+            )
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in rels]
+        ).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__base"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+    def _pos_rel(dv_state: dict[str, str], rels) -> DataFrame:
+        """(basename, pos) deletion relation restricted to ``rels``."""
+        sub = {f: s for f, s in dv_state.items() if f in set(rels)}
+        if not sub:
+            return spark.createDataFrame(
+                [], "__base string, __pos long"
+            )
+        return _dv_positions(spark, table, sub).select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("__base"),
+            F.col("pos").alias("__pos"),
+        )
+
+    # old side 1: from_v-visible rows of files dropped in the interval
+    old_removed = _load_pos(net_removed).join(
+        _pos_rel(dv_from, net_removed), ["__base", "__pos"], "left_anti"
+    )
+    # old side 2: persistent files' newly-deleted positions
+    new_del = _pos_rel(dv_to, persistent).join(
+        _pos_rel(dv_from, persistent), ["__base", "__pos"], "left_anti"
+    )
+    old_dv = _load_pos(persistent).join(new_del, ["__base", "__pos"], "left_semi")
+    old = old_removed.unionByName(old_dv).select(
+        F.col(key).alias("_ok"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_op"),
+    )
+    # new side: to_v-visible rows of files added in the interval
+    new = _load_pos(net_added).join(
+        _pos_rel(dv_to, net_added), ["__base", "__pos"], "left_anti"
+    ).select(
+        F.col(key).alias("_nk"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_np"),
+    )
+    j = old.join(new, old._ok == new._nk, "full_outer")
+    change = (
+        F.when(F.col("_ok").isNull(), F.lit("insert"))
+        .when(F.col("_nk").isNull(), F.lit("delete"))
+        .when(F.col("_op") != F.col("_np"), F.lit("update"))
+    )
+    out = (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            F.coalesce(F.col("_nk"), F.col("_ok")).alias(key),
+            # post-image for insert/update, pre-image for delete
+            F.coalesce(F.col("_np"), F.col("_op")).alias("_img"),
+        )
+    )
+    return out.select(
+        "change_type", key, *[F.col(f"_img.{c}").alias(c) for c in payload]
+    )
+
+
 def vacuum(table: str) -> list[str]:
     """Delete data files no commit references (failed writers' orphans
     and overwritten files). Never touches files live at ANY version
@@ -1856,3 +1983,90 @@ ORDER BY snap, bucket
 
 QUERIES["tablelog_delete_vectors"] = tablelog_delete_vectors
 ORACLES["tablelog_delete_vectors"] = TABLELOG_DV_SQL
+
+
+def tablelog_change_feed_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the dv-aware change feed under the oracle gate — CDC on a
+    merge-on-read table (round-6 verdict item 6). Recipe: seed the
+    shared orders slice (v0), publish TWO cumulative deletion-vector
+    commits (cents ≡ 0 mod 7, then key ≡ 0 mod 5 — v1, v2), then a
+    MERGE (v3) that updates keys ≡ 0 mod 16 to cents+11 (resurrecting
+    any of them the vectors had deleted, and folding vectors into the
+    files it rewrites) and inserts brand-new keys k+10⁸ for k ≡ 5 mod
+    8. change_feed_dv(0 → v3) must then classify: inserts = the new
+    keys, updates = every merge key (payload always changes), deletes
+    = vector-deleted keys the merge did not resurrect — which the
+    oracle derives straight from orders with WHERE algebra. Agreement
+    proves position-level delete deltas, cumulative-sidecar
+    subtraction, rewrite-drops-mapping replay, and carried-forward-row
+    suppression, all in one feed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = _orders_slice(spark, sf_dir)
+    t = tempfile.mkdtemp(prefix="tablelog_cfdv_")
+    try:
+        append(
+            orders.repartitionByRange(6, "o_orderkey"), t,
+            stats_col="o_orderkey",
+        )
+        delete_where(spark, t, "cents % 7 = 0")
+        delete_where(spark, t, "o_orderkey % 5 = 0")
+        updates = orders.filter(F.col("o_orderkey") % 16 == 0).select(
+            "o_orderkey", (F.col("cents") + 11).alias("cents")
+        ).unionByName(
+            orders.filter(F.col("o_orderkey") % 8 == 5).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                (F.col("cents") + 1).alias("cents"),
+            )
+        )
+        merge_upsert(spark, t, updates, "o_orderkey")
+        feed = change_feed_dv(spark, t, 0, latest_version(t), "o_orderkey")
+        out = (
+            feed.groupBy("change_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .orderBy("change_type")
+        )
+        rows = out.collect()  # materialize before the scratch dir goes
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "change_type string, n_rows long, total_cents long, "
+        "min_key long, max_key long",
+    ).orderBy("change_type")
+
+
+TABLELOG_CFDV_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+), changes AS (
+  SELECT 'insert' AS change_type, k + 100000000 AS key, cents + 1 AS cents
+  FROM o WHERE k % 8 = 5
+  UNION ALL
+  SELECT 'update', k, cents + 11 FROM o WHERE k % 16 = 0
+  UNION ALL
+  SELECT 'delete', k, cents FROM o
+  WHERE (cents % 7 = 0 OR k % 5 = 0) AND NOT k % 16 = 0
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(min(key) AS BIGINT) AS min_key,
+       CAST(max(key) AS BIGINT) AS max_key
+FROM changes
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+QUERIES["tablelog_change_feed_dv"] = tablelog_change_feed_dv
+ORACLES["tablelog_change_feed_dv"] = TABLELOG_CFDV_SQL
