@@ -230,6 +230,14 @@ def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses only ever SPLIT clusters, never merge them — pytest pins
     that refinement property plus the measured pair recall.
     """
+    return _cluster_output(spark, sf_dir, lsh_verified_pairs(spark, sf_dir))
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (src, dst) pair relation behind semantic_dedup_lsh —
+    hyperplane-bucket collisions verified by exact cosine. Exposed so
+    the streaming twin (streaming/semantic_stream.py) can be pinned
+    against exactly this relation."""
     from .similarity import _with_table_buckets
 
     emb_raw = (
@@ -253,7 +261,7 @@ def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     normed = _normed(spark, sf_dir, SEM_MAX_ID)
-    verified = (
+    return (
         cand.join(
             normed.select(
                 F.col("vec_id").alias("src"),
@@ -283,7 +291,6 @@ def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos9") >= SEM_THRESHOLD)
         .select("src", "dst")
     )
-    return _cluster_output(spark, sf_dir, verified)
 
 
 def _sem_lsh_sql() -> str:
