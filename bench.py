@@ -183,6 +183,7 @@ HEADLINE = [
     "lift_table_deciles_approx",
     "multi_format_roundtrip",
     "tablelog_change_feed_dv",
+    "tablelog_stats_hybrid_agg",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

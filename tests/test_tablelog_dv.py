@@ -274,3 +274,34 @@ def test_change_feed_dv_matches_plain_feed_on_dv_free_range(spark, tmp_path):
         tuple(r) for r in change_feed_dv(spark, t, 0, 1, "id").collect()
     )
     assert a == b and len(a) == 2
+
+
+def test_stats_hybrid_matches_full_scan(spark, tmp_path):
+    """Hybrid dv-aware COUNT/MIN/MAX must equal a full recompute on
+    every snapshot; without vectors it must agree with the pure
+    metadata path."""
+    from trace_parquet_spark.sources.tablelog import (
+        stats_hybrid_totals,
+        stats_only_totals,
+    )
+
+    t = str(tmp_path / "t")
+    _seed(spark, t, n=40, parts=4)
+    # no dv yet: hybrid == metadata-only
+    assert stats_hybrid_totals(spark, t, "id") == stats_only_totals(t)
+    delete_where(spark, t, "id < 6")          # low range (min moves)
+    delete_where(spark, t, "id >= 37")        # high range (max moves)
+    delete_where(spark, t, "id % 9 = 0")      # scattered
+    for v in range(latest_version(t) + 1):
+        snap = read_table(spark, t, as_of=v)
+        expect = (
+            snap.count(),
+            snap.agg(F.min("id")).collect()[0][0],
+            snap.agg(F.max("id")).collect()[0][0],
+        )
+        assert stats_hybrid_totals(spark, t, "id", as_of=v) == expect, v
+    # the refusal path is unchanged for MIN/MAX safety callers
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deletion vector"):
+        stats_only_totals(t)

@@ -1370,6 +1370,58 @@ def stats_only_totals(
     return n, lo, hi
 
 
+def stats_hybrid_totals(
+    spark: SparkSession, table: str, col: str, as_of: int | None = None
+) -> tuple[int, object, object]:
+    """``count(*), min(col), max(col)`` for a snapshot with LIVE
+    deletion vectors — the completion of stats_only_totals' refusal:
+    files WITHOUT a dv mapping contribute their committed metadata
+    (zero I/O, as before); files WITH a mapping are scanned
+    SURGICALLY — only those files, with their vectors applied — and
+    the two halves combine. On a 100 TB table where a DELETE touched
+    3 of 10⁶ files, exact MIN/MAX costs 3 file reads instead of a
+    refusal (or a full scan). ``col`` must be the column the commits
+    recorded stats for."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    files, schema_json, stats, rows = _read_log(table, as_of)
+    missing = [f for f in files if f not in rows]
+    if missing:
+        raise ValueError(f"{table}: no committed row counts for {missing}")
+    dv_state = _dv_state(table, as_of)
+    dv_counts = _dv_counts(table, as_of)
+    dv_files = sorted(f for f in files if f in dv_state)
+    clean = [f for f in files if f not in dv_state]
+
+    n = sum(rows[f] for f in clean)
+    lo = hi = None
+    for f in clean:
+        if rows[f] == 0:
+            continue
+        if f not in stats or stats[f][0] is None:
+            raise ValueError(f"{table}: no committed [min,max] for {f}")
+        lo = stats[f][0] if lo is None else min(lo, stats[f][0])
+        hi = stats[f][1] if hi is None else max(hi, stats[f][1])
+
+    if dv_files:
+        n += sum(rows[f] - dv_counts.get(f, 0) for f in dv_files)
+        schema = StructType.fromJson(json.loads(schema_json))
+        scan = spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in dv_files]
+        )
+        live = _apply_dv(
+            spark, table, scan, {f: dv_state[f] for f in dv_files}
+        )
+        agg = live.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        if agg.lo is not None:
+            lo = agg.lo if lo is None else min(lo, agg.lo)
+            hi = agg.hi if hi is None else max(hi, agg.hi)
+    return n, lo, hi
+
+
 def _orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic 25% orders slice shared by every tablelog
     gated query (k ≡ 0 mod 8 even, k ≡ 5 mod 8 odd): the queries prove
@@ -2070,3 +2122,58 @@ ORDER BY change_type
 
 QUERIES["tablelog_change_feed_dv"] = tablelog_change_feed_dv
 ORACLES["tablelog_change_feed_dv"] = TABLELOG_CFDV_SQL
+
+
+def tablelog_stats_hybrid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the hybrid dv-aware COUNT/MIN/MAX under the oracle gate:
+    seed the shared orders slice (range-partitioned on o_orderkey with
+    committed stats), publish two deletion-vector commits (the low key
+    range, then a scattered residue), and answer (count, min, max) at
+    v0 (pure metadata — no vectors yet) and at the head (hybrid:
+    metadata for clean files + a surgical scan of only the dv-bearing
+    files). The oracle replays the deletes as WHERE NOT predicates —
+    agreement proves the metadata/scan split combines exactly, i.e.
+    the refusal stats_only_totals kept for safety is now served
+    without a full scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = _orders_slice(spark, sf_dir)
+    t = tempfile.mkdtemp(prefix="tablelog_hy_")
+    try:
+        append(
+            orders.repartitionByRange(6, "o_orderkey"), t,
+            stats_col="o_orderkey",
+        )
+        delete_where(spark, t, "o_orderkey < 600")
+        delete_where(spark, t, "cents % 9 = 0")
+        rows = []
+        for v in (0, latest_version(t)):
+            n, lo, hi = stats_hybrid_totals(spark, t, "o_orderkey", as_of=v)
+            rows.append((v, n, int(lo), int(hi)))
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, min_key long, max_key long"
+    ).orderBy("version")
+
+
+TABLELOG_HYBRID_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       min(k) AS min_key, max(k) AS max_key
+FROM o
+UNION ALL
+SELECT 2, count(*), min(k), max(k)
+FROM o WHERE NOT k < 600 AND NOT cents % 9 = 0
+ORDER BY version
+"""
+
+QUERIES["tablelog_stats_hybrid_agg"] = tablelog_stats_hybrid_agg
+ORACLES["tablelog_stats_hybrid_agg"] = TABLELOG_HYBRID_SQL
