@@ -184,6 +184,7 @@ HEADLINE = [
     "multi_format_roundtrip",
     "tablelog_change_feed_dv",
     "tablelog_stats_hybrid_agg",
+    "scrub_duplicated_spans",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -556,3 +556,46 @@ def test_lift_approx_no_single_partition_window(spark, sf_dir):
     last = max(exact)
     assert exact[last].cum_gain_ppm == 1_000_000
     assert approx[max(approx)].cum_gain_ppm == 1_000_000
+
+
+def test_scrub_duplicated_spans_matches_python_replay(spark, sf_dir):
+    """The ExactSubstr APPLY step vs an independent pure-Python
+    replay: removing every flagged position's token and hashing the
+    re-joined remainder must reproduce cleaned_md5 exactly, and the
+    kept/removed accounting must reconcile with the span relation."""
+    import hashlib
+    from collections import Counter
+
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.dedup import (
+        SPAN_K,
+        scrub_duplicated_spans,
+    )
+
+    toks = {
+        r.doc_id: r.tt
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tt"))
+        .collect()
+    }
+    counts = Counter()
+    for tt in toks.values():
+        for i in range(len(tt) - SPAN_K + 1):
+            counts[" ".join(tt[i : i + SPAN_K])] += 1
+    got = {r.doc_id: r for r in scrub_duplicated_spans(spark, sf_dir).collect()}
+    assert set(got) == set(toks)
+    n_scrubbed = 0
+    for doc_id, tt in toks.items():
+        dead = set()
+        for i in range(len(tt) - SPAN_K + 1):
+            if counts[" ".join(tt[i : i + SPAN_K])] >= 2:
+                dead.update(range(i, i + SPAN_K))
+        kept = [t for i, t in enumerate(tt) if i not in dead]
+        r = got[doc_id]
+        assert r.n_tok == len(tt)
+        assert r.kept_tok == len(kept)
+        assert r.removed_tok == len(dead)
+        expect_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r.cleaned_md5 == expect_md5, doc_id
+        n_scrubbed += bool(dead)
+    assert n_scrubbed  # fixture contains real duplicated runs

@@ -812,6 +812,91 @@ ORDER BY source
 """
 
 
+def scrub_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step completing the ExactSubstr story (Lee et al.):
+    dedup_substring_spans DETECTS maximal duplicated token runs; this
+    transform REMOVES every token inside one and certifies the cleaned
+    text byte-exactly — ``cleaned_md5`` is the md5 of the kept tokens
+    re-joined in order, which the DuckDB oracle re-derives from its own
+    full replay of the span pipeline plus the removal. (Aggressive
+    variant: every occurrence of a duplicated run is scrubbed; the
+    keep-one-copy policy is the doc-level dedup family's job.)
+
+    Scale shape: the span relation joins back on doc_id (one shuffle);
+    the removal is a per-token JVM filter whose inner exists() runs
+    over that document's OWN spans (few by construction — maximal and
+    disjoint), so the per-row path stays whole-stage-codegen with no
+    Python and no pairing anywhere."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    toked = docs.select("doc_id", tokens("text").alias("tt"))
+    spans = dedup_substring_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("span_start", "span_end")
+        ).alias("sp")
+    )
+    joined = toked.join(spans, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(tt, (t, i) -> struct(t AS t, i AS i)),"
+        " x -> sp IS NULL OR NOT exists(sp,"
+        " s -> x.i >= s.span_start AND x.i < s.span_end))"
+    )
+    return (
+        joined.select("doc_id", F.size("tt").cast("long").alias("n_tok"), kept.alias("k"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.size("k").cast("long").alias("kept_tok"),
+            (F.col("n_tok") - F.size("k")).cast("long").alias("removed_tok"),
+            F.md5(F.concat_ws(" ", F.expr("transform(k, x -> x.t)"))).alias(
+                "cleaned_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SCRUB_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS tt FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tt, i, i + {SPAN_K} - 1), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(tt) - {SPAN_K} + 1)) AS u(i)
+  WHERE len(tt) >= {SPAN_K}
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams WHERE g IN (SELECT g FROM dup)
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {SPAN_K} AS span_end
+  FROM isl GROUP BY doc_id, grp
+), pos_tokens AS (
+  SELECT doc_id, tt[i] AS t, i - 1 AS pos
+  FROM toks, unnest(generate_series(1, len(tt))) AS u(i)
+), kept AS (
+  SELECT p.doc_id,
+         count(*) AS kept_tok,
+         md5(string_agg(p.t, ' ' ORDER BY p.pos)) AS cleaned_md5
+  FROM pos_tokens p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.pos >= s.span_start AND p.pos < s.span_end
+  )
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tt) AS BIGINT) AS n_tok,
+       CAST(coalesce(k.kept_tok, 0) AS BIGINT) AS kept_tok,
+       CAST(len(t.tt) - coalesce(k.kept_tok, 0) AS BIGINT) AS removed_tok,
+       coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+FROM toks t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -820,6 +905,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "dedup_substring_spans": dedup_substring_spans,
     "substring_dup_rate_by_source": substring_dup_rate_by_source,
+    "scrub_duplicated_spans": scrub_duplicated_spans,
 }
 
 ORACLES = {
@@ -832,6 +918,7 @@ ORACLES = {
     "simhash_docs": SIMHASH_SQL,
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
     "substring_dup_rate_by_source": SUBSTRING_RATE_SQL,
+    "scrub_duplicated_spans": SCRUB_SPANS_SQL,
 }
 
 
