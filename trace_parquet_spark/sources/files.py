@@ -1,10 +1,13 @@
 """File-format sources & sinks beyond parquet (SURVEY §2.1 S8).
 
 Thin, uniform wrappers so callers declare format + options and Catalyst
-still sees a plain datasource scan (pushdown/pruning intact). Avro
-needs the spark-avro jar; it is baked into pyspark 4 distributions as
-a built-in module, but we probe first and raise a clear error if the
-runtime lacks it.
+still sees a plain datasource scan (pushdown/pruning intact).
+csv/json/orc round-trips are oracle-gated end-to-end by
+sources/formats.py's multi_format_roundtrip. Avro needs the external
+spark-avro jar (NOT shipped in this image's pyspark distribution —
+probed: `Failed to find data source: avro`), so the wrapper accepts
+the format and Spark raises its standard deploy-the-module error;
+same env-blocked standing as the Kafka jar (sources/kafka.py).
 """
 
 from __future__ import annotations
