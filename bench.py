@@ -185,6 +185,7 @@ HEADLINE = [
     "tablelog_change_feed_dv",
     "tablelog_stats_hybrid_agg",
     "scrub_duplicated_spans",
+    "matryoshka_recall",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -305,11 +305,128 @@ ORDER BY q.query_id
 """
 
 
+MATRYOSHKA_DIMS = (8, 16, 32, DIM)
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation eval (Kusupati et al. 2022): how much
+    top-k retrieval quality survives truncating every embedding to its
+    first D dimensions — the decision table for serving shorter
+    prefixes of an MRL-trained model (vector store bytes and dot-cost
+    both scale with D). For each prefix length, exact top-k under the
+    truncated cosine is compared against the full-dimension ground
+    truth; recall rides the exact micro grid. The D = DIM row must
+    come back at exactly 1e6 (it IS the ground truth) — a built-in
+    sanity gate.
+
+    Scale: the query set broadcasts once per prefix length; each pass
+    is one narrow scan of the candidate partitions (the slice is a
+    zero-copy array prefix, JVM-side); the eval join touches
+    k·|queries| rows. Deterministic ranking: truncated cosines are
+    rounded to 9 decimals before the (cos9 DESC, vec_id) rank, both
+    engines."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select("vec_id", "embedding")
+    ids = None
+    for d in MATRYOSHKA_DIMS:
+        scored = c.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).withColumn(
+            "cos9",
+            F.round(
+                cosine(
+                    F.slice("qv", 1, d), F.slice("embedding", 1, d)
+                ),
+                9,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos9"), F.col("vec_id")
+        )
+        r = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.lit(d).cast("long").alias("dim"), "query_id", "vec_id"
+            )
+        )
+        ids = r if ids is None else ids.unionByName(r)
+    bf = cosine_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).cast("long").alias("hit")
+    )
+    n_truth = bf.groupBy().count().select(
+        F.col("count").cast("long").alias("n_truth")
+    )
+    return (
+        ids.join(F.broadcast(bf), ["query_id", "vec_id"], "left")
+        .groupBy("dim")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "dim",
+            "n_truth",
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 div n_truth AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+def _matryoshka_sql() -> str:
+    per_dim = "\n  UNION ALL\n  ".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dim, query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cosine_sql(f'list_slice(q.qv, 1, {d})',
+                                        f'list_slice(c.embedding, 1, {d})')}, 9)
+               DESC, c.vec_id) AS rank
+    FROM embeddings c JOIN q ON c.vec_id <> q.query_id
+  ) WHERE rank <= {TOP_K}"""
+        for d in MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cosine_sql('q.qv', 'c.embedding')}, 9)
+               DESC, c.vec_id) AS rank
+    FROM embeddings c JOIN q ON c.vec_id <> q.query_id
+  ) WHERE rank <= {TOP_K}
+),
+all_ids AS (
+  {per_dim}
+)
+SELECT a.dim,
+       (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+       CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(b.vec_id) * 1000000
+            // (SELECT count(*) FROM bf) AS BIGINT) AS recall_micro
+FROM all_ids a
+LEFT JOIN bf b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+GROUP BY a.dim
+ORDER BY a.dim
+"""
+
+
+MATRYOSHKA_SQL = _matryoshka_sql()
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_recall_eval": ann_lsh_recall_eval,
+    "matryoshka_recall": matryoshka_recall,
 }
 
 ORACLES = {
@@ -317,6 +434,7 @@ ORACLES = {
     "embedding_neardup_pairs": NEARDUP_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_lsh_recall_eval": ANN_LSH_RECALL_SQL,
+    "matryoshka_recall": MATRYOSHKA_SQL,
 }
 
 
