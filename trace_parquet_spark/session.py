@@ -53,12 +53,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Spark's 1g default heap OOMs on the heaviest sf0.1 checks; local
-    # mode puts all executor threads in the driver JVM, so size it for
-    # the box unless the caller says otherwise.
+    # Spark's 1g default heap OOMs on the heaviest sf0.1 checks
+    # (32 executor threads share the driver JVM in local mode, and a
+    # multi-distinct Expand spill at sf0.1 killed the round-7 gate
+    # under the bare default). Size it for the box: explicit arg >
+    # SPARK_GRAFT_DRIVER_MEM env > a quarter of physical RAM capped at
+    # 24g (plenty for sf0.1; the cap keeps CI boxes honest).
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if driver_memory:
-        builder = builder.config("spark.driver.memory", driver_memory)
+    if not driver_memory:
+        try:
+            with open("/proc/meminfo") as fh:
+                kb = int(fh.readline().split()[1])  # MemTotal
+            driver_memory = f"{max(4, min(24, kb // (4 * 1024 * 1024)))}g"
+        except OSError:
+            driver_memory = "8g"
+    builder = builder.config("spark.driver.memory", driver_memory)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
