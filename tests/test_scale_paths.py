@@ -599,3 +599,46 @@ def test_scrub_duplicated_spans_matches_python_replay(spark, sf_dir):
         assert r.cleaned_md5 == expect_md5, doc_id
         n_scrubbed += bool(dead)
     assert n_scrubbed  # fixture contains real duplicated runs
+
+
+def test_matryoshka_recall_sanity(spark, sf_dir):
+    """The full-dimension row IS the ground truth (recall exactly 1e6);
+    every prefix row's hits are bounded by the truth count; and the
+    numbers match a numpy replay of the truncated-cosine ranking."""
+    import numpy as np
+
+    from trace_parquet_spark.operators.similarity import (
+        MATRYOSHKA_DIMS,
+        N_QUERIES,
+        TOP_K,
+        matryoshka_recall,
+    )
+
+    rows = {r.dim: r for r in matryoshka_recall(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(MATRYOSHKA_DIMS)
+    full = rows[max(MATRYOSHKA_DIMS)]
+    assert full.recall_micro == 1_000_000 and full.n_hits == full.n_truth
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def topk(d):
+        out = set()
+        for q in range(N_QUERIES):
+            qv = emb[q][:d]
+            scored = []
+            for vid, v in emb.items():
+                if vid == q:
+                    continue
+                c = float(qv @ v[:d] / (np.linalg.norm(qv) * np.linalg.norm(v[:d])))
+                scored.append((-round(c, 9), vid))
+            for _, vid in sorted(scored)[:TOP_K]:
+                out.add((q, vid))
+        return out
+
+    truth = topk(max(MATRYOSHKA_DIMS))
+    assert rows[8].n_truth == len(truth)
+    for d in MATRYOSHKA_DIMS:
+        assert rows[d].n_hits == len(topk(d) & truth), d
+        assert 0 <= rows[d].recall_micro <= 1_000_000
