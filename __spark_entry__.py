@@ -80,7 +80,7 @@ def _modules():
         udtf,
         zorder,
     )
-    from trace_parquet_spark.sources import formats, tablelog, tablelog_source
+    from trace_parquet_spark.sources import formats, tablelog, tablelog_source, warc
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -167,6 +167,7 @@ def _modules():
         formats,
         tablelog,
         tablelog_source,
+        warc,
     )
 
 

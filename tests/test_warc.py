@@ -1,0 +1,89 @@
+"""WARC connector (sources/warc.py): framing round-trip, multi-member
+gzip, type pushdown, and the registry entry's reconciliation."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.sources.warc import (
+    parse_warc_bytes,
+    register,
+    warc_ingest_totals,
+    write_warc,
+)
+
+
+def test_warc_framing_roundtrip(tmp_path):
+    path = str(tmp_path / "a.warc.gz")
+    recs = [
+        {
+            "record_id": f"<urn:x:{i}>",
+            "warc_type": "response" if i % 2 == 0 else "request",
+            "target_uri": f"http://t/{i}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "payload": f"payload {i} with\r\nnewlines and unicode £{i}",
+        }
+        for i in range(6)
+    ]
+    assert write_warc(path, iter(recs)) == 6
+    with gzip.open(path, "rb") as fh:
+        got = list(parse_warc_bytes(fh.read()))
+    assert len(got) == 6
+    for (hdrs, block), r in zip(got, recs):
+        assert hdrs["warc-record-id"] == r["record_id"]
+        assert hdrs["warc-type"] == r["warc_type"]
+        assert int(hdrs["content-length"]) == len(r["payload"].encode())
+        assert block.decode("utf-8") == r["payload"]
+
+
+def test_warc_datasource_pushdown_drops_requests(spark, tmp_path):
+    path = str(tmp_path / "d")
+    import os
+
+    os.makedirs(path)
+    write_warc(
+        os.path.join(path, "p.warc.gz"),
+        [
+            {
+                "record_id": "<urn:1>", "warc_type": "response",
+                "target_uri": "http://t/1",
+                "warc_date": "2024-01-01T00:00:00Z", "payload": "hello",
+            },
+            {
+                "record_id": "<urn:2>", "warc_type": "request",
+                "target_uri": "http://t/1",
+                "warc_date": "2024-01-01T00:00:00Z", "payload": "GET /",
+            },
+        ],
+    )
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("warc").option("path", path).load()
+        .filter(F.col("warc_type") == "response")
+    )
+    rows = df.collect()
+    assert [r.record_id for r in rows] == ["<urn:1>"]
+    assert rows[0].payload == "hello" and rows[0].content_length == 5
+
+
+def test_warc_ingest_totals_reconciles(spark, sf_dir):
+    from trace_parquet_spark.sources.registry import load_table
+
+    got = {r.source: r for r in warc_ingest_totals(spark, sf_dir).collect()}
+    want = {
+        r.source: r
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("text")).alias("b"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for s, w in want.items():
+        assert got[s].n_docs == w.n
+        assert got[s].total_bytes == w.b
