@@ -186,6 +186,7 @@ HEADLINE = [
     "tablelog_stats_hybrid_agg",
     "scrub_duplicated_spans",
     "matryoshka_recall",
+    "warc_ingest_totals",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
