@@ -187,6 +187,8 @@ HEADLINE = [
     "scrub_duplicated_spans",
     "matryoshka_recall",
     "warc_ingest_totals",
+    "tablelog_schema_evolution",
+    "k_core_decomposition",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

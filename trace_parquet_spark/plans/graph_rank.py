@@ -501,3 +501,143 @@ ORDER BY community, node
 
 QUERIES["label_propagation_communities"] = label_propagation_communities
 ORACLES["label_propagation_communities"] = LP_SQL
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (capped coreness) on the trade graph
+# --------------------------------------------------------------------------
+
+KCORE_KS = (2, 3, 4)    # peeled cores; 1-core = degree >= 1 (no cascade)
+KCORE_MAX_ROUNDS = 26   # > |nation| -- peel removes >= 1 node per round
+
+
+def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped coreness per nation on the symmetric sparsified trade
+    graph: coreness(v) = max k ≤ 4 with v in the k-core, where the
+    k-core is the maximal subgraph of minimum degree ≥ k (iterative
+    peel: drop nodes whose CURRENT degree in the surviving subgraph is
+    < k until fixpoint — removal cascades, which is what separates
+    this from a plain degree threshold). The density screen of the
+    graph family: dedup/link graphs use it to find the boilerplate
+    hairball before pair-expansion.
+
+    Spark shape: one fact-scan edge build (shared _sym_edges), then
+    per k a fixpoint loop over node-grain state — each round is
+    edges ⋈ alive (both endpoints) → per-node degree → HAVING ≥ k,
+    with localCheckpoint truncating lineage; rounds stop at the first
+    unchanged count and are bounded by |V| (peel drops ≥ 1 node per
+    productive round). The oracle unrolls the same peel to the bound —
+    extra rounds past the fixpoint are no-ops, so fixed-depth replay
+    equals the early-exit loop by construction."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("node"), "n_name"
+    )
+    edges = _sym_edges(spark, sf_dir).transform(track_cache)
+    degree = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    members: dict[int, DataFrame] = {}
+    for k in KCORE_KS:
+        alive = nation.select("node")
+        n_alive = alive.count()
+        for _ in range(KCORE_MAX_ROUNDS):
+            surv = alive.select(F.col("node").alias("_s"))
+            nxt = (
+                edges.join(alive, edges.dst == alive.node)
+                .join(surv, edges.src == F.col("_s"))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k)
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            n_next = nxt.count()
+            alive = nxt
+            if n_next == n_alive:
+                break
+            n_alive = n_next
+        else:
+            raise AssertionError(f"k-core peel (k={k}) did not converge")
+        members[k] = alive.select(
+            "node", F.lit(1).alias(f"in{k}")
+        )
+    out = nation.join(degree, "node", "left").fillna(0, ["degree"])
+    for k in KCORE_KS:
+        out = out.join(members[k], "node", "left")
+    coreness = (
+        F.when(F.col("in4").isNotNull(), 4)
+        .when(F.col("in3").isNotNull(), 3)
+        .when(F.col("in2").isNotNull(), 2)
+        .when(F.col("degree") >= 1, 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "node",
+        "n_name",
+        F.col("degree").cast("long").alias("degree"),
+        coreness.cast("long").alias("coreness"),
+    ).orderBy("node")
+
+
+def _kcore_peel_ctes(k: int) -> str:
+    steps = [f"""a{k}_0 AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+)"""]
+    for r in range(1, KCORE_MAX_ROUNDS + 1):
+        steps.append(f"""a{k}_{r} AS MATERIALIZED (
+  SELECT a.node
+  FROM a{k}_{r - 1} a
+  JOIN edges_sym e ON e.dst = a.node
+  JOIN a{k}_{r - 1} s ON s.node = e.src
+  GROUP BY a.node
+  HAVING count(*) >= {k}
+)""")
+    return ",\n".join(steps)
+
+
+def _kcore_sql() -> str:
+    peels = ",\n".join(_kcore_peel_ctes(k) for k in KCORE_KS)
+    last = {k: f"a{k}_{KCORE_MAX_ROUNDS}" for k in KCORE_KS}
+    return f"""
+WITH flows AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders   o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+), outw AS (
+  SELECT src, sum(w) AS ow FROM flows GROUP BY src
+), dir_edges AS (
+  SELECT CAST(f.src AS BIGINT) AS src, CAST(f.dst AS BIGINT) AS dst
+  FROM flows f JOIN outw o ON f.src = o.src
+  WHERE (f.w * {PSCALE}) // o.ow >= {BFS_P_MIN} AND f.src <> f.dst
+), edges_sym AS MATERIALIZED (
+  SELECT src, dst FROM dir_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM dir_edges
+), deg AS (
+  SELECT dst AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM edges_sym GROUP BY dst
+),
+{peels}
+SELECT CAST(n.n_nationkey AS BIGINT) AS node, n.n_name,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       CAST(CASE WHEN i4.node IS NOT NULL THEN 4
+                 WHEN i3.node IS NOT NULL THEN 3
+                 WHEN i2.node IS NOT NULL THEN 2
+                 WHEN COALESCE(d.degree, 0) >= 1 THEN 1
+                 ELSE 0 END AS BIGINT) AS coreness
+FROM nation n
+LEFT JOIN deg d ON d.node = n.n_nationkey
+LEFT JOIN {last[2]} i2 ON i2.node = n.n_nationkey
+LEFT JOIN {last[3]} i3 ON i3.node = n.n_nationkey
+LEFT JOIN {last[4]} i4 ON i4.node = n.n_nationkey
+ORDER BY node
+"""
+
+
+KCORE_SQL = _kcore_sql()
+
+QUERIES["k_core_decomposition"] = k_core_decomposition
+ORACLES["k_core_decomposition"] = KCORE_SQL

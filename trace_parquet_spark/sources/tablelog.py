@@ -2177,3 +2177,95 @@ ORDER BY version
 
 QUERIES["tablelog_stats_hybrid_agg"] = tablelog_stats_hybrid_agg
 ORACLES["tablelog_stats_hybrid_agg"] = TABLELOG_HYBRID_SQL
+
+
+def tablelog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive additive schema evolution under the oracle gate: v0
+    appends the even-key orders slice with a 2-column schema
+    (o_orderkey, cents); v1 appends the odd-key slice with an EVOLVED
+    3-column schema adding ``priority``. Reading at v0 must present
+    the original 2 columns (time travel restores the old schema);
+    reading at v1 must present 3 columns with v0's rows null-backfilled
+    on the new one — no file rewrite anywhere. The gated row carries
+    the column count as direct schema evidence plus null/distinct
+    accounting the oracle re-derives from orders."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 8).isin(0, 5)
+    ).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderpriority",
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_se_")
+    try:
+        append(
+            orders.filter(F.col("o_orderkey") % 8 == 0).select(
+                "o_orderkey", "cents"
+            ),
+            t,
+        )
+        append(
+            orders.filter(F.col("o_orderkey") % 8 == 5).select(
+                "o_orderkey",
+                "cents",
+                F.col("o_orderpriority").alias("priority"),
+            ),
+            t,
+        )
+        rows = []
+        for v in (0, 1):
+            df = read_table(spark, t, as_of=v)
+            has_p = "priority" in df.columns
+            agg = df.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("c"),
+                (
+                    F.count("priority") if has_p else F.lit(0)
+                ).cast("long").alias("np"),
+                (
+                    F.countDistinct("priority") if has_p else F.lit(0)
+                ).cast("long").alias("ndp"),
+            ).collect()[0]
+            rows.append((v, len(df.columns), agg.n, agg.np, agg.ndp, agg.c))
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_cols long, n_rows long, n_priority_rows long, "
+        "n_priorities long, total_cents long",
+    ).orderBy("version")
+
+
+TABLELOG_SCHEMA_EVO_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT 0 AS version, CAST(2 AS BIGINT) AS n_cols,
+       count(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_priority_rows,
+       CAST(0 AS BIGINT) AS n_priorities,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE k % 8 = 0
+UNION ALL
+SELECT 1, 3, count(*),
+       CAST(count(CASE WHEN k % 8 = 5 THEN priority END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN k % 8 = 5 THEN priority END) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM o
+ORDER BY version
+"""
+
+QUERIES["tablelog_schema_evolution"] = tablelog_schema_evolution
+ORACLES["tablelog_schema_evolution"] = TABLELOG_SCHEMA_EVO_SQL
