@@ -87,3 +87,54 @@ def test_warc_ingest_totals_reconciles(spark, sf_dir):
     for s, w in want.items():
         assert got[s].n_docs == w.n
         assert got[s].total_bytes == w.b
+
+
+def test_warc_framing_property():
+    """Property: write ∘ parse is the identity for arbitrary payloads
+    (unicode, embedded CRLFs, empty, long) and record counts — the
+    framing never desynchronizes because Content-Length is exact
+    bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import io
+    import gzip as _gzip
+    import os
+    import tempfile
+
+    payloads = st.lists(
+        st.text(max_size=400), min_size=0, max_size=8
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(payloads)
+    def check(texts):
+        fd, path = tempfile.mkstemp(suffix=".warc.gz")
+        os.close(fd)
+        os.unlink(path)
+        try:
+            recs = [
+                {
+                    "record_id": f"<urn:p:{i}>",
+                    "warc_type": "response",
+                    "target_uri": f"http://t/{i}",
+                    "warc_date": "2024-01-01T00:00:00Z",
+                    "payload": t,
+                }
+                for i, t in enumerate(texts)
+            ]
+            assert write_warc(path, iter(recs)) == len(recs)
+            if not recs:
+                assert not os.path.exists(path) or os.path.getsize(path) == 0
+                return
+            with _gzip.open(path, "rb") as fh:
+                got = list(parse_warc_bytes(fh.read()))
+            assert len(got) == len(recs)
+            for (hdrs, block), r in zip(got, recs):
+                assert block.decode("utf-8") == r["payload"]
+                assert hdrs["warc-record-id"] == r["record_id"]
+        finally:
+            if os.path.exists(path):
+                os.unlink(path)
+
+    check()
