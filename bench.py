@@ -189,6 +189,7 @@ HEADLINE = [
     "warc_ingest_totals",
     "tablelog_schema_evolution",
     "k_core_decomposition",
+    "hybrid_search_rrf",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

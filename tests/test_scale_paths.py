@@ -687,3 +687,31 @@ def test_k_core_matches_python_peel(spark, sf_dir):
     got = {r.node: r.coreness for r in k_core_decomposition(spark, sf_dir).collect()}
     assert got == want
     assert set(got.values()) != {0}, "graph unexpectedly empty"
+
+
+def test_hybrid_rrf_consistent_with_legs(spark, sf_dir):
+    """The fused table must reproduce each leg's rank, score strictly
+    by the RRF formula, and contain both legs' #1 results."""
+    from trace_parquet_spark.operators.ranking import (
+        RRF_K,
+        bm25_search,
+        hybrid_search_rrf,
+    )
+
+    fused = hybrid_search_rrf(spark, sf_dir).collect()
+    lex = {r.doc_id: r.rank for r in bm25_search(spark, sf_dir).collect()}
+    for r in fused:
+        expect = 0
+        if r.lex_rank:
+            assert lex[r.doc_id] == r.lex_rank
+            expect += 1_000_000 // (RRF_K + r.lex_rank)
+        if r.sem_rank:
+            expect += 1_000_000 // (RRF_K + r.sem_rank)
+        assert r.rrf_micro == expect
+    # a doc ranked #1 by bm25 must appear in the fused top list
+    top_lex = min(lex, key=lex.get)
+    assert any(r.doc_id == top_lex for r in fused)
+    # fused ranks are 1..N dense and ordered by score desc
+    assert [r.fused_rank for r in fused] == list(range(1, len(fused) + 1))
+    scores = [r.rrf_micro for r in fused]
+    assert scores == sorted(scores, reverse=True)

@@ -268,3 +268,131 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_search": BM25_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 ⊕ embedding cosine via reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+RRF_K = 60        # the standard Cormack et al. 2009 constant
+RRF_TOP = 10      # fused results returned
+RRF_QUERY_VEC = 0  # query embedding = vec_id 0 (doc_id ≡ vec_id in testdata)
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the standard RAG retrieval shape: fuse the
+    lexical leg (this module's BM25 top-N for the fixed term query)
+    with the semantic leg (exact cosine top-N around a fixed query
+    embedding) by reciprocal-rank fusion — score(d) = Σ_legs
+    1e6 div (RRF_K + rank_leg(d)), a rank-only combination that needs
+    no score normalization across legs (Cormack et al. 2009). Integer
+    division keeps the fused score on an exact grid, so the DuckDB
+    twin hash-matches; ties break on doc_id.
+
+    Scale: both legs are already top-N-bounded relations (BM25 takes
+    TakeOrdered before ranking; the cosine leg broadcasts one query
+    vector over a narrow scan), so the fusion is a full-outer join of
+    two N-row relations — constant work after the legs."""
+    from .similarity import TOP_K  # noqa: F401  (module import sanity)
+    from ..functions.vectors import cosine
+    from ..sources.registry import load_table_parallel
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos9", F.round(cosine("qv", "embedding"), 9))
+    )
+    sem = (
+        scored.orderBy(F.desc("cos9"), F.col("vec_id"))
+        .limit(BM25_TOP)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                # global window is post-top-k bounded: <= BM25_TOP rows
+                Window.orderBy(F.desc("cos9"), F.col("vec_id"))
+            ).cast("long"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "sem_rank")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+            (
+                F.when(
+                    F.col("lex_rank").isNotNull(),
+                    F.expr(f"CAST(1000000 div ({RRF_K} + lex_rank) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("sem_rank").isNotNull(),
+                    F.expr(f"CAST(1000000 div ({RRF_K} + sem_rank) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            ).alias("rrf_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.col("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_micro"), F.col("doc_id"))
+        .limit(RRF_TOP)
+        # global window is post-top-k bounded: <= RRF_TOP rows
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .select("fused_rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
+        .orderBy("fused_rank")
+    )
+
+
+def _rrf_sql() -> str:
+    from ..functions.vectors import cosine_sql
+
+    return f"""
+WITH lex AS (
+{BM25_SQL.replace("ORDER BY score9 DESC, doc_id", "ORDER BY score9 DESC, doc_id ", 1)}
+),
+sem AS (
+  SELECT CAST(vec_id AS BIGINT) AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos9 DESC, vec_id) AS BIGINT)
+           AS sem_rank
+  FROM (
+    SELECT c.vec_id,
+           round({cosine_sql('q.embedding', 'c.embedding')}, 9) AS cos9
+    FROM embeddings c,
+         (SELECT embedding FROM embeddings
+          WHERE vec_id = {RRF_QUERY_VEC}) q
+    WHERE c.vec_id <> {RRF_QUERY_VEC}
+  )
+  ORDER BY cos9 DESC, doc_id
+  LIMIT {BM25_TOP}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         CAST(CASE WHEN l.rank IS NULL THEN 0
+                   ELSE 1000000 // ({RRF_K} + l.rank) END
+            + CASE WHEN s.sem_rank IS NULL THEN 0
+                   ELSE 1000000 // ({RRF_K} + s.sem_rank) END
+              AS BIGINT) AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+         AS fused_rank,
+       doc_id, lex_rank, sem_rank, rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
+HYBRID_RRF_SQL = _rrf_sql()
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = HYBRID_RRF_SQL
