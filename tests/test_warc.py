@@ -138,3 +138,44 @@ def test_warc_framing_property():
                 os.unlink(path)
 
     check()
+
+
+def test_warc_stream_delivers_archives_exactly_once(spark, tmp_path):
+    """readStream over a WARC directory: each arriving archive is one
+    micro-batch; a restart resumes from the checkpointed offset and
+    never re-delivers."""
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def rec(i):
+        return {
+            "record_id": f"<urn:s:{i}>", "warc_type": "response",
+            "target_uri": f"http://t/{i}",
+            "warc_date": "2024-01-01T00:00:00Z", "payload": f"doc {i}",
+        }
+
+    register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("warc").option("path", src).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_warc(os.path.join(src, "a.warc.gz"), [rec(0), rec(1)])
+    run_once()
+    write_warc(os.path.join(src, "b.warc.gz"), [rec(2)])
+    run_once()  # restart from checkpoint; only archive b is fresh
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.record_id for r in rows) == [
+        "<urn:s:0>", "<urn:s:1>", "<urn:s:2>"
+    ]

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -134,6 +135,53 @@ class WarcReader(DataSourceReader):
             )
 
 
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: tails the archive directory, offset = the
+    sorted list of archives already delivered — the crawl-drop shape
+    (each arriving .warc.gz is one micro-batch of records). Same
+    offset/commit contract as the gzjsonl stream: checkpointable and
+    replayable via readBetweenOffsets."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("warc requires option 'path'")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.dir) if n.endswith(".warc.gz")
+        )
+
+    def _rows(self, names):
+        for name in names:
+            with gzip.open(os.path.join(self.dir, name), "rb") as fh:
+                buf = fh.read()
+            for hdrs, block in parse_warc_bytes(buf):
+                yield (
+                    hdrs.get("warc-record-id", ""),
+                    hdrs.get("warc-type", ""),
+                    hdrs.get("warc-target-uri", ""),
+                    hdrs.get("warc-date", ""),
+                    len(block),
+                    block.decode("utf-8"),
+                )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        now = self._files()
+        fresh = [n for n in now if n not in set(start["seen"])]
+        return iter(list(self._rows(fresh))), {"seen": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        fresh = [n for n in end["seen"] if n not in set(start["seen"])]
+        return iter(list(self._rows(fresh)))
+
+    def commit(self, end: dict) -> None:
+        pass  # archives are immutable; nothing to release
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -144,6 +192,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return WarcReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:
