@@ -96,7 +96,16 @@ def track_cache(df):
 
 
 def release_caches() -> int:
-    """Unpersist every tracked cache; returns how many were released."""
+    """Unpersist every tracked cache; returns how many were released.
+
+    Also sweeps localCheckpoint residue: the iterative operators
+    (label propagation, k-core peel) truncate per-round lineage with
+    localCheckpoint, which persists RDDs OUTSIDE the CacheManager and
+    outside _TRACKED_CACHES; between queries those are dead weight
+    whose eviction otherwise waits on Python GC + ContextCleaner.
+    release_caches is a between-queries harness call by contract, so
+    any persistent RDD still registered at that point is intra-query
+    residue and safe to drop."""
     n = 0
     while _TRACKED_CACHES:
         df = _TRACKED_CACHES.pop()
@@ -105,6 +114,15 @@ def release_caches() -> int:
             n += 1
         except Exception:  # session already gone — nothing to release
             pass
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist()
+                n += 1
+    except Exception:  # context shutting down — nothing to sweep
+        pass
     return n
 
 
