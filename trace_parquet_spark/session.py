@@ -82,8 +82,15 @@ def get_spark(
 # action (check_oracle, bench) — plus __spark_entry__ releases the
 # previous query's caches when the NEXT query is built, which bounds
 # storage accumulation to one query in any sequential harness,
-# including the driver's. Releasing before an un-collected plan runs
-# is still correct (an unpersisted relation recomputes).
+# including the driver's. Contract tiers: releasing a TRACKED cache
+# before its un-collected plan runs is still correct (the unpersisted
+# relation recomputes from lineage); the localCheckpoint sweep below
+# is stricter — a checkpointed RDD cannot recompute after unpersist
+# (lineage is truncated), so release_caches must only run BETWEEN
+# queries (after the previous result was collected). Every harness in
+# this repo is sequential in exactly that way: check_oracle and bench
+# release after the action, __spark_entry__ releases when the NEXT
+# query is built.
 
 _TRACKED_CACHES: list = []
 
@@ -103,9 +110,11 @@ def release_caches() -> int:
     localCheckpoint, which persists RDDs OUTSIDE the CacheManager and
     outside _TRACKED_CACHES; between queries those are dead weight
     whose eviction otherwise waits on Python GC + ContextCleaner.
-    release_caches is a between-queries harness call by contract, so
-    any persistent RDD still registered at that point is intra-query
-    residue and safe to drop."""
+    release_caches is a between-queries harness call by contract
+    (see the cache-contract comment above — a swept checkpoint RDD
+    cannot recompute, so never call this with an un-collected
+    checkpoint-bearing plan in flight), so any persistent RDD still
+    registered at that point is intra-query residue, safe to drop."""
     n = 0
     while _TRACKED_CACHES:
         df = _TRACKED_CACHES.pop()
