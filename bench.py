@@ -240,6 +240,10 @@ REPEATS = {
     "market_basket_rules": 3,
     "dedup_ngram_pairs": 3,
     "cluster_capped_sample": 3,
+    # round-7: new >1.5s entries (house rule)
+    "tablelog_change_feed_dv": 3,
+    "tablelog_stats_hybrid_agg": 3,
+    "k_core_decomposition": 3,
 }
 
 
