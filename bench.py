@@ -190,6 +190,7 @@ HEADLINE = [
     "tablelog_schema_evolution",
     "k_core_decomposition",
     "hybrid_search_rrf",
+    "naive_bayes_source_confusion",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

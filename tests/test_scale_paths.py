@@ -715,3 +715,57 @@ def test_hybrid_rrf_consistent_with_legs(spark, sf_dir):
     assert [r.fused_rank for r in fused] == list(range(1, len(fused) + 1))
     scores = [r.rrf_micro for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_naive_bayes_matches_python_replay(spark, sf_dir):
+    """The NB confusion matrix must match an independent pure-Python
+    multinomial NB with the same Laplace smoothing and micro-nat
+    quantization — every prediction, not just aggregate accuracy."""
+    import math
+    from collections import Counter, defaultdict
+
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.text_analysis import (
+        naive_bayes_source_confusion,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", tokens("text").alias("tt"))
+        .collect()
+    )
+    docs = [(r.doc_id, r.source, [t for t in r.tt if t]) for r in rows]
+    cst = defaultdict(Counter)
+    nd = Counter()
+    vocab = set()
+    for _, s, tt in docs:
+        nd[s] += 1
+        cst[s].update(tt)
+        vocab.update(tt)
+    V = len(vocab)
+    n_docs = len(docs)
+    classes = sorted(nd)
+    ns = {s: sum(cst[s].values()) for s in classes}
+
+    def micro(x):
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    pri = {s: micro(nd[s] / n_docs) for s in classes}
+    dflt = {s: micro(1.0 / (ns[s] + V)) for s in classes}
+    want = Counter()
+    for _, src, tt in docs:
+        counts = Counter(tt)
+        best = None
+        for s in classes:
+            sc = pri[s] + sum(
+                n * (micro((cst[s][t] + 1) / (ns[s] + V)) if cst[s][t] else dflt[s])
+                for t, n in counts.items()
+            )
+            if best is None or sc > best[0]:
+                best = (sc, s)
+        want[(src, best[1])] += 1
+    got = {
+        (r.source, r.predicted): r.n_docs
+        for r in naive_bayes_source_confusion(spark, sf_dir).collect()
+    }
+    assert got == dict(want)

@@ -520,3 +520,191 @@ ORDER BY lang_true, lang_pred
 
 QUERIES["langid_confusion"] = langid_confusion
 ORACLES["langid_confusion"] = LANGID_CONFUSION_SQL
+
+
+# --------------------------------------------------------------------------
+# multinomial Naive Bayes source classifier (fastText-ish baseline)
+# --------------------------------------------------------------------------
+
+
+def naive_bayes_source_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multinomial Naive Bayes over unigram counts, classifying each
+    document's ``source`` — the classic linear-time text-classifier
+    baseline a corpus pipeline trains as its cheap quality/language/
+    domain screen before anything neural. Laplace-smoothed token
+    likelihoods and the class prior live on the exact micro-nat grid
+    (floor(ln·1e6 + 0.5), the doc_surprisal/pmi libm-parity rule), a
+    document's class score is an INT64 sum of count×micro-nat terms
+    plus the prior, and argmax ties break on the class name — so the
+    DuckDB twin reproduces every prediction bit-for-bit. Emitted as
+    the (source, predicted) confusion matrix with row shares.
+    Resubstitution eval by design (train = score corpus): the entry
+    gates the classifier algebra, not generalization — the held-out
+    variant is the same plan with a hash-split WHERE.
+
+    Scale: token counts are one (source, token) shuffle; scoring joins
+    each doc's distinct-token counts against the 20-class likelihood
+    relation — fan-out is |classes| per distinct token, the same
+    bounded-fan-out shape as source_overlap_matrix; the argmax is a
+    per-doc window over |classes| rows."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    classes = docs.select(F.col("source").alias("s")).distinct()
+    n_docs = docs.count()
+    vocab = tok.select("t").distinct().count()
+    # per-class token counts and totals (Laplace denominator N_s + V)
+    cst = tok.groupBy(F.col("source").alias("s"), "t").agg(
+        F.count("*").alias("c")
+    )
+    ns = cst.groupBy("s").agg(F.sum("c").alias("ns"))
+    lik = cst.join(ns, "s").select(
+        "s",
+        "t",
+        F.floor(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("ns") + F.lit(vocab)).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lmicro"),
+    )
+    default = ns.select(
+        "s",
+        F.floor(
+            F.log(
+                F.lit(1.0) / (F.col("ns") + F.lit(vocab)).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dmicro"),
+    )
+    prior = (
+        docs.groupBy(F.col("source").alias("s"))
+        .agg(F.count("*").alias("nd"))
+        .select(
+            "s",
+            F.floor(
+                F.log(F.col("nd").cast("double") / F.lit(float(n_docs)))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmicro"),
+        )
+    )
+    doc_tok = tok.groupBy("doc_id", "source", "t").agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        doc_tok.crossJoin(F.broadcast(classes))
+        .join(lik, ["s", "t"], "left")
+        .join(F.broadcast(default), "s")
+        .groupBy("doc_id", "source", "s")
+        .agg(
+            F.sum(
+                F.col("n") * F.coalesce("lmicro", "dmicro")
+            ).alias("ll")
+        )
+        .join(F.broadcast(prior), "s")
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            (F.col("ll") + F.col("pmicro")).alias("score"),
+        )
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("s"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", F.col("s").alias("predicted"))
+    )
+    cells = pred.groupBy("source", "predicted").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    roww = Window.partitionBy("source")
+    return (
+        cells.withColumn(
+            "row_share_ppm",
+            F.expr(
+                "CAST(n_docs * 1000000 div "
+                "sum(n_docs) OVER (PARTITION BY source) AS BIGINT)"
+            ),
+        )
+        .orderBy("source", "predicted")
+    )
+
+
+NB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, t
+  FROM (SELECT doc_id, source, unnest({tokens_sql("text")}) AS t
+        FROM documents)
+  WHERE t <> ''
+), consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(DISTINCT t) FROM tok) AS vocab
+), cst AS (
+  SELECT source AS s, t, count(*) AS c FROM tok GROUP BY 1, 2
+), ns AS (
+  SELECT s, sum(c) AS ns FROM cst GROUP BY s
+), lik AS (
+  SELECT cst.s, cst.t,
+         CAST(floor(ln(CAST(cst.c + 1 AS DOUBLE)
+                       / CAST(ns.ns + consts.vocab AS DOUBLE)) * 1e6 + 0.5)
+              AS BIGINT) AS lmicro
+  FROM cst JOIN ns ON cst.s = ns.s CROSS JOIN consts
+), dflt AS (
+  SELECT s,
+         CAST(floor(ln(1.0 / CAST(ns.ns + consts.vocab AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS dmicro
+  FROM ns CROSS JOIN consts
+), prior AS (
+  SELECT source AS s,
+         CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                       / CAST((SELECT n_docs FROM consts) AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS pmicro
+  FROM documents GROUP BY source
+), doc_tok AS (
+  SELECT doc_id, source, t, count(*) AS n FROM tok GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.doc_id, d.source, c.s,
+         sum(d.n * COALESCE(l.lmicro, f.dmicro))
+           + any_value(p.pmicro) AS score
+  FROM doc_tok d
+  CROSS JOIN (SELECT DISTINCT source AS s FROM documents) c
+  LEFT JOIN lik l ON l.s = c.s AND l.t = d.t
+  JOIN dflt f ON f.s = c.s
+  JOIN prior p ON p.s = c.s
+  GROUP BY d.doc_id, d.source, c.s
+), pred AS (
+  SELECT doc_id, source, s AS predicted
+  FROM (
+    SELECT doc_id, source, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, s ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), cells AS (
+  SELECT source, predicted, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT source, predicted, n_docs,
+       CAST(n_docs * 1000000
+            // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+         AS row_share_ppm
+FROM cells
+ORDER BY source, predicted
+"""
+
+QUERIES["naive_bayes_source_confusion"] = naive_bayes_source_confusion
+ORACLES["naive_bayes_source_confusion"] = NB_SQL
