@@ -191,6 +191,7 @@ HEADLINE = [
     "k_core_decomposition",
     "hybrid_search_rrf",
     "naive_bayes_source_confusion",
+    "postings_compression_stats",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

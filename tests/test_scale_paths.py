@@ -769,3 +769,41 @@ def test_naive_bayes_matches_python_replay(spark, sf_dir):
         for r in naive_bayes_source_confusion(spark, sf_dir).collect()
     }
     assert got == dict(want)
+
+
+def test_postings_gamma_accounting_matches_python(spark, sf_dir):
+    """γ-bit accounting must match an independent Python computation
+    and show real savings in the dense band."""
+    from collections import defaultdict
+
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.indexing import (
+        postings_compression_stats,
+    )
+
+    post = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tt"))
+        .collect()
+    ):
+        for t in set(x for x in r.tt if x):
+            post[t].append(r.doc_id)
+    want = defaultdict(lambda: [0, 0, 0])
+    for t, ids in post.items():
+        ids.sort()
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        gbits = sum(2 * g.bit_length() - 1 for g in gaps)
+        band = len(ids).bit_length()
+        want[band][0] += 1
+        want[band][1] += len(ids)
+        want[band][2] += gbits
+    got = {r.df_band: r for r in postings_compression_stats(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for band, (ntok, npost, gbits) in want.items():
+        g = got[band]
+        assert (g.n_tokens, g.n_postings, g.gamma_bits) == (ntok, npost, gbits)
+        assert g.raw_bits == npost * 64
+    # the densest band must show majority savings (the IR classic)
+    top = got[max(got)]
+    assert top.savings_ppm > 500_000

@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
@@ -130,3 +130,103 @@ ORACLES = {
     "chunk_documents": CHUNK_SQL,
     "inverted_token_index": INVERTED_INDEX_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# postings-list compression accounting (Elias-gamma gap coding)
+# --------------------------------------------------------------------------
+
+
+def postings_compression_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-size accounting for the inverted index: per document-
+    frequency band (binary bands: |bin(df)|), how many bits the
+    postings cost raw (64 per doc id) vs delta-gap Elias-γ coded
+    (γ(g) = 2·|bin(g)| − 1 bits) — the classic IR result that gap
+    coding collapses dense lists. All integer: gaps come from a lag
+    window inside each token's postings (first gap = doc_id + 1 so
+    every gap is ≥ 1), bit lengths via length(bin(gap)) which both
+    engines print minimally, savings on the exact ppm grid.
+
+    Scale: one (doc, token) distinct shuffle, one lag window
+    PARTITIONED by token (never global), and a band-grain aggregate —
+    the output is ≤ |bin(n_docs)| rows."""
+    tok = (
+        load_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("t").orderBy("doc_id")
+    gaps = tok.select(
+        "t",
+        "doc_id",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).alias("gap"),
+    )
+    per_token = gaps.groupBy("t").agg(
+        F.count("*").alias("df"),
+        F.sum(
+            F.lit(2) * F.length(F.bin(F.col("gap"))) - F.lit(1)
+        ).alias("gamma_bits"),
+    )
+    return (
+        per_token.groupBy(
+            F.length(F.bin(F.col("df"))).cast("long").alias("df_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("gamma_bits").cast("long").alias("gamma_bits"),
+            (F.sum("df") * 64).cast("long").alias("raw_bits"),
+        )
+        .select(
+            "df_band",
+            "n_tokens",
+            "n_postings",
+            "gamma_bits",
+            "raw_bits",
+            F.expr(
+                "CAST((raw_bits - gamma_bits) * 1000000 div raw_bits "
+                "AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("df_band")
+    )
+
+
+POSTINGS_COMPRESSION_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents
+  ) WHERE t <> ''
+), gaps AS (
+  SELECT t, doc_id,
+         COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY t
+                                             ORDER BY doc_id),
+                  doc_id + 1) AS gap
+  FROM tok
+), per_token AS (
+  SELECT t, count(*) AS df,
+         sum(2 * length(bin(gap)) - 1) AS gamma_bits
+  FROM gaps GROUP BY t
+), banded AS (
+  SELECT CAST(length(bin(df)) AS BIGINT) AS df_band,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         CAST(sum(gamma_bits) AS BIGINT) AS gamma_bits,
+         CAST(sum(df) * 64 AS BIGINT) AS raw_bits
+  FROM per_token GROUP BY 1
+)
+SELECT df_band, n_tokens, n_postings, gamma_bits, raw_bits,
+       CAST((raw_bits - gamma_bits) * 1000000 // raw_bits AS BIGINT)
+         AS savings_ppm
+FROM banded
+ORDER BY df_band
+"""
+
+QUERIES["postings_compression_stats"] = postings_compression_stats
+ORACLES["postings_compression_stats"] = POSTINGS_COMPRESSION_SQL
