@@ -192,6 +192,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "naive_bayes_source_confusion",
     "postings_compression_stats",
+    "simhash_hamming_pairs",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

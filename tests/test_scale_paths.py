@@ -807,3 +807,48 @@ def test_postings_gamma_accounting_matches_python(spark, sf_dir):
     # the densest band must show majority savings (the IR classic)
     top = got[max(got)]
     assert top.savings_ppm > 500_000
+
+
+def test_simhash_blocking_is_lossless_and_prunes(spark, sf_dir):
+    """Pigeonhole chunk blocking must find EVERY pair within the
+    Hamming radius (guarantee, not heuristic) while generating far
+    fewer candidates than all-pairs."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.operators.dedup import (
+        HAM_CHUNKS,
+        HAM_MAX,
+        simhash_docs,
+        simhash_hamming_pairs,
+    )
+
+    sims = {r.doc_id: r.simhash for r in simhash_docs(spark, sf_dir).collect()}
+    ids = sorted(sims)
+    want = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= HAM_MAX
+    }
+    got = {tuple(r) for r in simhash_hamming_pairs(spark, sf_dir).collect()}
+    assert got == want
+    # pruning: count blocked candidate pairs vs all pairs
+    n = len(ids)
+    all_pairs = n * (n - 1) // 2
+
+    def chunks(s):
+        return {(i, (s >> (8 * i)) & 255) for i in range(HAM_CHUNKS)}
+
+    from collections import defaultdict
+
+    by_chunk = defaultdict(list)
+    for d, s in sims.items():
+        for c in chunks(s):
+            by_chunk[c].append(d)
+    cand = set()
+    for ds in by_chunk.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cand.add((a, b))
+    assert len(cand) < all_pairs / 3, (len(cand), all_pairs)
