@@ -193,6 +193,7 @@ HEADLINE = [
     "naive_bayes_source_confusion",
     "postings_compression_stats",
     "simhash_hamming_pairs",
+    "winnowing_fingerprints",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

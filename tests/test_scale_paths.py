@@ -852,3 +852,55 @@ def test_simhash_blocking_is_lossless_and_prunes(spark, sf_dir):
             for b in ds[i + 1:]:
                 cand.add((a, b))
     assert len(cand) < all_pairs / 3, (len(cand), all_pairs)
+
+
+def test_winnowing_matches_python_replay(spark, sf_dir):
+    """Fingerprint selection must match a pure-Python rightmost-min
+    winnow exactly (positions AND hashes, via the digest), and sit
+    near the theoretical 2/(w+1) density."""
+    import hashlib
+
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.text_analysis import (
+        WIN_K,
+        WIN_W,
+        winnowing_fingerprints,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tt"))
+        .collect()
+    )
+    got = {r.doc_id: r for r in winnowing_fingerprints(spark, sf_dir).collect()}
+    n_checked = 0
+    for r in rows:
+        tt = r.tt
+        if len(tt) < WIN_K:
+            assert r.doc_id not in got
+            continue
+        def h32(x):
+            return int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+
+        hs = [
+            h32(" ".join(tt[i : i + WIN_K]))
+            for i in range(len(tt) - WIN_K + 1)
+        ]
+        picked = set()
+        for end in range(WIN_W - 1, len(hs)):
+            win = hs[end - WIN_W + 1 : end + 1]
+            m = min(win)
+            # rightmost position achieving the min
+            off = max(j for j, v in enumerate(win) if v == m)
+            picked.add((end - WIN_W + 1 + off, m))
+        parts = sorted(f"{p:07d}:{h}" for p, h in picked)
+        digest = hashlib.md5("|".join(parts).encode()).hexdigest()
+        g = got[r.doc_id]
+        assert g.n_fingerprints == len(picked)
+        assert g.fingerprint_md5 == digest, r.doc_id
+        n_checked += 1
+    assert n_checked > 100
+    # density near 2/(w+1) on average (loose band)
+    dens = [g.density_ppm for g in got.values()]
+    avg = sum(dens) / len(dens)
+    assert 200_000 < avg < 700_000, avg

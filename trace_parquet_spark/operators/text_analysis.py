@@ -708,3 +708,166 @@ ORDER BY source, predicted
 
 QUERIES["naive_bayes_source_confusion"] = naive_bayes_source_confusion
 ORACLES["naive_bayes_source_confusion"] = NB_SQL
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer-Wilkerson-Aiken, the MOSS selector)
+# --------------------------------------------------------------------------
+
+WIN_K = 5    # k-gram size (token grain)
+WIN_W = 4    # winnowing window: one fingerprint per w consecutive grams
+_POS_BITS = 20  # positions per doc < 2^20; key = h·2^20 + (2^20−1−pos)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection — the MOSS document-
+    fingerprinting guarantee: from every window of WIN_W consecutive
+    k-gram hashes keep the minimum (rightmost on ties), which selects
+    ~2/(w+1) of positions yet guarantees any shared substring of
+    length ≥ w+k−1 contributes at least one COMMON fingerprint to both
+    documents — the local guarantee plain minhash lacks. The
+    rightmost-min choice rides ONE exact int64 key per gram
+    (h·2^POS_BITS + (2^POS_BITS−1−pos): minimizing it minimizes h and
+    tie-breaks to the LARGEST pos), so a single frame-min window
+    computes each window's selection and both engines agree
+    bit-for-bit; the doc's fingerprint digest is the md5 of the
+    selected (pos, h) pairs in order.
+
+    Scale: token-linear — one projection builds the gram hashes, one
+    doc-partitioned frame window selects, one aggregate digests; no
+    pairing anywhere (pair generation is what simhash_hamming_pairs /
+    dedup_minhash_lsh do downstream of fingerprints like these)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    toked = docs.select("doc_id", tokens("text").alias("tt")).filter(
+        F.size("tt") >= WIN_K
+    )
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tt) - {WIN_K}),"
+                f" i -> concat_ws(' ', slice(tt, i + 1, {WIN_K})))"
+            )
+        ).alias("pos", "g"),
+    ).select(
+        "doc_id",
+        "pos",
+        stable_hash32(F.col("g")).alias("h"),
+    )
+    key = (
+        F.col("h").cast("long") * F.lit(1 << _POS_BITS)
+        + (F.lit((1 << _POS_BITS) - 1) - F.col("pos"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), 0)
+    )
+    picked = (
+        grams.withColumn("k", key)
+        .withColumn("wmin", F.min("k").over(w))
+        # the first w-1 positions belong to no complete window; the
+        # frame still emits them, so drop window-ends < WIN_W-1
+        .filter(F.col("pos") >= WIN_W - 1)
+        .select(
+            "doc_id",
+            (
+                F.lit((1 << _POS_BITS) - 1)
+                - (F.col("wmin") % F.lit(1 << _POS_BITS))
+            ).alias("sel_pos"),
+            F.shiftrightunsigned("wmin", _POS_BITS).alias("sel_h"),
+        )
+        .distinct()
+    )
+    return (
+        picked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fingerprints"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.concat_ws(
+                                    ":",
+                                    F.lpad(
+                                        F.col("sel_pos").cast("string"),
+                                        7,
+                                        "0",
+                                    ),
+                                    F.col("sel_h").cast("string"),
+                                )
+                            )
+                        ),
+                        lambda x: x,
+                    ),
+                    "|",
+                )
+            ).alias("fingerprint_md5"),
+        )
+        .join(
+            toked.select(
+                "doc_id",
+                (F.size("tt") - WIN_K + 1).cast("long").alias("n_grams"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fingerprints",
+            F.expr(
+                "CAST(n_fingerprints * 1000000 div n_grams AS BIGINT)"
+            ).alias("density_ppm"),
+            "fingerprint_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS tt FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {stable_hash32_sql(f"array_to_string(list_slice(tt, i, i + {WIN_K} - 1), ' ')")} AS h
+  FROM toks, unnest(generate_series(1, len(tt) - {WIN_K} + 1)) AS u(i)
+  WHERE len(tt) >= {WIN_K}
+), keyed AS (
+  SELECT doc_id, pos,
+         h * {1 << _POS_BITS} + ({(1 << _POS_BITS) - 1} - pos) AS k
+  FROM grams
+), wmins AS (
+  SELECT doc_id, pos,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WIN_W - 1} PRECEDING
+                      AND CURRENT ROW) AS wmin
+  FROM keyed
+), picked AS (
+  SELECT DISTINCT doc_id,
+         {(1 << _POS_BITS) - 1} - (wmin % {1 << _POS_BITS}) AS sel_pos,
+         wmin // {1 << _POS_BITS} AS sel_h
+  FROM wmins WHERE pos >= {WIN_W - 1}
+), digests AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_fingerprints,
+         md5(string_agg(lpad(CAST(sel_pos AS VARCHAR), 7, '0') || ':'
+                        || CAST(sel_h AS VARCHAR), '|'
+                        ORDER BY lpad(CAST(sel_pos AS VARCHAR), 7, '0')
+                                 || ':' || CAST(sel_h AS VARCHAR)))
+           AS fingerprint_md5
+  FROM picked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tt) - {WIN_K} + 1 AS BIGINT) AS n_grams,
+       d.n_fingerprints,
+       CAST(d.n_fingerprints * 1000000
+            // (len(t.tt) - {WIN_K} + 1) AS BIGINT) AS density_ppm,
+       d.fingerprint_md5
+FROM toks t JOIN digests d USING (doc_id)
+WHERE len(t.tt) >= {WIN_K}
+ORDER BY t.doc_id
+"""
+
+QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
+ORACLES["winnowing_fingerprints"] = WINNOWING_SQL
