@@ -319,6 +319,15 @@ def main() -> None:
         "org.apache.spark.sql.execution.window.WindowExec",
         spark._jvm.org.apache.logging.log4j.Level.ERROR,
     )
+    # Likewise the benign "locally checkpointed ... cannot be
+    # recomputed after unpersisting" WARN that release_caches'
+    # between-queries sweep triggers on every iterative-operator
+    # rebuild — correct by the release contract (the previous result
+    # was already materialized), pure tail noise here.
+    spark._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        spark._jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     qs = entry_mod.queries()
 
     # JVM/codegen warmup on the smallest table so q1 isn't penalized
