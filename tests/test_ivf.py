@@ -58,3 +58,17 @@ def test_ivf_recall_row_evidence(spark, sf_dir):
     gated = ivf.ann_ivf_recall(spark, sf_dir).first()
     assert gated.recall_ok == 1 and gated.n_truth == row.n_truth
     assert gated.gate_micro == 800_000
+
+
+def test_collect_model_sized_guard(spark):
+    # the guard that keeps "model-sized" collects honest: under the
+    # cap it returns rows; a config error that makes the relation
+    # data-sized raises instead of OOMing the driver at scale
+    import pytest
+
+    from trace_parquet_spark.session import collect_model_sized
+
+    small = spark.range(5)
+    assert len(collect_model_sized(small, 5, "five rows")) == 5
+    with pytest.raises(RuntimeError, match="model-sized collect guard"):
+        collect_model_sized(spark.range(100), 5, "too many rows")

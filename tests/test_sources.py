@@ -216,3 +216,22 @@ def test_python_datasource_write_roundtrip(spark, tmp_path):
     assert (
         spark.read.format("gzjsonl").option("path", out).load().count() == 10
     )
+
+
+def test_gzjsonl_pushfilters_conjunction_intersects():
+    # EqualTo AND In on param_index in one conjunction: both filters
+    # are consumed, so both must constrain the scan (intersection) —
+    # overwriting with the last one would return rows the first
+    # filter excludes, and Spark never re-applies consumed filters.
+    from pyspark.sql.datasource import EqualTo, In
+
+    from trace_parquet_spark.sources.pydatasource import GzJsonlReader
+
+    r = GzJsonlReader({"path": "/nonexistent-ok-for-unit"})
+    leftover = list(
+        r.pushFilters(
+            [In(("param_index",), (1, 2, 3)), EqualTo(("param_index",), 2)]
+        )
+    )
+    assert leftover == []
+    assert r.allowed_params == {2}

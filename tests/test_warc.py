@@ -179,3 +179,81 @@ def test_warc_stream_delivers_archives_exactly_once(spark, tmp_path):
     assert sorted(r.record_id for r in rows) == [
         "<urn:s:0>", "<urn:s:1>", "<urn:s:2>"
     ]
+
+
+def test_warc_pushfilters_conjunction_intersects():
+    # Two warc_type filters in one conjunction (EqualTo AND In): both
+    # are consumed, so BOTH must constrain the scan. Round-7 bug:
+    # the second assignment overwrote the first, silently widening
+    # the result to whichever filter arrived last.
+    from pyspark.sql.datasource import EqualTo, In
+
+    from trace_parquet_spark.sources.warc import WarcReader
+
+    r = WarcReader({"path": "/nonexistent-ok-for-unit"})
+    leftover = list(
+        r.pushFilters(
+            [
+                In(("warc_type",), ("response", "request")),
+                EqualTo(("warc_type",), "response"),
+            ]
+        )
+    )
+    assert leftover == []  # both consumed...
+    assert r.allowed_types == {"response"}  # ...and intersected
+
+    # order-independence: EqualTo first, then a disjoint In ⇒ empty set
+    r2 = WarcReader({"path": "/nonexistent-ok-for-unit"})
+    list(
+        r2.pushFilters(
+            [
+                EqualTo(("warc_type",), "metadata"),
+                In(("warc_type",), ("response",)),
+            ]
+        )
+    )
+    assert r2.allowed_types == set()
+
+
+def test_warc_non_utf8_payload_survives(spark, tmp_path):
+    # Real Common Crawl response payloads are frequently NOT UTF-8;
+    # one bad record must not kill the archive partition. The reader
+    # lossy-decodes (U+FFFD), it does not raise.
+    path = str(tmp_path / "bin.warc.gz")
+    block = b"latin1 caf\xe9 and raw \xff\xfe bytes"
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:x:bin>\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "WARC-Target-URI: http://t/bin\r\n"
+        f"Content-Length: {len(block)}\r\n"
+        "\r\n"
+    ).encode()
+    with open(path, "wb") as out:
+        out.write(gzip.compress(head + block + b"\r\n\r\n", mtime=0))
+    write_warc(
+        path,
+        [
+            {
+                "record_id": "<urn:x:ok>",
+                "warc_type": "response",
+                "target_uri": "http://t/ok",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "payload": "clean utf-8",
+            }
+        ],
+    )
+    register(spark)
+    rows = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .load()
+        .orderBy("record_id")
+        .collect()
+    )
+    assert [r.record_id for r in rows] == ["<urn:x:bin>", "<urn:x:ok>"]
+    assert rows[0].content_length == len(block)
+    assert "�" in rows[0].payload  # lossy, flagged, not fatal
+    assert rows[0].payload.startswith("latin1 caf")
+    assert rows[1].payload == "clean utf-8"

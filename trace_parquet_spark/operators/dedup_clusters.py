@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
 from ..functions.hashing import stable_hash32, stable_hash32_sql
-from ..session import track_cache
+from ..session import track_cache, tracked_local_checkpoint
 from ..sources.registry import load_table_parallel
 
 MAX_ITERS = 20
@@ -77,7 +77,7 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         # doesn't snowball), then run the convergence probe against the
         # checkpointed data — probing before the checkpoint would
         # execute the whole update plan twice per iteration
-        materialized = updated.localCheckpoint(eager=True)
+        materialized = updated.transform(tracked_local_checkpoint)
         changed = (
             materialized.alias("u")
             .join(labels.alias("l"), "doc_id")
@@ -181,21 +181,21 @@ def connected_components_star(
 
     e = sym(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(tracked_local_checkpoint)
     for _ in range(max_iters):
         m = min_nbr(e)
         large = sym(
             e.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_local_checkpoint)
         m2 = min_nbr(large)
         small = sym(
             large.join(m2, "u")
             .filter(F.col("v") < F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_local_checkpoint)
         # fixpoint: the symmetric edge sets are equal. Both exceptAll
         # directions ride ONE union under a single limit(1), so the
         # probe is one Spark job per round instead of two (both sides

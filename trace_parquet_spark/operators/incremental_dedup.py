@@ -67,14 +67,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cut)
     )
     # The asymmetry that makes it incremental: history bands on one
-    # side, delta bands on the other. The delta relation is small, so
-    # Spark broadcasts it; the store side streams through untouched.
+    # side, delta bands on the other. No forced broadcast — a delta
+    # scales with micro-batch size, not a constant (a backfill batch
+    # of millions of docs would blow a forced-broadcast relation past
+    # executor memory); under AQE a genuinely-small delta still
+    # broadcasts at runtime from its observed size, and an oversized
+    # one degrades gracefully to a shuffle band join on
+    # (band_id, band_sig) instead of OOMing the executors.
     old_b = bands.filter(F.col("doc_id") < F.col("c")).drop("c")
     new_b = bands.filter(F.col("doc_id") >= F.col("c")).drop("c")
     candidates = (
         old_b.alias("a")
         .join(
-            F.broadcast(new_b.alias("b")),
+            new_b.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_sig") == F.col("b.band_sig")),
         )

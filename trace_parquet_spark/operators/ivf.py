@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import stable_hash32
 from ..functions.vectors import cosine
 from ..sources.registry import load_table_parallel
-from ..session import track_cache
+from ..session import collect_model_sized, track_cache
 
 K = 16
 IVF_ITERS = 3
@@ -64,14 +64,19 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding") -> list[list[flo
         .orderBy("h", "vec_id")
         .limit(K)
     )
-    centroids = [list(map(float, r[vec_col])) for r in init.collect()]
+    centroids = [
+        list(map(float, r[vec_col]))
+        for r in collect_model_sized(init, K, "IVF centroid seeds")
+    ]
+    dim = len(centroids[0])
     for _ in range(IVF_ITERS):
         assigned = _assign(emb, vec_col, centroids)
-        stats = (
+        stats = collect_model_sized(
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
+            .agg(F.avg("x").alias("m")),
+            K * dim,
+            "IVF per-(cluster,dim) means (K*dim)",
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in stats:

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
-from ..session import track_cache
+from ..session import collect_model_sized, track_cache
 from ..sources.registry import load_table_parallel
 from .text_analysis import BPE_PIECE_RE, BPE_PIECE_RE_DUCK
 
@@ -227,7 +227,12 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("w") >= 2)
     wf = words.groupBy("w").agg(F.count("*").alias("f"))
     merges = [
-        r.pair for r in bpe_top_merges(spark, sf_dir).orderBy("rank").collect()
+        r.pair
+        for r in collect_model_sized(
+            bpe_top_merges(spark, sf_dir).orderBy("rank"),
+            MERGE_TOP_K,
+            "BPE merge list (MERGE_TOP_K)",
+        )
     ]
     seg = F.col("w")
     for i, pair in enumerate(merges):

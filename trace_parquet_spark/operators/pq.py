@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import stable_hash32
 from ..functions.vectors import cosine
 from ..sources.registry import load_table_parallel
-from ..session import track_cache
+from ..session import collect_model_sized, track_cache
 
 DIM = 64
 M = 8  # subspaces
@@ -121,8 +121,8 @@ def train_codebooks(unit: DataFrame) -> list[list[list[float]]]:
         )
         .filter(F.col("rn") <= K_SUB)
         .select("m", "rn", "u")
-        .collect()
     )
+    seeds = collect_model_sized(seeds, M * K_SUB, "PQ codebook seeds (M*K_SUB)")
     books: list[list[list[float]]] = [
         [[0.0] * SUB_DIM for _ in range(K_SUB)] for _ in range(M)
     ]
@@ -132,7 +132,7 @@ def train_codebooks(unit: DataFrame) -> list[list[list[float]]]:
             float(x) for x in r["u"][lo : lo + SUB_DIM]
         ]
     for _ in range(PQ_ITERS):
-        stats = (
+        stats = collect_model_sized(
             encode(unit, books)
             .select("codes", F.posexplode("u").alias("pos", "x"))
             .select(
@@ -142,8 +142,9 @@ def train_codebooks(unit: DataFrame) -> list[list[list[float]]]:
                 "x",
             )
             .groupBy("m", "c", "d")
-            .agg(F.avg("x").alias("mean"))
-            .collect()
+            .agg(F.avg("x").alias("mean")),
+            M * K_SUB * SUB_DIM,
+            "PQ per-(subspace,code,dim) means (M*K_SUB*SUB_DIM)",
         )
         by_key: dict[tuple[int, int], dict[int, float]] = {}
         for r in stats:
@@ -185,9 +186,11 @@ def _adc_scored(coded: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     probes folded by one HOF chain over the codes array."""
     queries = [
         (r["vec_id"], list(map(float, r["u"])))
-        for r in coded.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "u")
-        .collect()
+        for r in collect_model_sized(
+            coded.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "u"),
+            N_QUERIES,
+            "PQ validation query vectors (N_QUERIES)",
+        )
     ]
     spark = coded.sparkSession
     rows = []

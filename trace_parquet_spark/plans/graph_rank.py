@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from ..session import track_cache
+from ..session import track_cache, tracked_local_checkpoint
 
 SCALE = 10**12
 PSCALE = 10**6
@@ -193,7 +193,7 @@ def bfs_trade_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = roots.select(
         "root", F.col("root").alias("node"), F.lit(0).cast("long").alias("level")
-    ).localCheckpoint(eager=True)
+    ).transform(tracked_local_checkpoint)
     best = frontier
     for depth in range(1, BFS_MAX_DEPTH + 1):
         # localCheckpoint truncates the per-wave lineage: without it the
@@ -207,11 +207,11 @@ def bfs_trade_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "root", "node", F.lit(depth).cast("long").alias("level")
             )
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
         if nxt.isEmpty():
             break
-        best = best.union(nxt).localCheckpoint(eager=True)
+        best = best.union(nxt).transform(tracked_local_checkpoint)
         frontier = nxt
     return best.orderBy("root", "node")
 
@@ -291,7 +291,7 @@ def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").cast("long").alias("node"),
             F.lit(0).cast("long").alias("dist"),
         )
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     for _ in range(SSSP_ROUNDS):
         relaxed = (
@@ -303,7 +303,7 @@ def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.unionAll(relaxed)
             .groupBy("root", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
     return state.orderBy("root", "node")
 
@@ -430,7 +430,7 @@ def label_propagation_communities(
         labels = (
             labels.join(votes, "node", "left")
             .select("node", F.coalesce("won", "label").alias("label"))
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            .transform(tracked_local_checkpoint)  # truncate per-round lineage
         )
     out = nation.join(labels, "node").select(
         "node", "n_name", F.col("label").alias("community")
@@ -549,7 +549,7 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("d"))
                 .filter(F.col("d") >= k)
                 .select("node")
-                .localCheckpoint(eager=True)
+                .transform(tracked_local_checkpoint)
             )
             n_next = nxt.count()
             alive = nxt

@@ -78,21 +78,22 @@ def get_spark(
 # ---------------------------------------------------------------- cache
 # Query builders return UNEXECUTED DataFrames, so no builder can
 # unpersist-after-action itself. Instead every intra-query cache goes
-# through track_cache(), and harnesses call release_caches() after the
-# action (check_oracle, bench) — plus __spark_entry__ releases the
-# previous query's caches when the NEXT query is built, which bounds
-# storage accumulation to one query in any sequential harness,
-# including the driver's. Contract tiers: releasing a TRACKED cache
-# before its un-collected plan runs is still correct (the unpersisted
-# relation recomputes from lineage); the localCheckpoint sweep below
-# is stricter — a checkpointed RDD cannot recompute after unpersist
-# (lineage is truncated), so release_caches must only run BETWEEN
-# queries (after the previous result was collected). Every harness in
-# this repo is sequential in exactly that way: check_oracle and bench
-# release after the action, __spark_entry__ releases when the NEXT
-# query is built.
+# through track_cache(), every lineage-truncating checkpoint goes
+# through tracked_local_checkpoint(), and harnesses call
+# release_caches() after the action (check_oracle, bench) — plus
+# __spark_entry__ releases the previous query's caches when the NEXT
+# query is built, which bounds storage accumulation to one query in
+# any sequential harness, including the driver's. Contract tiers:
+# releasing a TRACKED cache before its un-collected plan runs is
+# still correct (the unpersisted relation recomputes from lineage);
+# the checkpoint sweep is stricter — a checkpointed RDD cannot
+# recompute after unpersist (lineage is truncated) — so the sweep
+# targets ONLY the RDD ids tracked_local_checkpoint registered.
+# A persistent RDD this framework did NOT create (e.g. a caller's own
+# localCheckpoint held across queries) is never touched.
 
 _TRACKED_CACHES: list = []
+_TRACKED_CHECKPOINT_IDS: set = set()
 
 
 def track_cache(df):
@@ -102,19 +103,48 @@ def track_cache(df):
     return df
 
 
+def tracked_local_checkpoint(df, eager: bool = True):
+    """``df.localCheckpoint(eager)`` + register the persisted RDD ids.
+
+    localCheckpoint persists its materialized RDD outside the
+    CacheManager; release_caches() can only safely unpersist
+    checkpoint RDDs it KNOWS this framework created (an unpersisted
+    checkpoint RDD cannot recompute — sweeping a caller-owned one
+    would fail their later collect with block-not-found). The id set
+    is captured as the before/after diff of getPersistentRDDs around
+    the checkpoint call; all engine code paths are sequential on the
+    driver so the diff is exact.
+    """
+    try:
+        jsc = df.sparkSession.sparkContext._jsc
+        before = {int(i) for i in jsc.getPersistentRDDs().keys()}
+    except Exception:  # pragma: no cover - introspection unavailable
+        before = None
+    cp = df.localCheckpoint(eager=eager)
+    if before is not None:
+        try:
+            for i in jsc.getPersistentRDDs().keys():
+                if int(i) not in before:
+                    _TRACKED_CHECKPOINT_IDS.add(int(i))
+        except Exception:  # pragma: no cover
+            pass
+    return cp
+
+
 def release_caches() -> int:
     """Unpersist every tracked cache; returns how many were released.
 
-    Also sweeps localCheckpoint residue: the iterative operators
-    (label propagation, k-core peel) truncate per-round lineage with
-    localCheckpoint, which persists RDDs OUTSIDE the CacheManager and
-    outside _TRACKED_CACHES; between queries those are dead weight
+    Also sweeps localCheckpoint residue created via
+    tracked_local_checkpoint: the iterative operators (label
+    propagation, k-core peel, BFS/SSSP) truncate per-round lineage
+    with localCheckpoint, which persists RDDs OUTSIDE the CacheManager
+    and outside _TRACKED_CACHES; between queries those are dead weight
     whose eviction otherwise waits on Python GC + ContextCleaner.
-    release_caches is a between-queries harness call by contract
-    (see the cache-contract comment above — a swept checkpoint RDD
-    cannot recompute, so never call this with an un-collected
-    checkpoint-bearing plan in flight), so any persistent RDD still
-    registered at that point is intra-query residue, safe to drop."""
+    Only RDD ids registered by tracked_local_checkpoint are swept —
+    persistent RDDs created by anyone else (including a caller's own
+    un-collected checkpoint-bearing plan) are left alone, so the
+    old comment-only "never call mid-query" contract is now enforced
+    structurally for foreign RDDs."""
     n = 0
     while _TRACKED_CACHES:
         df = _TRACKED_CACHES.pop()
@@ -125,14 +155,35 @@ def release_caches() -> int:
             pass
     try:
         spark = SparkSession.getActiveSession()
-        if spark is not None:
+        if spark is not None and _TRACKED_CHECKPOINT_IDS:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in list(jmap.values()):
-                jrdd.unpersist()
-                n += 1
+            for jid in list(jmap.keys()):
+                if int(jid) in _TRACKED_CHECKPOINT_IDS:
+                    jmap[jid].unpersist()
+                    n += 1
     except Exception:  # context shutting down — nothing to sweep
         pass
+    _TRACKED_CHECKPOINT_IDS.clear()
     return n
+
+
+def collect_model_sized(df, cap: int, what: str) -> list:
+    """``df.collect()`` for relations that are model-sized BY CONTRACT
+    (IVF centroids K·dim, PQ codebooks M·2^bits·dsub, BPE merge lists
+    K rows) — with the contract enforced, not assumed.
+
+    A config error (K, dim, bits read from the wrong place) would
+    otherwise silently turn these into data-sized driver collects and
+    OOM the driver at scale; the ``limit(cap+1)`` probe keeps the
+    check executor-side and O(cap) regardless of the true size."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"model-sized collect guard: {what} exceeded {cap} rows — "
+            "this relation is supposed to be model-sized, not "
+            "data-sized; check the configuration that bounds it"
+        )
+    return rows
 
 
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:

@@ -53,11 +53,18 @@ class GzJsonlReader(DataSourceReader):
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("param_index",):
-                self.allowed_params = {f.value}
+                s = {f.value}
             elif isinstance(f, In) and f.attribute == ("param_index",):
-                self.allowed_params = set(f.values)
+                s = set(f.value)  # In.value is the tuple of list values
             else:
                 yield f  # not ours — Spark re-applies it post-scan
+                continue
+            # Conjunctions can push more than one param_index filter;
+            # every consumed filter must hold, so intersect (never
+            # overwrite — Spark won't re-apply a consumed filter).
+            self.allowed_params = (
+                s if self.allowed_params is None else self.allowed_params & s
+            )
 
     def partitions(self):
         return [

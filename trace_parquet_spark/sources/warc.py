@@ -104,11 +104,20 @@ class WarcReader(DataSourceReader):
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("warc_type",):
-                self.allowed_types = {f.value}
+                s = {f.value}
             elif isinstance(f, In) and f.attribute == ("warc_type",):
-                self.allowed_types = set(f.values)
+                s = set(f.value)  # In.value is the tuple of list values
             else:
                 yield f  # not ours — Spark re-applies it post-scan
+                continue
+            # Conjunctions can push MORE THAN ONE warc_type filter
+            # (e.g. EqualTo AND In). Every consumed filter must hold,
+            # so intersect — overwriting would silently keep only the
+            # last predicate while Spark, told both were consumed,
+            # never re-applies the first.
+            self.allowed_types = (
+                s if self.allowed_types is None else self.allowed_types & s
+            )
 
     def partitions(self):
         return [
@@ -131,7 +140,7 @@ class WarcReader(DataSourceReader):
                 hdrs.get("warc-target-uri", ""),
                 hdrs.get("warc-date", ""),
                 len(block),
-                block.decode("utf-8"),
+                block.decode("utf-8", errors="replace"),  # real crawls carry non-UTF-8 bytes; lossy-decode (U+FFFD) instead of killing the partition
             )
 
 
@@ -163,7 +172,7 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
                     hdrs.get("warc-target-uri", ""),
                     hdrs.get("warc-date", ""),
                     len(block),
-                    block.decode("utf-8"),
+                    block.decode("utf-8", errors="replace"),  # real crawls carry non-UTF-8 bytes; lossy-decode (U+FFFD) instead of killing the partition
                 )
 
     def initialOffset(self) -> dict:

@@ -249,10 +249,16 @@ def ingest_batch(
     delta_sigs = spark.read.schema(_SIG_SCHEMA).parquet(sig_path)
 
     store_sigs = _read_batches(spark, state_dir, "sigs", bid, _SIG_SCHEMA)
+    # No forced broadcast on the delta signature side: a delta scales
+    # with micro-batch size, not a constant (a backfill drop of
+    # millions of docs would force-broadcast a band relation past
+    # executor memory). delta_sigs is read back from parquet, so AQE
+    # sees its real size and still auto-broadcasts small micro-batches
+    # at runtime; oversized ones fall back to a shuffle band join.
     candidates = (
         store_sigs.alias("a")
         .join(
-            F.broadcast(delta_sigs.alias("b")),
+            delta_sigs.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_sig") == F.col("b.band_sig")),
         )

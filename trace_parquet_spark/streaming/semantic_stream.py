@@ -101,13 +101,16 @@ def ingest_batch(
     delta_buckets = spark.read.schema(_BUCKET_SCHEMA).parquet(bkt_path)
 
     # delta × store bucket collisions only — history never re-pairs.
-    # Broadcast the delta side (bounded by drop size); the store side
-    # grows with the corpus and streams through the join.
+    # No forced broadcast on the delta side: drop size is not a
+    # constant (backfill batches exist), and delta_buckets is read
+    # back from parquet so AQE sees its real size — small drops still
+    # auto-broadcast at runtime, oversized ones shuffle on
+    # (table_id, bucket) instead of OOMing executors.
     store = _read_batches(spark, state_dir, "buckets", bid, _BUCKET_SCHEMA)
     candidates = (
         store.alias("a")
         .join(
-            F.broadcast(delta_buckets.alias("b")),
+            delta_buckets.alias("b"),
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )
@@ -128,7 +131,10 @@ def ingest_batch(
     hits = (
         candidates.join(_normed_cols(cand_hist, "h"), F.col("dup_of") == F.col("h_id"))
         .join(
-            F.broadcast(_normed_cols(delta, "d")),
+            # same rule: delta-sized relation, no forced broadcast —
+            # parquet-backed size stats let AQE pick broadcast when
+            # the drop is genuinely small
+            _normed_cols(delta, "d"),
             F.col("vec_new") == F.col("d_id"),
         )
         .withColumn(
