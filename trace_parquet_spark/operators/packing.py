@@ -292,6 +292,143 @@ FROM final
 """
 
 
+N_TRAIN_ROUNDS = 10
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    return words.groupBy("w").agg(F.count("*").alias("f"))
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL iterative BPE training (Sennrich et al. 2016) — the loop
+    ``bpe_top_merges`` approximates with a single counting round:
+
+    for each of N_TRAIN_ROUNDS rounds over the CURRENT segmentation,
+    (1) count adjacent symbol pairs weighted by word frequency,
+    (2) merge the most frequent pair (ties → lexicographically
+    smallest) into one new symbol everywhere, (3) RECOUNT — each merge
+    changes the next round's counts (pairs through the merged symbol
+    appear, pairs it consumed vanish), which is exactly what the
+    one-shot top-k cannot see.
+
+    Spark shape: the corpus collapses to the vocabulary-sized word-
+    frequency relation once (cached); each round is one explode +
+    aggregation over it, the argmax is a 1-row TakeOrdered collect
+    (driver state = the merge table, exactly the IVF-centroid
+    pattern), and the merge itself is a chained ``F.replace`` onto a
+    private-use sentinel code point — left-to-right non-overlapping
+    in both engines, so greedy application semantics match DuckDB's.
+    At 100 TB the per-round cost is a vocab-sized agg, not a corpus
+    scan.
+
+    Output: one row per learned merge — rank, the merged pair
+    expanded back to plain characters, and its count at the round it
+    was learned. Oracle: the same loop unrolled into N_TRAIN_ROUNDS
+    materialized CTE stages (count → best → re-segment); a pure-
+    Python replay additionally pins the trainer in pytest.
+    """
+    wf = _word_freqs(spark, sf_dir).transform(track_cache)
+    seg = F.col("w")
+    expansions: list[str] = []
+    out_rows: list[tuple[int, str, int]] = []
+    for r in range(N_TRAIN_ROUNDS):
+        cur = wf.select("f", seg.alias("s"))
+        pairs = (
+            cur.filter(F.length("s") >= 2)
+            .select(
+                "f",
+                "s",
+                F.explode(F.sequence(F.lit(1), F.length("s") - 1)).alias("i"),
+            )
+            .select("f", F.col("s").substr(F.col("i"), F.lit(2)).alias("pair"))
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+        )
+        rows = collect_model_sized(best, 1, "BPE argmax pair (1 row/round)")
+        if not rows:  # vocabulary fully merged — corpus-dependent stop
+            break
+        raw, n = rows[0].pair, rows[0].n
+        expanded = "".join(
+            expansions[ord(c) - _BPE_SENTINEL_BASE]
+            if ord(c) >= _BPE_SENTINEL_BASE
+            else c
+            for c in raw
+        )
+        expansions.append(expanded)
+        out_rows.append((r + 1, expanded, int(n)))
+        seg = F.replace(seg, F.lit(raw), F.lit(chr(_BPE_SENTINEL_BASE + r)))
+    return spark.createDataFrame(
+        out_rows, "rank bigint, pair string, n bigint"
+    ).orderBy("rank")
+
+
+def _bpe_train_sql(rounds: int = N_TRAIN_ROUNDS) -> str:
+    """Unrolled MATERIALIZED-CTE twin of the training loop: stage r =
+    (pairs over wf{r} → argmax b{r} → re-segmented wf{r+1}); e{r}
+    expands sentinels back through the earlier rounds' expansions."""
+    ctes = [
+        """words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf0 AS MATERIALIZED (
+  SELECT w AS s, CAST(count(*) AS BIGINT) AS f FROM words
+  WHERE length(w) >= 2 GROUP BY w
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT substring(s, CAST(t.i AS INTEGER), 2) AS pair, f
+  FROM wf{r}, unnest(range(1, length(s))) AS t(i)
+),
+b{r} AS MATERIALIZED (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p{r}
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+)"""
+        )
+        exp = f"(SELECT pair FROM b{r})"
+        for j in range(r):
+            exp = (
+                f"replace({exp}, chr({_BPE_SENTINEL_BASE + j}), "
+                f"(SELECT exp FROM e{j}))"
+            )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT {exp} AS exp, "
+            f"(SELECT n FROM b{r}) AS n)"
+        )
+        if r + 1 < rounds:
+            ctes.append(
+                f"""wf{r + 1} AS MATERIALIZED (
+  SELECT replace(s, (SELECT pair FROM b{r}),
+                 chr({_BPE_SENTINEL_BASE + r})) AS s, f
+  FROM wf{r}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, exp AS pair, n FROM e{r}"
+        for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
 def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How much of the corpus's adjacent-pair mass the top
     MERGE_TOP_K merges cover — the statistic that tells a tokenizer
@@ -506,6 +643,7 @@ ORDER BY bucket_len
 QUERIES = {
     "pack_contexts": pack_contexts,
     "bpe_top_merges": bpe_top_merges,
+    "bpe_train_merges": bpe_train_merges,
     "bpe_apply_merges": bpe_apply_merges,
     "bpe_vocab_coverage": bpe_vocab_coverage,
     "epoch_shuffle_microbatches": epoch_shuffle_microbatches,
@@ -515,6 +653,7 @@ QUERIES = {
 ORACLES = {
     "pack_contexts": PACK_CONTEXTS_SQL,
     "bpe_top_merges": BPE_MERGES_SQL,
+    "bpe_train_merges": BPE_TRAIN_SQL,
     "bpe_apply_merges": BPE_APPLY_SQL,
     "bpe_vocab_coverage": BPE_COVERAGE_SQL,
     "epoch_shuffle_microbatches": EPOCH_SHUFFLE_SQL,
