@@ -383,6 +383,173 @@ def optimize_table(
     }
 
 
+def _col_stats_state(table: str, as_of: int | None) -> dict[str, dict]:
+    """column -> {file rel-path -> [min, max]} visible at ``as_of``
+    (same checkpoint-seek + tail replay shape as _dv_state; a file's
+    stats are immutable alongside it, removed files drop out)."""
+    state: dict[str, dict] = {}
+    base = -1
+    cps = _checkpoints(table)
+    if as_of is not None:
+        cps = [v for v in cps if v <= as_of]
+    if cps:
+        base = cps[-1]
+        with open(_checkpoint_path(table, base)) as fh:
+            for col, m in json.load(fh).get("col_stats", {}).items():
+                state.setdefault(col, {}).update(m)
+    for v in _versions(table):
+        if v <= base or (as_of is not None and v > as_of):
+            continue
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        for f in c.get("remove", []):
+            for m in state.values():
+                m.pop(f, None)
+        for col, m in c.get("col_stats", {}).items():
+            state.setdefault(col, {}).update(m)
+    return state
+
+
+def optimize_table_zorder(
+    spark: SparkSession, table: str, target_files: int, cols: tuple[str, str]
+) -> dict:
+    """OPTIMIZE ... ZORDER BY (c1, c2): rewrite the live snapshot
+    clustered on the Morton interleave of the two keys, so post-
+    optimize files have TIGHT ranges in BOTH dimensions at once and
+    the commit's per-file [min, max] stats prune 2-key box predicates
+    from the log alone (Delta's OPTIMIZE ZORDER mechanism; a plain
+    single-key sort leaves the second dimension at full width in
+    every file).
+
+    Both keys are min-max normalized to the curve's per-dimension
+    resolution with truncating integer division (one scalar agg,
+    broadcast — the same exact-integer recipe as
+    operators/zorder.zorder_layout_stats), interleaved JVM-side
+    (shift/AND expressions, whole-stage codegen), then
+    ``repartitionByRange + sortWithinPartitions`` on the z-value: at
+    100 TB this is one scan, one range exchange, and a sorted write.
+    The commit records "col_stats" ([min, max] per file for BOTH
+    keys, parquet-footer-sourced) which files_overlapping()/
+    read_table_box() use for log-only pruning; "stats"/"stats_col"
+    stay on c1 so every existing single-key path keeps working.
+    Content is unchanged by construction — deletion vectors are
+    folded in exactly like plain OPTIMIZE."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from ..operators.zorder import _MAXV, morton_interleave
+
+    c1, c2 = cols
+    files, schema_json, _stats, _rows = _read_log(table, None)
+    schema = StructType.fromJson(json.loads(schema_json))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, f) for f in files]
+    )
+    dv_state = _dv_state(table, None)
+    if dv_state:
+        df = _apply_dv(spark, table, df, dv_state)
+    bounds = df.agg(
+        F.min(c1).alias("lo1"),
+        F.max(c1).alias("hi1"),
+        F.min(c2).alias("lo2"),
+        F.max(c2).alias("hi2"),
+    )
+    z = morton_interleave(
+        F.expr(f"(({c1} - lo1) * {_MAXV}) div greatest(hi1 - lo1, 1)"),
+        F.expr(f"(({c2} - lo2) * {_MAXV}) div greatest(hi2 - lo2, 1)"),
+    )
+    clustered = (
+        df.join(F.broadcast(bounds))  # 1-row scalar bounds
+        .withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .select(*schema.fieldNames())
+    )
+    new_files = _stage_files(clustered, table)
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": new_files,
+            "remove": files,
+            "schema": schema_json,
+            "rows": _footer_rows(table, new_files),
+            "stats": _footer_stats(table, new_files, c1),
+            "stats_col": c1,
+            "col_stats": {
+                c1: _footer_stats(table, new_files, c1),
+                c2: _footer_stats(table, new_files, c2),
+            },
+            "zorder_by": [c1, c2],
+        },
+    )
+    return {
+        "version": version,
+        "files_before": len(files),
+        "files_after": len(new_files),
+    }
+
+
+def files_overlapping(
+    table: str, preds: dict[str, tuple], as_of: int | None = None
+) -> list[str]:
+    """Live files whose recorded [min, max] ranges overlap EVERY
+    ``col: (lo, hi)`` predicate — the log-only planning step for
+    multi-key box queries. Files with no recorded stats for a
+    predicate column are conservatively kept (pruning is an
+    optimization, never a correctness dependency)."""
+    files, _schema, stats, _rows = _read_log(table, as_of)
+    col_stats = _col_stats_state(table, as_of)
+    sc = _committed_stats_col(table)
+    out = []
+    for f in files:
+        keep = True
+        for col, (lo, hi) in preds.items():
+            st = col_stats.get(col, {}).get(f)
+            if st is None and col == sc:
+                st = stats.get(f)
+            if st and st[0] is not None and (st[1] < lo or st[0] > hi):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def read_table_box(
+    spark: SparkSession,
+    table: str,
+    preds: dict[str, tuple],
+    as_of: int | None = None,
+) -> DataFrame:
+    """Snapshot read of a multi-key box predicate: files pruned from
+    the log's per-column stats (files_overlapping), then the exact
+    predicates applied on top so the result never depends on stats
+    for correctness."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    files = files_overlapping(table, preds, as_of)
+    _all, schema_json, _stats, _rows = _read_log(table, as_of)
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in files]
+        )
+        dv_state = {
+            f: s for f, s in _dv_state(table, as_of).items() if f in set(files)
+        }
+        if dv_state:
+            df = _apply_dv(spark, table, df, dv_state)
+    for col, (lo, hi) in preds.items():
+        df = df.filter(F.col(col).between(lo, hi))
+    return df
+
+
 def read_table(
     spark: SparkSession,
     table: str,
@@ -1863,6 +2030,12 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         # live deletion-vector state survives expiration too
         "dv": _dv_state(table, version),
         "dv_counts": _dv_counts(table, version),
+        # multi-key zorder stats survive expiration (files kept →
+        # their box-pruning ranges kept)
+        "col_stats": {
+            col: {f: m[f] for f in files if f in m}
+            for col, m in _col_stats_state(table, version).items()
+        },
     }
     path = _checkpoint_path(table, version)
     # same two-step publish as _commit: a torn checkpoint would brick
@@ -2269,3 +2442,123 @@ ORDER BY version
 
 QUERIES["tablelog_schema_evolution"] = tablelog_schema_evolution
 ORACLES["tablelog_schema_evolution"] = TABLELOG_SCHEMA_EVO_SQL
+
+
+def tablelog_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive OPTIMIZE ZORDER under the oracle gate: seed a logged
+    table from a lineitem slice hash-scattered across 16 files (every
+    file spans the FULL range of both box keys — the worst layout for
+    min/max pruning), read a 2-key box predicate through the
+    stats-pruned path (read_table_box), then run
+    optimize_table_zorder on (l_orderkey, l_partkey) and read the
+    same box again. The gated rows are the box aggregate at both
+    phases: agreement with the oracle's direct lineitem computation
+    proves the clustered rewrite changed LAYOUT but not content, and
+    that pruned reads are exact before and after. The pruning WIN
+    (post-optimize box touches far fewer stats-overlapping files) is
+    structural, engine-side evidence — pinned in pytest
+    (tests/test_round8.py), not oracle-gateable.
+
+    Box bounds are data-derived (quarter-to-half of each key's range
+    over the slice, truncating integer division) so the oracle
+    re-derives them exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        # 25% slice — the query proves layout mechanics, not scan
+        # throughput (same proportionality rule as the other tablelog
+        # entries)
+        .filter(F.col("l_orderkey") % 4 == 1)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_z_")
+    try:
+        # v0: hash-partitioned on l_partkey — values of BOTH keys
+        # scatter uniformly across all 16 files, so every file
+        # overlaps any box and log pruning is useless by construction
+        append(li.repartition(16, "l_partkey"), t, stats_col="l_orderkey")
+        b = li.agg(
+            F.min("l_orderkey").alias("o_lo"),
+            F.max("l_orderkey").alias("o_hi"),
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+        ).collect()[0]
+        preds = {
+            "l_orderkey": (
+                b.o_lo + (b.o_hi - b.o_lo) // 4,
+                b.o_lo + (b.o_hi - b.o_lo) // 2,
+            ),
+            "l_partkey": (
+                b.p_lo + (b.p_hi - b.p_lo) // 4,
+                b.p_lo + (b.p_hi - b.p_lo) // 2,
+            ),
+        }
+        rows = []
+        for phase in (0, 1):
+            agg = (
+                read_table_box(spark, t, preds)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("qty").cast("long").alias("q"),
+                    F.sum("price_cents").cast("long").alias("c"),
+                )
+                .collect()[0]
+            )
+            rows.append((phase, agg.n, agg.q, agg.c))
+            if phase == 0:
+                optimize_table_zorder(
+                    spark, t, 16, ("l_orderkey", "l_partkey")
+                )
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase int, n_rows long, qty_total long, price_cents_total long"
+    ).orderBy("phase")
+
+
+TABLELOG_ZORDER_SQL = """
+WITH s AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem WHERE l_orderkey % 4 = 1
+),
+b AS (
+  SELECT min(l_orderkey) AS o_lo, max(l_orderkey) AS o_hi,
+         min(l_partkey) AS p_lo, max(l_partkey) AS p_hi
+  FROM s
+),
+box AS (
+  SELECT s.* FROM s CROSS JOIN b
+  WHERE l_orderkey BETWEEN o_lo + (o_hi - o_lo) // 4
+                       AND o_lo + (o_hi - o_lo) // 2
+    AND l_partkey  BETWEEN p_lo + (p_hi - p_lo) // 4
+                       AND p_lo + (p_hi - p_lo) // 2
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(qty) AS BIGINT) AS qty_total,
+         CAST(sum(price_cents) AS BIGINT) AS price_cents_total
+  FROM box
+)
+SELECT 0 AS phase, n_rows, qty_total, price_cents_total FROM agg
+UNION ALL
+SELECT 1, n_rows, qty_total, price_cents_total FROM agg
+ORDER BY phase
+"""
+
+QUERIES["tablelog_optimize_zorder"] = tablelog_optimize_zorder
+ORACLES["tablelog_optimize_zorder"] = TABLELOG_ZORDER_SQL
