@@ -228,6 +228,47 @@ def click_purchase_stream_join(
     )
 
 
+def attributed_revenue_windows(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    width: str = "1 hour",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query — the Spark-4
+    multiple-stateful-operator shape (SPARK-42376): stream-stream
+    time-band join (purchases attributed to a prior click, state
+    bounded by watermark + horizon) feeding an event-time tumbling
+    window aggregation on the JOIN OUTPUT, in append mode.
+
+    Before multi-stateful support this required two queries with an
+    intermediate sink; now the join's output watermark (tracked
+    through purchase_ts) drives the downstream window's finalization
+    directly: a window emits once the watermark proves no further
+    join result can land in it. Output: per-window attributed
+    conversion count and revenue — the real-time marketing rollup.
+
+    At scale both stateful operators partition by their own keys
+    (join on user, window agg on window start); state stores stay
+    independent and watermark-bounded.
+    """
+    joined = click_purchase_stream_join(
+        clicks, purchases, horizon, watermark, "inner"
+    )
+    return (
+        joined.groupBy(F.window("purchase_ts", width))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("revenue"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_attributed",
+            "revenue",
+        )
+    )
+
+
 def write_stream_exactly_once(
     stream_df: DataFrame,
     out_dir: str,
