@@ -230,7 +230,12 @@ def ann_ivf_recall_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gateable IVF search (round-6 verdict item 1): run the
+    """IVF recall GATE — emits the brute-force EXACT top-k rows plus
+    calibration evidence, NOT the raw IVF hit pattern (callers who
+    want the actual ANN search output use ann_ivf_topk_detail; see
+    the README "ANN registry-entry contract" note).
+
+    Driver-gateable IVF search (round-6 verdict item 1): run the
     probe-calibrated IVF search, then emit the brute-force exact top-k
     rows (SQL-expressible — the oracle re-derives them) carrying
     ``recall_ok``, the flag that the IVF answer achieved recall ≥

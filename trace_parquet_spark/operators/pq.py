@@ -324,7 +324,12 @@ def ann_pq_recall_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gateable PQ search (round-6 verdict item 1): run the
+    """PQ recall GATE — emits the brute-force EXACT top-k rows plus
+    calibration evidence, NOT the raw ADC hit pattern (callers who
+    want the actual ANN search output use ann_pq_topk_detail; see the
+    README "ANN registry-entry contract" note).
+
+    Driver-gateable PQ search (round-6 verdict item 1): run the
     candidate-calibrated ADC search + exact re-rank, then emit the
     brute-force exact top-k rows (SQL-expressible — the oracle
     re-derives them) carrying ``recall_ok``, the flag that the PQ
