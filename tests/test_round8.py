@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import collections
+import os
 
 import duckdb
 
@@ -134,3 +135,118 @@ def test_zorder_optimize_prunes_box_queries(spark, sf_dir, tmp_path):
     # col_stats survive checkpointing (expire keeps box pruning alive)
     tl.write_checkpoint(t)
     assert set(tl._col_stats_state(t, None)) == {"l_orderkey", "l_partkey"}
+
+
+def test_release_caches_spares_foreign_checkpoints(spark):
+    """The round-7 ADVICE medium: release_caches() used to blanket-
+    unpersist EVERY persistent RDD, including localCheckpoint RDDs it
+    did not create — after which the checkpointed plan could never
+    recompute (lineage truncated) and a later collect failed with
+    block-not-found. Now the sweep targets only ids registered by
+    tracked_local_checkpoint: a CALLER-owned checkpoint must survive
+    the sweep and stay collectible."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.session import (
+        release_caches,
+        tracked_local_checkpoint,
+    )
+
+    foreign = spark.range(1000).withColumn(
+        "v", F.col("id") * 2
+    ).localCheckpoint(eager=True)  # caller-owned, NOT tracked
+
+    ours = tracked_local_checkpoint(spark.range(500))
+    assert ours.count() == 500
+
+    released = release_caches()
+    assert released >= 1  # swept at least the tracked checkpoint
+
+    # the foreign checkpoint is untouched: still collectible (an
+    # unpersisted checkpoint RDD would raise block-not-found here)
+    assert foreign.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(list(jmap.keys())) >= 1  # foreign RDD still persistent
+    foreign.unpersist()
+
+
+def test_restore_resets_deletion_vectors(spark, tmp_path):
+    """RESTORE must reset dv state to the target version exactly:
+    rows deleted AFTER v are resurrected (dv_clear on kept files),
+    rows deleted BEFORE v stay deleted (v's mappings re-declared),
+    and the restore itself remains time-travelable history."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog as tl
+
+    t = str(tmp_path / "rtab")
+    df = (
+        spark.range(100)
+        .repartitionByRange(4, "id")  # the two deletes hit DIFFERENT files
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    )
+    tl.append(df, t)  # v0: 100 rows
+    tl.delete_where(spark, t, "k < 10")  # v1: 90 live
+    assert tl.read_table(spark, t).count() == 90
+    tl.delete_where(spark, t, "k >= 90")  # v2: 80 live
+    assert tl.read_table(spark, t).count() == 80
+
+    res = tl.restore_table(t, 1)  # roll back the second delete
+    # the k>=90 file gained its dv AFTER v1 → cleared outright; the
+    # k<10 file's mapping is re-declared at v1's sidecar
+    assert res["dvs_cleared"] == 1
+    got = tl.read_table(spark, t)
+    assert got.count() == 90
+    ks = {r.k for r in got.select("k").collect()}
+    assert min(ks) == 10 and max(ks) == 99  # first delete kept, second undone
+
+    # the rolled-back state is still travelable
+    assert tl.read_table(spark, t, as_of=2).count() == 80
+
+    # restore to v0 resurrects everything — the kept file's dv must
+    # be cleared outright (no mapping existed at v0)
+    res0 = tl.restore_table(t, 0)
+    assert res0["dvs_cleared"] == 1
+    assert tl.read_table(spark, t).count() == 100
+
+
+def test_shallow_clone_isolated_lifecycle(spark, sf_dir, tmp_path):
+    """Clone lifecycle beyond the gated entry: clone-side OPTIMIZE
+    folds the absolute source references into clone-owned files (and
+    applies the clone's dvs), source vacuum/expire never reap files
+    the SOURCE still references, and the clone read stays correct
+    throughout."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog as tl
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = (
+        spark.range(200)
+        .repartitionByRange(4, "id")
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    )
+    tl.append(df, src)
+    tl.delete_where(spark, src, "k < 20")  # src dv BEFORE the clone
+    tl.shallow_clone(src, dst)
+    assert tl.read_table(spark, dst).count() == 180  # dv carried
+
+    # clone-side delete — source must not move
+    tl.delete_where(spark, dst, "k >= 150")
+    assert tl.read_table(spark, dst).count() == 130
+    assert tl.read_table(spark, src).count() == 180
+
+    # OPTIMIZE the clone: absolute refs fold into clone-owned files
+    res = tl.optimize_table(spark, dst, 2)
+    live = tl._read_log(dst, None)[0]
+    assert res["files_after"] == len(live)
+    assert all(not os.path.isabs(f) for f in live)  # clone owns its data now
+    assert tl.read_table(spark, dst).count() == 130
+    assert tl._dv_state(dst, None) == {}  # dvs folded away by the rewrite
+
+    # source untouched by any of it
+    assert tl.read_table(spark, src).count() == 180
+    # source vacuum reaps nothing the source references
+    assert tl.vacuum(src) == []
+    assert tl.read_table(spark, src).count() == 180

@@ -550,6 +550,135 @@ def read_table_box(
     return df
 
 
+def restore_table(table: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF v (Delta parity): ONE new
+    commit whose add/remove diff makes the live snapshot equal version
+    ``version``'s — data files are REUSED, zero rewrites, pure log
+    metadata. History is preserved: the restore is itself a new
+    version, and time travel to any pre-restore version (including
+    the state being rolled back) keeps working.
+
+    Deletion-vector state is reset to v's exactly: v's mappings are
+    re-declared (re-added files must not come back dv-less, kept
+    files must not keep post-v deletes), and kept files that gained a
+    dv AFTER v are cleared via the "dv_clear" action — rows deleted
+    after v are resurrected, which is the point of a restore.
+    Re-added files also re-carry their rows/stats/col_stats so a
+    checkpoint taken while they were dead cannot have dropped their
+    metadata from replay. Returns {"version", "files_added",
+    "files_removed", "dvs_cleared"}."""
+    files_v, schema_v, stats_v, rows_v = _read_log(table, version)
+    files_now = set(_read_log(table, None)[0])
+    set_v = set(files_v)
+    add = sorted(set_v - files_now)
+    remove = sorted(files_now - set_v)
+    dv_v = _dv_state(table, version)
+    dv_now = _dv_state(table, None)
+    dv_clear = sorted(
+        f for f in dv_now if f not in dv_v and f not in set(remove)
+    )
+    col_stats_v = _col_stats_state(table, version)
+    actions: dict = {
+        "add": add,
+        "remove": remove,
+        "schema": schema_v,
+        "rows": {f: rows_v[f] for f in add if f in rows_v},
+        "stats": {f: stats_v[f] for f in add if f in stats_v},
+        "restored_from": version,
+    }
+    sc = _committed_stats_col(table)
+    if sc is not None:
+        actions["stats_col"] = sc
+    col_stats_add = {
+        col: {f: m[f] for f in add if f in m}
+        for col, m in col_stats_v.items()
+    }
+    col_stats_add = {c: m for c, m in col_stats_add.items() if m}
+    if col_stats_add:
+        actions["col_stats"] = col_stats_add
+    if dv_v:
+        actions["dv"] = dv_v
+        actions["dv_counts"] = {
+            f: n for f, n in _dv_counts(table, version).items() if f in dv_v
+        }
+    if dv_clear:
+        actions["dv_clear"] = dv_clear
+    lv = latest_version(table)
+    new_version = 0 if lv is None else lv + 1
+    _commit(table, new_version, actions)
+    return {
+        "version": new_version,
+        "files_added": len(add),
+        "files_removed": len(remove),
+        "dvs_cleared": len(dv_clear),
+    }
+
+
+def shallow_clone(
+    src: str, dst: str, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE (Delta parity): create ``dst`` as a zero-copy
+    clone of ``src`` at ``version`` (default: latest) — ONE metadata
+    commit whose add-list references the source's data files by
+    ABSOLUTE path; no data is copied. From then on the tables evolve
+    independently: writes to the clone stage new files under ``dst``,
+    a clone-side DELETE/MERGE/OPTIMIZE never mutates source files
+    (files are immutable; merge-on-read sidecars live under the
+    table that created them), and ``vacuum``/``expire`` only ever
+    walk their own table directory, so neither table can reap the
+    other's files. Deletion-vector state visible at ``version`` is
+    carried with sidecar paths made absolute (position matching is by
+    part-file basename, stable across path formats).
+
+    Retention caveat (same as Delta): the clone does not pin source
+    history — expiring ``src`` versions that exclusively reference
+    the cloned files deletes them out from under the clone. Keep the
+    cloned version alive in ``src`` (or deep-copy) for long-lived
+    clones."""
+    if _versions(dst):
+        raise ValueError(f"clone target {dst} already has a log")
+    files, schema_json, stats, rows = _read_log(src, version)
+    src_abs = os.path.abspath(src)
+
+    def _abs(rel: str) -> str:
+        return os.path.join(src_abs, rel)
+
+    add = [_abs(f) for f in files]
+    actions: dict = {
+        "add": add,
+        "remove": [],
+        "schema": schema_json,
+        "rows": {_abs(f): rows[f] for f in files if f in rows},
+        "stats": {_abs(f): stats[f] for f in files if f in stats},
+        "cloned_from": {"table": src_abs, "version": version},
+    }
+    sc = _committed_stats_col(src)
+    if sc is not None:
+        actions["stats_col"] = sc
+    col_stats = {
+        col: {_abs(f): m[f] for f in files if f in m}
+        for col, m in _col_stats_state(src, version).items()
+    }
+    col_stats = {c: m for c, m in col_stats.items() if m}
+    if col_stats:
+        actions["col_stats"] = col_stats
+    dv = {
+        _abs(f): _abs(s)
+        for f, s in _dv_state(src, version).items()
+        if f in set(files)
+    }
+    if dv:
+        actions["dv"] = dv
+        actions["dv_counts"] = {
+            _abs(f): n
+            for f, n in _dv_counts(src, version).items()
+            if _abs(f) in dv
+        }
+    os.makedirs(dst, exist_ok=True)
+    _commit(dst, 0, actions)
+    return {"version": 0, "files_referenced": len(add)}
+
+
 def read_table(
     spark: SparkSession,
     table: str,
@@ -1076,6 +1205,8 @@ def _dv_state(table: str, as_of: int | None) -> dict[str, str]:
             c = json.load(fh)
         for f in c.get("remove", []):
             state.pop(f, None)
+        for f in c.get("dv_clear", []):  # RESTORE resets kept-file dvs
+            state.pop(f, None)
         state.update(c.get("dv", {}))
     return state
 
@@ -1099,6 +1230,8 @@ def _dv_counts(table: str, as_of: int | None) -> dict[str, int]:
             c = json.load(fh)
         for f in c.get("remove", []):
             state.pop(f, None)
+        for f in c.get("dv_clear", []):  # RESTORE resets kept-file dvs
+            state.pop(f, None)
         state.update(c.get("dv_counts", {}))
     return state
 
@@ -1113,13 +1246,25 @@ def _dv_positions(
     from pyspark.sql import functions as F
 
     sidecars = sorted(set(dv_state.values()))
+    # match on the part-file BASENAME (uuid-unique), not the full
+    # path: a shallow clone's mapping keys are absolute while sidecar
+    # rows record source-relative paths — same identity rule as
+    # _apply_dv's scan-side match
     live = spark.createDataFrame(
-        [(f,) for f in dv_state], "file string"
+        [(os.path.basename(f),) for f in dv_state], "_dv_live_base string"
     )
     rows = spark.read.parquet(
         *[os.path.join(table, s) for s in sidecars]
-    ).select("file", "pos")
-    return rows.join(F.broadcast(live), "file", "left_semi").distinct()
+    ).select(
+        "file",
+        "pos",
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("_dv_live_base"),
+    )
+    return (
+        rows.join(F.broadcast(live), "_dv_live_base", "left_semi")
+        .select("file", "pos")
+        .distinct()
+    )
 
 
 def _apply_dv(
@@ -2562,3 +2707,155 @@ ORDER BY phase
 
 QUERIES["tablelog_optimize_zorder"] = tablelog_optimize_zorder
 ORACLES["tablelog_optimize_zorder"] = TABLELOG_ZORDER_SQL
+
+
+def tablelog_restore_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive RESTORE under the oracle gate, on the time-travel
+    recipe's table (v0 = keys ≡ 0 mod 3, v1 appends ≡ 1, v2 OVERWRITES
+    with ≡ 2): restore to v1 (the pre-overwrite state), prove the
+    rolled-back overwrite is still time-travelable, then restore to v0
+    — three reads whose agreement with the oracle's direct computation
+    proves the restore diff (re-add dropped files, drop newer ones) is
+    exact, history survives, and chained restores compose. Standard
+    Delta caveat applies (documented, not exercised here): a restore
+    cannot resurrect files a vacuum already deleted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_r_")
+    try:
+        append(orders.filter(F.col("o_orderkey") % 3 == 0), t)  # v0
+        append(orders.filter(F.col("o_orderkey") % 3 == 1), t)  # v1
+        overwrite(orders.filter(F.col("o_orderkey") % 3 == 2), t)  # v2
+
+        restore_table(t, 1)  # v3: back to ≡ 0,1
+        rows = []
+
+        def snap(phase: int, as_of=None):
+            agg = (
+                read_table(spark, t, as_of=as_of)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("c"),
+                )
+                .collect()[0]
+            )
+            rows.append((phase, agg.n, agg.c))
+
+        snap(0)  # after restore→v1: ≡ 0,1
+        snap(1, as_of=2)  # overwrite state still travelable: ≡ 2
+        restore_table(t, 0)  # v4: chained restore back to ≡ 0
+        snap(2)  # ≡ 0
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase int, n_orders long, total_cents long"
+    ).orderBy("phase")
+
+
+TABLELOG_RESTORE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT 0 AS phase, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderkey % 3 = 2
+UNION ALL
+SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE o_orderkey % 3 = 0
+ORDER BY phase
+"""
+
+QUERIES["tablelog_restore_totals"] = tablelog_restore_totals
+ORACLES["tablelog_restore_totals"] = TABLELOG_RESTORE_SQL
+
+
+def tablelog_clone_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive SHALLOW CLONE under the oracle gate: build the
+    three-version source (v0 = keys ≡ 0 mod 3, v1 appends ≡ 1, v2
+    overwrites with ≡ 2), clone it AT v1 into a second table (one
+    metadata commit, zero data copies), then mutate ONLY the clone
+    (merge-on-read delete of its even keys) and let the source's v2
+    overwrite stand. Phase 0 reads the source head, phase 1 the
+    mutated clone: agreement with the oracle's direct computation
+    proves the clone froze v1 (immune to the source overwrite), the
+    clone-side dv delete never touched shared files, and absolute
+    file references read identically to owned ones."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="tablelog_c_")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    try:
+        append(orders.filter(F.col("o_orderkey") % 3 == 0), src)  # v0
+        append(orders.filter(F.col("o_orderkey") % 3 == 1), src)  # v1
+        overwrite(orders.filter(F.col("o_orderkey") % 3 == 2), src)  # v2
+        shallow_clone(src, dst, version=1)
+        delete_where(spark, dst, "o_orderkey % 2 = 0")
+        rows = []
+        for phase, table in ((0, src), (1, dst)):
+            agg = (
+                read_table(spark, table)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("c"),
+                )
+                .collect()[0]
+            )
+            rows.append((phase, agg.n, agg.c))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase int, n_orders long, total_cents long"
+    ).orderBy("phase")
+
+
+TABLELOG_CLONE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT 0 AS phase, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 3 = 2
+UNION ALL
+SELECT 1, count(*), CAST(sum(cents) AS BIGINT)
+FROM o WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 1
+ORDER BY phase
+"""
+
+QUERIES["tablelog_clone_totals"] = tablelog_clone_totals
+ORACLES["tablelog_clone_totals"] = TABLELOG_CLONE_SQL
