@@ -197,6 +197,8 @@ HEADLINE = [
     # round-8 additions
     "bpe_train_merges",
     "tablelog_optimize_zorder",
+    "tablelog_restore_totals",
+    "tablelog_clone_totals",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
@@ -260,6 +262,8 @@ REPEATS = {
     # clustered rewrite; driver-looped trainer)
     "tablelog_optimize_zorder": 3,
     "bpe_train_merges": 3,
+    "tablelog_restore_totals": 3,
+    "tablelog_clone_totals": 3,
 }
 
 
