@@ -199,6 +199,7 @@ HEADLINE = [
     "tablelog_optimize_zorder",
     "tablelog_restore_totals",
     "tablelog_clone_totals",
+    "mann_kendall_trend",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

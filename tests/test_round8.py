@@ -250,3 +250,49 @@ def test_shallow_clone_isolated_lifecycle(spark, sf_dir, tmp_path):
     # source vacuum reaps nothing the source references
     assert tl.vacuum(src) == []
     assert tl.read_table(spark, src).count() == 180
+
+
+def test_append_stream_auto_compaction_bounds_files(spark, tmp_path):
+    """Auto compaction keeps an unbounded append stream's live file
+    count bounded while preserving exactly-once content and history:
+    8 single-file micro-batches with a 4-file threshold must end well
+    under 8 live files, contain every input row exactly once, and
+    keep every version time-travelable."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog as tl
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v bigint"
+    total = 0
+    for b in range(8):
+        spark.range(b * 10, b * 10 + 10).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+        total += 10
+
+    q = tl.run_append_stream(
+        spark,
+        src,
+        schema,
+        table,
+        ckpt,
+        auto_compact_files=4,
+        compact_target=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    live = tl._read_log(table, None)[0]
+    assert len(live) <= 4, live  # bounded despite 8 appended batches
+    got = tl.read_table(spark, table)
+    assert got.count() == total
+    assert got.select("k").distinct().count() == total  # exactly once
+    # compaction commits interleave with appends — every version
+    # (append or optimize) stays readable
+    for v in range(tl.latest_version(table) + 1):
+        assert tl.read_table(spark, table, as_of=v).count() <= total
+    # idle-trigger path: threshold not exceeded → no-op
+    assert tl.maybe_auto_compact(spark, table, 64, 2) is None

@@ -161,3 +161,43 @@ def test_chained_query_survives_checkpointed_restart(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == _expected_batch(spark)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static dimension join → windowed rollup: complete-mode
+    streaming result must equal the identical batch computation, and
+    facts without a dimension row must survive as 'unknown'."""
+    from trace_parquet_spark.sources.registry import load_table
+    from trace_parquet_spark.streaming.pipeline import (
+        enriched_windowed_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "events_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    # segment dimension derived from customer: covers only SOME users
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.concat(F.lit("seg_"), (F.col("c_custkey") % 3).cast("string")
+                     ).alias("segment"),
+        )
+        .filter(F.col("user_id") % 2 == 0)  # odd users → 'unknown'
+    )
+
+    stream_out = run_to_memory_sink(
+        enriched_windowed_counts(read_events_stream(spark, src), dim),
+        "enriched_sink",
+        output_mode="complete",
+    ).collect()
+    batch_out = enriched_windowed_counts(ev, dim).collect()
+
+    key = lambda r: (r.window_start, r.segment)
+    g = {key(r): (r.n_events, r.total_value) for r in stream_out}
+    b = {key(r): (r.n_events, r.total_value) for r in batch_out}
+    assert g == b and len(g) > 0
+    assert any(seg == "unknown" for _, seg in g)  # left-join semantics

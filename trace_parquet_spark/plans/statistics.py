@@ -1963,3 +1963,145 @@ ORDER BY event_type
 
 QUERIES["watermark_lateness_profile"] = watermark_lateness_profile
 ORACLES["watermark_lateness_profile"] = WATERMARK_LATENESS_SQL
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per event type
+    over the daily event-count series — the standard nonparametric
+    "is this metric drifting?" screen (no distributional assumption,
+    robust to outliers), complementing runs_test (serial dependence)
+    and cusum_changepoint_scan (level shift) in the drift battery.
+
+    Exact integer core: S = Σ_{i<j} sign(c_j − c_i) over day pairs,
+    and the tie-corrected variance NUMERATOR var18 = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5) (the /18 left to the one double z chain, so the
+    gated var18 column is pure int64). Sen's slope is the median of
+    pairwise slopes on the micro grid ((Δcount·1e6)/Δdays as ONE
+    double division per pair — IEEE-identical in both engines, then
+    the same type-7 percentile both sides).
+
+    Scale: the series is DAY-grain per event type (bounded — the
+    aggregate collapses the corpus before any pairing), so the pair
+    self-join is O(days²) per type, constant-bounded like the
+    crosscorr/KS spines; everything partitions by event_type, no
+    global window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(F.col("b.c") - F.col("a.c")).cast("long").alias("sgn"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            * F.lit(1000000.0)
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope_micro"),
+    )
+    ps = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.expr("percentile(slope_micro, 0.5)").alias("sen_slope_micro"),
+    )
+    nties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_levels"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term"),
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    g = nn.join(nties, "event_type").join(ps, "event_type")
+    n = F.col("n_days")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    s = F.col("s_stat")
+    z = (
+        F.when((var18 > 0) & (s > 0), (s.cast("double") - 1.0) / sd)
+        .when((var18 > 0) & (s < 0), (s.cast("double") + 1.0) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        var18.alias("var18"),
+        z.alias("mk_z"),
+        "sen_slope_micro",
+    ).orderBy("event_type")
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+         CAST(b.c - a.c AS DOUBLE) * 1000000.0
+           / CAST(b.d - a.d AS DOUBLE) AS slope_micro
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ps AS (
+  SELECT event_type,
+         CAST(sum(sgn) AS BIGINT) AS s_stat,
+         quantile_cont(slope_micro, 0.5) AS sen_slope_micro
+  FROM pairs GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+  FROM daily GROUP BY 1, 2
+),
+tsum AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM ties GROUP BY event_type
+),
+nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+g AS (
+  SELECT nn.event_type, nn.n_days, tsum.tie_term, ps.s_stat,
+         ps.sen_slope_micro,
+         CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+              - tsum.tie_term AS BIGINT) AS var18
+  FROM nn JOIN tsum ON nn.event_type = tsum.event_type
+          JOIN ps ON nn.event_type = ps.event_type
+)
+SELECT event_type, n_days, s_stat, var18,
+       CASE WHEN var18 > 0 AND s_stat > 0
+              THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN var18 > 0 AND s_stat < 0
+              THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS mk_z,
+       sen_slope_micro
+FROM g
+ORDER BY event_type
+"""
+
+QUERIES["mann_kendall_trend"] = mann_kendall_trend
+ORACLES["mann_kendall_trend"] = MANN_KENDALL_SQL

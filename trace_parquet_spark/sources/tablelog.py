@@ -886,6 +886,26 @@ def run_merge_stream(
     )
 
 
+def maybe_auto_compact(
+    spark: SparkSession, table: str, max_live_files: int, target_files: int
+) -> dict | None:
+    """Delta-style AUTO COMPACTION check: when the live snapshot holds
+    more than ``max_live_files`` files, run the bin-pack OPTIMIZE down
+    to ``target_files``. Safe under streaming replay by construction:
+    OPTIMIZE is content-neutral (a replayed trigger that compacts
+    again only adds a version), a crash mid-compaction leaves orphaned
+    staged files the commit never referenced (vacuum sweeps them), and
+    a lost commit race is reported, not retried (the next trigger
+    re-checks). Returns the optimize report or None if under the
+    threshold."""
+    if len(_read_log(table, None)[0]) <= max_live_files:
+        return None
+    try:
+        return optimize_table(spark, table, target_files)
+    except ConcurrentWriteError:
+        return None  # another writer advanced the log; next trigger re-checks
+
+
 def run_append_stream(
     spark: SparkSession,
     source_dir: str,
@@ -894,12 +914,21 @@ def run_append_stream(
     checkpoint_dir: str,
     app: str = "stream",
     max_files_per_trigger: int = 1,
+    auto_compact_files: int | None = None,
+    compact_target: int = 4,
 ):
     """Stream a parquet-file source into a logged table with
     exactly-once semantics end-to-end: offsets in the checkpoint,
     idempotence in the log's txn markers — either side can replay and
     the table still contains each input row exactly once (pinned in
-    tests/test_tablelog_stream.py, including a mid-stream restart)."""
+    tests/test_tablelog_stream.py, including a mid-stream restart).
+
+    ``auto_compact_files=N`` enables Delta-style auto compaction: any
+    trigger that leaves more than N live files bin-packs the table
+    down to ``compact_target`` inside the same foreachBatch — the
+    small-files remedy for unbounded append streams, without an
+    external maintenance job. Every prior version stays
+    time-travelable (OPTIMIZE removes nothing from history)."""
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -908,6 +937,8 @@ def run_append_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_stream_batch(batch_df, table, app, batch_id)
+        if auto_compact_files is not None:
+            maybe_auto_compact(spark, table, auto_compact_files, compact_target)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -269,6 +269,45 @@ def attributed_revenue_windows(
     )
 
 
+def enriched_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment feeding a windowed rollup —
+    the standard production enrichment shape (join each event to a
+    slowly-changing dimension snapshot, aggregate by its attribute):
+    the static side is broadcast per micro-batch (stateless — no join
+    buffers, unlike a stream-stream join), so only the downstream
+    window aggregation carries state, bounded by the watermark.
+
+    ``dim`` is a static DataFrame (user_id, segment). Events with no
+    dimension row fall into segment 'unknown' (left join — an
+    enrichment must not drop facts)."""
+    e = events.withWatermark("ts", watermark)
+    d = F.broadcast(
+        dim.select(
+            F.col("user_id").alias("d_user"), F.col("segment").alias("segment")
+        )
+    )
+    return (
+        e.join(d, e.user_id == d.d_user, "left")
+        .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
+        .groupBy(F.window("ts", width), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def write_stream_exactly_once(
     stream_df: DataFrame,
     out_dir: str,
