@@ -296,3 +296,43 @@ def test_append_stream_auto_compaction_bounds_files(spark, tmp_path):
         assert tl.read_table(spark, table, as_of=v).count() <= total
     # idle-trigger path: threshold not exceeded → no-op
     assert tl.maybe_auto_compact(spark, table, 64, 2) is None
+
+
+def test_reader_feature_protocol_gates_unknown_features(spark, tmp_path):
+    """Delta-style table-features protocol: a log stamped with a
+    reader feature this engine doesn't implement must REFUSE to
+    replay (silently ignoring unknown semantics is how old readers
+    resurrect dv-deleted rows); known features pass; the feature set
+    survives checkpoint + expiration."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog as tl
+
+    t = str(tmp_path / "ftab")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tl.append(df, t)
+    tl.delete_where(spark, t, "k < 5")  # stamps deletion_vectors
+    assert tl.read_table(spark, t).count() == 45  # known feature: fine
+
+    # feature set survives checkpointing
+    tl.write_checkpoint(t)
+    cp = tl._checkpoint_path(t, tl.latest_version(t))
+    body = json.load(open(cp))
+    assert body["reader_features"] == ["deletion_vectors"]
+
+    # an unknown future feature refuses loudly instead of misreading
+    v = tl.latest_version(t) + 1
+    tl._commit(t, v, {
+        "add": [], "remove": [],
+        "schema": "", "rows": {},
+        "reader_features": ["future_magic_v9"],
+    })
+    with pytest.raises(tl.UnsupportedTableFeatureError, match="future_magic_v9"):
+        tl.read_table(spark, t)
+    # time travel BELOW the stamping commit still works
+    assert tl.read_table(spark, t, as_of=v - 1).count() == 45

@@ -45,6 +45,33 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first — rebase and retry."""
 
 
+class UnsupportedTableFeatureError(RuntimeError):
+    """The log requires a reader feature this engine doesn't have."""
+
+
+# Reader-feature protocol (Delta's table-features mechanism): a commit
+# whose actions change READ-PATH SEMANTICS stamps the feature name in
+# "reader_features"; replay refuses a log carrying a feature this
+# reader doesn't implement, instead of silently misreading it. The
+# canonical hazard this closes: a pre-dv reader replaying a table with
+# deletion vectors would ignore the "dv"/"dv_clear" actions and
+# resurrect every deleted row — wrong answers, no error. Features that
+# are pure optimizations (col_stats pruning ranges, footer row counts)
+# are deliberately NOT reader-gating: ignoring them loses speed, never
+# correctness.
+SUPPORTED_READER_FEATURES = frozenset({"deletion_vectors"})
+
+
+def _check_reader_features(feats) -> None:
+    unknown = set(feats or ()) - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"table requires reader feature(s) {sorted(unknown)} this "
+            "engine does not implement; upgrade the engine rather than "
+            "risking a silent misread"
+        )
+
+
 def _log_dir(table: str) -> str:
     return os.path.join(table, "_log")
 
@@ -95,6 +122,7 @@ def _read_log(
     for v in vs:
         with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
             commit = json.load(fh)
+        _check_reader_features(commit.get("reader_features"))
         live |= {a for a in commit.get("add", [])}
         live -= {r for r in commit.get("remove", [])}
         schema = commit.get("schema") or schema
@@ -603,6 +631,8 @@ def restore_table(table: str, version: int) -> dict:
         }
     if dv_clear:
         actions["dv_clear"] = dv_clear
+    if dv_v or dv_clear:
+        actions["reader_features"] = ["deletion_vectors"]
     lv = latest_version(table)
     new_version = 0 if lv is None else lv + 1
     _commit(table, new_version, actions)
@@ -669,6 +699,7 @@ def shallow_clone(
     }
     if dv:
         actions["dv"] = dv
+        actions["reader_features"] = ["deletion_vectors"]
         actions["dv_counts"] = {
             _abs(f): n
             for f, n in _dv_counts(src, version).items()
@@ -725,6 +756,23 @@ def read_table(
         lo, hi = key_range
         df = df.filter(F.col(pred_col).between(lo, hi))
     return df
+
+
+def _reader_features_up_to(table: str, version: int) -> set[str]:
+    """Union of reader features stamped at any commit ≤ version
+    (checkpoint body + JSON tail — the _txns_up_to replay shape)."""
+    out: set[str] = set()
+    base = -1
+    cps = [v for v in _checkpoints(table) if v <= version]
+    if cps:
+        base = cps[-1]
+        with open(_checkpoint_path(table, base)) as fh:
+            out |= set(json.load(fh).get("reader_features", []))
+    for v in _versions(table):
+        if base < v <= version:
+            with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+                out |= set(json.load(fh).get("reader_features", []))
+    return out
 
 
 def _txns_up_to(table: str, version: int) -> list[list]:
@@ -1418,6 +1466,7 @@ def delete_where(
             "schema": schema_json,
             "dv": {f: sidecar for f in affected},
             "dv_counts": counts,
+            "reader_features": ["deletion_vectors"],
         },
     )
     return {
@@ -2206,6 +2255,10 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         # live deletion-vector state survives expiration too
         "dv": _dv_state(table, version),
         "dv_counts": _dv_counts(table, version),
+        # required reader features survive expiration (the stamping
+        # commits may be expired, the semantics they introduced are
+        # still in the data)
+        "reader_features": sorted(_reader_features_up_to(table, version)),
         # multi-key zorder stats survive expiration (files kept →
         # their box-pruning ranges kept)
         "col_stats": {
@@ -2245,6 +2298,7 @@ def _read_log_from_checkpoint(
     base = cps[-1]
     with open(_checkpoint_path(table, base)) as fh:
         body = json.load(fh)
+    _check_reader_features(body.get("reader_features"))
     live = set(body["live"])
     schema = body["schema"]
     stats = dict(body["stats"])
@@ -2255,6 +2309,7 @@ def _read_log_from_checkpoint(
     for v in vs:
         with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
             commit = json.load(fh)
+        _check_reader_features(commit.get("reader_features"))
         live |= set(commit.get("add", []))
         live -= set(commit.get("remove", []))
         schema = commit.get("schema") or schema
