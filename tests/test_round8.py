@@ -336,3 +336,55 @@ def test_reader_feature_protocol_gates_unknown_features(spark, tmp_path):
         tl.read_table(spark, t)
     # time travel BELOW the stamping commit still works
     assert tl.read_table(spark, t, as_of=v - 1).count() == 45
+
+
+def test_tablelog_datasource_applies_deletion_vectors(spark, tmp_path):
+    """The Catalyst-facing DataSource must hide merge-on-read deletes
+    exactly like the library reader — before round 8 it read raw
+    files and resurrected every dv-deleted row. The streaming source
+    must instead FAIL on a dv commit (rows already delivered changed)
+    unless ignore_deletes acknowledges it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources import tablelog as tl
+    from trace_parquet_spark.sources import tablelog_source as tls
+
+    tls.register(spark)
+    t = str(tmp_path / "dvtab")
+    df = (
+        spark.range(100)
+        .repartitionByRange(4, "id")
+        .select(F.col("id").alias("k"), (F.col("id") * 5).alias("v"))
+    )
+    tl.append(df, t)
+    tl.delete_where(spark, t, "k % 10 = 0")  # 10 rows gone
+
+    lib = tl.read_table(spark, t)
+    ds = spark.read.format("tablelog").option("path", t).load()
+    assert ds.count() == lib.count() == 90
+    assert {r.k for r in ds.collect()} == {r.k for r in lib.collect()}
+    # time travel pre-delete still shows everything
+    ds0 = (
+        spark.read.format("tablelog")
+        .option("path", t)
+        .option("as_of", "0")
+        .load()
+    )
+    assert ds0.count() == 100
+
+    # streaming: the dv commit is a change to delivered rows → loud
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_stream_sink")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion vectors"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

@@ -39,7 +39,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .tablelog import _log_dir, _read_log, _versions, latest_version
+from .tablelog import _dv_state, _log_dir, _read_log, _versions, latest_version
 
 
 def _table_schema(table: str, as_of: int | None = None) -> StructType:
@@ -52,14 +52,39 @@ def _commit_actions(table: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _rows_of(table: str, rels: list[str], field_names: list[str]):
+def _deleted_positions(table: str, rel: str, sidecar: str) -> set[int]:
+    """Row positions of ``rel`` deleted per its dv sidecar (positions
+    are per-file physical row indices — pyarrow's read order, the same
+    identity Spark's _metadata.row_index uses; file match is by the
+    uuid-unique part basename, stable across path formats)."""
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(rel)
+    tb = pq.read_table(os.path.join(table, sidecar), columns=["file", "pos"])
+    files = tb.column("file").to_pylist()
+    poss = tb.column("pos").to_pylist()
+    return {p for f, p in zip(files, poss) if os.path.basename(f) == base}
+
+
+def _rows_of(
+    table: str,
+    rels: list[str],
+    field_names: list[str],
+    dv_state: dict[str, str] | None = None,
+):
     """Decode parquet files to tuples in schema field order. Missing
     columns (pre-evolution files) surface as None, matching the
-    library reader's schema application."""
+    library reader's schema application. Rows whose position is in
+    the file's deletion-vector sidecar are skipped — without this the
+    DataSource would resurrect merge-on-read deletes the library
+    reader (read_table → _apply_dv) correctly hides."""
     import pyarrow.parquet as pq
 
     for rel in rels:
         tb = pq.read_table(os.path.join(table, rel))
+        dead: set[int] = set()
+        if dv_state and rel in dv_state:
+            dead = _deleted_positions(table, rel, dv_state[rel])
         cols = {
             name: (
                 tb.column(name).to_pylist()
@@ -69,6 +94,8 @@ def _rows_of(table: str, rels: list[str], field_names: list[str]):
             for name in field_names
         }
         for i in range(tb.num_rows):
+            if i in dead:
+                continue
             yield tuple(cols[name][i] for name in field_names)
 
 
@@ -90,12 +117,18 @@ class TableLogBatchReader(DataSourceReader):
         self._names = StructType.fromJson(
             json.loads(schema_json)
         ).fieldNames()
+        # dv mapping resolved at PLAN time so every partition applies
+        # the same snapshot's vectors (rel-path keyed; basenames only
+        # matter inside the sidecar rows)
+        self._dv = _dv_state(self.table, self.as_of)
 
     def partitions(self):
         return [_TLFilePartition(rel) for rel in self._files]
 
     def read(self, partition: _TLFilePartition):
-        yield from _rows_of(self.table, [partition.rel], self._names)
+        yield from _rows_of(
+            self.table, [partition.rel], self._names, self._dv
+        )
 
 
 class TableLogStreamReader(SimpleDataSourceStreamReader):
@@ -132,6 +165,18 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
                         "ignore_deletes=true to stream adds anyway "
                         "(copy-on-write rewrites will re-deliver "
                         "carried rows)"
+                    )
+                if (c.get("dv") or c.get("dv_clear")) and not self.ignore_deletes:
+                    # a dv commit adds no files but changes the
+                    # visibility of rows ALREADY DELIVERED — Delta
+                    # fails the stream on such change commits unless
+                    # the caller opts in; silently continuing would
+                    # leave downstream state permanently divergent
+                    raise ValueError(
+                        f"tablelog stream: commit {v} carries deletion "
+                        "vectors — previously delivered rows changed; "
+                        "set ignore_deletes=true to acknowledge that "
+                        "the stream will not retract them"
                     )
                 rels.extend(c.get("add", []))
         return rels
