@@ -59,7 +59,7 @@ class UnsupportedTableFeatureError(RuntimeError):
 # are pure optimizations (col_stats pruning ranges, footer row counts)
 # are deliberately NOT reader-gating: ignoring them loses speed, never
 # correctness.
-SUPPORTED_READER_FEATURES = frozenset({"deletion_vectors"})
+SUPPORTED_READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
 
 
 def _check_reader_features(feats) -> None:
@@ -160,10 +160,127 @@ def _commit(table: str, version: int, actions: dict) -> None:
         os.unlink(tmp)
 
 
+def _col_mapping(table: str, as_of: int | None = None) -> dict | None:
+    """logical column -> PHYSICAL parquet column visible at ``as_of``
+    (None = column mapping never enabled; identity semantics).
+    Snapshot semantics like the schema: the newest declaration ≤ as_of
+    wins; checkpoint bodies carry it. Keys starting with
+    ``__tombstone_`` are dropped-column markers reserving their
+    physical name (see drop_column) — not logical columns."""
+    mapping = None
+    base = -1
+    cps = _checkpoints(table)
+    if as_of is not None:
+        cps = [v for v in cps if v <= as_of]
+    if cps:
+        base = cps[-1]
+        with open(_checkpoint_path(table, base)) as fh:
+            body = json.load(fh)
+        if "col_mapping" in body:
+            mapping = body["col_mapping"] or None
+    for v in _versions(table):
+        if v <= base or (as_of is not None and v > as_of):
+            continue
+        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
+            c = json.load(fh)
+        # PRESENCE of the key sets the mapping; an explicit {} resets
+        # it (RESTORE below a rename must revert the map, and "keep
+        # the newer map" would poison _stage_files' collision guard
+        # with stale physical names)
+        if "col_mapping" in c:
+            mapping = c["col_mapping"] or None
+    return mapping
+
+
+def _physical_schema(schema, mapping: dict):
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _require_no_mapping(table: str, op: str) -> None:
+    """Operations not yet column-mapping-aware must refuse rather
+    than silently read physical columns under stale logical names —
+    the same restricted-operations posture Delta shipped column
+    mapping with (e.g. CDF across rename boundaries)."""
+    if _col_mapping(table, None):
+        raise UnsupportedTableFeatureError(
+            f"{op} does not support column-mapping-enabled tables yet; "
+            "run it before rename_column/drop_column, or read through "
+            "read_table/read_table_box/merge/optimize which are "
+            "mapping-aware"
+        )
+
+
+def _scan_files(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    schema_json: str,
+    as_of: int | None = None,
+    dv_state: dict[str, str] | None = None,
+) -> DataFrame:
+    """THE library read path for data files: applies the snapshot's
+    logical schema, deletion vectors (on the raw scan, where
+    _metadata is still resolvable), and — when column mapping is
+    enabled — renames physical parquet columns back to their logical
+    names. Every lifecycle operation reads through here so a rename
+    can never desynchronize one code path."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not files:
+        return spark.createDataFrame([], schema)
+    mapping = _col_mapping(table, as_of)
+    read_schema = _physical_schema(schema, mapping) if mapping else schema
+    df = spark.read.schema(read_schema).parquet(
+        *[os.path.join(table, f) for f in files]
+    )
+    if dv_state:
+        df = _apply_dv(spark, table, df, dv_state)
+    if mapping:
+        df = df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    return df
+
+
 def _stage_files(df: DataFrame, table: str) -> list[str]:
     """Write the data invisibly (no log entry yet): a unique staging
     subdir per write, then the commit references the parquet parts by
-    relative path. Files are immutable once written."""
+    relative path. Files are immutable once written.
+
+    With column mapping enabled, frames arrive with LOGICAL names and
+    are written under their PHYSICAL names (Delta's frozen-physical
+    rule: files never need rewriting on rename). A brand-new column
+    whose identity-physical name would collide with an existing
+    physical (a renamed-away or dropped column's storage name) is
+    refused — old files carry unrelated data under that name."""
+    mapping = _col_mapping(table, None) if _versions(table) else None
+    if mapping:
+        phys_taken = set(mapping.values())
+        collisions = [
+            c
+            for c in df.columns
+            if c not in mapping and c in phys_taken
+        ]
+        if collisions:
+            raise ValueError(
+                f"column(s) {collisions} reuse physical names still "
+                "claimed by renamed/dropped columns in existing files; "
+                "choose different names"
+            )
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
     stage = f"data-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(os.path.join(table, stage))
     return [
@@ -180,6 +297,9 @@ def _footer_stats(table: str, files: list[str], column: str) -> dict[str, list]:
     whose footer lacks min/max maps to [None, None] (never prunable)."""
     import pyarrow.parquet as pq
 
+    mapping = _col_mapping(table, None)
+    if mapping:
+        column = mapping.get(column, column)  # footers hold PHYSICAL names
     out: dict[str, list] = {}
     for rel in files:
         md = pq.ParquetFile(os.path.join(table, rel)).metadata
@@ -311,9 +431,6 @@ def merge_upsert(
 
     schema = StructType.fromJson(json.loads(schema_json))
     if touched:
-        old = spark.read.schema(schema).parquet(
-            *[os.path.join(table, f) for f in sorted(touched)]
-        )
         # deletion vectors on rewritten files must be APPLIED here, or
         # the rewrite would resurrect deleted rows; kept files carry
         # their mappings forward untouched, and the commit's "remove"
@@ -321,8 +438,9 @@ def merge_upsert(
         dv_touched = {
             f: s for f, s in _dv_state(table, None).items() if f in touched
         }
-        if dv_touched:
-            old = _apply_dv(spark, table, old, dv_touched)
+        old = _scan_files(
+            spark, table, sorted(touched), schema_json, dv_state=dv_touched
+        )
         merged = old.join(updates, on=key, how="left_anti").unionByName(
             updates.select(*schema.fieldNames())
         )
@@ -375,17 +493,11 @@ def optimize_table(
     selective again (the reason Delta's OPTIMIZE pairs with ZORDER).
     Returns {"version", "files_before", "files_after"}."""
     files, schema_json, _stats, _rows = _read_log(table, None)
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(schema_json))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table, f) for f in files]
-    )
     # OPTIMIZE is where deletion vectors get folded away: the rewrite
     # applies them, and removing every old file drops their mappings
-    dv_state = _dv_state(table, None)
-    if dv_state:
-        df = _apply_dv(spark, table, df, dv_state)
+    df = _scan_files(
+        spark, table, files, schema_json, dv_state=_dv_state(table, None)
+    )
     stats_col = _committed_stats_col(table)
     if stats_col is not None:
         df = df.repartitionByRange(target_files, stats_col)
@@ -470,12 +582,9 @@ def optimize_table_zorder(
     c1, c2 = cols
     files, schema_json, _stats, _rows = _read_log(table, None)
     schema = StructType.fromJson(json.loads(schema_json))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table, f) for f in files]
+    df = _scan_files(
+        spark, table, files, schema_json, dv_state=_dv_state(table, None)
     )
-    dv_state = _dv_state(table, None)
-    if dv_state:
-        df = _apply_dv(spark, table, df, dv_state)
     bounds = df.agg(
         F.min(c1).alias("lo1"),
         F.max(c1).alias("hi1"),
@@ -561,18 +670,12 @@ def read_table_box(
 
     files = files_overlapping(table, preds, as_of)
     _all, schema_json, _stats, _rows = _read_log(table, as_of)
-    schema = StructType.fromJson(json.loads(schema_json))
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table, f) for f in files]
-        )
-        dv_state = {
-            f: s for f, s in _dv_state(table, as_of).items() if f in set(files)
-        }
-        if dv_state:
-            df = _apply_dv(spark, table, df, dv_state)
+    dv_state = {
+        f: s for f, s in _dv_state(table, as_of).items() if f in set(files)
+    }
+    df = _scan_files(
+        spark, table, files, schema_json, as_of=as_of, dv_state=dv_state
+    )
     for col, (lo, hi) in preds.items():
         df = df.filter(F.col(col).between(lo, hi))
     return df
@@ -617,6 +720,9 @@ def restore_table(table: str, version: int) -> dict:
     sc = _committed_stats_col(table)
     if sc is not None:
         actions["stats_col"] = sc
+    # the logical→physical map reverts with the schema ({} = explicit
+    # reset when v predates column mapping)
+    actions["col_mapping"] = _col_mapping(table, version) or {}
     col_stats_add = {
         col: {f: m[f] for f in add if f in m}
         for col, m in col_stats_v.items()
@@ -642,6 +748,95 @@ def restore_table(table: str, version: int) -> dict:
         "files_removed": len(remove),
         "dvs_cleared": len(dv_clear),
     }
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """RENAME COLUMN via column mapping (Delta parity): one metadata
+    commit publishes a new logical schema plus the logical→PHYSICAL
+    name map — data files are never rewritten; the physical name
+    stays frozen at whatever the column was called when its files
+    were first written. Stamps the ``column_mapping`` reader feature:
+    a reader unaware of the map would read the renamed column as all
+    nulls (the logical name doesn't exist in any file), so unaware
+    readers must refuse, not misread. Time travel below the rename
+    shows the old name. Returns the committed version."""
+    from pyspark.sql.types import StructField, StructType
+
+    _files, schema_json, _stats, _rows = _read_log(table, None)
+    schema = StructType.fromJson(json.loads(schema_json))
+    names = schema.fieldNames()
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    mapping = _col_mapping(table, None) or {n: n for n in names}
+    mapping = dict(mapping)
+    mapping[new] = mapping.pop(old, old)
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    actions: dict = {
+        "add": [],
+        "remove": [],
+        "schema": new_schema.json(),
+        "rows": {},
+        "col_mapping": mapping,
+        "reader_features": ["column_mapping"],
+    }
+    if _committed_stats_col(table) == old:
+        actions["stats_col"] = new  # pruning key follows the rename
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(table, version, actions)
+    return version
+
+
+def drop_column(table: str, name: str) -> int:
+    """DROP COLUMN via column mapping: metadata-only — the column
+    vanishes from the logical schema while its bytes stay in the
+    files (rewritten away opportunistically by later OPTIMIZE/MERGE).
+    The dropped column's PHYSICAL name is retained in the map under a
+    ``__tombstone_*`` key so a future column can never silently
+    reuse it (old files carry unrelated data under that name —
+    _stage_files refuses the collision loudly). Time travel below
+    the drop still shows the column."""
+    from pyspark.sql.types import StructType
+
+    _files, schema_json, _stats, _rows = _read_log(table, None)
+    schema = StructType.fromJson(json.loads(schema_json))
+    names = schema.fieldNames()
+    if name not in names:
+        raise ValueError(f"no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if _committed_stats_col(table) == name:
+        raise ValueError(
+            f"{name!r} is the table's stats/clustering column; "
+            "re-cluster (optimize) on another key before dropping it"
+        )
+    mapping = _col_mapping(table, None) or {n: n for n in names}
+    mapping = dict(mapping)
+    phys = mapping.pop(name, name)
+    mapping[f"__tombstone_{phys}"] = phys
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": [],
+            "remove": [],
+            "schema": new_schema.json(),
+            "rows": {},
+            "col_mapping": mapping,
+            "reader_features": ["column_mapping"],
+        },
+    )
+    return version
 
 
 def shallow_clone(
@@ -685,6 +880,10 @@ def shallow_clone(
     sc = _committed_stats_col(src)
     if sc is not None:
         actions["stats_col"] = sc
+    src_mapping = _col_mapping(src, version)
+    if src_mapping:
+        actions["col_mapping"] = src_mapping
+        actions.setdefault("reader_features", []).append("column_mapping")
     col_stats = {
         col: {_abs(f): m[f] for f in files if f in m}
         for col, m in _col_stats_state(src, version).items()
@@ -699,7 +898,9 @@ def shallow_clone(
     }
     if dv:
         actions["dv"] = dv
-        actions["reader_features"] = ["deletion_vectors"]
+        feats = set(actions.get("reader_features", []))
+        feats.add("deletion_vectors")
+        actions["reader_features"] = sorted(feats)
         actions["dv_counts"] = {
             _abs(f): n
             for f, n in _dv_counts(src, version).items()
@@ -743,16 +944,15 @@ def read_table(
             or stats[f][0] is None
             or not (stats[f][1] < lo or stats[f][0] > hi)
         ]
-    paths = [os.path.join(table, f) for f in files]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*paths)
-    dv_state = _dv_state(table, as_of)
-    if dv_state:
-        df = _apply_dv(spark, table, df, dv_state)
+    df = _scan_files(
+        spark,
+        table,
+        files,
+        schema_json,
+        as_of=as_of,
+        dv_state=_dv_state(table, as_of),
+    )
     if pred_col is not None:
-        from pyspark.sql import functions as F
-
         lo, hi = key_range
         df = df.filter(F.col(pred_col).between(lo, hi))
     return df
@@ -1015,6 +1215,8 @@ def change_feed(
     Assumes ``key`` is unique per snapshot (the MERGE invariant).
     Scale: reads only the files the interval's commits touched, and
     the join shuffles exactly those rows on the key."""
+    _require_no_mapping(table, "change_feed")
+
     vs = [v for v in _versions(table) if from_v < v <= to_v]
     added: set[str] = set()
     removed: set[str] = set()
@@ -1104,6 +1306,8 @@ def change_feed_dv(
     actually carry new deletions; position screens are (file, pos)
     joins on part basenames — nothing visits the driver but the file
     manifest."""
+    _require_no_mapping(table, "change_feed_dv")
+
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1399,7 +1603,13 @@ def delete_where(
     paths = [os.path.join(table, f) for f in files]
     if not paths:
         raise ValueError(f"{table} has no data to delete from")
-    scan = spark.read.schema(schema).parquet(*paths)
+    # with column mapping, files carry PHYSICAL names; read physical
+    # and alias back to logical IN THE TAGGING PROJECTION (where
+    # _metadata is still resolvable) so ``condition`` evaluates on
+    # logical names
+    mapping = _col_mapping(table, None)
+    read_schema = _physical_schema(schema, mapping) if mapping else schema
+    scan = spark.read.schema(read_schema).parquet(*paths)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     # rel-path lookup by basename (part names are uuid-unique).
     # Internal tagging columns use collision-proof __dv_* names (as
@@ -1409,12 +1619,20 @@ def delete_where(
         [(os.path.basename(f), f) for f in files],
         "__dv_base string, __dv_file string",
     )
+    logical_cols = (
+        [
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        if mapping
+        else [F.col("*")]
+    )
     tagged = scan.select(
         F.element_at(
             F.split(F.col("_metadata.file_path"), "/"), -1
         ).alias("__dv_base"),
         F.col("_metadata.row_index").alias("__dv_pos"),
-        "*",
+        *logical_cols,
     )
     if dv_state:
         # already-deleted rows must not re-match (their positions are
@@ -1738,6 +1956,8 @@ def stats_only_totals(
     committed deletion-vector cardinalities; MIN/MAX refuse under a
     live deletion vector (the extreme row may be among the deleted —
     OPTIMIZE folds vectors away and restores exactness)."""
+    _require_no_mapping(table, "stats_only_totals")
+
     files, _schema, stats, rows = _read_log(table, as_of)
     missing = [f for f in files if f not in rows]
     if missing:
@@ -1774,6 +1994,8 @@ def stats_hybrid_totals(
     3 of 10⁶ files, exact MIN/MAX costs 3 file reads instead of a
     refusal (or a full scan). ``col`` must be the column the commits
     recorded stats for."""
+    _require_no_mapping(table, "stats_hybrid_totals")
+
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2089,6 +2311,8 @@ def read_table_point_lookup(
     can observe the pruning; the exact IN predicate is applied on top,
     so bloom false positives never surface. Files without a committed
     bloom are conservatively scanned."""
+    _require_no_mapping(table, "read_table_point_lookup")
+
     files, schema_json, _stats, _rows = _read_log(table, as_of)
     blooms: dict[str, str] = {}
     bloom_col = None
@@ -2259,6 +2483,8 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         # commits may be expired, the semantics they introduced are
         # still in the data)
         "reader_features": sorted(_reader_features_up_to(table, version)),
+        # physical-name mapping survives expiration with the files
+        "col_mapping": _col_mapping(table, version),
         # multi-key zorder stats survive expiration (files kept →
         # their box-pruning ranges kept)
         "col_stats": {

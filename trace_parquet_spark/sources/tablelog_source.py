@@ -39,7 +39,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .tablelog import _dv_state, _log_dir, _read_log, _versions, latest_version
+from .tablelog import (
+    _col_mapping,
+    _dv_state,
+    _log_dir,
+    _read_log,
+    _versions,
+    latest_version,
+)
 
 
 def _table_schema(table: str, as_of: int | None = None) -> StructType:
@@ -71,6 +78,7 @@ def _rows_of(
     rels: list[str],
     field_names: list[str],
     dv_state: dict[str, str] | None = None,
+    phys_names: list[str] | None = None,
 ):
     """Decode parquet files to tuples in schema field order. Missing
     columns (pre-evolution files) surface as None, matching the
@@ -80,6 +88,9 @@ def _rows_of(
     reader (read_table → _apply_dv) correctly hides."""
     import pyarrow.parquet as pq
 
+    # with column mapping, files store PHYSICAL names; look up by
+    # physical, emit in logical field order
+    lookup = phys_names if phys_names is not None else field_names
     for rel in rels:
         tb = pq.read_table(os.path.join(table, rel))
         dead: set[int] = set()
@@ -87,11 +98,11 @@ def _rows_of(
             dead = _deleted_positions(table, rel, dv_state[rel])
         cols = {
             name: (
-                tb.column(name).to_pylist()
-                if name in tb.column_names
+                tb.column(phys).to_pylist()
+                if phys in tb.column_names
                 else [None] * tb.num_rows
             )
-            for name in field_names
+            for name, phys in zip(field_names, lookup)
         }
         for i in range(tb.num_rows):
             if i in dead:
@@ -121,13 +132,15 @@ class TableLogBatchReader(DataSourceReader):
         # the same snapshot's vectors (rel-path keyed; basenames only
         # matter inside the sidecar rows)
         self._dv = _dv_state(self.table, self.as_of)
+        m = _col_mapping(self.table, self.as_of)
+        self._phys = [m.get(n, n) for n in self._names] if m else None
 
     def partitions(self):
         return [_TLFilePartition(rel) for rel in self._files]
 
     def read(self, partition: _TLFilePartition):
         yield from _rows_of(
-            self.table, [partition.rel], self._names, self._dv
+            self.table, [partition.rel], self._names, self._dv, self._phys
         )
 
 
@@ -144,6 +157,10 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
 
     def _names(self) -> list[str]:
         return _table_schema(self.table).fieldNames()
+
+    def _phys(self) -> list[str] | None:
+        m = _col_mapping(self.table)
+        return [m.get(n, n) for n in self._names()] if m else None
 
     def _added_in(self, lo: int, hi: int) -> list[str]:
         vs = _versions(self.table)
@@ -188,12 +205,24 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         lv = latest_version(self.table)
         hi = -1 if lv is None else lv
         rels = self._added_in(start["version"], hi)
-        rows = list(_rows_of(self.table, rels, self._names())) if rels else []
+        rows = (
+            list(
+                _rows_of(
+                    self.table, rels, self._names(), None, self._phys()
+                )
+            )
+            if rels
+            else []
+        )
         return iter(rows), {"version": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rels = self._added_in(start["version"], end["version"])
-        return iter(list(_rows_of(self.table, rels, self._names())))
+        return iter(
+            list(
+                _rows_of(self.table, rels, self._names(), None, self._phys())
+            )
+        )
 
     def commit(self, end: dict) -> None:
         pass  # log entries are immutable; nothing to release
