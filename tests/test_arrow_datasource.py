@@ -1,0 +1,169 @@
+"""The custom Python DataSources transfer Arrow RecordBatches, not
+per-row tuples (sources/arrowio.py): pins (a) the reader read() output
+TYPE for all three connectors — the vectorized path is load-bearing
+for 100 TB scans and a silent fallback to tuple yields would be a
+10-100× regression Catalyst can't see — and (b) value equivalence
+with the library read path under deletion vectors + column mapping,
+plus the stream reader's admission control and per-range name
+resolution."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.sources.pydatasource import GzJsonlReader
+from trace_parquet_spark.sources.tablelog import (
+    append,
+    delete_where,
+    read_table,
+    rename_column,
+)
+from trace_parquet_spark.sources.tablelog_source import (
+    TableLogBatchReader,
+    TableLogStreamReader,
+)
+from trace_parquet_spark.sources import tablelog_source
+from trace_parquet_spark.sources.warc import WarcReader, write_warc
+
+
+def _batches(reader, partition):
+    out = list(reader.read(partition))
+    assert out, "reader yielded nothing"
+    for b in out:
+        assert isinstance(b, pa.RecordBatch), type(b)
+    return pa.Table.from_batches(out)
+
+
+def test_gzjsonl_reader_yields_record_batches(tmp_path):
+    d = str(tmp_path)
+    with gzip.open(os.path.join(d, "s0.jsonl.gz"), "wt") as fh:
+        for i in range(5):
+            fh.write(
+                json.dumps(
+                    {"trace_id": i, "param_index": i % 2, "payload": f"p{i}"}
+                )
+                + "\n"
+            )
+    r = GzJsonlReader({"path": d})
+    [part] = r.partitions()
+    tb = _batches(r, part)
+    assert tb.column("trace_id").to_pylist() == [0, 1, 2, 3, 4]
+    assert tb.schema.field("trace_id").type == pa.int64()
+    assert tb.schema.field("param_index").type == pa.int32()
+    # pushdown applies inside the batch build
+    r2 = GzJsonlReader({"path": d})
+    list(r2.pushFilters([]))
+    r2.allowed_params = {1}
+    tb2 = _batches(r2, part)
+    assert tb2.column("trace_id").to_pylist() == [1, 3]
+
+
+def test_warc_reader_yields_record_batches(tmp_path):
+    path = str(tmp_path / "a.warc.gz")
+    write_warc(
+        path,
+        [
+            {
+                "record_id": f"<urn:{i}>",
+                "warc_type": "response" if i % 2 == 0 else "request",
+                "target_uri": f"http://x/{i}",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "payload": "x" * (i + 1),
+            }
+            for i in range(6)
+        ],
+    )
+    r = WarcReader({"path": str(tmp_path)})
+    [part] = r.partitions()
+    tb = _batches(r, part)
+    assert tb.num_rows == 6
+    assert tb.schema.field("content_length").type == pa.int64()
+    r2 = WarcReader({"path": str(tmp_path)})
+    r2.allowed_types = {"response"}
+    tb2 = _batches(r2, part)
+    assert tb2.column("warc_type").to_pylist() == ["response"] * 3
+
+
+def test_tablelog_reader_batches_match_library_under_dv_and_mapping(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    append(
+        spark.range(10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ),
+        t,
+    )
+    delete_where(spark, t, F.col("id") % 3 == 0)
+    rename_column(t, "v", "doubled")
+    reader = TableLogBatchReader({"path": t})
+    parts = reader.partitions()
+    batches = [b for p in parts for b in reader.read(p)]
+    assert batches
+    for b in batches:
+        assert isinstance(b, pa.RecordBatch)
+    tb = pa.Table.from_batches(batches)
+    got = sorted(
+        zip(tb.column("id").to_pylist(), tb.column("doubled").to_pylist())
+    )
+    want = sorted(
+        (r.id, r.doubled) for r in read_table(spark, t).collect()
+    )
+    assert got == want
+    assert all(i % 3 != 0 for i, _ in got)  # dv-deleted rows stay dead
+    # dv positions were resolved at PLAN time, once per sidecar
+    assert isinstance(reader._dead, dict)
+
+
+def test_tablelog_datasource_end_to_end_column_mapping(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(
+        spark.range(8).select(F.col("id"), (F.col("id") + 100).alias("v")),
+        t,
+    )
+    rename_column(t, "v", "shifted")
+    tablelog_source.register(spark)
+    df = spark.read.format("tablelog").option("path", t).load()
+    assert df.columns == ["id", "shifted"]
+    assert sorted(r.shifted for r in df.collect()) == list(range(100, 108))
+
+
+def test_stream_admission_control_max_commits(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        append(spark.range(lo, lo + 10), t)
+    r = TableLogStreamReader({"path": t, "max_commits_per_trigger": "1"})
+    it0, off0 = r.read({"version": -1})
+    assert off0 == {"version": 0}
+    assert sorted(row[0] for row in it0) == list(range(10))
+    it1, off1 = r.read(off0)
+    assert off1 == {"version": 1}
+    assert sorted(row[0] for row in it1) == list(range(10, 20))
+    it2, off2 = r.read(off1)
+    assert off2 == {"version": 2}
+    assert sorted(row[0] for row in it2) == list(range(20, 30))
+    # caught up: offset stops advancing, nothing re-delivered
+    it3, off3 = r.read(off2)
+    assert off3 == {"version": 2} and list(it3) == []
+    # without the cap, one batch covers the whole backlog
+    r2 = TableLogStreamReader({"path": t})
+    it, off = r2.read({"version": -1})
+    assert off == {"version": 2} and len(list(it)) == 30
+
+
+def test_stream_replay_resolves_names_as_of_range_end(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(spark.range(5).select(F.col("id"), (F.col("id") * 3).alias("v")), t)
+    r = TableLogStreamReader({"path": t})
+    _, off = r.read({"version": -1})
+    # a rename lands AFTER the batch was planned; deterministic replay
+    # of (start=-1, end=0] must still read the files under the names
+    # visible at version 0, not today's
+    rename_column(t, "v", "tripled")
+    rows = sorted(list(r.readBetweenOffsets({"version": -1}, off)))
+    assert rows == [(i, i * 3) for i in range(5)]

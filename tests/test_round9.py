@@ -1,0 +1,145 @@
+"""Round-9 hardening pins: zorder preconditions, restore commit
+self-description, commit-JSON cache safety, and the coverage-diff
+gate in tools/check_oracle.py."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.sources.tablelog import (
+    _COMMIT_CACHE,
+    _col_mapping,
+    _load_commit,
+    _log_dir,
+    append,
+    latest_version,
+    optimize_table_zorder,
+    read_table,
+    rename_column,
+    restore_table,
+)
+
+
+def test_zorder_rejects_non_integral_key(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(
+        spark.range(10).select(
+            "id",
+            (F.col("id") * 1.5).alias("price"),
+            (F.col("id") % 3).alias("k"),
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="integral type"):
+        optimize_table_zorder(spark, t, 2, ("id", "price"))
+    with pytest.raises(ValueError, match="not in table schema"):
+        optimize_table_zorder(spark, t, 2, ("id", "nope"))
+
+
+def test_zorder_rejects_null_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(
+        spark.range(10).select(
+            "id",
+            F.when(F.col("id") % 4 == 0, None)
+            .otherwise(F.col("id") % 7)
+            .cast("long")
+            .alias("k"),
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        optimize_table_zorder(spark, t, 2, ("id", "k"))
+
+
+def test_zorder_still_clusters_valid_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(
+        spark.range(100).select(
+            "id", (F.col("id") * 37 % 100).alias("k")
+        ),
+        t,
+    )
+    res = optimize_table_zorder(spark, t, 4, ("id", "k"))
+    assert res["files_after"] == 4
+    got = sorted(r.id for r in read_table(spark, t).collect())
+    assert got == list(range(100))
+
+
+def test_restore_commit_is_self_describing_for_column_mapping(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    append(spark.range(5).select("id", (F.col("id") + 1).alias("v")), t)
+    rename_column(t, "v", "w")
+    append(spark.range(5, 8).select("id", (F.col("id") + 1).alias("w")), t)
+    restore_table(t, 1)  # restore to the post-rename, pre-append state
+    rv = latest_version(t)
+    commit = _load_commit(t, rv)
+    # the restore carries a non-empty col_mapping, so it must stamp
+    # the reader feature itself — not rely on the rename commit or a
+    # checkpoint surviving expiry
+    assert commit["col_mapping"]
+    assert "column_mapping" in commit.get("reader_features", [])
+    assert _col_mapping(t) == {"id": "id", "w": "v"}
+
+
+def test_commit_cache_never_serves_stale_content(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(spark.range(3), t)
+    c0 = _load_commit(t, 0)
+    assert _load_commit(t, 0) is c0  # cache hit
+    # same path recycled with different bytes (the tmpdir-reuse
+    # hazard): the (path, mtime_ns, size) key must miss
+    path = os.path.join(_log_dir(t), f"{0:020d}.json")
+    body = dict(c0)
+    body["marker"] = "rewritten"
+    os.remove(path)
+    with open(path, "w") as fh:
+        json.dump(body, fh)
+    assert _load_commit(t, 0).get("marker") == "rewritten"
+    assert isinstance(_COMMIT_CACHE, dict)
+
+
+def test_verify_coverage_gate(tmp_path):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    full = {
+        n: {"values_match": True, "err": None} for n in names
+    }
+    ok = str(tmp_path / "ok.json")
+    with open(ok, "w") as fh:
+        json.dump(full, fh)
+    assert mod.verify_coverage([ok]) == 0
+    # drop one entry -> nonzero
+    short = dict(full)
+    short.pop(names[0])
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump(short, fh)
+    assert mod.verify_coverage([bad]) == 1
+    # a red row -> nonzero
+    red = dict(full)
+    red[names[0]] = {"values_match": False, "err": None}
+    redp = str(tmp_path / "red.json")
+    with open(redp, "w") as fh:
+        json.dump(red, fh)
+    assert mod.verify_coverage([redp]) == 1

@@ -8,7 +8,17 @@ Floats must match exactly after the queries' own rounding — if they
 don't, the per-column max abs diff is printed so the rounding can be
 tightened.
 
-Usage: python tools/check_oracle.py [query ...] [--sf DIR]
+Usage: python tools/check_oracle.py [query ...] [--sf=DIR]
+           [--json=OUT.json]
+       python tools/check_oracle.py --verify-coverage=SNAPSHOT.json...
+
+``--verify-coverage`` diffs the LIVE registry against one or more
+committed correctness snapshots (the JSON this tool writes with
+``--json=``) and exits nonzero when any registry entry lacks a row —
+the guard that makes "a query landed after the closing snapshot was
+cut" an impossible state instead of a process gap (round-8 verdict,
+missing #1). Run it as the LAST gate before a round closes; if it
+fails, re-cut the snapshot with the full run.
 """
 
 from __future__ import annotations
@@ -72,15 +82,61 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return problems
 
 
+def verify_coverage(snapshot_paths: list[str]) -> int:
+    """Exit 0 iff every live registry entry has a (passing) row in
+    EVERY given snapshot. No Spark session needed — pure JSON diff."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    registry = set(entry_mod.queries())
+    rc = 0
+    for path in snapshot_paths:
+        with open(path) as fh:
+            snap = json.load(fh)
+        missing = sorted(registry - set(snap))
+        stale = sorted(set(snap) - registry)
+        failing = sorted(
+            k
+            for k, r in snap.items()
+            if k in registry
+            and not (r.get("values_match") or r.get("err") == "no_oracle")
+        )
+        if missing:
+            print(f"{path}: MISSING {len(missing)} registry entries:")
+            for m in missing:
+                print(f"    {m}")
+            rc = 1
+        if failing:
+            print(f"{path}: {len(failing)} entries not green: {failing}")
+            rc = 1
+        if stale:
+            print(
+                f"{path}: note: {len(stale)} snapshot rows no longer in "
+                f"registry: {stale}"
+            )
+        if not missing and not failing:
+            print(
+                f"{path}: covers all {len(registry)} registry entries, "
+                "all green"
+            )
+    return rc
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
     json_path = None
+    coverage: list[str] = []
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
         elif a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a.startswith("--verify-coverage="):
+            coverage.append(a.split("=", 1)[1])
+    if coverage:
+        return verify_coverage(coverage + args)
 
     import __spark_entry__ as entry_mod
     from trace_parquet_spark.session import get_spark

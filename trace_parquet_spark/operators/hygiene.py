@@ -269,16 +269,151 @@ ORDER BY doc_id
 """
 
 
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): each
+    language's documents are ranked by LM surprisal and cut into
+    tertiles — 'head' (lowest surprisal, cleanest) is what CCNet
+    keeps for pretraining, 'tail' gets dropped or downsampled. The LM
+    here is the corpus's own unigram model (the doc_surprisal core),
+    standing in for KenLM exactly as doc_surprisal_bigram documents.
+
+    Cross-engine exactness: the per-doc ranking key is ONE double
+    division of exact int64s (sum of micro-nat token surprisals /
+    n_tokens·1e6 — bit-identical in any IEEE engine), and the tertile
+    cuts are TYPE-1 quantiles (the VALUE at rank ceil(n/3), no
+    interpolation), so bucket assignment (key ≤ cut, a value
+    comparison) is deterministic in both engines regardless of tie
+    order inside the rank window.
+
+    Scale: per-doc surprisal is the linear token-join pipeline of
+    doc_surprisal; ranking windows partition by LANGUAGE (never
+    global); the cut relation is |langs|×2 rows, broadcast. At 100 TB
+    the only heavy stages are the token explode + vocab join — both
+    partial-agg/hash-join shapes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    micro = F.floor(
+        F.log(F.col("n_total").cast("double") / F.col("n_tok").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        .withColumn(
+            "skey",
+            F.col("sum_micro").cast("double")
+            / (F.col("n_tokens") * F.lit(1_000_000)).cast("double"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = per_doc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("skey", "doc_id")
+        ),
+    ).withColumn("nl", F.count("*").over(Window.partitionBy("lang")))
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("nl") / F.lit(3.0)), F.col("skey"))
+        ).alias("c1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nl") * 2 / F.lit(3.0)),
+                F.col("skey"),
+            )
+        ).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("skey") <= F.col("c1"), F.lit("head"))
+        .when(F.col("skey") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "n_tokens", "skey")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("skey").alias("bucket_ceiling"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({tokens_sql("text")}) AS token FROM documents
+), tok_f AS (
+  SELECT * FROM tok WHERE token <> ''
+), vocab AS (
+  SELECT token, count(*) AS n_tok FROM tok_f GROUP BY token
+), total AS (
+  SELECT count(*) AS n_total FROM tok_f
+), per_doc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CAST(floor(ln(CAST(tt.n_total AS DOUBLE)
+                           / CAST(v.n_tok AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT)) AS sum_micro
+  FROM tok_f t JOIN vocab v ON t.token = v.token CROSS JOIN total tt
+  GROUP BY t.doc_id, t.lang
+), keyed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum_micro AS DOUBLE)
+           / CAST(n_tokens * 1000000 AS DOUBLE) AS skey
+  FROM per_doc
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM keyed
+), cuts AS (
+  SELECT lang,
+         max(CASE WHEN rn = CAST(ceil(nl / 3.0) AS BIGINT)
+                  THEN skey END) AS c1,
+         max(CASE WHEN rn = CAST(ceil(nl * 2 / 3.0) AS BIGINT)
+                  THEN skey END) AS c2
+  FROM ranked GROUP BY lang
+)
+SELECT r.lang,
+       CASE WHEN r.skey <= c.c1 THEN 'head'
+            WHEN r.skey <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r.n_tokens) AS BIGINT) AS total_tokens,
+       max(r.skey) AS bucket_ceiling
+FROM ranked r JOIN cuts c ON r.lang = c.lang
+GROUP BY 1, 2
+ORDER BY r.lang, bucket
+"""
+
+
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "doc_surprisal": doc_surprisal,
     "doc_surprisal_bigram": doc_surprisal_bigram,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
 }
 
 ORACLES = {
     "decontaminate_docs": DECONTAM_SQL,
     "doc_surprisal": SURPRISAL_SQL,
     "doc_surprisal_bigram": BIGRAM_SURPRISAL_SQL,
+    "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
 }
 
 

@@ -1977,8 +1977,13 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_t t(t−1)(2t+5) (the /18 left to the one double z chain, so the
     gated var18 column is pure int64). Sen's slope is the median of
     pairwise slopes on the micro grid ((Δcount·1e6)/Δdays as ONE
-    double division per pair — IEEE-identical in both engines, then
-    the same type-7 percentile both sides).
+    double division per pair — IEEE-identical in both engines). The
+    median itself is EXPLICIT middle-element selection (row_number
+    against the pair count; even n averages the two middle values as
+    (a+b)/2), not percentile()/quantile_cont(): the engines' linear
+    interpolation formulas (lo+(hi−lo)·f vs lo·(1−f)+hi·f) can differ
+    by an ulp on even-count groups, while element selection + one
+    commutative add is bit-identical by construction.
 
     Scale: the series is DAY-grain per event type (bounded — the
     aggregate collapses the corpus before any pairing), so the pair
@@ -2011,10 +2016,21 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.d") - F.col("a.d")).cast("double")
         ).alias("slope_micro"),
     )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "np", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("np") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg(F.avg("slope_micro").alias("sen_slope_micro"))
+    )
     ps = pairs.groupBy("event_type").agg(
         F.sum("sgn").cast("long").alias("s_stat"),
-        F.expr("percentile(slope_micro, 0.5)").alias("sen_slope_micro"),
-    )
+    ).join(med, "event_type")
     nties = (
         daily.groupBy("event_type", "c")
         .agg(F.count("*").cast("long").alias("t"))
@@ -2063,11 +2079,26 @@ pairs AS (
   FROM daily a JOIN daily b
     ON a.event_type = b.event_type AND a.d < b.d
 ),
+ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+),
+med AS (
+  SELECT event_type, avg(slope_micro) AS sen_slope_micro
+  FROM ranked
+  WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor(np / 2.0) AS BIGINT) + 1
+  GROUP BY event_type
+),
 ps AS (
-  SELECT event_type,
-         CAST(sum(sgn) AS BIGINT) AS s_stat,
-         quantile_cont(slope_micro, 0.5) AS sen_slope_micro
-  FROM pairs GROUP BY event_type
+  SELECT p.event_type,
+         CAST(sum(p.sgn) AS BIGINT) AS s_stat,
+         any_value(m.sen_slope_micro) AS sen_slope_micro
+  FROM pairs p JOIN med m ON p.event_type = m.event_type
+  GROUP BY p.event_type
 ),
 ties AS (
   SELECT event_type, c, CAST(count(*) AS BIGINT) AS t

@@ -38,6 +38,26 @@ from pyspark.sql.types import StructType
 SCHEMA_DDL = "trace_id bigint, param_index int, payload string"
 
 
+def _schema_struct() -> StructType:
+    # built programmatically, NOT via fromDDL: read() runs in the
+    # executor's Python worker where no JVM/SparkSession exists to
+    # parse DDL
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    return StructType(
+        [
+            StructField("trace_id", LongType()),
+            StructField("param_index", IntegerType()),
+            StructField("payload", StringType()),
+        ]
+    )
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -74,15 +94,26 @@ class GzJsonlReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition):
-        allowed = self.allowed_params
-        with gzip.open(partition.path, "rt", encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                rec = json.loads(line)
-                if allowed is not None and rec["param_index"] not in allowed:
-                    continue
-                yield rec["trace_id"], rec["param_index"], rec["payload"]
+        # Arrow-vectorized: the parse loop stays Python (it's a text
+        # format) but rows ship to the JVM as RecordBatches, not
+        # per-row pickled tuples (sources/arrowio.py)
+        from .arrowio import tuples_to_batches
+
+        def rows():
+            allowed = self.allowed_params
+            with gzip.open(partition.path, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    if (
+                        allowed is not None
+                        and rec["param_index"] not in allowed
+                    ):
+                        continue
+                    yield rec["trace_id"], rec["param_index"], rec["payload"]
+
+        yield from tuples_to_batches(rows(), _schema_struct())
 
 
 class GzJsonlStreamReader(SimpleDataSourceStreamReader):

@@ -76,6 +76,35 @@ def _log_dir(table: str) -> str:
     return os.path.join(table, "_log")
 
 
+# Parsed-commit memo. Commit files are IMMUTABLE once published
+# (atomic link, never rewritten), so their parsed JSON can be cached
+# process-wide; without this every metadata resolver (_read_log,
+# _col_mapping, _col_stats_state, _dv_state, ...) re-opens and
+# re-parses the whole log tail per call, making one table operation
+# O(versions × resolvers) redundant file reads. Keyed by
+# (path, mtime_ns, size) so a path recycled with different content
+# (tmpdir reuse, expire+rewrite in tests) can never serve stale JSON.
+_COMMIT_CACHE: dict[tuple, dict] = {}
+_COMMIT_CACHE_MAX = 4096
+
+
+def _load_json(path: str) -> dict:
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _COMMIT_CACHE.get(key)
+    if hit is None:
+        with open(path) as fh:
+            hit = json.load(fh)
+        if len(_COMMIT_CACHE) >= _COMMIT_CACHE_MAX:
+            _COMMIT_CACHE.clear()  # bounded; refill is cheap
+        _COMMIT_CACHE[key] = hit
+    return hit
+
+
+def _load_commit(table: str, version: int) -> dict:
+    return _load_json(os.path.join(_log_dir(table), f"{version:020d}.json"))
+
+
 def _versions(table: str) -> list[int]:
     d = _log_dir(table)
     if not os.path.isdir(d):
@@ -120,8 +149,7 @@ def _read_log(
     stats: dict[str, list] = {}
     rows: dict[str, int] = {}
     for v in vs:
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            commit = json.load(fh)
+        commit = _load_commit(table, v)
         _check_reader_features(commit.get("reader_features"))
         live |= {a for a in commit.get("add", [])}
         live -= {r for r in commit.get("remove", [])}
@@ -174,22 +202,22 @@ def _col_mapping(table: str, as_of: int | None = None) -> dict | None:
         cps = [v for v in cps if v <= as_of]
     if cps:
         base = cps[-1]
-        with open(_checkpoint_path(table, base)) as fh:
-            body = json.load(fh)
+        body = _load_json(_checkpoint_path(table, base))
         if "col_mapping" in body:
             mapping = body["col_mapping"] or None
     for v in _versions(table):
         if v <= base or (as_of is not None and v > as_of):
             continue
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         # PRESENCE of the key sets the mapping; an explicit {} resets
         # it (RESTORE below a rename must revert the map, and "keep
         # the newer map" would poison _stage_files' collision guard
         # with stale physical names)
         if "col_mapping" in c:
             mapping = c["col_mapping"] or None
-    return mapping
+    # defensive copy: the dict may come straight from the immutable
+    # commit cache (_load_commit) and callers (rename/drop) edit it
+    return dict(mapping) if mapping else None
 
 
 def _physical_schema(schema, mapping: dict):
@@ -470,8 +498,7 @@ def merge_upsert(
 def _committed_stats_col(table: str) -> str | None:
     """The newest commit that declared a stats column names the key."""
     for v in reversed(_versions(table)):
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         if c.get("stats_col"):
             return c["stats_col"]
     return None
@@ -534,14 +561,13 @@ def _col_stats_state(table: str, as_of: int | None) -> dict[str, dict]:
         cps = [v for v in cps if v <= as_of]
     if cps:
         base = cps[-1]
-        with open(_checkpoint_path(table, base)) as fh:
-            for col, m in json.load(fh).get("col_stats", {}).items():
-                state.setdefault(col, {}).update(m)
+        body = _load_json(_checkpoint_path(table, base))
+        for col, m in body.get("col_stats", {}).items():
+            state.setdefault(col, {}).update(m)
     for v in _versions(table):
         if v <= base or (as_of is not None and v > as_of):
             continue
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         for f in c.get("remove", []):
             for m in state.values():
                 m.pop(f, None)
@@ -579,25 +605,64 @@ def optimize_table_zorder(
 
     from ..operators.zorder import _MAXV, morton_interleave
 
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
     c1, c2 = cols
     files, schema_json, _stats, _rows = _read_log(table, None)
     schema = StructType.fromJson(json.loads(schema_json))
+    # precondition checks up front: the normalization expression uses
+    # integral `div`; on double/decimal keys it would fail at analysis
+    # time with an opaque cast error, and NULL keys would interleave
+    # to NULL z-values and cluster arbitrarily
+    by_name = {f.name: f for f in schema.fields}
+    for c in (c1, c2):
+        fld = by_name.get(c)
+        if fld is None:
+            raise ValueError(
+                f"ZORDER column {c!r} not in table schema "
+                f"{sorted(by_name)}"
+            )
+        if not isinstance(
+            fld.dataType, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            raise ValueError(
+                f"ZORDER column {c!r} must be an integral type "
+                f"(byte/short/int/long); got "
+                f"{fld.dataType.simpleString()} — cast or bucketize "
+                "the key before clustering on it"
+            )
     df = _scan_files(
         spark, table, files, schema_json, dv_state=_dv_state(table, None)
     )
-    bounds = df.agg(
+    # one scalar-bounds pass (1-row collect) also counts NULL keys so
+    # the precondition failure is a clear message, not a bad layout
+    b = df.agg(
         F.min(c1).alias("lo1"),
         F.max(c1).alias("hi1"),
         F.min(c2).alias("lo2"),
         F.max(c2).alias("hi2"),
-    )
+        F.sum(F.col(c1).isNull().cast("long")).alias("n1"),
+        F.sum(F.col(c2).isNull().cast("long")).alias("n2"),
+    ).collect()[0]
+    if (b.n1 or 0) > 0 or (b.n2 or 0) > 0:
+        raise ValueError(
+            f"ZORDER columns must be non-null: {c1!r} has {b.n1} and "
+            f"{c2!r} has {b.n2} NULL row(s); filter or backfill them "
+            "before clustering"
+        )
+    if b.lo1 is None:  # empty table: nothing to cluster
+        return {"version": latest_version(table), "files_before": len(files), "files_after": len(files)}
     z = morton_interleave(
-        F.expr(f"(({c1} - lo1) * {_MAXV}) div greatest(hi1 - lo1, 1)"),
-        F.expr(f"(({c2} - lo2) * {_MAXV}) div greatest(hi2 - lo2, 1)"),
+        F.expr(f"(({c1} - {b.lo1}) * {_MAXV}) div greatest({b.hi1} - {b.lo1}, 1)"),
+        F.expr(f"(({c2} - {b.lo2}) * {_MAXV}) div greatest({b.hi2} - {b.lo2}, 1)"),
     )
     clustered = (
-        df.join(F.broadcast(bounds))  # 1-row scalar bounds
-        .withColumn("__z", z)
+        df.withColumn("__z", z)
         .repartitionByRange(target_files, "__z")
         .sortWithinPartitions("__z")
         .select(*schema.fieldNames())
@@ -737,8 +802,19 @@ def restore_table(table: str, version: int) -> dict:
         }
     if dv_clear:
         actions["dv_clear"] = dv_clear
+    feats = []
     if dv_v or dv_clear:
-        actions["reader_features"] = ["deletion_vectors"]
+        feats.append("deletion_vectors")
+    if actions["col_mapping"]:
+        # the restore commit must be SELF-describing: its non-empty
+        # col_mapping action changes read semantics just like the
+        # original rename did, and relying on the earlier rename
+        # commit (or a checkpoint union) surviving expiry to carry
+        # the stamp would leave a window where an unaware reader
+        # silently misreads physical names
+        feats.append("column_mapping")
+    if feats:
+        actions["reader_features"] = feats
     lv = latest_version(table)
     new_version = 0 if lv is None else lv + 1
     _commit(table, new_version, actions)
@@ -966,12 +1042,11 @@ def _reader_features_up_to(table: str, version: int) -> set[str]:
     cps = [v for v in _checkpoints(table) if v <= version]
     if cps:
         base = cps[-1]
-        with open(_checkpoint_path(table, base)) as fh:
-            out |= set(json.load(fh).get("reader_features", []))
+        body = _load_json(_checkpoint_path(table, base))
+        out |= set(body.get("reader_features", []))
     for v in _versions(table):
         if base < v <= version:
-            with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-                out |= set(json.load(fh).get("reader_features", []))
+            out |= set(_load_commit(table, v).get("reader_features", []))
     return out
 
 
@@ -983,12 +1058,10 @@ def _txns_up_to(table: str, version: int) -> list[list]:
     cps = [v for v in _checkpoints(table) if v <= version]
     if cps:
         base = cps[-1]
-        with open(_checkpoint_path(table, base)) as fh:
-            out.extend(json.load(fh).get("txns", []))
+        out.extend(_load_json(_checkpoint_path(table, base)).get("txns", []))
     for v in _versions(table):
         if base < v <= version:
-            with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-                t = json.load(fh).get("txn")
+            t = _load_commit(table, v).get("txn")
             if t:
                 out.append([t["app"], t["batch_id"]])
     return out
@@ -1221,8 +1294,7 @@ def change_feed(
     added: set[str] = set()
     removed: set[str] = set()
     for v in vs:
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         if c.get("dv"):
             raise ValueError(
                 f"change_feed: commit {v} publishes a deletion vector — "
@@ -1315,8 +1387,7 @@ def change_feed_dv(
     added: set[str] = set()
     removed: set[str] = set()
     for v in vs:
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         added |= set(c.get("add", []))
         removed |= set(c.get("remove", []))
     net_added = added - removed
@@ -1415,16 +1486,14 @@ def vacuum(table: str) -> list[str]:
     referenced: set[str] = set()
     dv_dirs: set[str] = set()
     for v in _versions(table):
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            commit = json.load(fh)
+        commit = _load_commit(table, v)
         referenced |= set(commit.get("add", []))
         dv_dirs |= set(commit.get("dv", {}).values())
     # data files and dv mappings may survive ONLY in a checkpoint
     # (their add/dv commit JSONs expired) — still read-path-live,
     # protect both (judge-round-6 advice, medium)
     for v in _checkpoints(table):
-        with open(_checkpoint_path(table, v)) as fh:
-            body = json.load(fh)
+        body = _load_json(_checkpoint_path(table, v))
         referenced |= set(body.get("live", []))
         dv_dirs |= set(body.get("dv", {}).values())
     doomed = []
@@ -1479,13 +1548,11 @@ def _dv_state(table: str, as_of: int | None) -> dict[str, str]:
         cps = [v for v in cps if v <= as_of]
     if cps:
         base = cps[-1]
-        with open(_checkpoint_path(table, base)) as fh:
-            state.update(json.load(fh).get("dv", {}))
+        state.update(_load_json(_checkpoint_path(table, base)).get("dv", {}))
     for v in _versions(table):
         if v <= base or (as_of is not None and v > as_of):
             continue
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         for f in c.get("remove", []):
             state.pop(f, None)
         for f in c.get("dv_clear", []):  # RESTORE resets kept-file dvs
@@ -1504,13 +1571,11 @@ def _dv_counts(table: str, as_of: int | None) -> dict[str, int]:
         cps = [v for v in cps if v <= as_of]
     if cps:
         base = cps[-1]
-        with open(_checkpoint_path(table, base)) as fh:
-            state.update(json.load(fh).get("dv_counts", {}))
+        state.update(_load_json(_checkpoint_path(table, base)).get("dv_counts", {}))
     for v in _versions(table):
         if v <= base or (as_of is not None and v > as_of):
             continue
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         for f in c.get("remove", []):
             state.pop(f, None)
         for f in c.get("dv_clear", []):  # RESTORE resets kept-file dvs
@@ -2148,8 +2213,7 @@ def tablelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merge_upsert(spark, t, updates, "o_orderkey")
 
-        with open(os.path.join(_log_dir(t), f"{1:020d}.json")) as fh:
-            commit1 = json.load(fh)
+        commit1 = _load_commit(t, 1)
         _files, schema_json, _stats, _rows = _read_log(t, 1)
         schema = StructType.fromJson(json.loads(schema_json))
 
@@ -2319,8 +2383,7 @@ def read_table_point_lookup(
     for v in _versions(table):
         if as_of is not None and v > as_of:
             break
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            c = json.load(fh)
+        c = _load_commit(table, v)
         blooms.update(c.get("bloom", {}))
         bloom_col = c.get("bloom_col") or bloom_col
     if bloom_col is None:
@@ -2522,8 +2585,7 @@ def _read_log_from_checkpoint(
     if not cps:
         return None
     base = cps[-1]
-    with open(_checkpoint_path(table, base)) as fh:
-        body = json.load(fh)
+    body = _load_json(_checkpoint_path(table, base))
     _check_reader_features(body.get("reader_features"))
     live = set(body["live"])
     schema = body["schema"]
@@ -2533,8 +2595,7 @@ def _read_log_from_checkpoint(
     if as_of is not None:
         vs = [v for v in vs if v <= as_of]
     for v in vs:
-        with open(os.path.join(_log_dir(table), f"{v:020d}.json")) as fh:
-            commit = json.load(fh)
+        commit = _load_commit(table, v)
         _check_reader_features(commit.get("reader_features"))
         live |= set(commit.get("add", []))
         live -= set(commit.get("remove", []))

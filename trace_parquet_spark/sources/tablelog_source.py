@@ -42,7 +42,7 @@ from pyspark.sql.types import StructType
 from .tablelog import (
     _col_mapping,
     _dv_state,
-    _log_dir,
+    _load_commit,
     _read_log,
     _versions,
     latest_version,
@@ -55,37 +55,49 @@ def _table_schema(table: str, as_of: int | None = None) -> StructType:
 
 
 def _commit_actions(table: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(table), f"{version:020d}.json")) as fh:
-        return json.load(fh)
+    return _load_commit(table, version)
 
 
-def _deleted_positions(table: str, rel: str, sidecar: str) -> set[int]:
-    """Row positions of ``rel`` deleted per its dv sidecar (positions
-    are per-file physical row indices — pyarrow's read order, the same
-    identity Spark's _metadata.row_index uses; file match is by the
-    uuid-unique part basename, stable across path formats)."""
+def _dead_by_base(table: str, dv_state: dict[str, str]) -> dict[str, list]:
+    """part-file basename -> sorted deleted row positions, resolved
+    ONCE at PLAN time: each distinct sidecar parquet is read a single
+    time (not once per data file) and its rows bucketed by the
+    uuid-unique part basename — the same identity rule as the library
+    reader's _dv_positions, stable across absolute/relative path
+    formats. Positions are per-file physical row indices (pyarrow's
+    read order, the identity Spark's _metadata.row_index uses).
+    Sidecars are cumulative per mapping, and stale rows for superseded
+    mappings are subsets of the newer sidecar, so the union keyed by
+    live basenames equals each file's own-sidecar view."""
     import pyarrow.parquet as pq
 
-    base = os.path.basename(rel)
-    tb = pq.read_table(os.path.join(table, sidecar), columns=["file", "pos"])
-    files = tb.column("file").to_pylist()
-    poss = tb.column("pos").to_pylist()
-    return {p for f, p in zip(files, poss) if os.path.basename(f) == base}
+    live = {os.path.basename(f) for f in dv_state}
+    dead: dict[str, set[int]] = {}
+    for sidecar in sorted(set(dv_state.values())):
+        tb = pq.read_table(
+            os.path.join(table, sidecar), columns=["file", "pos"]
+        )
+        for f, p in zip(
+            tb.column("file").to_pylist(), tb.column("pos").to_pylist()
+        ):
+            b = os.path.basename(f)
+            if b in live:
+                dead.setdefault(b, set()).add(p)
+    return {b: sorted(s) for b, s in dead.items()}
 
 
 def _rows_of(
     table: str,
     rels: list[str],
     field_names: list[str],
-    dv_state: dict[str, str] | None = None,
     phys_names: list[str] | None = None,
 ):
-    """Decode parquet files to tuples in schema field order. Missing
-    columns (pre-evolution files) surface as None, matching the
-    library reader's schema application. Rows whose position is in
-    the file's deletion-vector sidecar are skipped — without this the
-    DataSource would resurrect merge-on-read deletes the library
-    reader (read_table → _apply_dv) correctly hides."""
+    """Decode parquet files to tuples in schema field order — the
+    STREAM path only (SimpleDataSourceStreamReader's driver-side
+    prefetch contract is tuple iterators; batch reads go through
+    arrowio.parquet_file_batches as RecordBatches). Missing columns
+    (pre-evolution files) surface as None, matching the library
+    reader's schema application."""
     import pyarrow.parquet as pq
 
     # with column mapping, files store PHYSICAL names; look up by
@@ -93,9 +105,6 @@ def _rows_of(
     lookup = phys_names if phys_names is not None else field_names
     for rel in rels:
         tb = pq.read_table(os.path.join(table, rel))
-        dead: set[int] = set()
-        if dv_state and rel in dv_state:
-            dead = _deleted_positions(table, rel, dv_state[rel])
         cols = {
             name: (
                 tb.column(phys).to_pylist()
@@ -105,8 +114,6 @@ def _rows_of(
             for name, phys in zip(field_names, lookup)
         }
         for i in range(tb.num_rows):
-            if i in dead:
-                continue
             yield tuple(cols[name][i] for name in field_names)
 
 
@@ -125,27 +132,45 @@ class TableLogBatchReader(DataSourceReader):
         )
         files, schema_json, _stats, _rows = _read_log(self.table, self.as_of)
         self._files = files
-        self._names = StructType.fromJson(
-            json.loads(schema_json)
-        ).fieldNames()
-        # dv mapping resolved at PLAN time so every partition applies
-        # the same snapshot's vectors (rel-path keyed; basenames only
-        # matter inside the sidecar rows)
-        self._dv = _dv_state(self.table, self.as_of)
+        self._schema = StructType.fromJson(json.loads(schema_json))
+        # dv POSITIONS resolved at PLAN time: each sidecar parquet is
+        # read once on the driver (sidecars are deletion-vector-sized,
+        # metadata not data), every partition gets the same snapshot's
+        # mask, and executors never re-open a sidecar
+        self._dead = _dead_by_base(
+            self.table, _dv_state(self.table, self.as_of)
+        )
         m = _col_mapping(self.table, self.as_of)
-        self._phys = [m.get(n, n) for n in self._names] if m else None
+        self._phys = (
+            [m.get(n, n) for n in self._schema.fieldNames()] if m else None
+        )
 
     def partitions(self):
         return [_TLFilePartition(rel) for rel in self._files]
 
     def read(self, partition: _TLFilePartition):
-        yield from _rows_of(
-            self.table, [partition.rel], self._names, self._dv, self._phys
+        # Arrow-native: parquet -> select/null-pad/cast -> dv boolean
+        # mask -> RecordBatch yields; no per-row Python objects
+        from .arrowio import parquet_file_batches
+
+        yield from parquet_file_batches(
+            os.path.join(self.table, partition.rel),
+            self._schema,
+            self._phys,
+            self._dead.get(os.path.basename(partition.rel)),
         )
 
 
 class TableLogStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {"version": last delivered log version} (-1 = none)."""
+    """Offset = {"version": last delivered log version} (-1 = none).
+
+    Admission control: ``max_commits_per_trigger`` (option) caps how
+    many log versions one micro-batch may cover — without it a stream
+    started against a long-backfilled table replays its entire history
+    in a single giant first batch (Delta's maxFilesPerTrigger exists
+    for exactly this). The cap bounds each planned offset range; the
+    stream still delivers every commit exactly once, just across more
+    micro-batches."""
 
     def __init__(self, options):
         self.table = options.get("path")
@@ -154,13 +179,23 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         self.ignore_deletes = str(
             options.get("ignore_deletes", "false")
         ).lower() in ("true", "1")
+        mct = options.get("max_commits_per_trigger")
+        self.max_commits = int(mct) if mct is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("max_commits_per_trigger must be >= 1")
 
-    def _names(self) -> list[str]:
-        return _table_schema(self.table).fieldNames()
+    def _names(self, as_of: int | None = None) -> list[str]:
+        return _table_schema(self.table, as_of).fieldNames()
 
-    def _phys(self) -> list[str] | None:
-        m = _col_mapping(self.table)
-        return [m.get(n, n) for n in self._names()] if m else None
+    def _phys(
+        self, names: list[str], as_of: int | None = None
+    ) -> list[str] | None:
+        # resolved AS OF the range's end version, never "latest": a
+        # rename landing after a batch was planned must not change
+        # the physical-name lookup of that batch's files (replay via
+        # readBetweenOffsets after restart must be deterministic)
+        m = _col_mapping(self.table, as_of)
+        return [m.get(n, n) for n in names] if m else None
 
     def _added_in(self, lo: int, hi: int) -> list[str]:
         vs = _versions(self.table)
@@ -204,13 +239,21 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lv = latest_version(self.table)
         hi = -1 if lv is None else lv
+        if self.max_commits is not None:
+            # admission control: advance at most max_commits versions
+            # past the start offset this trigger; existing versions
+            # are contiguous-or-sparse, so cap by COUNT of committed
+            # versions in range, not by arithmetic on version numbers
+            pending = [
+                v for v in _versions(self.table) if v > start["version"]
+            ]
+            if len(pending) > self.max_commits:
+                hi = pending[self.max_commits - 1]
         rels = self._added_in(start["version"], hi)
+        as_of = hi if hi >= 0 else None
+        names = self._names(as_of)
         rows = (
-            list(
-                _rows_of(
-                    self.table, rels, self._names(), None, self._phys()
-                )
-            )
+            list(_rows_of(self.table, rels, names, self._phys(names, as_of)))
             if rels
             else []
         )
@@ -218,10 +261,10 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rels = self._added_in(start["version"], end["version"])
+        as_of = end["version"] if end["version"] >= 0 else None
+        names = self._names(as_of)
         return iter(
-            list(
-                _rows_of(self.table, rels, self._names(), None, self._phys())
-            )
+            list(_rows_of(self.table, rels, names, self._phys(names, as_of)))
         )
 
     def commit(self, end: dict) -> None:
@@ -322,6 +365,95 @@ ORDER BY parity
 
 QUERIES = {"tablelog_source_batch_read": tablelog_source_batch_read}
 ORACLES = {"tablelog_source_batch_read": TABLELOG_SOURCE_SQL}
+
+
+def tablelog_column_mapping_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column mapping exercised THROUGH the Catalyst-facing DataSource
+    (not only the library reader): append an orders slice, RENAME the
+    measure column and DROP a column (both metadata-only commits that
+    freeze physical parquet names), append a second slice under the
+    post-rename logical schema (stored under the FROZEN physical
+    name), then read the table back via ``spark.read.format(
+    "tablelog")`` and aggregate. The oracle recomputes from orders
+    alone, so agreement proves the DataSource's physical-name lookup
+    resolves both pre- and post-rename files correctly and the
+    dropped column never resurfaces. Mechanism: tablelog.py
+    rename_column/drop_column (Delta column-mapping semantics),
+    arrowio.parquet_file_batches phys_names path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import append, drop_column, rename_column
+
+    register(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(1, 4))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="tablelog_cm_")
+    try:
+        append(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        rename_column(t, "cents", "cents_total")
+        drop_column(t, "status")
+        append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", F.col("cents").alias("cents_total")
+            ),
+            t,
+        )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .groupBy((F.col("o_orderkey") % 4).alias("residue"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents_total").cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .orderBy("residue")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "residue long, n_rows long, total_cents long,"
+        " min_key long, max_key long",
+    ).orderBy("residue")
+
+
+TABLELOG_CM_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents_total
+  FROM orders WHERE o_orderkey % 8 IN (1, 4)
+)
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS residue,
+       count(*) AS n_rows,
+       CAST(sum(cents_total) AS BIGINT) AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM o
+GROUP BY 1
+ORDER BY residue
+"""
+
+QUERIES["tablelog_column_mapping_totals"] = tablelog_column_mapping_totals
+ORACLES["tablelog_column_mapping_totals"] = TABLELOG_CM_SQL
 
 
 def federated_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,24 @@ WARC_SCHEMA_DDL = (
 )
 
 
+def _schema_struct() -> StructType:
+    # built programmatically, NOT via fromDDL: read() runs in the
+    # executor's Python worker where no JVM/SparkSession exists to
+    # parse DDL
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        [
+            StructField("record_id", StringType()),
+            StructField("warc_type", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("warc_date", StringType()),
+            StructField("content_length", LongType()),
+            StructField("payload", StringType()),
+        ]
+    )
+
+
 def write_warc(path: str, records) -> int:
     """Append WARC/1.0 records to a .warc.gz, one gzip member per
     record (the Common Crawl convention). ``records`` yields dicts
@@ -127,21 +145,29 @@ class WarcReader(DataSourceReader):
         ]
 
     def read(self, partition: _ArchivePartition):
-        with gzip.open(partition.path, "rb") as fh:
-            buf = fh.read()
-        allowed = self.allowed_types
-        for hdrs, block in parse_warc_bytes(buf):
-            wtype = hdrs.get("warc-type", "")
-            if allowed is not None and wtype not in allowed:
-                continue
-            yield (
-                hdrs.get("warc-record-id", ""),
-                wtype,
-                hdrs.get("warc-target-uri", ""),
-                hdrs.get("warc-date", ""),
-                len(block),
-                block.decode("utf-8", errors="replace"),  # real crawls carry non-UTF-8 bytes; lossy-decode (U+FFFD) instead of killing the partition
-            )
+        # Arrow-vectorized: record framing stays Python (it's a text
+        # format) but rows ship to the JVM as RecordBatches, not
+        # per-row pickled tuples (sources/arrowio.py)
+        from .arrowio import tuples_to_batches
+
+        def rows():
+            with gzip.open(partition.path, "rb") as fh:
+                buf = fh.read()
+            allowed = self.allowed_types
+            for hdrs, block in parse_warc_bytes(buf):
+                wtype = hdrs.get("warc-type", "")
+                if allowed is not None and wtype not in allowed:
+                    continue
+                yield (
+                    hdrs.get("warc-record-id", ""),
+                    wtype,
+                    hdrs.get("warc-target-uri", ""),
+                    hdrs.get("warc-date", ""),
+                    len(block),
+                    block.decode("utf-8", errors="replace"),  # real crawls carry non-UTF-8 bytes; lossy-decode (U+FFFD) instead of killing the partition
+                )
+
+        yield from tuples_to_batches(rows(), _schema_struct())
 
 
 class WarcStreamReader(SimpleDataSourceStreamReader):
