@@ -201,9 +201,11 @@ HEADLINE = [
     "tablelog_clone_totals",
     "mann_kendall_trend",
     # round-9 additions: column mapping through the Catalyst-facing
-    # DataSource (Arrow-batch read path), CCNet tertile split
+    # DataSource (Arrow-batch read path), CCNet tertile split,
+    # CHECK-constraint enforcement
     "tablelog_column_mapping_totals",
     "ccnet_quality_buckets",
+    "tablelog_constraints_totals",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

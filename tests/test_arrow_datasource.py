@@ -156,6 +156,96 @@ def test_stream_admission_control_max_commits(spark, tmp_path):
     assert off == {"version": 2} and len(list(it)) == 30
 
 
+def test_partitioned_stream_reader_plans_files_and_yields_batches(
+    spark, tmp_path
+):
+    from trace_parquet_spark.sources.tablelog_source import (
+        TableLogPartitionedStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark.range(0, 6).select(F.col("id").alias("k")), t)
+    append(spark.range(6, 10).select(F.col("id").alias("k")), t)
+    r = TableLogPartitionedStreamReader({"path": t})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}
+    parts = r.partitions({"version": -1}, {"version": 1})
+    assert parts
+    batches = [b for p in parts for b in r.read(p)]
+    for b in batches:
+        assert isinstance(b, pa.RecordBatch)
+    got = sorted(
+        v for b in batches for v in b.column(b.schema.names.index("k")).to_pylist()
+    )
+    assert got == list(range(10))
+    # metadata-only range -> one sentinel partition, zero rows
+    rename_column(t, "k", "kk")
+    sp = r.partitions({"version": 1}, {"version": 2})
+    assert len(sp) == 1 and list(r.read(sp[0])) == []
+
+
+def test_partitioned_stream_admission_control_latest_offset(
+    spark, tmp_path
+):
+    from trace_parquet_spark.sources.tablelog_source import (
+        TableLogPartitionedStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        append(spark.range(lo, lo + 10), t)
+    r = TableLogPartitionedStreamReader(
+        {"path": t, "max_commits_per_trigger": "1"}
+    )
+    r.initialOffset()  # fresh query -> capping from -1 is safe
+    assert r.latestOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 1}
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 2}  # caught up, stable
+    # RESTARTED reader (no initialOffset): first answer must be the
+    # true latest, never below an unknown checkpointed start
+    r2 = TableLogPartitionedStreamReader(
+        {"path": t, "max_commits_per_trigger": "1"}
+    )
+    assert r2.latestOffset() == {"version": 2}
+
+
+def test_stream_end_to_end_through_partitioned_reader(spark, tmp_path):
+    """readStream.format('tablelog') now routes through the
+    executor-parallel Arrow reader (streamReader precedence); the
+    exactly-once tail contract must hold across triggers."""
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    append(spark.range(0, 4).select(F.col("id").alias("k")), t)
+    append(spark.range(4, 9).select(F.col("id").alias("k")), t)
+
+    def run():
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", t)
+            .option("max_commits_per_trigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(9))
+    append(spark.range(9, 12).select(F.col("id").alias("k")), t)
+    run()
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(12))
+
+
 def test_stream_replay_resolves_names_as_of_range_end(spark, tmp_path):
     t = str(tmp_path / "t")
     append(spark.range(5).select(F.col("id"), (F.col("id") * 3).alias("v")), t)

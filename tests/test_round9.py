@@ -105,6 +105,86 @@ def test_commit_cache_never_serves_stale_content(spark, tmp_path):
     assert isinstance(_COMMIT_CACHE, dict)
 
 
+def test_check_constraints_enforced_on_all_write_paths(spark, tmp_path):
+    from trace_parquet_spark.sources.tablelog import (
+        ConstraintViolationError,
+        _constraints,
+        add_check_constraint,
+        drop_check_constraint,
+        merge_upsert,
+        overwrite,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark.range(5).select("id", (F.col("id") * 10).alias("v")), t)
+    add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    # clean append passes; dirty append rejected with NO commit and
+    # NO orphan-visible rows
+    append(spark.range(5, 7).select("id", (F.col("id") * 10).alias("v")), t)
+    lv = latest_version(t)
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        append(spark.range(7, 9).select("id", F.lit(-1).alias("v")), t)
+    assert latest_version(t) == lv
+    assert read_table(spark, t).count() == 7
+    # merge enforcement: an upsert that writes a violating value dies
+    with pytest.raises(ConstraintViolationError):
+        merge_upsert(
+            spark,
+            t,
+            spark.range(1).select("id", F.lit(-5).alias("v")),
+            "id",
+        )
+    # overwrite enforcement
+    with pytest.raises(ConstraintViolationError):
+        overwrite(spark.range(2).select("id", F.lit(-1).alias("v")), t)
+    assert read_table(spark, t).count() == 7
+    # NULL satisfies CHECK (SQL semantics)
+    append(
+        spark.range(9, 10).select(
+            "id", F.lit(None).cast("long").alias("v")
+        ),
+        t,
+    )
+    assert read_table(spark, t).count() == 8
+    # drop -> violating write accepted again
+    drop_check_constraint(t, "v_nonneg")
+    assert _constraints(t) == {}
+    append(spark.range(10, 11).select("id", F.lit(-1).alias("v")), t)
+    assert read_table(spark, t).count() == 9
+
+
+def test_check_constraint_survives_checkpoint_and_reverts_on_restore(
+    spark, tmp_path
+):
+    from trace_parquet_spark.sources.tablelog import (
+        ConstraintViolationError,
+        _constraints,
+        add_check_constraint,
+        expire_snapshots,
+        restore_table,
+        write_checkpoint,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
+    add_check_constraint(spark, t, "pos", "v > 0")
+    append(spark.range(3, 5).select("id", (F.col("id") + 1).alias("v")), t)
+    # expire history below the checkpoint: enforcement must survive
+    # via the checkpoint body, not the (expired) declaring commit
+    write_checkpoint(t)
+    expire_snapshots(t, latest_version(t))
+    assert _constraints(t) == {"pos": "v > 0"}
+    with pytest.raises(ConstraintViolationError):
+        append(spark.range(1).select("id", F.lit(0).alias("v")), t)
+    # restore BELOW the declaration resets the constraint map
+    t2 = str(tmp_path / "t2")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t2)
+    add_check_constraint(spark, t2, "pos", "v > 0")
+    restore_table(t2, 0)
+    assert _constraints(t2) == {}
+    append(spark.range(1).select("id", F.lit(-9).alias("v")), t2)  # ok now
+
+
 def test_verify_coverage_gate(tmp_path):
     import importlib.util
 

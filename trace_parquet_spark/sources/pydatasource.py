@@ -25,12 +25,12 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
-    DataSourceWriter,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -170,12 +170,19 @@ class _ShardWritten(WriterCommitMessage):
         self.rows = rows
 
 
-class GzJsonlWriter(DataSourceWriter):
+class GzJsonlWriter(DataSourceArrowWriter):
     """Write side: each task streams its partition into a temp gz
     shard; commit() renames all temp shards into place (task retries
     overwrite their own temp file, so a speculative duplicate never
     double-publishes), abort() removes them — the two-phase commit
-    every distributed sink needs."""
+    every distributed sink needs.
+
+    Arrow writer (DataSourceArrowWriter): the JVM hands each task
+    RecordBatches, so the process boundary is columnar Arrow IPC —
+    the same symmetric contract as the read side (arrowio.py). The
+    per-row work that remains is the JSONL text encoding itself,
+    done from plain Python lists (one to_pylist per column per
+    batch), never via pickled Row objects."""
 
     def __init__(self, options, overwrite: bool):
         self.dir = options.get("path")
@@ -190,18 +197,24 @@ class GzJsonlWriter(DataSourceWriter):
         tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.jsonl.gz")
         n = 0
         with gzip.open(tmp, "wt", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(
-                    json.dumps(
-                        {
-                            "trace_id": row.trace_id,
-                            "param_index": row.param_index,
-                            "payload": row.payload,
-                        }
+            for batch in iterator:
+                names = batch.schema.names
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                ti = names.index("trace_id")
+                pi = names.index("param_index")
+                pl = names.index("payload")
+                for t, p, s in zip(cols[ti], cols[pi], cols[pl]):
+                    fh.write(
+                        json.dumps(
+                            {
+                                "trace_id": t,
+                                "param_index": p,
+                                "payload": s,
+                            }
+                        )
+                        + "\n"
                     )
-                    + "\n"
-                )
-                n += 1
+                    n += 1
         return _ShardWritten(tmp, n)
 
     def commit(self, messages):

@@ -231,6 +231,116 @@ def _physical_schema(schema, mapping: dict):
     )
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write contained rows failing a committed CHECK constraint."""
+
+
+def _constraints(table: str, as_of: int | None = None) -> dict[str, str]:
+    """constraint name -> SQL expression visible at ``as_of`` (same
+    newest-declaration-wins snapshot semantics as _col_mapping;
+    checkpoint bodies carry the map so enforcement survives log
+    expiry). Delta's CHECK-constraint table feature: expressions are
+    over LOGICAL column names; a row violates when the expression is
+    FALSE (NULL passes, SQL CHECK semantics)."""
+    cons: dict[str, str] = {}
+    found = False
+    base = -1
+    cps = _checkpoints(table)
+    if as_of is not None:
+        cps = [v for v in cps if v <= as_of]
+    if cps:
+        base = cps[-1]
+        body = _load_json(_checkpoint_path(table, base))
+        if "constraints" in body:
+            cons, found = body["constraints"] or {}, True
+    for v in _versions(table):
+        if v <= base or (as_of is not None and v > as_of):
+            continue
+        c = _load_commit(table, v)
+        if "constraints" in c:
+            cons, found = c["constraints"] or {}, True
+    return dict(cons) if found else {}
+
+
+def _violation_counts(df: DataFrame, cons: dict[str, str]) -> dict[str, int]:
+    """One aggregation job counting violators per constraint (a row
+    violates when the expression is FALSE; NULL satisfies)."""
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, e in cons.items()
+        ]
+    ).collect()[0]
+    return {name: int(row[name] or 0) for name in cons}
+
+
+def add_check_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — Delta
+    parity: the EXISTING snapshot is validated first (a constraint
+    that current rows already violate is refused), then one metadata
+    commit publishes the full constraint map; every subsequent
+    append/overwrite/merge enforces it at write time. Returns the
+    committed version."""
+    cons = _constraints(table)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    files, schema_json, _stats, _rows = _read_log(table, None)
+    snap = _scan_files(
+        spark, table, files, schema_json, dv_state=_dv_state(table, None)
+    )
+    bad = _violation_counts(snap, {name: expr})[name]
+    if bad:
+        raise ConstraintViolationError(
+            f"cannot add constraint {name!r}: {bad} existing row(s) "
+            f"violate ({expr})"
+        )
+    cons = dict(cons)
+    cons[name] = expr
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": [],
+            "remove": [],
+            "schema": schema_json,
+            "rows": {},
+            "constraints": cons,
+        },
+    )
+    return version
+
+
+def drop_check_constraint(table: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: one metadata commit publishing
+    the map without ``name``."""
+    cons = _constraints(table)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} in {sorted(cons)}")
+    cons = dict(cons)
+    del cons[name]
+    _files, schema_json, _stats, _rows = _read_log(table, None)
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": [],
+            "remove": [],
+            "schema": schema_json,
+            "rows": {},
+            "constraints": cons,
+        },
+    )
+    return version
+
+
 def _require_no_mapping(table: str, op: str) -> None:
     """Operations not yet column-mapping-aware must refuse rather
     than silently read physical columns under stale logical names —
@@ -293,6 +403,7 @@ def _stage_files(df: DataFrame, table: str) -> list[str]:
     physical (a renamed-away or dropped column's storage name) is
     refused — old files carry unrelated data under that name."""
     mapping = _col_mapping(table, None) if _versions(table) else None
+    logical_cols = list(df.columns)  # pre-rename, for constraint eval
     if mapping:
         phys_taken = set(mapping.values())
         collisions = [
@@ -311,6 +422,36 @@ def _stage_files(df: DataFrame, table: str) -> list[str]:
         )
     stage = f"data-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(os.path.join(table, stage))
+    # CHECK-constraint enforcement: validate the STAGED bytes (one
+    # cheap local parquet scan — never recomputes the writer's
+    # upstream plan) before any commit can reference them; violating
+    # stages are torn down whole, so a failed write is invisible
+    cons = _constraints(table) if _versions(table) else {}
+    if cons:
+        import shutil
+
+        spark = df.sparkSession
+        staged = spark.read.parquet(os.path.join(table, stage))
+        if mapping:
+            staged = staged.select(
+                *[
+                    F.col(mapping.get(c, c)).alias(c)
+                    for c in logical_cols
+                ]
+            )
+        bad = {
+            n: k for n, k in _violation_counts(staged, cons).items() if k
+        }
+        if bad:
+            shutil.rmtree(os.path.join(table, stage), ignore_errors=True)
+            raise ConstraintViolationError(
+                "write rejected: "
+                + "; ".join(
+                    f"{k} row(s) violate constraint {n!r} "
+                    f"({cons[n]})"
+                    for n, k in sorted(bad.items())
+                )
+            )
     return [
         os.path.join(stage, f)
         for f in os.listdir(os.path.join(table, stage))
@@ -788,6 +929,9 @@ def restore_table(table: str, version: int) -> dict:
     # the logical→physical map reverts with the schema ({} = explicit
     # reset when v predates column mapping)
     actions["col_mapping"] = _col_mapping(table, version) or {}
+    # CHECK constraints revert with the schema too ({} = explicit
+    # reset when v predates them)
+    actions["constraints"] = _constraints(table, version)
     col_stats_add = {
         col: {f: m[f] for f in add if f in m}
         for col, m in col_stats_v.items()
@@ -2548,6 +2692,9 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         "reader_features": sorted(_reader_features_up_to(table, version)),
         # physical-name mapping survives expiration with the files
         "col_mapping": _col_mapping(table, version),
+        # CHECK constraints survive expiration (enforcement would
+        # silently lapse if the declaring commit expired)
+        "constraints": _constraints(table, version),
         # multi-key zorder stats survive expiration (files kept →
         # their box-pruning ranges kept)
         "col_stats": {
@@ -3232,3 +3379,89 @@ ORDER BY phase
 
 QUERIES["tablelog_clone_totals"] = tablelog_clone_totals
 ORACLES["tablelog_clone_totals"] = TABLELOG_CLONE_SQL
+
+
+def tablelog_constraints_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints under the oracle gate (Delta's constraint
+    table feature): seed the standard orders slice, ADD a constraint
+    the snapshot satisfies (cents >= 0 AND o_orderkey IS NOT NULL),
+    then (a) append a CLEAN second slice — accepted, (b) attempt an
+    append whose rows violate (negated cents) — the write must be
+    REJECTED atomically (staged files torn down, no commit), and (c)
+    verify adding an unsatisfiable constraint is refused against
+    existing data. The gated aggregate is the final table state: the
+    oracle recomputes it from orders using only the two ACCEPTED
+    slices, so any leak of the rejected batch (or loss of the clean
+    one) shifts count and sum. Mechanism: add_check_constraint /
+    _stage_files enforcement (one staged-bytes validation pass per
+    write, never recomputing the writer's plan)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    slice_all = _orders_slice(spark, sf_dir)
+    t = tempfile.mkdtemp(prefix="tablelog_ck_")
+    try:
+        append(slice_all.filter(F.col("o_orderkey") % 3 == 0), t)
+        v = add_check_constraint(
+            spark, t, "valid_row", "cents >= 0 AND o_orderkey IS NOT NULL"
+        )
+        assert v == 1
+        # clean append: accepted
+        append(slice_all.filter(F.col("o_orderkey") % 3 == 1), t)
+        # dirty append: every row negated -> rejected, no commit
+        lv_before = latest_version(t)
+        try:
+            append(
+                slice_all.filter(F.col("o_orderkey") % 3 == 2).select(
+                    "o_orderkey", (-F.col("cents") - 1).alias("cents")
+                ),
+                t,
+            )
+            raise AssertionError("violating append was not rejected")
+        except ConstraintViolationError:
+            pass
+        assert latest_version(t) == lv_before  # nothing committed
+        # a constraint current rows violate is refused outright
+        try:
+            add_check_constraint(spark, t, "impossible", "cents < 0")
+            raise AssertionError("unsatisfiable constraint accepted")
+        except ConstraintViolationError:
+            pass
+        assert _constraints(t) == {
+            "valid_row": "cents >= 0 AND o_orderkey IS NOT NULL"
+        }
+        out = (
+            read_table(spark, t)
+            .groupBy((F.col("o_orderkey") % 2).alias("parity"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("parity")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "parity long, n_rows long, total_cents long"
+    ).orderBy("parity")
+
+
+TABLELOG_CONSTRAINTS_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1
+ORDER BY parity
+"""
+
+QUERIES["tablelog_constraints_totals"] = tablelog_constraints_totals
+ORACLES["tablelog_constraints_totals"] = TABLELOG_CONSTRAINTS_SQL

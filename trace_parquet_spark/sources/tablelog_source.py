@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -271,6 +272,98 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         pass  # log entries are immutable; nothing to release
 
 
+class _TLStreamPartition(InputPartition):
+    def __init__(self, table: str, rel: str, schema_json: str, phys):
+        self.table = table
+        self.rel = rel
+        self.schema_json = schema_json
+        self.phys = phys
+
+
+class TableLogPartitionedStreamReader(DataSourceStreamReader):
+    """The SCALE streaming path (DataSourceStreamReader, which Spark
+    prefers over simpleStreamReader when both exist): offsets and
+    commit-range planning stay on the driver — metadata-sized, the
+    log IS the manifest — but the DATA never passes through it. Each
+    file added in (start, end] becomes one InputPartition decoded
+    executor-side as Arrow RecordBatches (arrowio.parquet_file_
+    batches), so a 1000-executor cluster drains a backfilled table at
+    cluster bandwidth where the simple reader would bottleneck on one
+    driver process. Offset/replay semantics are IDENTICAL to the
+    simple reader (offset = log version; partitions(start, end) is
+    deterministic because names/mapping resolve as of end): the same
+    checkpoint contract, restart replay, and append-only failure
+    modes apply, and TableLogStreamReader keeps pinning them in
+    tests. Admission control (max_commits_per_trigger) lives in
+    latestOffset, bounding how far one micro-batch may advance."""
+
+    def __init__(self, options):
+        # reuse the simple reader's option parsing + commit-range
+        # logic (_added_in carries the remove/dv failure contract)
+        self._s = TableLogStreamReader(options)
+        self.table = self._s.table
+
+    def initialOffset(self) -> dict:
+        # called only on FRESH queries (restarts resume from the
+        # checkpoint) — the marker that makes capped advancement from
+        # -1 safe below
+        self._fresh = True
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        # Admission control caps how far past the last PLANNED end
+        # this trigger may advance. The base is the last offset this
+        # reader returned; on a RESTARTED query (no initialOffset
+        # call, unknown checkpoint position) the first answer is the
+        # true latest — returning a capped offset below the
+        # checkpointed start would move the stream backwards. Capping
+        # resumes from the second trigger on.
+        lv = latest_version(self.table)
+        hi = -1 if lv is None else lv
+        start = getattr(self, "_last_end", -1)
+        mc = self._s.max_commits
+        capped_base_known = start >= 0 or getattr(self, "_fresh", False)
+        if mc is not None and capped_base_known:
+            pending = [v for v in _versions(self.table) if v > start]
+            if len(pending) > mc:
+                hi = pending[mc - 1]
+        if hi > start:
+            self._last_end = hi
+        return {"version": max(hi, start)}
+
+    def partitions(self, start: dict, end: dict):
+        rels = self._s._added_in(start["version"], end["version"])
+        as_of = end["version"] if end["version"] >= 0 else None
+        if not rels or as_of is None:
+            # metadata-only range (rename, dv under ignore_deletes):
+            # one sentinel partition yielding nothing — the engine
+            # requires a non-empty partition list per batch
+            return [_TLStreamPartition(self.table, None, "", None)]
+        _files, schema_json, _stats, _rows = _read_log(self.table, as_of)
+        names = StructType.fromJson(json.loads(schema_json)).fieldNames()
+        m = _col_mapping(self.table, as_of)
+        phys = [m.get(n, n) for n in names] if m else None
+        return [
+            _TLStreamPartition(self.table, rel, schema_json, phys)
+            for rel in rels
+        ]
+
+    def read(self, partition: _TLStreamPartition):
+        from .arrowio import parquet_file_batches
+
+        if partition.rel is None:  # metadata-only sentinel
+            return
+        schema = StructType.fromJson(json.loads(partition.schema_json))
+        yield from parquet_file_batches(
+            os.path.join(partition.table, partition.rel),
+            schema,
+            partition.phys,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # log entries are immutable; nothing to release
+
+
 class TableLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -286,8 +379,20 @@ class TableLogDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return TableLogBatchReader(self.options)
 
-    def simpleStreamReader(self, schema: StructType):
-        return TableLogStreamReader(self.options)
+    def streamReader(self, schema: StructType):
+        # Spark prefers this (executor-parallel, Arrow) over the
+        # simple reader; option reader=simple forces the driver-side
+        # prefetch variant (kept for its tested replay contract and
+        # as the lightweight path for tiny tables)
+        if str(self.options.get("reader", "")).lower() == "simple":
+            from pyspark.sql.datasource_internal import (
+                _SimpleStreamReaderWrapper,
+            )
+
+            return _SimpleStreamReaderWrapper(
+                TableLogStreamReader(self.options)
+            )
+        return TableLogPartitionedStreamReader(self.options)
 
 
 def register(spark) -> None:
