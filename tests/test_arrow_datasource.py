@@ -156,6 +156,65 @@ def test_stream_admission_control_max_commits(spark, tmp_path):
     assert off == {"version": 2} and len(list(it)) == 30
 
 
+def test_batch_reader_pushdown_prunes_partitions_from_log_stats(
+    spark, tmp_path
+):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+    t = str(tmp_path / "t")
+    # three disjoint key ranges, clustered so each file's [min,max]
+    # is tight, with stats recorded in the commits
+    for lo in (0, 100, 200):
+        append(
+            spark.range(lo, lo + 50)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            t,
+            stats_col="k",
+        )
+    r0 = TableLogBatchReader({"path": t})
+    n_all = len(r0.partitions())
+    assert n_all == 3
+
+    r1 = TableLogBatchReader({"path": t})
+    back = list(r1.pushFilters([EqualTo(("k",), 120)]))
+    assert len(back) == 1  # every filter handed back for re-apply
+    parts = r1.partitions()
+    assert len(parts) == 1
+    vals = [
+        v
+        for p in parts
+        for b in r1.read(p)
+        for v in b.column(b.schema.names.index("k")).to_pylist()
+    ]
+    assert 120 in vals and min(vals) == 100 and max(vals) == 149
+
+    r2 = TableLogBatchReader({"path": t})
+    list(r2.pushFilters([GreaterThanOrEqual(("k",), 90), LessThan(("k",), 210)]))
+    assert len(r2.partitions()) == 2
+
+    r3 = TableLogBatchReader({"path": t})
+    list(r3.pushFilters([In(("k",), (5, 7))]))
+    assert len(r3.partitions()) == 1
+
+    # predicate on an UNSTATED column: no pruning, still correct
+    r4 = TableLogBatchReader({"path": t})
+    list(r4.pushFilters([EqualTo(("v",), 10)]))
+    assert len(r4.partitions()) == 3
+
+    # end-to-end through Catalyst with the opt-in: values match the
+    # unfiltered scan's subset
+    tablelog_source.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("tablelog")
+        .option("path", t)
+        .load()
+        .filter((F.col("k") >= 100) & (F.col("k") < 130))
+    )
+    assert sorted(row.k for row in df.collect()) == list(range(100, 130))
+
+
 def test_partitioned_stream_reader_plans_files_and_yields_batches(
     spark, tmp_path
 ):

@@ -251,4 +251,7 @@ class GzJsonlDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters(); Spark 4 refuses to plan a
+    # pushFilters-bearing source unless the opt-in is set
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GzJsonlDataSource)

@@ -35,7 +35,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
@@ -146,8 +152,89 @@ class TableLogBatchReader(DataSourceReader):
             [m.get(n, n) for n in self._schema.fieldNames()] if m else None
         )
 
+    def pushFilters(self, filters):
+        """Zone-map file pruning from the LOG's per-file [min, max]
+        stats (the same metadata read_table_box plans from): range
+        predicates narrow a per-column (lo, hi) box; partitions()
+        then skips files whose recorded ranges cannot overlap it.
+        EVERY filter is yielded back — Spark re-applies them all
+        post-scan, so pruning is a pure optimization and correctness
+        never depends on stats coverage (files without stats for a
+        predicate column are conservatively kept). Requires the
+        Spark-4 opt-in spark.sql.python.filterPushdown.enabled."""
+        preds: dict[str, list] = {}
+
+        def tighten(col, lo, hi):
+            cur = preds.setdefault(col, [None, None])
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            v = getattr(f, "value", None)
+            comparable = isinstance(v, (int, float, str)) and not isinstance(
+                v, bool
+            )
+            if col is not None:
+                if isinstance(f, EqualTo) and comparable:
+                    tighten(col, v, v)
+                elif isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual)
+                ) and comparable:
+                    tighten(col, v, None)
+                elif isinstance(
+                    f, (LessThan, LessThanOrEqual)
+                ) and comparable:
+                    tighten(col, None, v)
+                elif isinstance(f, In) and f.value:
+                    vals = [
+                        x
+                        for x in f.value
+                        if isinstance(x, (int, float, str))
+                        and not isinstance(x, bool)
+                    ]
+                    if len(vals) == len(f.value):
+                        tighten(col, min(vals), max(vals))
+            yield f  # always returned: Spark re-applies exactly
+        self._preds = {
+            c: (lo, hi) for c, (lo, hi) in preds.items() if lo is not None or hi is not None
+        }
+
     def partitions(self):
-        return [_TLFilePartition(rel) for rel in self._files]
+        preds = getattr(self, "_preds", None)
+        files = self._files
+        if preds:
+            from .tablelog import (
+                _col_stats_state,
+                _committed_stats_col,
+                _read_log,
+            )
+
+            _f, _s, stats, _r = _read_log(self.table, self.as_of)
+            col_stats = _col_stats_state(self.table, self.as_of)
+            sc = _committed_stats_col(self.table)
+
+            def overlaps(f):
+                for col, (lo, hi) in preds.items():
+                    st = col_stats.get(col, {}).get(f)
+                    if st is None and col == sc:
+                        st = stats.get(f)
+                    if not st or st[0] is None:
+                        continue  # no stats: conservatively keep
+                    try:
+                        if (lo is not None and st[1] < lo) or (
+                            hi is not None and st[0] > hi
+                        ):
+                            return False
+                    except TypeError:
+                        continue  # incomparable types: keep
+                return True
+
+            files = [f for f in files if overlaps(f)]
+        return [_TLFilePartition(rel) for rel in files]
 
     def read(self, partition: _TLFilePartition):
         # Arrow-native: parquet -> select/null-pad/cast -> dv boolean
@@ -396,6 +483,9 @@ class TableLogDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters(); Spark 4 refuses to plan a
+    # pushFilters-bearing source unless the opt-in is set
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TableLogDataSource)
 
 

@@ -233,6 +233,9 @@ class WarcDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters(); Spark 4 refuses to plan a
+    # pushFilters-bearing source unless the opt-in is set
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WarcDataSource)
 
 
