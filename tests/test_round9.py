@@ -185,6 +185,92 @@ def test_check_constraint_survives_checkpoint_and_reverts_on_restore(
     append(spark.range(1).select("id", F.lit(-9).alias("v")), t2)  # ok now
 
 
+def test_append_rebases_after_losing_race_to_data_commit(
+    spark, tmp_path, monkeypatch
+):
+    import trace_parquet_spark.sources.tablelog as tl
+
+    t = str(tmp_path / "t")
+    append(spark.range(3), t)  # v0
+    real_lv = tl.latest_version
+    state = {"stale": True}
+
+    def stale_once(table):
+        v = real_lv(table)
+        if state["stale"]:
+            state["stale"] = False
+            return None if v == 0 else v - 1  # pretend head unseen
+        return v
+
+    monkeypatch.setattr(tl, "latest_version", stale_once)
+    # first _commit attempt targets the already-taken version ->
+    # EEXIST -> rebase onto the real head and succeed
+    v = tl.append(spark.range(3, 6), t)
+    assert v == 1
+    assert sorted(r.id for r in read_table(spark, t).collect()) == list(
+        range(6)
+    )
+
+
+def test_append_refuses_rebase_across_metadata_commit(
+    spark, tmp_path, monkeypatch
+):
+    import trace_parquet_spark.sources.tablelog as tl
+    from trace_parquet_spark.sources.tablelog import ConcurrentWriteError
+
+    t = str(tmp_path / "t")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
+    rename_column(t, "v", "w")  # v1: metadata commit
+    real_lv = tl.latest_version
+    state = {"stale": True}
+
+    def stale_once(table):
+        v = real_lv(table)
+        if state["stale"]:
+            state["stale"] = False
+            return v - 1  # race: the rename lands between read and commit
+        return v
+
+    monkeypatch.setattr(tl, "latest_version", stale_once)
+    with pytest.raises(ConcurrentWriteError, match="col_mapping"):
+        tl.append(
+            spark.range(3, 5).select("id", (F.col("id") + 1).alias("w")), t
+        )
+
+
+def test_analyze_backfills_zone_maps_and_datasource_prunes(
+    spark, tmp_path
+):
+    from trace_parquet_spark.sources.tablelog import (
+        analyze_table,
+        files_overlapping,
+    )
+    from trace_parquet_spark.sources.tablelog_source import (
+        TableLogBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):  # disjoint ranges, NO stats declared
+        append(
+            spark.range(lo, lo + 50).select(F.col("id").alias("k")).coalesce(1),
+            t,
+        )
+    # without stats nothing prunes
+    assert len(files_overlapping(t, {"k": (110, 120)})) == 3
+    res = analyze_table(t, ["k"])
+    assert res["files_analyzed"] == 3
+    assert len(files_overlapping(t, {"k": (110, 120)})) == 1
+    # re-analyze is a no-op (already covered)
+    assert analyze_table(t, ["k"])["files_analyzed"] == 0
+    # the DataSource's pushFilters pruning now plans 1 partition
+    r = TableLogBatchReader({"path": t})
+    list(r.pushFilters([EqualTo(("k",), 115)]))
+    assert len(r.partitions()) == 1
+    # snapshot content unchanged
+    assert read_table(spark, t).count() == 150
+
+
 def test_verify_coverage_gate(tmp_path):
     import importlib.util
 

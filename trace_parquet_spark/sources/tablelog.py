@@ -497,12 +497,44 @@ def _footer_rows(table: str, files: list[str]) -> dict[str, int]:
     }
 
 
+_APPEND_REBASE_LIMIT = 20
+
+# Metadata-bearing action keys whose interleaving invalidates a blind
+# append's staged bytes or its validation (rename changes physical
+# names, new constraints weren't enforced on the stage, a schema
+# change may conflict) — Delta's logical conflict-detection rule:
+# AppendOnly commutes with AppendOnly, not with metadata updates.
+_REBASE_BLOCKERS = ("col_mapping", "constraints", "schema_change")
+
+
+def _interleaved_blocks_append(table: str, lo: int, hi: int) -> str | None:
+    """Name of the first blocking action in commits (lo, hi], else
+    None (only data commits interleaved — safe to rebase)."""
+    for v in _versions(table):
+        if lo < v <= hi:
+            c = _load_commit(table, v)
+            if "col_mapping" in c:
+                return f"col_mapping@{v}"
+            if "constraints" in c:
+                return f"constraints@{v}"
+    return None
+
+
 def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     """Atomic append: new files + a commit adding them. Returns the
-    committed version; raises ConcurrentWriteError on a lost race
-    (the staged files stay orphaned and invisible — vacuum sweeps
-    them). With ``stats_col``, per-file [min, max] of that column is
-    recorded in the commit for log-only pruning (merge, key_range)."""
+    committed version. With ``stats_col``, per-file [min, max] of
+    that column is recorded in the commit for log-only pruning
+    (merge, key_range).
+
+    Concurrency (Delta's logical conflict detection for AppendOnly):
+    losing the version race no longer fails the writer — blind
+    appends COMMUTE, so the commit is rebased onto the new head and
+    retried, unless an interleaved commit changed read/write
+    semantics (rename/drop via col_mapping, or a CHECK constraint the
+    staged bytes were never validated against), in which case
+    ConcurrentWriteError still surfaces and the caller must redo the
+    write. The staged files of a failed append stay orphaned and
+    invisible — vacuum sweeps them."""
     files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
@@ -515,8 +547,26 @@ def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, files, stats_col)
         actions["stats_col"] = stats_col
-    _commit(table, version, actions)
-    return version
+    for _ in range(_APPEND_REBASE_LIMIT):
+        try:
+            _commit(table, version, actions)
+            return version
+        except ConcurrentWriteError:
+            new_head = latest_version(table)
+            blocker = _interleaved_blocks_append(
+                table, version - 1, new_head
+            )
+            if blocker is not None:
+                raise ConcurrentWriteError(
+                    f"append to {table} lost the race to a metadata "
+                    f"commit ({blocker}); staged data cannot be "
+                    "rebased safely — re-run the append"
+                ) from None
+            version = new_head + 1
+    raise ConcurrentWriteError(
+        f"append to {table} exhausted {_APPEND_REBASE_LIMIT} rebase "
+        "attempts under sustained write contention"
+    )
 
 
 def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
@@ -833,6 +883,49 @@ def optimize_table_zorder(
         "files_before": len(files),
         "files_after": len(new_files),
     }
+
+
+def analyze_table(table: str, cols: list[str]) -> dict:
+    """ANALYZE: backfill per-file [min, max] zone maps for ``cols``
+    from parquet FOOTER metadata (no data read) and publish them in
+    ONE metadata commit's ``col_stats`` action — the retrofit that
+    makes log-only pruning (files_overlapping / read_table_box / the
+    DataSource's pushFilters partition pruning) work on tables whose
+    appends never declared a stats column. Stats are immutable
+    alongside their files, so replay unions them exactly like
+    write-time stats; files already covered are skipped (their
+    recorded ranges are still valid). Returns {"version",
+    "files_analyzed"} (version None when nothing was missing)."""
+    files, schema_json, _stats, _rows = _read_log(table, None)
+    names = [f["name"] for f in json.loads(schema_json)["fields"]]
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"no column {c!r} in {names}")
+    existing = _col_stats_state(table, None)
+    col_stats: dict[str, dict] = {}
+    analyzed: set[str] = set()
+    for c in cols:
+        have = existing.get(c, {})
+        missing = [f for f in files if f not in have]
+        if missing:
+            col_stats[c] = _footer_stats(table, missing, c)
+            analyzed |= set(missing)
+    if not col_stats:
+        return {"version": None, "files_analyzed": 0}
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    _commit(
+        table,
+        version,
+        {
+            "add": [],
+            "remove": [],
+            "schema": schema_json,
+            "rows": {},
+            "col_stats": col_stats,
+        },
+    )
+    return {"version": version, "files_analyzed": len(analyzed)}
 
 
 def files_overlapping(
