@@ -325,9 +325,62 @@ def _bench_trace_export(spark, sf_dir: str, sf: str) -> float:
     return round(best, 3)
 
 
+def _verify_snapshot_coverage() -> None:
+    """The closing correctness gate, made STRUCTURAL (round-9 verdict
+    task #1): a BENCH artifact cannot be produced while any live
+    registry entry lacks a row in the newest committed full-registry
+    correctness snapshots (CORRECTNESS_local_r*.json at sf0.01 and
+    CORRECTNESS_sf01_r*.json at sf0.1). Fail-fast HERE — before any
+    Spark work — so the per-round bench run itself refuses to close a
+    round whose snapshots went stale; re-cut them with
+    `python tools/check_oracle.py --json=... --sf=...` after the last
+    registry change. SPARK_GRAFT_SKIP_COVERAGE=1 bypasses for local
+    perf iteration only (the driver never sets it)."""
+    if os.environ.get("SPARK_GRAFT_SKIP_COVERAGE") == "1":
+        print("coverage gate SKIPPED (SPARK_GRAFT_SKIP_COVERAGE=1)", file=sys.stderr)
+        return
+    import glob
+    import importlib.util as ilu
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    spec = ilu.spec_from_file_location(
+        "check_oracle", os.path.join(root, "tools", "check_oracle.py")
+    )
+    check_oracle = ilu.module_from_spec(spec)
+    spec.loader.exec_module(check_oracle)
+    snaps = []
+    for pat in ("CORRECTNESS_local_r*.json", "CORRECTNESS_sf01_r*.json"):
+        cands = glob.glob(os.path.join(root, pat))
+        if cands:
+            snaps.append(
+                max(
+                    cands,
+                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+                )
+            )
+    if len(snaps) < 2:
+        print(
+            "coverage gate: no committed full-registry snapshots found "
+            "at both SFs — cut them with tools/check_oracle.py first",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    if check_oracle.verify_coverage(snaps) != 0:
+        print(
+            "COVERAGE GATE FAILED: the registry has entries the "
+            "committed snapshots never verified — re-cut "
+            "CORRECTNESS_local/sf01 via tools/check_oracle.py before "
+            "benching",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _verify_snapshot_coverage()
 
     import __spark_entry__ as entry_mod
     from trace_parquet_spark.session import get_spark

@@ -904,3 +904,51 @@ def test_winnowing_matches_python_replay(spark, sf_dir):
     dens = [g.density_ppm for g in got.values()]
     avg = sum(dens) / len(dens)
     assert 200_000 < avg < 700_000, avg
+
+
+def test_ccnet_approx_no_per_language_window(spark, sf_dir):
+    """ccnet_quality_buckets_approx exists to kill the exact version's
+    per-language rank window (data-sized, skewed by the dominant
+    language at 100×) — its own plan must carry no WindowExec at all,
+    and any SinglePartition exchange must be the benign partial-agg
+    global-scalar shape (the corpus token total), never data."""
+    import re
+
+    from trace_parquet_spark.operators.hygiene import (
+        ccnet_quality_buckets_approx,
+    )
+
+    plan = (
+        ccnet_quality_buckets_approx(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n[^\n]*", plan):
+        assert "partial_" in m.group(0), m.group(0)
+    assert "BroadcastHashJoin" in plan  # the (lang, cell)->bucket map
+
+
+def test_ccnet_approx_is_near_tertile(spark, sf_dir):
+    """Per language, approx bucket sizes must deviate from n/3 by at
+    most one bucket's mass (a histogram cell never exceeds the bucket
+    that absorbs it), and bucket ceilings must respect the
+    head <= middle <= tail quality order."""
+    from collections import defaultdict
+
+    from trace_parquet_spark.operators.hygiene import (
+        ccnet_quality_buckets_approx,
+    )
+
+    rows = ccnet_quality_buckets_approx(spark, sf_dir).collect()
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r.lang].append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in per_lang.items():
+        n = sum(r.n_docs for r in rs)
+        bound = max(r.n_docs for r in rs)
+        for r in rs:
+            assert abs(r.n_docs - n / 3) <= bound, (lang, r)
+        rs = sorted(rs, key=lambda r: order[r.bucket])
+        for a, b in zip(rs, rs[1:]):
+            assert a.ceiling_micro <= b.ceiling_micro, (lang, a, b)

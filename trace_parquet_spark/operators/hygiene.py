@@ -402,11 +402,165 @@ ORDER BY r.lang, bucket
 """
 
 
+CC_CELLS = 256  # fixed per-language histogram grid for the approx cut
+
+
+def ccnet_quality_buckets_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB twin of ccnet_quality_buckets: per-language tertile
+    cuts from a MERGEABLE fixed-grid histogram instead of an exact
+    per-language rank window (whose partition is data-sized and skewed
+    by the dominant language at 100×). Same shape as
+    equi_depth_price_buckets_approx (plans/analytics_more.py):
+
+    - per-doc ranking key is an exact INTEGER — ``key_micro =
+      sum_micro div n_tokens`` (average micro-nat token surprisal),
+      so every arithmetic step below is int64-exact in both engines;
+    - per-language [min, max] bounds → CC_CELLS equi-width cells (one
+      map-side-combinable agg);
+    - cumulative cell mass via a broadcast theta self-join of the
+      ≤ |langs|·CC_CELLS-row histogram (never a window);
+    - cell → tertile from ``((cum_end - 1) * 3) div n_lang``;
+    - docs get their bucket via a broadcast equi-join on (lang, cell).
+
+    No stage sees a per-language data-sized partition: the heavy
+    stages are the token explode + vocab join (linear, partial-agg)
+    and two scans of the per-doc relation. Bucket sizes deviate from
+    n/3 by at most one cell's mass; the exact rank-window version
+    stays registered as the anchor. The DuckDB oracle recomputes the
+    identical grid, so the gate checks value-level agreement of the
+    approximation itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    micro = F.floor(
+        F.log(F.col("n_total").cast("double") / F.col("n_tok").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        .withColumn("key_micro", F.expr("sum_micro div n_tokens"))
+    )
+    bounds = per_doc.groupBy("lang").agg(
+        F.min("key_micro").alias("mn"),
+        F.max("key_micro").alias("mx"),
+    ).withColumn("width", F.expr(f"(mx - mn) div {CC_CELLS} + 1"))
+    celled = per_doc.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "n_tokens",
+        "key_micro",
+        F.expr("(key_micro - mn) div width").alias("cell"),
+    )
+    hist = celled.groupBy("lang", "cell").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    h2 = hist.select(
+        F.col("lang").alias("lang2"),
+        F.col("cell").alias("cell2"),
+        F.col("c").alias("c2"),
+    )
+    cum = (
+        hist.join(
+            F.broadcast(h2),
+            (F.col("lang2") == F.col("lang"))
+            & (F.col("cell2") <= F.col("cell")),
+        )
+        .groupBy("lang", "cell")
+        .agg(F.sum("c2").alias("cum_end"))
+    )
+    nl = hist.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    cell_bucket = cum.join(F.broadcast(nl), "lang").select(
+        "lang",
+        "cell",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            (F.expr("((cum_end - 1) * 3) div n_lang") + 1).cast("int"),
+        ).alias("bucket"),
+    )
+    return (
+        celled.join(F.broadcast(cell_bucket), ["lang", "cell"])
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("key_micro").cast("long").alias("ceiling_micro"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CCNET_BUCKETS_APPROX_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({tokens_sql("text")}) AS token FROM documents
+), tok_f AS (
+  SELECT * FROM tok WHERE token <> ''
+), vocab AS (
+  SELECT token, count(*) AS n_tok FROM tok_f GROUP BY token
+), total AS (
+  SELECT count(*) AS n_total FROM tok_f
+), per_doc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CAST(floor(ln(CAST(tt.n_total AS DOUBLE)
+                           / CAST(v.n_tok AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT)) AS sum_micro
+  FROM tok_f t JOIN vocab v ON t.token = v.token CROSS JOIN total tt
+  GROUP BY t.doc_id, t.lang
+), keyed AS (
+  SELECT lang, n_tokens, sum_micro // n_tokens AS key_micro FROM per_doc
+), bounds AS (
+  SELECT lang, min(key_micro) AS mn,
+         (max(key_micro) - min(key_micro)) // {CC_CELLS} + 1 AS width
+  FROM keyed GROUP BY lang
+), celled AS (
+  SELECT k.lang, k.n_tokens, k.key_micro,
+         (k.key_micro - b.mn) // b.width AS cell
+  FROM keyed k JOIN bounds b ON k.lang = b.lang
+), hist AS (
+  SELECT lang, cell, CAST(count(*) AS BIGINT) AS c
+  FROM celled GROUP BY lang, cell
+), cum AS (
+  SELECT h.lang, h.cell, CAST(sum(h2.c) AS BIGINT) AS cum_end
+  FROM hist h JOIN hist h2 ON h2.lang = h.lang AND h2.cell <= h.cell
+  GROUP BY h.lang, h.cell
+), nl AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_lang FROM hist GROUP BY lang
+), cell_bucket AS (
+  SELECT c.lang, c.cell,
+         CASE ((c.cum_end - 1) * 3) // n.n_lang
+              WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM cum c JOIN nl n ON c.lang = n.lang
+)
+SELECT x.lang, b.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(x.key_micro) AS BIGINT) AS ceiling_micro
+FROM celled x JOIN cell_bucket b ON x.lang = b.lang AND x.cell = b.cell
+GROUP BY 1, 2
+ORDER BY x.lang, b.bucket
+"""
+
+
 QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "doc_surprisal": doc_surprisal,
     "doc_surprisal_bigram": doc_surprisal_bigram,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "ccnet_quality_buckets_approx": ccnet_quality_buckets_approx,
 }
 
 ORACLES = {
@@ -414,6 +568,7 @@ ORACLES = {
     "doc_surprisal": SURPRISAL_SQL,
     "doc_surprisal_bigram": BIGRAM_SURPRISAL_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
+    "ccnet_quality_buckets_approx": CCNET_BUCKETS_APPROX_SQL,
 }
 
 

@@ -507,9 +507,16 @@ _APPEND_REBASE_LIMIT = 20
 _REBASE_BLOCKERS = ("col_mapping", "constraints", "schema_change")
 
 
-def _interleaved_blocks_append(table: str, lo: int, hi: int) -> str | None:
+def _interleaved_blocks_append(
+    table: str, lo: int, hi: int, schema_json: str | None = None
+) -> str | None:
     """Name of the first blocking action in commits (lo, hi], else
-    None (only data commits interleaved — safe to rebase)."""
+    None (only schema-compatible data commits interleaved — safe to
+    rebase). With ``schema_json``, an interleaved commit whose
+    recorded schema differs from the writer's is a ``schema_change``
+    blocker: the writer re-commits its OWN schema, so blindly
+    committing over an interleaved schema evolution would silently
+    revert it (last-schema-wins in _read_log)."""
     for v in _versions(table):
         if lo < v <= hi:
             c = _load_commit(table, v)
@@ -517,7 +524,39 @@ def _interleaved_blocks_append(table: str, lo: int, hi: int) -> str | None:
                 return f"col_mapping@{v}"
             if "constraints" in c:
                 return f"constraints@{v}"
+            if (
+                schema_json is not None
+                and c.get("schema")
+                and c["schema"] != schema_json
+            ):
+                return f"schema_change@{v}"
     return None
+
+
+def _guard_staging_window(
+    table: str,
+    snap: int | None,
+    head: int,
+    op: str,
+    schema_json: str | None = None,
+) -> None:
+    """Close the write-path TOCTOU: constraints / column mapping /
+    schema were resolved at version ``snap`` (before staging), but the
+    commit version is read only AFTER staging — a metadata commit
+    landing in that window would make the first ``_commit`` succeed at
+    the new head with bytes that were never validated against it, and
+    the rebase blocker check (which only fires on a LOST version race)
+    would never run. Raise ConcurrentWriteError when any blocking
+    action landed in (snap, head]."""
+    blocker = _interleaved_blocks_append(
+        table, -1 if snap is None else snap, head, schema_json
+    )
+    if blocker is not None:
+        raise ConcurrentWriteError(
+            f"{op} to {table}: metadata commit ({blocker}) landed "
+            "while the write was being staged; staged data was never "
+            "validated against it — re-run the write"
+        )
 
 
 def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
@@ -535,18 +574,21 @@ def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     ConcurrentWriteError still surfaces and the caller must redo the
     write. The staged files of a failed append stay orphaned and
     invisible — vacuum sweeps them."""
+    snap = latest_version(table)  # metadata resolved at this version
     files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    schema_json = df.schema.json()
     actions = {
         "add": files,
         "remove": [],
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "rows": _footer_rows(table, files),
     }
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, files, stats_col)
         actions["stats_col"] = stats_col
+    _guard_staging_window(table, snap, version - 1, "append", schema_json)
     for _ in range(_APPEND_REBASE_LIMIT):
         try:
             _commit(table, version, actions)
@@ -554,7 +596,7 @@ def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
         except ConcurrentWriteError:
             new_head = latest_version(table)
             blocker = _interleaved_blocks_append(
-                table, version - 1, new_head
+                table, version - 1, new_head, schema_json
             )
             if blocker is not None:
                 raise ConcurrentWriteError(
@@ -573,10 +615,15 @@ def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     """Atomic whole-table replace: one commit that removes every live
     file and adds the new ones — readers see the old or the new
     snapshot, never a mix."""
+    snap = latest_version(table)  # metadata resolved at this version
     files = _stage_files(df, table)
     old = _read_log(table, None)[0] if _versions(table) else []
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    # overwrite legitimately replaces the schema, so no schema_json
+    # here — but interleaved rename/constraint commits still invalidate
+    # the staged bytes exactly as they do for append
+    _guard_staging_window(table, snap, version - 1, "overwrite")
     actions = {
         "add": files,
         "remove": old,
@@ -621,6 +668,7 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    snap = latest_version(table)
     files, schema_json, stats, _rows = _read_log(table, None)
     ranged = [
         (f, stats[f][0], stats[f][1])
@@ -668,6 +716,14 @@ def merge_upsert(
     new_files = _stage_files(merged, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    if version - 1 > (-1 if snap is None else snap):
+        # MERGE rewrites a snapshot; NOTHING interleaved commutes with
+        # it (an interleaved append could carry keys this merge should
+        # have updated) — fail rather than commit over unseen data
+        raise ConcurrentWriteError(
+            f"merge_upsert on {table}: commit(s) landed after the "
+            f"snapshot at v{snap} was read — re-run the merge"
+        )
     actions = {
         "add": new_files,
         "remove": sorted(touched),
@@ -710,6 +766,7 @@ def optimize_table(
     tight disjoint key ranges and the log stats become maximally
     selective again (the reason Delta's OPTIMIZE pairs with ZORDER).
     Returns {"version", "files_before", "files_after"}."""
+    snap = latest_version(table)
     files, schema_json, _stats, _rows = _read_log(table, None)
     # OPTIMIZE is where deletion vectors get folded away: the rewrite
     # applies them, and removing every old file drops their mappings
@@ -724,6 +781,11 @@ def optimize_table(
     new_files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    # interleaved plain appends commute (their files stay live, just
+    # uncompacted); metadata/schema commits do not
+    _guard_staging_window(
+        table, snap, version - 1, "optimize_table", schema_json
+    )
     actions = {
         "add": new_files,
         "remove": files,
@@ -804,6 +866,7 @@ def optimize_table_zorder(
     )
 
     c1, c2 = cols
+    snap = latest_version(table)
     files, schema_json, _stats, _rows = _read_log(table, None)
     schema = StructType.fromJson(json.loads(schema_json))
     # precondition checks up front: the normalization expression uses
@@ -861,6 +924,7 @@ def optimize_table_zorder(
     new_files = _stage_files(clustered, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    _guard_staging_window(table, snap, version - 1, "zorder", schema_json)
     _commit(
         table,
         version,
@@ -1334,19 +1398,24 @@ def append_stream_batch(
     was its own, or rebases."""
     if txn_committed(table, app, batch_id):
         return None
+    snap = latest_version(table)  # metadata resolved at this version
     files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    schema_json = df.schema.json()
     actions = {
         "add": files,
         "remove": [],
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "rows": _footer_rows(table, files),
         "txn": {"app": app, "batch_id": batch_id},
     }
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, files, stats_col)
         actions["stats_col"] = stats_col
+    _guard_staging_window(
+        table, snap, version - 1, "append_stream_batch", schema_json
+    )
     _commit(table, version, actions)
     return version
 
@@ -2585,13 +2654,18 @@ def append_with_bloom(
     """Atomic append that additionally records a per-file bloom filter
     of ``bloom_col`` in the commit — composable with stats_col (range
     pruning on one column, membership pruning on another)."""
+    snap = latest_version(table)  # metadata resolved at this version
     files = _stage_files(df, table)
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
+    schema_json = df.schema.json()
+    _guard_staging_window(
+        table, snap, version - 1, "append_with_bloom", schema_json
+    )
     actions = {
         "add": files,
         "remove": [],
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "rows": _footer_rows(table, files),
         "bloom": {rel: _file_bloom(table, rel, bloom_col) for rel in files},
         "bloom_col": bloom_col,

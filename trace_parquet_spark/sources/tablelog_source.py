@@ -125,8 +125,9 @@ def _rows_of(
 
 
 class _TLFilePartition(InputPartition):
-    def __init__(self, rel: str):
+    def __init__(self, rel: str, dead: list | None = None):
         self.rel = rel
+        self.dead = dead  # this file's OWN deleted positions only
 
 
 class TableLogBatchReader(DataSourceReader):
@@ -140,13 +141,6 @@ class TableLogBatchReader(DataSourceReader):
         files, schema_json, _stats, _rows = _read_log(self.table, self.as_of)
         self._files = files
         self._schema = StructType.fromJson(json.loads(schema_json))
-        # dv POSITIONS resolved at PLAN time: each sidecar parquet is
-        # read once on the driver (sidecars are deletion-vector-sized,
-        # metadata not data), every partition gets the same snapshot's
-        # mask, and executors never re-open a sidecar
-        self._dead = _dead_by_base(
-            self.table, _dv_state(self.table, self.as_of)
-        )
         m = _col_mapping(self.table, self.as_of)
         self._phys = (
             [m.get(n, n) for n in self._schema.fieldNames()] if m else None
@@ -234,7 +228,16 @@ class TableLogBatchReader(DataSourceReader):
                 return True
 
             files = [f for f in files if overlaps(f)]
-        return [_TLFilePartition(rel) for rel in files]
+        # dv POSITIONS resolved at PLAN time: each sidecar parquet is
+        # read once on the driver (sidecars are deletion-vector-sized,
+        # metadata not data) — but each partition carries only ITS OWN
+        # file's sorted dead positions, so task serialization is
+        # O(this file's deletes), not O(table-wide deletes) per task
+        dead = _dead_by_base(self.table, _dv_state(self.table, self.as_of))
+        return [
+            _TLFilePartition(rel, dead.get(os.path.basename(rel)))
+            for rel in files
+        ]
 
     def read(self, partition: _TLFilePartition):
         # Arrow-native: parquet -> select/null-pad/cast -> dv boolean
@@ -245,7 +248,7 @@ class TableLogBatchReader(DataSourceReader):
             os.path.join(self.table, partition.rel),
             self._schema,
             self._phys,
-            self._dead.get(os.path.basename(partition.rel)),
+            partition.dead,
         )
 
 
@@ -285,7 +288,7 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         m = _col_mapping(self.table, as_of)
         return [m.get(n, n) for n in names] if m else None
 
-    def _added_in(self, lo: int, hi: int) -> list[str]:
+    def _check_replayable(self, lo: int) -> None:
         vs = _versions(self.table)
         if vs and lo < vs[0] - 1:
             raise ValueError(
@@ -294,30 +297,36 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
                 f"{lo} cannot be replayed; restart the stream from a "
                 "fresh snapshot read"
             )
+
+    def _check_commit(self, v: int, c: dict) -> None:
+        if c.get("remove") and not self.ignore_deletes:
+            raise ValueError(
+                f"tablelog stream: commit {v} removes files — "
+                "the table is not append-only; set "
+                "ignore_deletes=true to stream adds anyway "
+                "(copy-on-write rewrites will re-deliver "
+                "carried rows)"
+            )
+        if (c.get("dv") or c.get("dv_clear")) and not self.ignore_deletes:
+            # a dv commit adds no files but changes the
+            # visibility of rows ALREADY DELIVERED — Delta
+            # fails the stream on such change commits unless
+            # the caller opts in; silently continuing would
+            # leave downstream state permanently divergent
+            raise ValueError(
+                f"tablelog stream: commit {v} carries deletion "
+                "vectors — previously delivered rows changed; "
+                "set ignore_deletes=true to acknowledge that "
+                "the stream will not retract them"
+            )
+
+    def _added_in(self, lo: int, hi: int) -> list[str]:
+        self._check_replayable(lo)
         rels: list[str] = []
         for v in _versions(self.table):
             if lo < v <= hi:
                 c = _commit_actions(self.table, v)
-                if c.get("remove") and not self.ignore_deletes:
-                    raise ValueError(
-                        f"tablelog stream: commit {v} removes files — "
-                        "the table is not append-only; set "
-                        "ignore_deletes=true to stream adds anyway "
-                        "(copy-on-write rewrites will re-deliver "
-                        "carried rows)"
-                    )
-                if (c.get("dv") or c.get("dv_clear")) and not self.ignore_deletes:
-                    # a dv commit adds no files but changes the
-                    # visibility of rows ALREADY DELIVERED — Delta
-                    # fails the stream on such change commits unless
-                    # the caller opts in; silently continuing would
-                    # leave downstream state permanently divergent
-                    raise ValueError(
-                        f"tablelog stream: commit {v} carries deletion "
-                        "vectors — previously delivered rows changed; "
-                        "set ignore_deletes=true to acknowledge that "
-                        "the stream will not retract them"
-                    )
+                self._check_commit(v, c)
                 rels.extend(c.get("add", []))
         return rels
 
@@ -338,17 +347,23 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
             if len(pending) > self.max_commits:
                 hi = pending[self.max_commits - 1]
         rels = self._added_in(start["version"], hi)
+        if not rels:
+            # resolve names ONLY when there are files to decode: with
+            # hi == -1 (no visible commits — empty table, or the log
+            # expired/removed mid-stream) _table_schema would raise,
+            # crashing the trigger where an idle empty batch is right
+            return iter([]), {"version": hi}
         as_of = hi if hi >= 0 else None
         names = self._names(as_of)
-        rows = (
-            list(_rows_of(self.table, rels, names, self._phys(names, as_of)))
-            if rels
-            else []
+        rows = list(
+            _rows_of(self.table, rels, names, self._phys(names, as_of))
         )
         return iter(rows), {"version": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rels = self._added_in(start["version"], end["version"])
+        if not rels:
+            return iter([])
         as_of = end["version"] if end["version"] >= 0 else None
         names = self._names(as_of)
         return iter(
@@ -381,14 +396,20 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
     deterministic because names/mapping resolve as of end): the same
     checkpoint contract, restart replay, and append-only failure
     modes apply, and TableLogStreamReader keeps pinning them in
-    tests. Admission control (max_commits_per_trigger) lives in
-    latestOffset, bounding how far one micro-batch may advance."""
+    tests. Admission control (max_commits_per_trigger, and
+    max_files_per_trigger which can split ONE giant commit across
+    micro-batches via (version, index) offsets) lives in latestOffset,
+    bounding how far one micro-batch may advance."""
 
     def __init__(self, options):
-        # reuse the simple reader's option parsing + commit-range
-        # logic (_added_in carries the remove/dv failure contract)
+        # reuse the simple reader's option parsing + per-commit
+        # contract checks (remove/dv failure modes)
         self._s = TableLogStreamReader(options)
         self.table = self._s.table
+        mft = options.get("max_files_per_trigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
 
     def initialOffset(self) -> dict:
         # called only on FRESH queries (restarts resume from the
@@ -397,30 +418,97 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
         self._fresh = True
         return {"version": -1}
 
+    # Offset encoding: {"version": v} = every commit <= v fully
+    # delivered; {"version": v, "index": i} = commits < v fully
+    # delivered, commit v delivered only through add-file index i
+    # (0-based, inclusive) — how max_files_per_trigger splits one
+    # giant commit (a post-OPTIMIZE backfill) across micro-batches
+    # with commit-boundary carry-over, Delta's (reservoirVersion,
+    # index) offset shape. A fully-delivered version is written
+    # WITHOUT "index" so pre-existing {"version": v} checkpoints
+    # replay unchanged.
+
+    def _pending_files(self, start: dict, hi: int) -> list:
+        """[(version, add_index, rel, is_last_of_commit)] of add-files
+        past offset ``start`` (exclusive) through version ``hi``, in
+        commit order — driver-side, metadata-sized."""
+        sv, si = start["version"], start.get("index")
+        out = []
+        for v in _versions(self.table):
+            if v > hi:
+                break
+            lo_i = 0
+            if v < sv:
+                continue
+            if v == sv:
+                if si is None:
+                    continue  # fully delivered
+                lo_i = si + 1
+            adds = _commit_actions(self.table, v).get("add", [])
+            for i in range(lo_i, len(adds)):
+                out.append((v, i, adds[i], i == len(adds) - 1))
+        return out
+
     def latestOffset(self) -> dict:
-        # Admission control caps how far past the last PLANNED end
-        # this trigger may advance. The base is the last offset this
-        # reader returned; on a RESTARTED query (no initialOffset
-        # call, unknown checkpoint position) the first answer is the
-        # true latest — returning a capped offset below the
-        # checkpointed start would move the stream backwards. Capping
-        # resumes from the second trigger on.
+        # Admission control caps how far past the last offset actually
+        # HANDED TO partitions() this trigger may advance — engines may
+        # call latestOffset more than once per planned batch (e.g.
+        # Trigger.AvailableNow planning), and advancing the base inside
+        # latestOffset would let one micro-batch span several multiples
+        # of the cap without any batch committing. On a RESTARTED query
+        # (no initialOffset call, nothing planned yet, unknown
+        # checkpoint position) the first answer is the true latest —
+        # returning a capped offset below the checkpointed start would
+        # move the stream backwards. Capping resumes once the first
+        # batch has been planned.
         lv = latest_version(self.table)
         hi = -1 if lv is None else lv
-        start = getattr(self, "_last_end", -1)
+        base = getattr(self, "_planned_end", None)
+        base_known = base is not None or getattr(self, "_fresh", False)
+        if base is None:
+            base = {"version": -1}
+        bv = base["version"]
+        if not base_known:
+            return {"version": max(hi, bv)}
         mc = self._s.max_commits
-        capped_base_known = start >= 0 or getattr(self, "_fresh", False)
-        if mc is not None and capped_base_known:
-            pending = [v for v in _versions(self.table) if v > start]
-            if len(pending) > mc:
-                hi = pending[mc - 1]
-        if hi > start:
-            self._last_end = hi
-        return {"version": max(hi, start)}
+        if mc is not None:
+            pending_v = [v for v in _versions(self.table) if v > bv]
+            if len(pending_v) > mc:
+                hi = pending_v[mc - 1]
+        end = {"version": max(hi, bv)}
+        if self.max_files is not None:
+            pend = self._pending_files(base, end["version"])
+            if base.get("index") is not None and not pend and end[
+                "version"
+            ] == bv:
+                return dict(base)  # no progress: echo the base exactly
+            if len(pend) > self.max_files:
+                v, i, _rel, last = pend[self.max_files - 1]
+                end = {"version": v} if last else {"version": v, "index": i}
+        return end
 
     def partitions(self, start: dict, end: dict):
-        rels = self._s._added_in(start["version"], end["version"])
-        as_of = end["version"] if end["version"] >= 0 else None
+        self._planned_end = dict(end)  # the admission-control base
+        sv, si = start["version"], start.get("index")
+        ev, ei = end["version"], end.get("index")
+        self._s._check_replayable(sv)
+        rels: list[str] = []
+        for v in _versions(self.table):
+            if v > ev:
+                break
+            lo_i = 0
+            if v < sv:
+                continue
+            if v == sv:
+                if si is None:
+                    continue
+                lo_i = si + 1
+            c = _commit_actions(self.table, v)
+            self._s._check_commit(v, c)
+            adds = c.get("add", [])
+            hi_i = ei + 1 if (v == ev and ei is not None) else len(adds)
+            rels.extend(adds[lo_i:hi_i])
+        as_of = ev if ev >= 0 else None
         if not rels or as_of is None:
             # metadata-only range (rename, dv under ignore_deletes):
             # one sentinel partition yielding nothing — the engine
