@@ -116,8 +116,11 @@ def test_tablelog_reader_batches_match_library_under_dv_and_mapping(
     )
     assert got == want
     assert all(i % 3 != 0 for i, _ in got)  # dv-deleted rows stay dead
-    # dv positions were resolved at PLAN time, once per sidecar
-    assert isinstance(reader._dead, dict)
+    # dv positions were resolved at PLAN time and attached per
+    # partition (each task ships only its own file's mask; the reader
+    # object itself carries no table-wide dict)
+    assert not hasattr(reader, "_dead")
+    assert any(p.dead for p in parts)
 
 
 def test_tablelog_datasource_end_to_end_column_mapping(spark, tmp_path):
@@ -257,9 +260,16 @@ def test_partitioned_stream_admission_control_latest_offset(
         {"path": t, "max_commits_per_trigger": "1"}
     )
     r.initialOffset()  # fresh query -> capping from -1 is safe
+    # the base advances ONLY when a batch is actually planned
+    # (partitions()), never by merely calling latestOffset — engines
+    # may call it several times per batch (AvailableNow planning)
     assert r.latestOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 0}
+    r.partitions({"version": -1}, {"version": 0})
     assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": 0}, {"version": 1})
     assert r.latestOffset() == {"version": 2}
+    r.partitions({"version": 1}, {"version": 2})
     assert r.latestOffset() == {"version": 2}  # caught up, stable
     # RESTARTED reader (no initialOffset): first answer must be the
     # true latest, never below an unknown checkpointed start

@@ -1,0 +1,500 @@
+"""Round-10 hardening pins: write-path TOCTOU guards (metadata commits
+landing between staging and commit), schema-change rebase blockers,
+max_files_per_trigger commit-splitting, per-partition deletion-vector
+shipping, idle empty-log streams, stable admission-control bases, and
+the loud mid-stream schema-change failure (Delta contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import trace_parquet_spark.sources.tablelog as tl
+from trace_parquet_spark.sources.tablelog import (
+    ConcurrentWriteError,
+    append,
+    latest_version,
+    read_table,
+)
+from trace_parquet_spark.sources.tablelog_source import (
+    TableLogBatchReader,
+    TableLogPartitionedStreamReader,
+    TableLogStreamReader,
+)
+
+
+# ------------------------------------------------- write-path TOCTOU
+
+
+def test_append_toctou_constraint_guard(spark, tmp_path, monkeypatch):
+    """A CHECK constraint committed BETWEEN an append's staging (where
+    constraints are resolved and enforced) and its first commit must
+    surface ConcurrentWriteError — the old code committed at the new
+    head without a version race, admitting rows never validated
+    against the new constraint."""
+    t = str(tmp_path / "t")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def constraint_lands_mid_stage(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.add_check_constraint(spark, table, "v_pos", "v > 0")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", constraint_lands_mid_stage)
+    with pytest.raises(ConcurrentWriteError, match="constraints@"):
+        tl.append(
+            spark.range(3, 5).select("id", F.lit(-1).alias("v")), t
+        )
+    # the violating rows were NOT admitted; the constraint commit is
+    # the table head
+    assert read_table(spark, t).count() == 3
+    assert tl._constraints(t) == {"v_pos": "v > 0"}
+
+
+def test_append_toctou_schema_change_guard(spark, tmp_path, monkeypatch):
+    """An interleaved append that EVOLVED the schema (between this
+    append's snapshot and its commit) must block: re-committing our
+    own schema would silently revert the evolution (last-schema-wins
+    in _read_log)."""
+    t = str(tmp_path / "t")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def evolving_append_mid_stage(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.append(
+                spark.range(9, 10).select(
+                    "id",
+                    (F.col("id") + 1).alias("v"),
+                    F.lit("x").alias("extra"),
+                ),
+                table,
+            )
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", evolving_append_mid_stage)
+    with pytest.raises(ConcurrentWriteError, match="schema_change@"):
+        tl.append(
+            spark.range(3, 5).select("id", (F.col("id") + 1).alias("v")), t
+        )
+    # the evolved schema survived (was not reverted)
+    assert "extra" in read_table(spark, t).columns
+
+
+def test_append_rebase_blocked_by_schema_change(
+    spark, tmp_path, monkeypatch
+):
+    """The REBASE path (lost version race) must also refuse to rebase
+    over an interleaved different-schema commit."""
+    t = str(tmp_path / "t")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
+    append(
+        spark.range(5, 6).select(
+            "id", (F.col("id") + 1).alias("v"), F.lit(1).alias("extra")
+        ),
+        t,
+    )  # v1 evolves the schema
+    real_lv = tl.latest_version
+    state = {"n": 0}
+
+    def stale_second(table):
+        v = real_lv(table)
+        state["n"] += 1
+        if state["n"] == 2:
+            return v - 1  # race: v1 lands between read and commit
+        return v
+
+    monkeypatch.setattr(tl, "latest_version", stale_second)
+    with pytest.raises(ConcurrentWriteError, match="schema_change@1"):
+        tl.append(
+            spark.range(3, 5).select("id", (F.col("id") + 1).alias("v")), t
+        )
+
+
+def test_append_same_schema_rebase_still_commutes(
+    spark, tmp_path, monkeypatch
+):
+    """Blind appends with IDENTICAL schemas must keep commuting — the
+    schema-change blocker must not break the happy rebase path."""
+    t = str(tmp_path / "t")
+    append(spark.range(3), t)
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def same_schema_append_mid_stage(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.append(spark.range(10, 12), table)
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", same_schema_append_mid_stage)
+    v = tl.append(spark.range(3, 5), t)
+    assert v == 2
+    assert sorted(r.id for r in read_table(spark, t).collect()) == [
+        0, 1, 2, 3, 4, 10, 11,
+    ]
+
+
+def test_merge_rejects_any_interleaved_commit(spark, tmp_path, monkeypatch):
+    """MERGE rewrites a snapshot: even a plain same-schema append
+    interleaved between its snapshot read and its commit could carry
+    keys the merge should have updated — it must fail, not commit."""
+    from trace_parquet_spark.sources.tablelog import merge_upsert
+
+    t = str(tmp_path / "t")
+    append(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        t,
+        stats_col="k",
+    )
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def append_lands_mid_merge(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.append(
+                spark.range(2, 3).select(
+                    F.col("id").alias("k"), F.lit(99).alias("v")
+                ),
+                table,
+            )
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", append_lands_mid_merge)
+    with pytest.raises(ConcurrentWriteError, match="merge_upsert"):
+        merge_upsert(
+            spark,
+            t,
+            spark.range(2, 4).select(
+                F.col("id").alias("k"), F.lit(7).alias("v")
+            ),
+            "k",
+        )
+
+
+# ------------------------------------------- DataSource low-level fixes
+
+
+def test_batch_partition_carries_own_dv_only(spark, tmp_path):
+    """Each planned partition ships ONLY its own file's deletion-vector
+    positions (task serialization O(own deletes), not O(table-wide)),
+    and the reader object itself holds no table-wide mask."""
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import delete_where
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    append(spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), t)
+    append(spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1), t)
+    delete_where(spark, t, "k IN (1, 12, 13)")
+    r = TableLogBatchReader({"path": t})
+    assert not hasattr(r, "_dead")
+    parts = r.partitions()
+    assert len(parts) == 2
+    sizes = sorted(len(p.dead or []) for p in parts)
+    assert sizes == [1, 2]  # one dead row in file A, two in file B
+    got = sorted(
+        r.k
+        for r in spark.read.format("tablelog").option("path", t).load().collect()
+    )
+    assert got == [k for k in range(20) if k not in (1, 12, 13)]
+
+
+def test_stream_read_idles_on_empty_log(spark, tmp_path):
+    """A stream read against a table with NO visible commits returns
+    an idle empty batch instead of crashing the trigger on schema
+    resolution."""
+    t = str(tmp_path / "empty")
+    os.makedirs(t)
+    r = TableLogStreamReader({"path": t})
+    rows, off = r.read({"version": -1})
+    assert list(rows) == [] and off == {"version": -1}
+    assert list(r.readBetweenOffsets({"version": -1}, {"version": -1})) == []
+
+
+def test_latest_offset_stable_across_repeated_calls(spark, tmp_path):
+    """latestOffset must NOT advance the admission-control base by
+    merely being called (Trigger.AvailableNow plans call it more than
+    once per batch); the base moves only when partitions() plans a
+    batch."""
+    t = str(tmp_path / "t")
+    for lo in range(0, 50, 10):
+        append(spark.range(lo, lo + 10).coalesce(1), t)  # v0..v4
+    r = TableLogPartitionedStreamReader(
+        {"path": t, "max_commits_per_trigger": "2"}
+    )
+    assert r.initialOffset() == {"version": -1}
+    first = r.latestOffset()
+    assert first == {"version": 1}  # capped at 2 commits
+    # repeated planning calls: same answer, no silent advancement
+    assert r.latestOffset() == first
+    assert r.latestOffset() == first
+    parts = r.partitions({"version": -1}, first)
+    assert len(parts) == 2
+    second = r.latestOffset()
+    assert second == {"version": 3}
+    r.partitions(first, second)
+    assert r.latestOffset() == {"version": 4}
+
+
+def test_max_files_per_trigger_splits_giant_commit(spark, tmp_path):
+    """ONE commit carrying many files (a post-OPTIMIZE backfill) must
+    split across micro-batches under max_files_per_trigger, every
+    batch bounded, every file delivered exactly once — including
+    across a simulated restart replay of a partial-commit range."""
+    t = str(tmp_path / "t")
+    append(spark.range(0, 60).repartition(6), t)  # v0: 6 files
+    append(spark.range(60, 70).coalesce(1), t)  # v1: 1 file
+    r = TableLogPartitionedStreamReader(
+        {"path": t, "max_files_per_trigger": "4"}
+    )
+    r.initialOffset()
+    offsets = [{"version": -1}]
+    batches = []
+    while True:
+        end = r.latestOffset()
+        if end == offsets[-1]:
+            break
+        parts = r.partitions(offsets[-1], end)
+        rels = [p.rel for p in parts if p.rel is not None]
+        assert len(rels) <= 4
+        batches.append(rels)
+        offsets.append(end)
+    assert len(batches) == 2  # 7 files / 4 per trigger
+    assert offsets[1] == {"version": 0, "index": 3}  # mid-commit stop
+    assert offsets[2] == {"version": 1}
+    delivered = [rel for b in batches for rel in b]
+    assert len(delivered) == 7 and len(set(delivered)) == 7
+    # restart replay of the partial first range is deterministic
+    r2 = TableLogPartitionedStreamReader(
+        {"path": t, "max_files_per_trigger": "4"}
+    )
+    replay = [p.rel for p in r2.partitions(offsets[0], offsets[1])]
+    assert replay == batches[0]
+    replay2 = [p.rel for p in r2.partitions(offsets[1], offsets[2])]
+    assert replay2 == batches[1]
+
+
+def test_max_files_per_trigger_end_to_end_exactly_once(spark, tmp_path):
+    """Through the real engine: availableNow drains a multi-file
+    commit in several bounded micro-batches and the sink totals are
+    exactly-once."""
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    append(spark.range(0, 50).select(F.col("id").alias("k")).repartition(5), t)
+
+    def run():
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", t)
+            .option("max_files_per_trigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(50))
+    append(spark.range(50, 55).select(F.col("id").alias("k")).coalesce(1), t)
+    run()  # restart: only the new commit, no re-delivery
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(55))
+
+
+# --------------------------------------- mid-stream schema change
+
+
+def test_rename_in_flight_fails_loudly_then_restart_adopts(
+    spark, tmp_path
+):
+    """A rename landing between two micro-batches must fail the stream
+    with the explicit schema-change message (not a worker-side Arrow
+    mismatch); a RESTART adopts the new logical names and keeps
+    physical-name lookup for pre-rename files (Delta schema-change
+    contract)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import rename_column
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def sink(df, bid):
+        seen.extend((bid, c) for c in df.columns)
+        seen.extend(tuple(r) for r in df.collect())
+
+    append(spark.range(3).select("id", (F.col("id") * 10).alias("v")), t)
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    assert (0, 0) in seen and (2, 20) in seen
+    rename_column(t, "v", "w")
+    append(spark.range(3, 5).select("id", (F.col("id") * 10).alias("w")), t)
+    with pytest.raises(
+        StreamingQueryException, match="schema changed mid-stream"
+    ):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    # restart with the SAME checkpoint: new schema adopted, only the
+    # undelivered commits replayed (pre-rename batches not re-sent)
+    seen2: list[tuple] = []
+
+    def sink2(df, bid):
+        seen2.append(tuple(df.columns))
+        seen2.extend(tuple(r) for r in df.collect())
+
+    q2 = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert ("id", "w") in seen2
+    assert (3, 30) in seen2 and (4, 40) in seen2
+    assert (0, 0) not in seen2  # committed batches are not replayed
+
+
+# ----------------------------------------- zone-map pushdown pruning
+
+
+def test_zonemap_pushdown_prunes_planned_partitions(spark, tmp_path):
+    """Write-time stats (append stats_col=...) + a selective range
+    predicate through pushFilters must plan FEWER partitions than
+    live files — the registry entry tablelog_zonemap_pruned_read
+    proves the answer; this pins the skip itself."""
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):  # disjoint ranges, stats declared
+        append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("k"))
+            .coalesce(1),
+            t,
+            stats_col="k",
+        )
+    r = TableLogBatchReader({"path": t})
+    assert len(r.partitions()) == 4  # no predicate: all files planned
+    r2 = TableLogBatchReader({"path": t})
+    list(r2.pushFilters([LessThanOrEqual(("k",), 150)]))
+    assert len(r2.partitions()) == 2  # files [0,100) and [100,200)
+    # end-to-end: the pruned scan still answers exactly
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    got = (
+        spark.read.format("tablelog")
+        .option("path", t)
+        .load()
+        .filter(F.col("k") <= 150)
+        .count()
+    )
+    assert got == 151
+
+
+# ------------------------------------------ DataSource write seam
+
+
+def test_datasource_write_append_overwrite_roundtrip(spark, tmp_path):
+    """df.write.format('tablelog'): multi-task Arrow staging + one log
+    commit per save; append accumulates, overwrite replaces
+    atomically; the library reader and the DataSource reader agree."""
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    spark.range(10).select("id", (F.col("id") * 2).alias("v")).repartition(
+        3
+    ).write.format("tablelog").mode("append").option("path", t).save()
+    assert latest_version(t) == 0
+    spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")).write.format(
+        "tablelog"
+    ).mode("append").option("path", t).save()
+    got = sorted(r.id for r in read_table(spark, t).collect())
+    assert got == list(range(15))
+    assert got == sorted(
+        r.id
+        for r in spark.read.format("tablelog").option("path", t).load().collect()
+    )
+    spark.range(3).select("id", (F.col("id") * 2).alias("v")).write.format(
+        "tablelog"
+    ).mode("overwrite").option("path", t).save()
+    assert sorted(r.id for r in read_table(spark, t).collect()) == [0, 1, 2]
+    # time travel across DataSource-written versions still works
+    assert read_table(spark, t, as_of=1).count() == 15
+
+
+def test_datasource_write_enforces_check_constraints(spark, tmp_path):
+    """A violating partition fails its TASK (executor-side validation
+    against the writer's own Arrow rows), the job aborts, the staging
+    dir is torn down, and NOTHING is committed."""
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    spark.range(5).select("id", (F.col("id") + 1).alias("v")).write.format(
+        "tablelog"
+    ).mode("append").option("path", t).save()
+    tl.add_check_constraint(spark, t, "v_pos", "v > 0")
+    lv = latest_version(t)
+    with pytest.raises(Exception, match="violate constraint"):
+        spark.range(5, 8).select("id", F.lit(-1).alias("v")).write.format(
+            "tablelog"
+        ).mode("append").option("path", t).save()
+    assert latest_version(t) == lv
+    assert read_table(spark, t).count() == 5
+    # the aborted write's staging dir is gone (no orphan buildup)
+    stages = [
+        d
+        for d in os.listdir(t)
+        if d.startswith("data-") and not os.listdir(os.path.join(t, d))
+    ]
+    assert stages == []
+
+
+def test_datasource_write_refuses_column_mapped_tables(spark, tmp_path):
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import rename_column
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
+    rename_column(t, "v", "w")
+    with pytest.raises(Exception, match="column-.?mapped"):
+        spark.range(3, 5).select("id", (F.col("id") + 1).alias("w")).write.format(
+            "tablelog"
+        ).mode("append").option("path", t).save()

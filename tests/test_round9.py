@@ -193,16 +193,19 @@ def test_append_rebases_after_losing_race_to_data_commit(
     t = str(tmp_path / "t")
     append(spark.range(3), t)  # v0
     real_lv = tl.latest_version
-    state = {"stale": True}
+    state = {"n": 0}
 
-    def stale_once(table):
+    # stale on the SECOND call: append now reads latest_version twice
+    # (a pre-staging metadata snapshot, then the commit-version read);
+    # only a stale commit-version read exercises the rebase loop
+    def stale_second(table):
         v = real_lv(table)
-        if state["stale"]:
-            state["stale"] = False
+        state["n"] += 1
+        if state["n"] == 2:
             return None if v == 0 else v - 1  # pretend head unseen
         return v
 
-    monkeypatch.setattr(tl, "latest_version", stale_once)
+    monkeypatch.setattr(tl, "latest_version", stale_second)
     # first _commit attempt targets the already-taken version ->
     # EEXIST -> rebase onto the real head and succeed
     v = tl.append(spark.range(3, 6), t)
@@ -222,16 +225,16 @@ def test_append_refuses_rebase_across_metadata_commit(
     append(spark.range(3).select("id", (F.col("id") + 1).alias("v")), t)
     rename_column(t, "v", "w")  # v1: metadata commit
     real_lv = tl.latest_version
-    state = {"stale": True}
+    state = {"n": 0}
 
-    def stale_once(table):
+    def stale_second(table):
         v = real_lv(table)
-        if state["stale"]:
-            state["stale"] = False
+        state["n"] += 1
+        if state["n"] == 2:
             return v - 1  # race: the rename lands between read and commit
         return v
 
-    monkeypatch.setattr(tl, "latest_version", stale_once)
+    monkeypatch.setattr(tl, "latest_version", stale_second)
     with pytest.raises(ConcurrentWriteError, match="col_mapping"):
         tl.append(
             spark.range(3, 5).select("id", (F.col("id") + 1).alias("w")), t

@@ -611,6 +611,61 @@ def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     )
 
 
+def commit_staged_files(
+    table: str,
+    files: list[str],
+    schema_json: str,
+    snap: int | None,
+    overwrite: bool = False,
+) -> int:
+    """Commit parquet part files that were ALREADY staged under the
+    table dir (the DataSource writer's two-phase-commit half: tasks
+    stage, the driver-side commit publishes). Same concurrency
+    contract as append()/overwrite(): the staging-window TOCTOU guard
+    runs against ``snap`` (the version at which the writer resolved
+    constraints/mapping, plan time), and append-mode commits rebase
+    across interleaved same-schema data commits. Runs without a
+    SparkSession — footer metadata via pyarrow only — because the
+    Python DataSource commit hook executes in a plain worker
+    process."""
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    actions: dict = {
+        "add": files,
+        "remove": [],
+        "schema": schema_json,
+        "rows": _footer_rows(table, files),
+    }
+    if overwrite:
+        actions["remove"] = (
+            _read_log(table, None)[0] if _versions(table) else []
+        )
+        _guard_staging_window(table, snap, version - 1, "overwrite")
+        _commit(table, version, actions)
+        return version
+    _guard_staging_window(table, snap, version - 1, "append", schema_json)
+    for _ in range(_APPEND_REBASE_LIMIT):
+        try:
+            _commit(table, version, actions)
+            return version
+        except ConcurrentWriteError:
+            new_head = latest_version(table)
+            blocker = _interleaved_blocks_append(
+                table, version - 1, new_head, schema_json
+            )
+            if blocker is not None:
+                raise ConcurrentWriteError(
+                    f"staged write to {table} lost the race to a "
+                    f"metadata commit ({blocker}); staged data cannot "
+                    "be rebased safely — re-run the write"
+                ) from None
+            version = new_head + 1
+    raise ConcurrentWriteError(
+        f"staged write to {table} exhausted {_APPEND_REBASE_LIMIT} "
+        "rebase attempts under sustained write contention"
+    )
+
+
 def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     """Atomic whole-table replace: one commit that removes every live
     file and adds the new ones — readers see the old or the new

@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -263,7 +265,7 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
     stream still delivers every commit exactly once, just across more
     micro-batches."""
 
-    def __init__(self, options):
+    def __init__(self, options, expected_names: list[str] | None = None):
         self.table = options.get("path")
         if not self.table:
             raise ValueError("tablelog requires option 'path'")
@@ -274,6 +276,22 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         self.max_commits = int(mct) if mct is not None else None
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("max_commits_per_trigger must be >= 1")
+        # the QUERY's schema, fixed when the stream started — used to
+        # fail loudly (Delta's schema-change contract) when a rename/
+        # drop/add lands mid-stream, instead of surfacing a low-level
+        # Arrow column mismatch from a worker
+        self.expected_names = expected_names
+
+    def _check_schema_drift(self, names: list[str]) -> None:
+        if self.expected_names is not None and names != self.expected_names:
+            raise ValueError(
+                "tablelog stream: table schema changed mid-stream — the "
+                f"query expects columns {self.expected_names} but the "
+                f"planned commit range resolves to {names} (rename/drop/"
+                "add landed after the stream started); restart the "
+                "stream to adopt the new schema (Delta schema-change "
+                "contract: already-committed batches are not replayed)"
+            )
 
     def _names(self, as_of: int | None = None) -> list[str]:
         return _table_schema(self.table, as_of).fieldNames()
@@ -355,6 +373,7 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
             return iter([]), {"version": hi}
         as_of = hi if hi >= 0 else None
         names = self._names(as_of)
+        self._check_schema_drift(names)
         rows = list(
             _rows_of(self.table, rels, names, self._phys(names, as_of))
         )
@@ -366,6 +385,7 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
             return iter([])
         as_of = end["version"] if end["version"] >= 0 else None
         names = self._names(as_of)
+        self._check_schema_drift(names)
         return iter(
             list(_rows_of(self.table, rels, names, self._phys(names, as_of)))
         )
@@ -401,10 +421,10 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
     micro-batches via (version, index) offsets) lives in latestOffset,
     bounding how far one micro-batch may advance."""
 
-    def __init__(self, options):
+    def __init__(self, options, expected_names: list[str] | None = None):
         # reuse the simple reader's option parsing + per-commit
-        # contract checks (remove/dv failure modes)
-        self._s = TableLogStreamReader(options)
+        # contract checks (remove/dv failure modes, schema drift)
+        self._s = TableLogStreamReader(options, expected_names)
         self.table = self._s.table
         mft = options.get("max_files_per_trigger")
         self.max_files = int(mft) if mft is not None else None
@@ -516,6 +536,7 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
             return [_TLStreamPartition(self.table, None, "", None)]
         _files, schema_json, _stats, _rows = _read_log(self.table, as_of)
         names = StructType.fromJson(json.loads(schema_json)).fieldNames()
+        self._s._check_schema_drift(names)
         m = _col_mapping(self.table, as_of)
         phys = [m.get(n, n) for n in names] if m else None
         return [
@@ -539,6 +560,106 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
         pass  # log entries are immutable; nothing to release
 
 
+class _TLFileWritten(WriterCommitMessage):
+    def __init__(self, rel: str | None, rows: int):
+        self.rel = rel
+        self.rows = rows
+
+
+class TableLogArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("tablelog")`` — the Catalyst-facing WRITE seam
+    of the log format (Delta's path-based writer). Two-phase commit:
+
+    - ``write`` (executor, Arrow batches): each task stages its
+      partition as one parquet part under a per-write staging dir
+      chosen at PLAN time; a task retry writes a fresh uuid file and
+      only files named in SUCCESSFUL commit messages are published,
+      so speculative duplicates stay invisible (append()'s orphan
+      rule — vacuum sweeps them).
+    - CHECK constraints are enforced IN the task against its own
+      Arrow rows (DuckDB over the in-memory table — constraint
+      expressions are ANSI SQL, the Delta-parity subset); a violating
+      partition fails the task, Spark aborts the job, and ``abort``
+      tears the staging dir down — nothing was ever visible.
+    - ``commit`` (driver-side worker process, no SparkSession):
+      publishes ONE log commit via tablelog.commit_staged_files,
+      which runs the same staging-window TOCTOU guard and append
+      rebase protocol as the library writers.
+
+    Column-mapped tables are refused (files must carry frozen
+    physical names; use tablelog.append which handles the rename) —
+    checked at plan time so the job fails before any task runs."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid as _uuid
+
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("tablelog requires option 'path'")
+        self.overwrite = overwrite
+        self.schema_json = schema.json()
+        # plan-time metadata snapshot: the commit's TOCTOU guard runs
+        # against this version
+        self.snap = latest_version(self.table)
+        if self.snap is not None and _col_mapping(self.table, None):
+            raise ValueError(
+                "tablelog DataSource write does not support column-"
+                "mapped tables (files carry frozen physical names); "
+                "use trace_parquet_spark.sources.tablelog.append"
+            )
+        from .tablelog import _constraints
+
+        self.cons = (
+            _constraints(self.table) if self.snap is not None else {}
+        )
+        self.stage = f"data-{_uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TLFileWritten(None, 0)
+        tbl = pa.Table.from_batches(batches)
+        if self.cons:
+            import duckdb
+
+            con = duckdb.connect()
+            con.register("staged", tbl)
+            for name, expr in sorted(self.cons.items()):
+                bad = con.execute(
+                    "SELECT count(*) FROM staged "
+                    f"WHERE NOT coalesce(({expr}), TRUE)"
+                ).fetchone()[0]
+                if bad:
+                    raise ValueError(
+                        f"write rejected: {bad} row(s) violate "
+                        f"constraint {name!r} ({expr})"
+                    )
+        os.makedirs(os.path.join(self.table, self.stage), exist_ok=True)
+        rel = os.path.join(self.stage, f"part-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, os.path.join(self.table, rel))
+        return _TLFileWritten(rel, tbl.num_rows)
+
+    def commit(self, messages):
+        from .tablelog import commit_staged_files
+
+        files = sorted(m.rel for m in messages if m is not None and m.rel)
+        commit_staged_files(
+            self.table, files, self.schema_json, self.snap, self.overwrite
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.table, self.stage), ignore_errors=True
+        )
+
+
 class TableLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -554,20 +675,24 @@ class TableLogDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return TableLogBatchReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return TableLogArrowWriter(self.options, schema, overwrite)
+
     def streamReader(self, schema: StructType):
         # Spark prefers this (executor-parallel, Arrow) over the
         # simple reader; option reader=simple forces the driver-side
         # prefetch variant (kept for its tested replay contract and
         # as the lightweight path for tiny tables)
+        names = schema.fieldNames() if schema is not None else None
         if str(self.options.get("reader", "")).lower() == "simple":
             from pyspark.sql.datasource_internal import (
                 _SimpleStreamReaderWrapper,
             )
 
             return _SimpleStreamReaderWrapper(
-                TableLogStreamReader(self.options)
+                TableLogStreamReader(self.options, names)
             )
-        return TableLogPartitionedStreamReader(self.options)
+        return TableLogPartitionedStreamReader(self.options, names)
 
 
 def register(spark) -> None:
@@ -845,3 +970,180 @@ ORDER BY connector
 
 QUERIES["federated_source_union"] = federated_source_union
 ORACLES["federated_source_union"] = FEDERATED_SQL
+
+def tablelog_zonemap_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping exercised THROUGH the Catalyst-facing
+    DataSource (round-9 verdict task #6): four range-disjoint appends
+    record per-file [min, max] o_orderkey stats in the log
+    (stats_col), then a selective range predicate is read back via
+    ``spark.read.format("tablelog")`` — pushFilters tightens the box
+    and partitions() plans ONLY the overlapping files (pruning pinned
+    in tests/test_round10.py; Spark re-applies the predicate exactly,
+    so stats coverage is never a correctness dependency). The oracle
+    recomputes from orders alone, proving the pruned scan still
+    surfaces exactly the predicate's rows. Mechanism:
+    TableLogBatchReader.pushFilters/partitions zone maps from
+    tablelog append(stats_col=...) footer stats."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import append
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("mx")).collect()[0].mx
+    t = tempfile.mkdtemp(prefix="tablelog_zm_")
+    try:
+        cuts = [-1, mx // 4, mx // 2, (3 * mx) // 4, mx]  # keys start at 0
+        for lo, hi in zip(cuts, cuts[1:]):
+            append(
+                orders.filter(
+                    (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+                ),
+                t,
+                stats_col="o_orderkey",
+            )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .filter(F.col("o_orderkey") <= mx // 8)  # inside file 1 only
+            .groupBy((F.col("o_orderkey") % 3).alias("residue"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .orderBy("residue")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "residue long, n_rows long, total_cents long,"
+        " min_key long, max_key long",
+    ).orderBy("residue")
+
+
+TABLELOG_ZM_SQL = """
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS residue,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders, mx
+WHERE o_orderkey <= mx.m // 8
+GROUP BY 1
+ORDER BY residue
+"""
+
+QUERIES["tablelog_zonemap_pruned_read"] = tablelog_zonemap_pruned_read
+ORACLES["tablelog_zonemap_pruned_read"] = TABLELOG_ZM_SQL
+
+def tablelog_datasource_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DataSource WRITE seam under the oracle gate: two orders
+    slices written with ``df.write.format("tablelog")`` (multi-task
+    Arrow staging + one log commit each, TableLogArrowWriter), a CHECK
+    constraint added between them (so the second write is validated
+    executor-side through the seam), a violating third write REJECTED
+    atomically (negative-path assertion), then the table read back via
+    ``spark.read.format("tablelog")`` and aggregated. The oracle
+    recomputes from orders using only the two accepted slices — any
+    leak of the rejected batch or loss of a staged part shifts count
+    and sum. Mechanism: TableLogArrowWriter two-phase commit,
+    tablelog.commit_staged_files TOCTOU guard."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import add_check_constraint, latest_version
+
+    register(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(2, 7))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="tablelog_dsw_")
+    t = f"{work}/t"
+    try:
+        orders.filter(F.col("o_orderkey") % 3 == 0).repartition(
+            4
+        ).write.format("tablelog").mode("append").option("path", t).save()
+        add_check_constraint(spark, t, "cents_nonneg", "cents >= 0")
+        orders.filter(F.col("o_orderkey") % 3 == 1).write.format(
+            "tablelog"
+        ).mode("append").option("path", t).save()
+        lv = latest_version(t)
+        try:
+            orders.filter(F.col("o_orderkey") % 3 == 2).select(
+                "o_orderkey", (-F.col("cents") - 1).alias("cents")
+            ).write.format("tablelog").mode("append").option(
+                "path", t
+            ).save()
+            raise AssertionError("violating DataSource write accepted")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # task-level constraint rejection aborted the job
+        assert latest_version(t) == lv  # nothing committed
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .groupBy((F.col("o_orderkey") % 2).alias("parity"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+            )
+            .orderBy("parity")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "parity long, n_rows long, total_cents long, min_key long"
+    ).orderBy("parity")
+
+
+TABLELOG_DSW_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (2, 7)
+)
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM o WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1
+ORDER BY parity
+"""
+
+QUERIES["tablelog_datasource_write_roundtrip"] = (
+    tablelog_datasource_write_roundtrip
+)
+ORACLES["tablelog_datasource_write_roundtrip"] = TABLELOG_DSW_SQL
