@@ -498,3 +498,117 @@ def test_datasource_write_refuses_column_mapped_tables(spark, tmp_path):
         spark.range(3, 5).select("id", (F.col("id") + 1).alias("w")).write.format(
             "tablelog"
         ).mode("append").option("path", t).save()
+
+
+# ------------------------------------------ streaming sink (writeStream)
+
+
+def test_stream_sink_exactly_once_replay(spark, tmp_path):
+    """A micro-batch replayed after a crash between sink commit and
+    offset checkpoint must land exactly once: commit() with an
+    already-logged (app, batchId) marker publishes nothing."""
+    from trace_parquet_spark.sources.tablelog_source import (
+        TableLogStreamArrowWriter,
+        _stage_arrow_partition,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark.range(3).select(F.col("id").alias("k")), t)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    w = TableLogStreamArrowWriter({"path": t, "app": "app1"}, schema)
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pydict({"k": [100, 101]})
+    msg = _stage_arrow_partition(t, w.stage, {}, iter([batch]))
+    w.commit([msg], 7)
+    assert latest_version(t) == 1
+    assert sorted(r.k for r in read_table(spark, t).collect()) == [
+        0, 1, 2, 100, 101,
+    ]
+    # crash-replay of batch 7: staged again, but the marker wins
+    msg2 = _stage_arrow_partition(t, w.stage, {}, iter([batch]))
+    w.commit([msg2], 7)
+    assert latest_version(t) == 1  # no second commit
+    assert read_table(spark, t).count() == 5
+
+
+def test_stream_sink_end_to_end_restart(spark, tmp_path):
+    """writeStream.format('tablelog') through the real engine: two
+    availableNow runs against one checkpoint deliver each source file
+    exactly once; the result is a normal logged table (time travel
+    works)."""
+    import os as _os
+
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+
+    def drop(i, lo, hi):
+        tmp = f"{src}/d{i}"
+        spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(
+            f for f in _os.listdir(tmp) if f.endswith(".parquet")
+        )
+        _os.rename(f"{tmp}/{part}", f"{src}/drop{i}.parquet")
+
+    def run():
+        q = (
+            spark.readStream.schema("k long")
+            .parquet(src)
+            .writeStream.format("tablelog")
+            .option("path", t)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop(0, 0, 10)
+    run()
+    assert sorted(r.k for r in read_table(spark, t).collect()) == list(
+        range(10)
+    )
+    drop(1, 10, 15)
+    run()  # restart: only the new file
+    assert sorted(r.k for r in read_table(spark, t).collect()) == list(
+        range(15)
+    )
+    assert read_table(spark, t, as_of=0).count() == 10  # time travel
+
+
+def test_stream_sink_enforces_constraints_mid_query(spark, tmp_path):
+    """A table-side CHECK constraint is enforced executor-side on every
+    streamed batch; a violating batch fails the query and publishes
+    nothing."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    append(spark.range(3).select(F.col("id").alias("k")), t)
+    tl.add_check_constraint(spark, t, "k_small", "k < 1000")
+    spark.range(2000, 2005).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(src)
+        .writeStream.format("tablelog")
+        .option("path", t)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="violate constraint"):
+        q.awaitTermination(120)
+    assert read_table(spark, t).count() == 3  # nothing published

@@ -617,6 +617,7 @@ def commit_staged_files(
     schema_json: str,
     snap: int | None,
     overwrite: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit parquet part files that were ALREADY staged under the
     table dir (the DataSource writer's two-phase-commit half: tasks
@@ -636,6 +637,8 @@ def commit_staged_files(
         "schema": schema_json,
         "rows": _footer_rows(table, files),
     }
+    if txn is not None:
+        actions["txn"] = {"app": txn[0], "batch_id": txn[1]}
     if overwrite:
         actions["remove"] = (
             _read_log(table, None)[0] if _versions(table) else []

@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -566,6 +567,45 @@ class _TLFileWritten(WriterCommitMessage):
         self.rows = rows
 
 
+def _stage_arrow_partition(table, stage, cons, iterator) -> _TLFileWritten:
+    """Task-side half of the two-phase commit, shared by the batch and
+    streaming writers: buffer this task's Arrow batches, enforce CHECK
+    constraints against them (DuckDB over the in-memory table —
+    constraint expressions are ANSI SQL, the Delta-parity subset;
+    a violation fails the TASK so the job aborts before anything is
+    published), then stage ONE uuid-named parquet part. Task retries
+    write fresh uuid files; only files named in successful commit
+    messages ever get published."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _TLFileWritten(None, 0)
+    tbl = pa.Table.from_batches(batches)
+    if cons:
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("staged", tbl)
+        for name, expr in sorted(cons.items()):
+            bad = con.execute(
+                "SELECT count(*) FROM staged "
+                f"WHERE NOT coalesce(({expr}), TRUE)"
+            ).fetchone()[0]
+            if bad:
+                raise ValueError(
+                    f"write rejected: {bad} row(s) violate "
+                    f"constraint {name!r} ({expr})"
+                )
+    os.makedirs(os.path.join(table, stage), exist_ok=True)
+    rel = os.path.join(stage, f"part-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, os.path.join(table, rel))
+    return _TLFileWritten(rel, tbl.num_rows)
+
+
 class TableLogArrowWriter(DataSourceArrowWriter):
     """``df.write.format("tablelog")`` — the Catalyst-facing WRITE seam
     of the log format (Delta's path-based writer). Two-phase commit:
@@ -615,34 +655,9 @@ class TableLogArrowWriter(DataSourceArrowWriter):
         self.stage = f"data-{_uuid.uuid4().hex}"
 
     def write(self, iterator):
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _TLFileWritten(None, 0)
-        tbl = pa.Table.from_batches(batches)
-        if self.cons:
-            import duckdb
-
-            con = duckdb.connect()
-            con.register("staged", tbl)
-            for name, expr in sorted(self.cons.items()):
-                bad = con.execute(
-                    "SELECT count(*) FROM staged "
-                    f"WHERE NOT coalesce(({expr}), TRUE)"
-                ).fetchone()[0]
-                if bad:
-                    raise ValueError(
-                        f"write rejected: {bad} row(s) violate "
-                        f"constraint {name!r} ({expr})"
-                    )
-        os.makedirs(os.path.join(self.table, self.stage), exist_ok=True)
-        rel = os.path.join(self.stage, f"part-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, os.path.join(self.table, rel))
-        return _TLFileWritten(rel, tbl.num_rows)
+        return _stage_arrow_partition(
+            self.table, self.stage, self.cons, iterator
+        )
 
     def commit(self, messages):
         from .tablelog import commit_staged_files
@@ -658,6 +673,79 @@ class TableLogArrowWriter(DataSourceArrowWriter):
         shutil.rmtree(
             os.path.join(self.table, self.stage), ignore_errors=True
         )
+
+
+class TableLogStreamArrowWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("tablelog")`` — exactly-once streaming
+    INTO the log format (Delta's idempotent-writes protocol, the
+    DataSource twin of tablelog.append_stream_batch): every
+    micro-batch commit carries an (app, batchId) transaction marker,
+    and a batch whose marker is already in the log — a replay after a
+    crash between sink commit and offset checkpoint — is skipped
+    WITHOUT publishing (its staged files stay orphaned and invisible;
+    vacuum sweeps them). ``app`` comes from the sink option (default
+    "tablelog-sink"); two queries writing the same table must use
+    distinct apps or share one checkpoint.
+
+    Tasks stage Arrow batches exactly like the batch writer (shared
+    _stage_arrow_partition, including executor-side CHECK
+    enforcement). Constraints and the TOCTOU snapshot are resolved at
+    QUERY START: a constraint/rename/schema change landing mid-stream
+    trips commit_staged_files' staging-window guard and fails the
+    stream loudly — restart re-resolves, mirroring the source-side
+    schema-drift contract."""
+
+    def __init__(self, options, schema: StructType):
+        import uuid as _uuid
+
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("tablelog requires option 'path'")
+        self.app = options.get("app", "tablelog-sink")
+        self.schema_json = schema.json()
+        self.snap = latest_version(self.table)
+        if self.snap is not None and _col_mapping(self.table, None):
+            raise ValueError(
+                "tablelog DataSource write does not support column-"
+                "mapped tables (files carry frozen physical names); "
+                "use trace_parquet_spark.sources.tablelog."
+                "append_stream_batch"
+            )
+        from .tablelog import _constraints
+
+        self.cons = (
+            _constraints(self.table) if self.snap is not None else {}
+        )
+        self.stage = f"data-{_uuid.uuid4().hex}"  # shared across batches
+
+    def write(self, iterator):
+        return _stage_arrow_partition(
+            self.table, self.stage, self.cons, iterator
+        )
+
+    def commit(self, messages, batchId: int):
+        from .tablelog import commit_staged_files, txn_committed
+
+        if txn_committed(self.table, self.app, batchId):
+            return  # replayed batch: already in the log, land once
+        files = sorted(m.rel for m in messages if m is not None and m.rel)
+        commit_staged_files(
+            self.table,
+            files,
+            self.schema_json,
+            self.snap,
+            txn=(self.app, batchId),
+        )
+
+    def abort(self, messages, batchId: int):
+        # remove only THIS batch's staged parts — the staging dir is
+        # shared across the query's batches
+        for m in messages:
+            if m is not None and m.rel:
+                try:
+                    os.remove(os.path.join(self.table, m.rel))
+                except OSError:
+                    pass
 
 
 class TableLogDataSource(DataSource):
@@ -677,6 +765,9 @@ class TableLogDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return TableLogArrowWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return TableLogStreamArrowWriter(self.options, schema)
 
     def streamReader(self, schema: StructType):
         # Spark prefers this (executor-parallel, Arrow) over the
@@ -1147,3 +1238,90 @@ QUERIES["tablelog_datasource_write_roundtrip"] = (
     tablelog_datasource_write_roundtrip
 )
 ORACLES["tablelog_datasource_write_roundtrip"] = TABLELOG_DSW_SQL
+
+def tablelog_stream_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming WRITE seam under the oracle gate: an orders slice
+    is streamed (file source, availableNow) INTO the log format via
+    ``writeStream.format("tablelog")`` — exactly-once txn-marked
+    commits through TableLogStreamArrowWriter — then a second
+    availableNow run replays against the same checkpoint (must add
+    nothing), and the final table is read back through
+    ``spark.read.format("tablelog")`` and aggregated. The oracle
+    recomputes from orders alone, so a double-landed batch, a lost
+    staged part, or a replay leak shifts count and sum. Mechanism:
+    TableLogStreamArrowWriter commit/txn, commit_staged_files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import latest_version
+
+    register(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(3, 6))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="tablelog_ss_")
+    src, t, ckpt = f"{work}/src", f"{work}/t", f"{work}/ckpt"
+    try:
+        orders.coalesce(2).write.parquet(src)
+
+        def run():
+            q = (
+                spark.readStream.schema("o_orderkey long, cents long")
+                .parquet(src)
+                .writeStream.format("tablelog")
+                .option("path", t)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        lv = latest_version(t)
+        run()  # replay with nothing new: exactly-once, no commit
+        assert latest_version(t) == lv, "replay added a commit"
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .groupBy((F.col("o_orderkey") % 2).alias("parity"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("parity")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "parity long, n_rows long, total_cents long"
+    ).orderBy("parity")
+
+
+TABLELOG_SS_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (3, 6)
+)
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o
+GROUP BY 1
+ORDER BY parity
+"""
+
+QUERIES["tablelog_stream_sink_totals"] = tablelog_stream_sink_totals
+ORACLES["tablelog_stream_sink_totals"] = TABLELOG_SS_SQL
