@@ -612,3 +612,41 @@ def test_stream_sink_enforces_constraints_mid_query(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="violate constraint"):
         q.awaitTermination(120)
     assert read_table(spark, t).count() == 3  # nothing published
+
+
+def test_bloom_pushdown_prunes_planned_partitions(spark, tmp_path):
+    """Interleaved key residues make every file's [min, max] box
+    overlap every probe — only the committed blooms can prune. An
+    EqualTo/In probe through pushFilters must plan ONLY files whose
+    bloom might contain a probe, and the answer stays exact."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import append_with_bloom
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    for r in (0, 1):  # file A: even keys, file B: odd keys
+        append_with_bloom(
+            spark.range(r, 200, 2).select(F.col("id").alias("k")),
+            t,
+            bloom_col="k",
+        )
+    r0 = TableLogBatchReader({"path": t})
+    assert len(r0.partitions()) == 2
+    # zone maps alone cannot prune (both boxes span [0..199]);
+    # the bloom keeps only the even-keys file for an even probe
+    r1 = TableLogBatchReader({"path": t})
+    list(r1.pushFilters([EqualTo(("k",), 42)]))
+    assert len(r1.partitions()) == 1
+    r2 = TableLogBatchReader({"path": t})
+    list(r2.pushFilters([In(("k",), (42, 44))]))
+    assert len(r2.partitions()) == 1
+    got = (
+        spark.read.format("tablelog")
+        .option("path", t)
+        .load()
+        .filter(F.col("k").isin(42, 43))
+        .collect()
+    )
+    assert sorted(r.k for r in got) == [42, 43]

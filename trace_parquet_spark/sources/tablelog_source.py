@@ -150,16 +150,19 @@ class TableLogBatchReader(DataSourceReader):
         )
 
     def pushFilters(self, filters):
-        """Zone-map file pruning from the LOG's per-file [min, max]
-        stats (the same metadata read_table_box plans from): range
-        predicates narrow a per-column (lo, hi) box; partitions()
-        then skips files whose recorded ranges cannot overlap it.
+        """Zone-map + bloom file pruning from the LOG's metadata (the
+        same stats read_table_box / read_table_point_lookup plan
+        from): range predicates narrow a per-column (lo, hi) box;
+        EqualTo/In predicates additionally collect exact probe sets so
+        partitions() can consult committed per-file BLOOM filters —
+        the selective-IN case a [min, max] box barely prunes.
         EVERY filter is yielded back — Spark re-applies them all
         post-scan, so pruning is a pure optimization and correctness
-        never depends on stats coverage (files without stats for a
-        predicate column are conservatively kept). Requires the
+        never depends on stats coverage (files without stats/bloom for
+        a predicate column are conservatively kept). Requires the
         Spark-4 opt-in spark.sql.python.filterPushdown.enabled."""
         preds: dict[str, list] = {}
+        probes: dict[str, set] = {}
 
         def tighten(col, lo, hi):
             cur = preds.setdefault(col, [None, None])
@@ -178,6 +181,7 @@ class TableLogBatchReader(DataSourceReader):
             if col is not None:
                 if isinstance(f, EqualTo) and comparable:
                     tighten(col, v, v)
+                    probes.setdefault(col, set()).add(v)
                 elif isinstance(
                     f, (GreaterThan, GreaterThanOrEqual)
                 ) and comparable:
@@ -195,13 +199,16 @@ class TableLogBatchReader(DataSourceReader):
                     ]
                     if len(vals) == len(f.value):
                         tighten(col, min(vals), max(vals))
+                        probes.setdefault(col, set()).update(vals)
             yield f  # always returned: Spark re-applies exactly
         self._preds = {
             c: (lo, hi) for c, (lo, hi) in preds.items() if lo is not None or hi is not None
         }
+        self._probes = {c: sorted(s) for c, s in probes.items() if s}
 
     def partitions(self):
         preds = getattr(self, "_preds", None)
+        probes = getattr(self, "_probes", None)
         files = self._files
         if preds:
             from .tablelog import (
@@ -231,6 +238,33 @@ class TableLogBatchReader(DataSourceReader):
                 return True
 
             files = [f for f in files if overlaps(f)]
+        if probes:
+            # membership pruning on committed per-file bloom filters
+            # (read_table_point_lookup's metadata, now reachable from
+            # a plain WHERE col IN (...) through Catalyst): keep a
+            # bloomed file only if some probe MIGHT be in it; false
+            # positives cost a scan, never correctness (Spark
+            # re-applies the exact predicate post-scan)
+            from .tablelog import _bloom_maybe_contains
+
+            blooms: dict[str, str] = {}
+            bloom_col = None
+            for v in _versions(self.table):
+                if self.as_of is not None and v > self.as_of:
+                    break
+                c = _load_commit(self.table, v)
+                blooms.update(c.get("bloom", {}))
+                bloom_col = c.get("bloom_col") or bloom_col
+            if bloom_col in probes:
+                keys = probes[bloom_col]
+                files = [
+                    f
+                    for f in files
+                    if f not in blooms
+                    or any(
+                        _bloom_maybe_contains(blooms[f], k) for k in keys
+                    )
+                ]
         # dv POSITIONS resolved at PLAN time: each sidecar parquet is
         # read once on the driver (sidecars are deletion-vector-sized,
         # metadata not data) — but each partition carries only ITS OWN
@@ -1325,3 +1359,70 @@ ORDER BY parity
 
 QUERIES["tablelog_stream_sink_totals"] = tablelog_stream_sink_totals
 ORACLES["tablelog_stream_sink_totals"] = TABLELOG_SS_SQL
+
+def tablelog_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup pruning THROUGH Catalyst: orders
+    slices appended with per-file bloom filters on o_orderkey
+    (append_with_bloom), then a plain ``WHERE o_orderkey IN (...)``
+    through ``spark.read.format("tablelog")`` — pushFilters collects
+    the exact probe set and partitions() consults the committed blooms
+    (the selective-IN case a [min, max] zone-map box barely prunes;
+    membership pruning pinned in tests/test_round10.py). The oracle
+    recomputes from orders, proving bloom false-negatives are
+    impossible (a contained key always survives) and false positives
+    never surface (Spark re-applies the exact IN). Mechanism:
+    TableLogBatchReader.pushFilters probes + tablelog._bloom_*."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import append_with_bloom
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("mx")).collect()[0].mx
+    keys = [mx // 7, mx // 3, (2 * mx) // 3]
+    t = tempfile.mkdtemp(prefix="tablelog_bl_")
+    try:
+        # interleaved residues: zone-map boxes overlap on every file,
+        # only the blooms can discriminate the probes
+        for r in range(4):
+            append_with_bloom(
+                orders.filter(F.col("o_orderkey") % 4 == r),
+                t,
+                bloom_col="o_orderkey",
+            )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .filter(F.col("o_orderkey").isin(keys))
+            .select("o_orderkey", "cents")
+            .orderBy("o_orderkey")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey long, cents long"
+    ).orderBy("o_orderkey")
+
+
+TABLELOG_BLOOM_SQL = """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders, m
+WHERE o_orderkey IN (m.mx // 7, m.mx // 3, 2 * m.mx // 3)
+ORDER BY o_orderkey
+"""
+
+QUERIES["tablelog_bloom_pruned_read"] = tablelog_bloom_pruned_read
+ORACLES["tablelog_bloom_pruned_read"] = TABLELOG_BLOOM_SQL
