@@ -628,7 +628,9 @@ def test_bloom_pushdown_prunes_planned_partitions(spark, tmp_path):
     t = str(tmp_path / "t")
     for r in (0, 1):  # file A: even keys, file B: odd keys
         append_with_bloom(
-            spark.range(r, 200, 2).select(F.col("id").alias("k")),
+            spark.range(r, 200, 2)
+            .select(F.col("id").alias("k"))
+            .coalesce(1),
             t,
             bloom_col="k",
         )

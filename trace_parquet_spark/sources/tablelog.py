@@ -507,16 +507,34 @@ _APPEND_REBASE_LIMIT = 20
 _REBASE_BLOCKERS = ("col_mapping", "constraints", "schema_change")
 
 
+def _schema_shape(schema_json: str):
+    """(name, type) list of a schema JSON — the comparison key for
+    conflict detection. Nullability and field metadata are excluded:
+    Spark relaxes nullable on write/read (SURVEY §1.2), so two writers
+    of the same logical columns must not trip a spurious
+    schema_change blocker over a nullable flag."""
+    try:
+        d = json.loads(schema_json)
+        return [
+            (f.get("name"), json.dumps(f.get("type"), sort_keys=True))
+            for f in d.get("fields", [])
+        ]
+    except (ValueError, AttributeError):
+        return schema_json
+
+
 def _interleaved_blocks_append(
     table: str, lo: int, hi: int, schema_json: str | None = None
 ) -> str | None:
     """Name of the first blocking action in commits (lo, hi], else
     None (only schema-compatible data commits interleaved — safe to
     rebase). With ``schema_json``, an interleaved commit whose
-    recorded schema differs from the writer's is a ``schema_change``
-    blocker: the writer re-commits its OWN schema, so blindly
-    committing over an interleaved schema evolution would silently
-    revert it (last-schema-wins in _read_log)."""
+    recorded schema differs from the writer's (by column name/type —
+    see _schema_shape) is a ``schema_change`` blocker: the writer
+    re-commits its OWN schema, so blindly committing over an
+    interleaved schema evolution would silently revert it
+    (last-schema-wins in _read_log)."""
+    shape = _schema_shape(schema_json) if schema_json is not None else None
     for v in _versions(table):
         if lo < v <= hi:
             c = _load_commit(table, v)
@@ -525,9 +543,9 @@ def _interleaved_blocks_append(
             if "constraints" in c:
                 return f"constraints@{v}"
             if (
-                schema_json is not None
+                shape is not None
                 and c.get("schema")
-                and c["schema"] != schema_json
+                and _schema_shape(c["schema"]) != shape
             ):
                 return f"schema_change@{v}"
     return None
