@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner's shuffle/broadcast cleanup rides on JVM
+        # weak references, and with a multi-GB heap a long-lived
+        # session may not GC for the cleaner's default 30min interval
+        # — hundreds of queries accumulate shuffle dirs and broadcast
+        # blocks that evict the page cache and degrade late queries
+        # (round-10 min-of-3 bench: +45% inflation concentrated in
+        # late-order iterative queries, reproduced fresh-JVM at 1×).
+        # A 2min periodic GC bounds the backlog.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     # Spark's 1g default heap OOMs on the heaviest sf0.1 checks
     # (32 executor threads share the driver JVM in local mode, and a
