@@ -206,6 +206,15 @@ HEADLINE = [
     "tablelog_column_mapping_totals",
     "ccnet_quality_buckets",
     "tablelog_constraints_totals",
+    # round-10 (driver round) additions: ccnet scale twin, the
+    # DataSource write/stream-write seam, pushdown pruning entries,
+    # degree-oriented triangle counting
+    "ccnet_quality_buckets_approx",
+    "tablelog_zonemap_pruned_read",
+    "tablelog_bloom_pruned_read",
+    "tablelog_datasource_write_roundtrip",
+    "tablelog_stream_sink_totals",
+    "triangle_count_parts",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -652,3 +652,49 @@ def test_bloom_pushdown_prunes_planned_partitions(spark, tmp_path):
         .collect()
     )
     assert sorted(r.k for r in got) == [42, 43]
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """The degree-oriented distributed enumeration must find EXACTLY
+    the triangle set of the thresholded co-purchase graph — pinned
+    against a pure-Python adjacency-set replay (count and corner-id
+    checksum)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from trace_parquet_spark.plans.graph_rank import (
+        TRI_MIN_W,
+        triangle_count_parts,
+    )
+
+    row = triangle_count_parts(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    li = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    by_order = defaultdict(list)
+    for o, p in li:
+        by_order[o].append(p)
+    wc = Counter()
+    for parts in by_order.values():
+        parts.sort()
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                wc[(parts[i], parts[j])] += 1
+    edges = {e for e, w in wc.items() if w >= TRI_MIN_W}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    n_tri = key_sum = 0
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:  # u < v < w counts each triangle once
+                n_tri += 1
+                key_sum += u + v + w
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_triangles == n_tri, (row.n_triangles, n_tri)
+    assert row.tri_key_sum == key_sum

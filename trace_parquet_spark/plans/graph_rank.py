@@ -641,3 +641,127 @@ KCORE_SQL = _kcore_sql()
 
 QUERIES["k_core_decomposition"] = k_core_decomposition
 ORACLES["k_core_decomposition"] = KCORE_SQL
+
+TRI_MIN_W = 2  # co-occurrence support threshold: denoises the graph
+
+
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the part co-purchase graph —
+    the canonical bounded-wedge algorithm (Suri & Vassilvitskii 2011,
+    'Counting Triangles and the Curse of the Last Reducer'): nodes are
+    parts, an undirected edge joins two parts bought together in at
+    least TRI_MIN_W orders. Each edge is ORIENTED from the endpoint
+    with the smaller (degree, id) to the larger, turning the graph
+    into a DAG in which every triangle has exactly one source node —
+    wedges are generated only at that source, so the join fan-out per
+    node is bounded by its OUT-degree squared, and low-(degree,id)
+    orientation caps out-degree at O(sqrt(m)) regardless of how
+    skewed the raw degree distribution is (the 'last reducer' a
+    hub-oriented enumeration would melt on at 100 TB). Count + a
+    corner-id checksum (sum of u+v+w over triangles) gate the exact
+    triangle SET against the oracle, not just its size.
+
+    Plan shape: one self-join of the per-order part lists (shuffle on
+    l_orderkey), one partial-agg edge count, degree agg joined back
+    broadcast (node-grain), wedge self-join shuffled on the oriented
+    source, and a final edge semi-join on the closing pair — every
+    stage keyed, no global collect. The DuckDB oracle enumerates the
+    same triangle set via the id-canonical u<v<w three-way join
+    (orientation changes the enumeration plan, never the set)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_W)
+        .select("u", "v")
+    )
+    pairs = pairs.localCheckpoint()  # reused 3x: edges, degrees, closing
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = (
+        e1.join(e2, "src")
+        .where(
+            F.struct(F.col("e1.ddst"), F.col("e1.dst"))
+            < F.struct(F.col("e2.ddst"), F.col("e2.dst"))
+        )
+        .select(
+            "src",
+            F.col("e1.dst").alias("x"),
+            F.col("e2.dst").alias("y"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])
+    agg = tris.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("src") + F.col("x") + F.col("y")), F.lit(0)
+        )
+        .cast("long")
+        .alias("tri_key_sum"),
+    )
+    counts = pairs.agg(
+        F.count("*").cast("long").alias("n_edges"),
+    ).crossJoin(
+        deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    return counts.crossJoin(agg).select(
+        "n_nodes", "n_edges", "n_triangles", "tri_key_sum"
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {TRI_MIN_W}
+), nodes AS (
+  SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(coalesce(sum(a + b + c), 0) AS BIGINT) AS tri_key_sum
+FROM tris
+"""
+
+QUERIES["triangle_count_parts"] = triangle_count_parts
+ORACLES["triangle_count_parts"] = TRIANGLE_SQL
