@@ -698,3 +698,95 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     assert row.n_nodes == len(adj)
     assert row.n_triangles == n_tri, (row.n_triangles, n_tri)
     assert row.tri_key_sum == key_sum
+
+
+# --------------------------------------------- true-contention races
+
+
+def test_concurrent_appends_all_land_once(spark, tmp_path):
+    """SIX threads blind-append concurrently (real _commit races, not
+    monkeypatched staleness): every append must land exactly once via
+    the rebase protocol — same-schema appends commute."""
+    import threading
+
+    t = str(tmp_path / "t")
+    append(spark.range(0, 10).select(F.col("id").alias("k")), t)  # v0
+    errs: list = []
+
+    def worker(i):
+        try:
+            tl.append(
+                spark.range(100 * i, 100 * i + 10).select(
+                    F.col("id").alias("k")
+                ),
+                t,
+            )
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    ths = [
+        threading.Thread(target=worker, args=(i,)) for i in range(1, 7)
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert errs == []
+    assert latest_version(t) == 6  # one commit per append, no gaps
+    got = sorted(r.k for r in read_table(spark, t).collect())
+    want = sorted(
+        list(range(10))
+        + [100 * i + j for i in range(1, 7) for j in range(10)]
+    )
+    assert got == want
+
+
+def test_stream_sink_constraint_added_mid_query_enforced(spark, tmp_path):
+    """A CHECK constraint committed BETWEEN micro-batches of a running
+    writeStream.format('tablelog') query applies to every subsequent
+    batch: the engine re-instantiates the writer per micro-batch, so
+    constraints re-resolve at batch plan time — satisfying rows land
+    (validated), violating rows fail the query with nothing admitted."""
+    import os as _os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    _os.makedirs(src)
+
+    def drop(i, lo, hi):
+        tmp = f"{src}/d{i}"
+        spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _os.rename(f"{tmp}/{part}", f"{src}/drop{i}.parquet")
+
+    drop(0, 0, 5)
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(src)
+        .writeStream.format("tablelog")
+        .option("path", t)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert read_table(spark, t).count() == 5
+    tl.add_check_constraint(spark, t, "k_small", "k < 1000")
+    # a satisfying batch lands, validated against the NEW constraint
+    drop(1, 5, 9)
+    q.processAllAvailable()
+    assert sorted(r.k for r in read_table(spark, t).collect()) == list(
+        range(9)
+    )
+    # a violating batch fails the query; nothing admitted
+    drop(2, 2000, 2005)
+    with pytest.raises(StreamingQueryException, match="violate constraint"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    assert read_table(spark, t).count() == 9

@@ -723,11 +723,13 @@ class TableLogStreamArrowWriter(DataSourceStreamArrowWriter):
 
     Tasks stage Arrow batches exactly like the batch writer (shared
     _stage_arrow_partition, including executor-side CHECK
-    enforcement). Constraints and the TOCTOU snapshot are resolved at
-    QUERY START: a constraint/rename/schema change landing mid-stream
-    trips commit_staged_files' staging-window guard and fails the
-    stream loudly — restart re-resolves, mirroring the source-side
-    schema-drift contract."""
+    enforcement). The engine re-instantiates this writer per
+    micro-batch, so constraints and the TOCTOU snapshot re-resolve at
+    each batch's PLAN time: a CHECK constraint added mid-query applies
+    to every subsequent batch (satisfying rows land validated,
+    violating rows fail the query — pinned in tests/test_round10.py),
+    and a metadata commit landing inside one batch's stage→commit
+    window still trips commit_staged_files' staging-window guard."""
 
     def __init__(self, options, schema: StructType):
         import uuid as _uuid
