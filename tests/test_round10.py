@@ -790,3 +790,84 @@ def test_stream_sink_constraint_added_mid_query_enforced(spark, tmp_path):
         q.processAllAvailable()
         q.awaitTermination(60)
     assert read_table(spark, t).count() == 9
+
+
+def test_offset_split_arithmetic_property():
+    """Property pin for the (version, index) admission-control
+    arithmetic: over random commit layouts and random
+    max_files/max_commits caps, driving latestOffset/partitions to
+    quiescence must deliver EVERY file exactly once, in commit order,
+    with every batch within the file cap — and replaying any recorded
+    (start, end] range on a fresh reader is byte-identical."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from trace_parquet_spark.sources import tablelog_source as mod
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        layout=st.lists(st.integers(0, 5), min_size=1, max_size=8),
+        mf=st.integers(1, 5),
+        mc=st.one_of(st.none(), st.integers(1, 4)),
+    )
+    def run(layout, mf, mc):
+        log = {
+            v: {"add": [f"f{v}_{i}" for i in range(n)]}
+            for v, n in enumerate(layout)
+        }
+        saved = (
+            mod._versions,
+            mod._commit_actions,
+            mod.latest_version,
+            mod._read_log,
+            mod._col_mapping,
+        )
+        try:
+            mod._versions = lambda t: sorted(log)
+            mod._commit_actions = lambda t, v: log[v]
+            mod.latest_version = lambda t: max(log)
+            mod._read_log = lambda t, a: ([], schema_json, {}, {})
+            mod._col_mapping = lambda t, a=None: None
+            opts = {"path": "/synthetic", "max_files_per_trigger": str(mf)}
+            if mc is not None:
+                opts["max_commits_per_trigger"] = str(mc)
+            r = mod.TableLogPartitionedStreamReader(opts)
+            r.initialOffset()
+            offsets = [{"version": -1}]
+            batches = []
+            for _ in range(200):  # quiescence bound
+                end = r.latestOffset()
+                if end == offsets[-1]:
+                    break
+                parts = r.partitions(offsets[-1], end)
+                rels = [p.rel for p in parts if p.rel is not None]
+                assert len(rels) <= mf, (layout, mf, mc, end, rels)
+                batches.append(rels)
+                offsets.append(end)
+            else:
+                raise AssertionError("no quiescence")
+            delivered = [rel for b in batches for rel in b]
+            want = [rel for v in sorted(log) for rel in log[v]["add"]]
+            assert delivered == want, (layout, mf, mc, batches)
+            # deterministic replay of every planned range
+            r2 = mod.TableLogPartitionedStreamReader(opts)
+            for s, e, b in zip(offsets, offsets[1:], batches):
+                replay = [
+                    p.rel for p in r2.partitions(s, e) if p.rel is not None
+                ]
+                assert replay == b, (layout, mf, mc, s, e)
+        finally:
+            (
+                mod._versions,
+                mod._commit_actions,
+                mod.latest_version,
+                mod._read_log,
+                mod._col_mapping,
+            ) = saved
+
+    run()
