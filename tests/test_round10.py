@@ -145,10 +145,13 @@ def test_append_same_schema_rebase_still_commutes(
     ]
 
 
-def test_merge_rejects_any_interleaved_commit(spark, tmp_path, monkeypatch):
-    """MERGE rewrites a snapshot: even a plain same-schema append
-    interleaved between its snapshot read and its commit could carry
-    keys the merge should have updated — it must fail, not commit."""
+def test_merge_rejects_unranged_interleaved_append(
+    spark, tmp_path, monkeypatch
+):
+    """An interleaved append with NO committed key stats could carry
+    keys the merge should have updated — the conflict matrix cannot
+    prove it disjoint, so the merge must fail, not commit. (Provably
+    disjoint appends commute — pinned in test_round11.py.)"""
     from trace_parquet_spark.sources.tablelog import merge_upsert
 
     t = str(tmp_path / "t")

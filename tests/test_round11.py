@@ -1,0 +1,314 @@
+"""Round-11 hardening pins: Delta-parity logical conflict detection
+for MERGE and OPTIMIZE/ZORDER (Armbrust et al., VLDB 2020 §5 conflict
+matrix — provably-disjoint appends commute with rewrites, anything
+that touched the rewrite's read set conflicts), proven both with
+mid-stage interleaves and under true 6-thread commit races."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+import trace_parquet_spark.sources.tablelog as tl
+from trace_parquet_spark.sources.tablelog import (
+    ConcurrentWriteError,
+    append,
+    latest_version,
+    merge_upsert,
+    read_table,
+)
+
+
+def _kv(spark, lo, hi, v):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(v).alias("v")
+    )
+
+
+# ------------------------- MERGE × APPEND conflict matrix (mid-stage)
+
+
+def test_merge_commutes_with_disjoint_ranged_append(
+    spark, tmp_path, monkeypatch
+):
+    """A blind append whose committed [min, max] on the merge key is
+    provably DISJOINT from the update-key range commutes: the merge
+    rebases onto the new head and lands (Delta §5: appends only
+    conflict with a rewrite that should have read them)."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 5, 1), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def disjoint_append_mid_merge(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.append(_kv(spark, 100, 105, 9), table, stats_col="k")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", disjoint_append_mid_merge)
+    out = merge_upsert(spark, t, _kv(spark, 2, 4, 7), "k")
+    assert out["version"] == 2  # rebased over the interleaved append
+    rows = {r.k: r.v for r in read_table(spark, t).collect()}
+    assert rows == {
+        **{k: 1 for k in (0, 1, 4)},
+        2: 7,
+        3: 7,
+        **{k: 9 for k in range(100, 105)},
+    }
+
+
+def test_merge_blocks_on_overlapping_ranged_append(
+    spark, tmp_path, monkeypatch
+):
+    """An interleaved append whose committed key range OVERLAPS the
+    updates must block even though it carries stats: the appended key
+    should have been UPDATED by this merge, not duplicated."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 5, 1), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def overlapping_append_mid_merge(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.append(_kv(spark, 3, 6, 9), table, stats_col="k")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", overlapping_append_mid_merge)
+    with pytest.raises(
+        ConcurrentWriteError, match="added_overlapping_file@"
+    ):
+        merge_upsert(spark, t, _kv(spark, 2, 4, 7), "k")
+    # the merge committed NOTHING: the append's commit is the head and
+    # no row carries the merge's value
+    assert latest_version(t) == 1
+    assert read_table(spark, t).filter(F.col("v") == 7).count() == 0
+
+
+def test_merge_blocks_on_delete_of_read_file(spark, tmp_path, monkeypatch):
+    """delete_where landing mid-merge publishes a deletion vector on a
+    file the merge READ (and folded dv-state for) — committing would
+    resurrect the deleted rows, so the merge must fail."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 5, 1).coalesce(1), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def delete_lands_mid_merge(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.delete_where(spark, table, F.col("k") == 0)
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", delete_lands_mid_merge)
+    with pytest.raises(ConcurrentWriteError, match="dv_on_read_file@"):
+        merge_upsert(spark, t, _kv(spark, 2, 4, 7), "k")
+    # the delete survived; k=0 stays gone
+    assert sorted(r.k for r in read_table(spark, t).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+
+# ---------------- OPTIMIZE / ZORDER conflict matrix (ADVICE r10 №1)
+
+
+def test_optimize_blocks_on_interleaved_delete(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE compacts the snapshot it read; a delete_where landing
+    mid-rewrite dv's a read file — committing the compacted files
+    (built pre-delete) would silently resurrect the deleted rows."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 10, 1).repartition(4), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def delete_lands_mid_optimize(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.delete_where(spark, table, F.col("k") < 3)
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", delete_lands_mid_optimize)
+    with pytest.raises(ConcurrentWriteError, match="dv_on_read_file@"):
+        tl.optimize_table(spark, t, target_files=1)
+    assert sorted(r.k for r in read_table(spark, t).collect()) == list(
+        range(3, 10)
+    )
+
+
+def test_optimize_blocks_on_interleaved_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Two rewrites racing: a MERGE that removes/rewrites files while
+    an OPTIMIZE is staging must block the OPTIMIZE (its compacted
+    output was built from the pre-merge snapshot — committing would
+    both resurrect old rows and duplicate the merge's output)."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 10, 1).repartition(2), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def merge_lands_mid_optimize(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            merge_upsert(spark, table, _kv(spark, 0, 2, 99), "k")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", merge_lands_mid_optimize)
+    with pytest.raises(ConcurrentWriteError, match="removed_read_file@"):
+        tl.optimize_table(spark, t, target_files=1)
+    rows = {r.k: r.v for r in read_table(spark, t).collect()}
+    assert rows == {0: 99, 1: 99, **{k: 1 for k in range(2, 10)}}
+
+
+def test_optimize_commutes_with_interleaved_append(
+    spark, tmp_path, monkeypatch
+):
+    """A blind append mid-OPTIMIZE commutes: its files simply stay
+    live (uncompacted) and the rewrite rebases onto the new head."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 10, 1).repartition(4), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def append_lands_mid_optimize(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.append(_kv(spark, 100, 103, 9), table, stats_col="k")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", append_lands_mid_optimize)
+    out = tl.optimize_table(spark, t, target_files=1)
+    assert out["version"] == 2  # rebased over the append
+    got = sorted(r.k for r in read_table(spark, t).collect())
+    assert got == list(range(10)) + [100, 101, 102]
+
+
+def test_zorder_blocks_on_interleaved_delete(spark, tmp_path, monkeypatch):
+    """ZORDER takes the same rewrite guard as OPTIMIZE."""
+    t = str(tmp_path / "t")
+    append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ).repartition(3),
+        t,
+        stats_col="k",
+    )
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def delete_lands_mid_zorder(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            tl.delete_where(spark, table, F.col("k") == 7)
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", delete_lands_mid_zorder)
+    with pytest.raises(ConcurrentWriteError, match="dv_on_read_file@"):
+        tl.optimize_table_zorder(spark, t, 2, ("k", "g"))
+    assert read_table(spark, t).count() == 19
+
+
+# --------------------------- true-contention races (6-thread harness)
+
+
+def test_concurrent_appends_and_merges_disjoint_all_land(spark, tmp_path):
+    """SIX writer threads racing on one table — three blind appends on
+    fresh key ranges and three MERGEs whose pruned file sets and key
+    ranges are mutually disjoint (real _commit races, nothing
+    monkeypatched). Every writer must land exactly once: appends
+    commute with merges whose updates they provably miss, and merges
+    on disjoint file sets commute with each other."""
+    t = str(tmp_path / "t")
+    # three seed files with tight, disjoint key ranges
+    for lo in (0, 100, 200):
+        append(_kv(spark, lo, lo + 10, 1).coalesce(1), t, stats_col="k")
+    errs: list = []
+
+    def appender(i):
+        try:
+            tl.append(
+                _kv(spark, 1000 + 10 * i, 1000 + 10 * i + 5, 2),
+                t,
+                stats_col="k",
+            )
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    def merger(lo):
+        try:
+            merge_upsert(spark, t, _kv(spark, lo + 2, lo + 5, 7), "k")
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    ths = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    ths += [threading.Thread(target=merger, args=(lo,)) for lo in (0, 100, 200)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert errs == []
+    assert latest_version(t) == 8  # 3 seeds + 6 writers, no gaps
+    rows = {r.k: r.v for r in read_table(spark, t).collect()}
+    want = {}
+    for lo in (0, 100, 200):
+        for k in range(lo, lo + 10):
+            want[k] = 7 if lo + 2 <= k < lo + 5 else 1
+    for i in range(3):
+        for k in range(1000 + 10 * i, 1000 + 10 * i + 5):
+            want[k] = 2
+    assert rows == want
+
+
+def test_concurrent_overlapping_merges_exactly_one_lands(
+    spark, tmp_path, monkeypatch
+):
+    """Two MERGEs racing on the SAME key range, forced to both read
+    the v0 snapshot before either commits (a barrier inside staging):
+    exactly one commits, the other raises ConcurrentWriteError (the
+    winner rewrote its read set), and the table has no duplicate
+    keys — never a lost or doubled update."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 10, 1).coalesce(1), t, stats_col="k")
+    orig = tl._stage_files
+    barrier = threading.Barrier(2, timeout=120)
+
+    def stage_then_rendezvous(df, table):
+        files = orig(df, table)
+        barrier.wait()  # both merges staged against the SAME snapshot
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", stage_then_rendezvous)
+    results: list = []
+
+    def merger(val):
+        try:
+            merge_upsert(spark, t, _kv(spark, 2, 6, val), "k")
+            results.append(("ok", val))
+        except ConcurrentWriteError:
+            results.append(("conflict", val))
+
+    ths = [threading.Thread(target=merger, args=(v,)) for v in (7, 8)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert sorted(tag for tag, _ in results) == ["conflict", "ok"]
+    monkeypatch.setattr(tl, "_stage_files", orig)
+    df = read_table(spark, t)
+    assert df.count() == 10
+    assert df.select("k").distinct().count() == 10
+    winner = next(val for tag, val in results if tag == "ok")
+    got = {r.k: r.v for r in df.collect()}
+    assert got == {k: (winner if 2 <= k < 6 else 1) for k in range(10)}

@@ -551,6 +551,116 @@ def _interleaved_blocks_append(
     return None
 
 
+def _interleaved_blocks_rewrite(
+    table: str,
+    lo: int,
+    hi: int,
+    schema_json: str | None,
+    read_files: set[str] | None,
+    key: str | None = None,
+    key_range: tuple | None = None,
+) -> str | None:
+    """Delta's logical conflict matrix (Armbrust et al., VLDB 2020 §5)
+    for rewrite ops (MERGE / OPTIMIZE / ZORDER). Name of the first
+    conflicting action in commits (lo, hi], else None.
+
+    A rewrite read a snapshot at ``lo`` and commits over ``hi``; an
+    interleaved commit conflicts when it changed data the rewrite
+    READ (so the rewrite's output would silently revert it):
+
+    - metadata commits (col_mapping / constraints / schema shape) —
+      same blockers as appends (_interleaved_blocks_append);
+    - ``remove`` of a file in the read set — the file was rewritten
+      or deleted by someone else; committing would resurrect it;
+    - ``dv`` / ``dv_clear`` touching the read set — the rewrite folded
+      deletion vectors as of ``lo``; a later delete/restore on a read
+      file would be silently undone by the rewrite's output;
+    - for MERGE only (``key``/``key_range`` given): an ``add`` whose
+      committed [min, max] on the merge key overlaps the update-key
+      range — the merge should have matched rows in it (an appended
+      key equal to an update key must be UPDATED, not duplicated).
+      Added files with no usable range on the key conservatively
+      block; provably-disjoint appends COMMUTE.
+
+    ``read_files=None`` means the rewrite read the whole live snapshot
+    (OPTIMIZE): every remove/dv conflicts, but blind appends always
+    commute (their files simply stay live, uncompacted)."""
+    blocker = _interleaved_blocks_append(table, lo, hi, schema_json)
+    if blocker is not None:
+        return blocker
+    for v in _versions(table):
+        if not (lo < v <= hi):
+            continue
+        c = _load_commit(table, v)
+        rem = set(c.get("remove") or [])
+        if rem and (read_files is None or rem & read_files):
+            return f"removed_read_file@{v}"
+        dvd = set(c.get("dv") or {}) | set(c.get("dv_clear") or [])
+        if dvd and (read_files is None or dvd & read_files):
+            return f"dv_on_read_file@{v}"
+        if key is None:
+            continue
+        added = c.get("add") or []
+        if not added or key_range is None:
+            continue  # updates carried no keys: nothing to match
+        u_lo, u_hi = key_range
+        ranges = dict(c.get("col_stats", {}).get(key, {}))
+        if c.get("stats_col") == key:
+            ranges.update(c.get("stats") or {})
+        rows = c.get("rows") or {}
+        for f in added:
+            if rows.get(f) == 0:
+                continue  # an empty part file carries no keys
+            r = ranges.get(f)
+            if not r or r[0] is None:
+                return f"added_unranged_file@{v}"
+            try:
+                if not (r[1] < u_lo or r[0] > u_hi):
+                    return f"added_overlapping_file@{v}"
+            except TypeError:
+                return f"added_incomparable_file@{v}"
+    return None
+
+
+def _commit_rewrite(
+    table: str,
+    snap: int | None,
+    actions: dict,
+    op: str,
+    schema_json: str | None,
+) -> int:
+    """Commit a whole-snapshot rewrite (OPTIMIZE / ZORDER) under the
+    rewrite conflict matrix: interleaved blind appends commute (the
+    rewrite rebases onto the new head and retries — the appended
+    files simply stay live, uncompacted), while any interleaved
+    remove / dv / dv_clear / metadata commit conflicts because the
+    compacted files were built from the pre-commit snapshot and
+    would silently resurrect deleted or rewritten rows. Returns the
+    committed version."""
+    base = -1 if snap is None else snap
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    for _ in range(_APPEND_REBASE_LIMIT):
+        blocker = _interleaved_blocks_rewrite(
+            table, base, version - 1, schema_json, read_files=None
+        )
+        if blocker is not None:
+            raise ConcurrentWriteError(
+                f"{op} on {table}: conflicting commit ({blocker}) "
+                f"landed after the snapshot at v{base} was read — "
+                "re-run the rewrite"
+            )
+        try:
+            _commit(table, version, actions)
+            return version
+        except ConcurrentWriteError:
+            version = latest_version(table) + 1
+    raise ConcurrentWriteError(
+        f"{op} on {table} exhausted {_APPEND_REBASE_LIMIT} rebase "
+        "attempts under sustained write contention"
+    )
+
+
 def _guard_staging_window(
     table: str,
     snap: int | None,
@@ -733,8 +843,15 @@ def merge_upsert(
     a matched key is always inside its own [min, max], so pruning is
     a safe overapproximation (files without stats are conservatively
     rewritten). One atomic commit removes the touched files and adds
-    the rewritten ones; concurrent writers race on the version file
-    as usual.
+    the rewritten ones.
+
+    Concurrency follows Delta's logical conflict matrix (Armbrust
+    VLDB 2020 §5) rather than refuse-any-interleaved: appends whose
+    committed key range is provably disjoint from the updates commute
+    (the merge rebases onto the new head and retries); two merges on
+    disjoint pruned file sets both land; a commit that removed / dv'd
+    a file in this merge's read set or appended keys inside its
+    update range raises ConcurrentWriteError and the merge re-runs.
 
     Returns {"version", "files_rewritten", "files_kept"}.
 
@@ -790,16 +907,11 @@ def merge_upsert(
     else:
         merged = updates.select(*schema.fieldNames())
     new_files = _stage_files(merged, table)
-    lv = latest_version(table)
-    version = 0 if lv is None else lv + 1
-    if version - 1 > (-1 if snap is None else snap):
-        # MERGE rewrites a snapshot; NOTHING interleaved commutes with
-        # it (an interleaved append could carry keys this merge should
-        # have updated) — fail rather than commit over unseen data
-        raise ConcurrentWriteError(
-            f"merge_upsert on {table}: commit(s) landed after the "
-            f"snapshot at v{snap} was read — re-run the merge"
-        )
+    # the merge's update-key envelope, used by the conflict matrix to
+    # decide whether an interleaved APPEND commutes (one scalar agg —
+    # two values come back to the driver, nothing data-sized)
+    krow = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    key_range = None if krow.lo is None else (krow.lo, krow.hi)
     actions = {
         "add": new_files,
         "remove": sorted(touched),
@@ -810,7 +922,41 @@ def merge_upsert(
     }
     if txn is not None:
         actions["txn"] = {"app": txn[0], "batch_id": txn[1]}
-    _commit(table, version, actions)
+    # Delta's logical conflict detection (Armbrust VLDB 2020 §5)
+    # instead of refuse-any-interleaved: blind appends provably
+    # disjoint from the update-key range COMMUTE (the merge rebases
+    # and retries); an interleaved commit that removed / dv'd a file
+    # in the merge's read set, or appended a file whose key range
+    # overlaps the updates, conflicts and the merge must re-run
+    base = -1 if snap is None else snap
+    lv = latest_version(table)
+    version = 0 if lv is None else lv + 1
+    for _ in range(_APPEND_REBASE_LIMIT):
+        blocker = _interleaved_blocks_rewrite(
+            table,
+            base,
+            version - 1,
+            schema_json,
+            read_files=touched,
+            key=key,
+            key_range=key_range,
+        )
+        if blocker is not None:
+            raise ConcurrentWriteError(
+                f"merge_upsert on {table}: conflicting commit "
+                f"({blocker}) landed after the snapshot at v{base} "
+                "was read — re-run the merge"
+            )
+        try:
+            _commit(table, version, actions)
+            break
+        except ConcurrentWriteError:
+            version = latest_version(table) + 1
+    else:
+        raise ConcurrentWriteError(
+            f"merge_upsert on {table} exhausted {_APPEND_REBASE_LIMIT} "
+            "rebase attempts under sustained write contention"
+        )
     return {
         "version": version,
         "files_rewritten": len(touched),
@@ -855,13 +1001,6 @@ def optimize_table(
     else:
         df = df.coalesce(target_files)
     new_files = _stage_files(df, table)
-    lv = latest_version(table)
-    version = 0 if lv is None else lv + 1
-    # interleaved plain appends commute (their files stay live, just
-    # uncompacted); metadata/schema commits do not
-    _guard_staging_window(
-        table, snap, version - 1, "optimize_table", schema_json
-    )
     actions = {
         "add": new_files,
         "remove": files,
@@ -871,7 +1010,14 @@ def optimize_table(
     if stats_col is not None:
         actions["stats"] = _footer_stats(table, new_files, stats_col)
         actions["stats_col"] = stats_col
-    _commit(table, version, actions)
+    # interleaved plain appends commute (their files stay live, just
+    # uncompacted — rebase and retry); an interleaved remove/dv/
+    # dv_clear or metadata commit touched the snapshot this rewrite
+    # was built from and conflicts (committing the compacted files
+    # would resurrect deleted/rewritten rows)
+    version = _commit_rewrite(
+        table, snap, actions, "optimize_table", schema_json
+    )
     return {
         "version": version,
         "files_before": len(files),
@@ -998,12 +1144,9 @@ def optimize_table_zorder(
         .select(*schema.fieldNames())
     )
     new_files = _stage_files(clustered, table)
-    lv = latest_version(table)
-    version = 0 if lv is None else lv + 1
-    _guard_staging_window(table, snap, version - 1, "zorder", schema_json)
-    _commit(
+    version = _commit_rewrite(
         table,
-        version,
+        snap,
         {
             "add": new_files,
             "remove": files,
@@ -1017,6 +1160,8 @@ def optimize_table_zorder(
             },
             "zorder_by": [c1, c2],
         },
+        "zorder",
+        schema_json,
     )
     return {
         "version": version,
