@@ -312,3 +312,131 @@ def test_concurrent_overlapping_merges_exactly_one_lands(
     winner = next(val for tag, val in results if tag == "ok")
     got = {r.k: r.v for r in df.collect()}
     assert got == {k: (winner if 2 <= k < 6 else 1) for k in range(10)}
+
+
+# ------------------- per-file bloom columns / typed schema drift
+
+
+def test_bloom_cross_column_probe_never_prunes_matches(spark, tmp_path):
+    """A table whose commits bloomed DIFFERENT columns: a file bloomed
+    on column `a` must NOT be probed with column-`b` keys (it would be
+    wrongly pruned and its matching rows silently dropped — Spark's
+    re-applied filter cannot recover a skipped file)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from trace_parquet_spark.sources import tablelog_source
+    from trace_parquet_spark.sources.tablelog import append_with_bloom
+    from trace_parquet_spark.sources.tablelog_source import (
+        TableLogBatchReader,
+    )
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    # file A: a in [1000, 1010), b = 5 everywhere — bloomed on `a`
+    append_with_bloom(
+        spark.range(1000, 1010)
+        .select(F.col("id").alias("a"), F.lit(5).alias("b"))
+        .coalesce(1),
+        t,
+        bloom_col="a",
+    )
+    # file B: a in [2000, 2010), b = 7 — bloomed on `b` (last writer)
+    append_with_bloom(
+        spark.range(2000, 2010)
+        .select(F.col("id").alias("a"), F.lit(7).alias("b"))
+        .coalesce(1),
+        t,
+        bloom_col="b",
+    )
+    # probing b=5 must keep file A (its bloom is on `a`, not `b`)
+    r = TableLogBatchReader({"path": t})
+    list(r.pushFilters([EqualTo(("b",), 5)]))
+    assert len(r.partitions()) >= 1
+    got = (
+        spark.read.format("tablelog")
+        .option("path", t)
+        .load()
+        .filter(F.col("b") == 5)
+        .collect()
+    )
+    assert sorted(x.a for x in got) == list(range(1000, 1010))
+    # same-column probes still prune: b=7 skips file A via its... no,
+    # file A is bloomed on `a` so it is conservatively kept; but a
+    # b-probe with a value in NEITHER file prunes file B via its bloom
+    r2 = TableLogBatchReader({"path": t})
+    list(r2.pushFilters([EqualTo(("b",), 12345)]))
+    assert len(r2.partitions()) == 1  # only the a-bloomed file stays
+
+
+def test_point_lookup_scans_foreign_column_bloomed_files(spark, tmp_path):
+    """read_table_point_lookup probes the latest committed bloom_col;
+    files whose own bloom was built on a DIFFERENT column must be
+    conservatively scanned, never probed cross-column."""
+    from trace_parquet_spark.sources.tablelog import (
+        append_with_bloom,
+        read_table_point_lookup,
+    )
+
+    t = str(tmp_path / "t")
+    append_with_bloom(
+        spark.range(1000, 1010)
+        .select(F.col("id").alias("a"), F.lit(5).alias("b"))
+        .coalesce(1),
+        t,
+        bloom_col="a",
+    )
+    append_with_bloom(
+        spark.range(2000, 2010)
+        .select(F.col("id").alias("a"), F.lit(7).alias("b"))
+        .coalesce(1),
+        t,
+        bloom_col="b",
+    )
+    df, scanned, total = read_table_point_lookup(spark, t, [5])
+    assert total == 2
+    # the b-bloomed file is rightly pruned (holds only b=7); the
+    # a-bloomed file is conservatively scanned, NEVER probed with
+    # b-keys against its a-bloom (which would have pruned it too and
+    # silently dropped every matching row)
+    assert scanned == 1
+    assert sorted(r.a for r in df.collect()) == list(range(1000, 1010))
+
+
+def test_stream_fails_loudly_on_mid_stream_type_change(spark, tmp_path):
+    """A commit that keeps every column NAME but changes a TYPE must
+    trip the same loud schema-change failure as a rename — not surface
+    as a worker-side Arrow cast error or silently coerce values."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from trace_parquet_spark.sources import tablelog_source
+
+    tablelog_source.register(spark)
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    append(spark.range(3).select("id", (F.col("id") * 10).alias("v")), t)
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(tuple(r) for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    assert (2, 20) in seen
+    # same names, but v becomes a string
+    append(
+        spark.range(3, 5).select(
+            "id", (F.col("id") * 10).cast("string").alias("v")
+        ),
+        t,
+    )
+    with pytest.raises(
+        StreamingQueryException, match="schema changed mid-stream"
+    ):
+        q.processAllAvailable()
+        q.awaitTermination(60)

@@ -2910,21 +2910,27 @@ def read_table_point_lookup(
     _require_no_mapping(table, "read_table_point_lookup")
 
     files, schema_json, _stats, _rows = _read_log(table, as_of)
-    blooms: dict[str, str] = {}
+    # per-file (bloom, column): a file's bloom is only consulted when
+    # it was built on the probed column — commits may bloom different
+    # columns and a cross-column probe would wrongly prune matches
+    blooms: dict[str, tuple[str, str]] = {}
     bloom_col = None
     for v in _versions(table):
         if as_of is not None and v > as_of:
             break
         c = _load_commit(table, v)
-        blooms.update(c.get("bloom", {}))
-        bloom_col = c.get("bloom_col") or bloom_col
+        bc = c.get("bloom_col")
+        for rel, b64 in c.get("bloom", {}).items():
+            blooms[rel] = (b64, bc)
+        bloom_col = bc or bloom_col
     if bloom_col is None:
         raise ValueError(f"{table} has no bloom_col committed to probe on")
     keep = [
         f
         for f in files
         if f not in blooms
-        or any(_bloom_maybe_contains(blooms[f], k) for k in keys)
+        or blooms[f][1] != bloom_col
+        or any(_bloom_maybe_contains(blooms[f][0], k) for k in keys)
     ]
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType

@@ -54,6 +54,7 @@ from .tablelog import (
     _dv_state,
     _load_commit,
     _read_log,
+    _schema_shape,
     _versions,
     latest_version,
 )
@@ -247,24 +248,30 @@ class TableLogBatchReader(DataSourceReader):
             # re-applies the exact predicate post-scan)
             from .tablelog import _bloom_maybe_contains
 
-            blooms: dict[str, str] = {}
-            bloom_col = None
+            # each file keeps the column ITS OWN commit bloomed — a
+            # table may carry append_with_bloom commits on different
+            # columns, and probing a file's column-A bloom with
+            # column-B keys would wrongly prune files that match
+            blooms: dict[str, tuple[str, str]] = {}
             for v in _versions(self.table):
                 if self.as_of is not None and v > self.as_of:
                     break
                 c = _load_commit(self.table, v)
-                blooms.update(c.get("bloom", {}))
-                bloom_col = c.get("bloom_col") or bloom_col
-            if bloom_col in probes:
-                keys = probes[bloom_col]
-                files = [
-                    f
-                    for f in files
-                    if f not in blooms
-                    or any(
-                        _bloom_maybe_contains(blooms[f], k) for k in keys
-                    )
-                ]
+                bc = c.get("bloom_col")
+                for rel, b64 in c.get("bloom", {}).items():
+                    blooms[rel] = (b64, bc)
+
+            def _bloom_keeps(f):
+                ent = blooms.get(f)
+                if ent is None:
+                    return True  # never bloomed: conservatively scan
+                b64, bc = ent
+                keys = probes.get(bc)
+                if not keys:
+                    return True  # bloomed on a column we don't probe
+                return any(_bloom_maybe_contains(b64, k) for k in keys)
+
+            files = [f for f in files if _bloom_keeps(f)]
         # dv POSITIONS resolved at PLAN time: each sidecar parquet is
         # read once on the driver (sidecars are deletion-vector-sized,
         # metadata not data) — but each partition carries only ITS OWN
@@ -300,7 +307,7 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
     stream still delivers every commit exactly once, just across more
     micro-batches."""
 
-    def __init__(self, options, expected_names: list[str] | None = None):
+    def __init__(self, options, expected_shape: list | None = None):
         self.table = options.get("path")
         if not self.table:
             raise ValueError("tablelog requires option 'path'")
@@ -311,25 +318,28 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         self.max_commits = int(mct) if mct is not None else None
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("max_commits_per_trigger must be >= 1")
-        # the QUERY's schema, fixed when the stream started — used to
-        # fail loudly (Delta's schema-change contract) when a rename/
-        # drop/add lands mid-stream, instead of surfacing a low-level
-        # Arrow column mismatch from a worker
-        self.expected_names = expected_names
+        # the QUERY's schema SHAPE ((name, type) pairs — _schema_shape),
+        # fixed when the stream started — used to fail loudly (Delta's
+        # schema-change contract) when a rename/drop/add/type change
+        # lands mid-stream, instead of surfacing a low-level Arrow
+        # column/cast mismatch from a worker or silently coercing
+        self.expected_shape = expected_shape
 
-    def _check_schema_drift(self, names: list[str]) -> None:
-        if self.expected_names is not None and names != self.expected_names:
+    def _check_schema_drift(self, schema_json: str) -> None:
+        if self.expected_shape is None:
+            return
+        got = _schema_shape(schema_json)
+        if got != self.expected_shape:
+            exp = [(n, json.loads(t)) for n, t in self.expected_shape]
+            now = [(n, json.loads(t)) for n, t in got]
             raise ValueError(
                 "tablelog stream: table schema changed mid-stream — the "
-                f"query expects columns {self.expected_names} but the "
-                f"planned commit range resolves to {names} (rename/drop/"
-                "add landed after the stream started); restart the "
-                "stream to adopt the new schema (Delta schema-change "
-                "contract: already-committed batches are not replayed)"
+                f"query expects columns {exp} but the planned commit "
+                f"range resolves to {now} (rename/drop/add/type change "
+                "landed after the stream started); restart the stream "
+                "to adopt the new schema (Delta schema-change contract: "
+                "already-committed batches are not replayed)"
             )
-
-    def _names(self, as_of: int | None = None) -> list[str]:
-        return _table_schema(self.table, as_of).fieldNames()
 
     def _phys(
         self, names: list[str], as_of: int | None = None
@@ -407,8 +417,9 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
             # crashing the trigger where an idle empty batch is right
             return iter([]), {"version": hi}
         as_of = hi if hi >= 0 else None
-        names = self._names(as_of)
-        self._check_schema_drift(names)
+        st = _table_schema(self.table, as_of)
+        self._check_schema_drift(st.json())
+        names = st.fieldNames()
         rows = list(
             _rows_of(self.table, rels, names, self._phys(names, as_of))
         )
@@ -419,8 +430,9 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
         if not rels:
             return iter([])
         as_of = end["version"] if end["version"] >= 0 else None
-        names = self._names(as_of)
-        self._check_schema_drift(names)
+        st = _table_schema(self.table, as_of)
+        self._check_schema_drift(st.json())
+        names = st.fieldNames()
         return iter(
             list(_rows_of(self.table, rels, names, self._phys(names, as_of)))
         )
@@ -456,10 +468,10 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
     micro-batches via (version, index) offsets) lives in latestOffset,
     bounding how far one micro-batch may advance."""
 
-    def __init__(self, options, expected_names: list[str] | None = None):
+    def __init__(self, options, expected_shape: list | None = None):
         # reuse the simple reader's option parsing + per-commit
         # contract checks (remove/dv failure modes, schema drift)
-        self._s = TableLogStreamReader(options, expected_names)
+        self._s = TableLogStreamReader(options, expected_shape)
         self.table = self._s.table
         mft = options.get("max_files_per_trigger")
         self.max_files = int(mft) if mft is not None else None
@@ -570,8 +582,8 @@ class TableLogPartitionedStreamReader(DataSourceStreamReader):
             # requires a non-empty partition list per batch
             return [_TLStreamPartition(self.table, None, "", None)]
         _files, schema_json, _stats, _rows = _read_log(self.table, as_of)
+        self._s._check_schema_drift(schema_json)
         names = StructType.fromJson(json.loads(schema_json)).fieldNames()
-        self._s._check_schema_drift(names)
         m = _col_mapping(self.table, as_of)
         phys = [m.get(n, n) for n in names] if m else None
         return [
@@ -810,16 +822,16 @@ class TableLogDataSource(DataSource):
         # simple reader; option reader=simple forces the driver-side
         # prefetch variant (kept for its tested replay contract and
         # as the lightweight path for tiny tables)
-        names = schema.fieldNames() if schema is not None else None
+        shape = _schema_shape(schema.json()) if schema is not None else None
         if str(self.options.get("reader", "")).lower() == "simple":
             from pyspark.sql.datasource_internal import (
                 _SimpleStreamReaderWrapper,
             )
 
             return _SimpleStreamReaderWrapper(
-                TableLogStreamReader(self.options, names)
+                TableLogStreamReader(self.options, shape)
             )
-        return TableLogPartitionedStreamReader(self.options, names)
+        return TableLogPartitionedStreamReader(self.options, shape)
 
 
 def register(spark) -> None:
