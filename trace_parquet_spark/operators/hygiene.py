@@ -414,9 +414,16 @@ def ccnet_quality_buckets_approx(
     by the dominant language at 100×). Same shape as
     equi_depth_price_buckets_approx (plans/analytics_more.py):
 
-    - per-doc ranking key is an exact INTEGER — ``key_micro =
-      sum_micro div n_tokens`` (average micro-nat token surprisal),
-      so every arithmetic step below is int64-exact in both engines;
+    - per-doc ranking key is an INTEGER — ``key_micro = sum_micro div
+      n_tokens`` (average micro-nat token surprisal) — so every step
+      AFTER the per-token micro value is int64-exact in both engines.
+      The per-token value itself is ``floor(ln(n_total/n_tok)·1e6 +
+      0.5)``, computed independently by JVM Math.log and DuckDB's
+      libm: a 1-ulp ln difference exactly at a rounding boundary
+      could in principle shift one doc by one cell (no such flip has
+      been observed at either gate SF; everything downstream of the
+      ln is integer, so it is the ONLY cross-engine divergence
+      source);
     - per-language [min, max] bounds → CC_CELLS equi-width cells (one
       map-side-combinable agg);
     - cumulative cell mass via a broadcast theta self-join of the

@@ -662,10 +662,12 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle SET against the oracle, not just its size.
 
     Plan shape: one self-join of the per-order part lists (shuffle on
-    l_orderkey), one partial-agg edge count, degree agg joined back
-    broadcast (node-grain), wedge self-join shuffled on the oriented
-    source, and a final edge semi-join on the closing pair — every
-    stage keyed, no global collect. The DuckDB oracle enumerates the
+    l_orderkey), one partial-agg edge count, degree agg joined back on
+    the node key (node-grain, i.e. data-sized at large SF — so the
+    join strategy is left to AQE/autoBroadcastJoinThreshold: broadcast
+    while it fits, keyed shuffle join beyond), wedge self-join
+    shuffled on the oriented source, and a final edge semi-join on the
+    closing pair — every stage keyed, no global collect. The DuckDB oracle enumerates the
     same triangle set via the id-canonical u<v<w three-way join
     (orientation changes the enumeration plan, never the set)."""
     li = (
@@ -694,7 +696,10 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # deg is node-grain (data-sized at large SF): no forced broadcast —
+    # AQE/autoBroadcastJoinThreshold picks broadcast when it fits and a
+    # keyed shuffle join when it doesn't
+    ranked = pairs.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
