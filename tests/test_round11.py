@@ -440,3 +440,43 @@ def test_stream_fails_loudly_on_mid_stream_type_change(spark, tmp_path):
     ):
         q.processAllAvailable()
         q.awaitTermination(60)
+
+
+# --------------------------------- auto-checkpoint cadence (Delta: 10)
+
+
+def test_auto_checkpoint_bounds_replay_over_commit_stream(
+    spark, tmp_path, monkeypatch
+):
+    """An unbounded append stream must keep plan-time replay O(interval):
+    every Nth commit publishes a checkpoint automatically (Delta's
+    delta.checkpointInterval=10 behavior), so _read_log seeks the
+    newest checkpoint and replays only the JSON tail — never the whole
+    history. Pinned by counting _load_commit calls during a read."""
+    from trace_parquet_spark.sources.tablelog import _checkpoints
+
+    monkeypatch.setattr(tl, "AUTO_CHECKPOINT_EVERY", 5)
+    t = str(tmp_path / "t")
+    one = spark.range(1).select(F.col("id").alias("k")).coalesce(1)
+    for _ in range(23):
+        append(one, t)
+    # commits 5, 10, 15, 20 carried checkpoints — no manual call made
+    assert _checkpoints(t) == [5, 10, 15, 20]
+    real = tl._load_commit
+    calls = {"n": 0}
+
+    def counting(table, v):
+        calls["n"] += 1
+        return real(table, v)
+
+    monkeypatch.setattr(tl, "_load_commit", counting)
+    files, _schema, _stats, _rows = tl._read_log(t, None)
+    # tail replay: versions 21, 22 only (base checkpoint at 20)
+    assert calls["n"] <= 5
+    assert len(files) == 23
+    assert read_table(spark, t).count() == 23
+    # interval is configurable; 0 disables the cadence entirely
+    monkeypatch.setattr(tl, "AUTO_CHECKPOINT_EVERY", 0)
+    append(one, t)
+    append(one, t)
+    assert _checkpoints(t) == [5, 10, 15, 20]

@@ -186,6 +186,26 @@ def _commit(table: str, version: int, actions: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    # auto-checkpoint cadence (Delta writes one every 10 commits by
+    # default): without it an unbounded append stream replays a
+    # growing JSON tail at every plan — manual write_checkpoint /
+    # expire_snapshots were the only writers before. Best-effort: the
+    # commit above is already durable and checkpoints are a pure
+    # optimization, so a failed checkpoint write must not fail the
+    # write path (the next eligible commit retries).
+    every = AUTO_CHECKPOINT_EVERY
+    if every and version and version % every == 0:
+        try:
+            write_checkpoint(table, version)
+        except Exception:  # noqa: BLE001 - replay from JSON still works
+            pass
+
+
+# every Nth commit publishes a checkpoint automatically (0 disables);
+# Delta's delta.checkpointInterval default is 10
+AUTO_CHECKPOINT_EVERY = int(
+    os.environ.get("SPARK_GRAFT_TABLELOG_CHECKPOINT_EVERY", "10")
+)
 
 
 def _col_mapping(table: str, as_of: int | None = None) -> dict | None:
