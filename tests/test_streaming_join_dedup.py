@@ -131,3 +131,131 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     assert rows[21].click_ts is None
     # purchase 22's no-match region is NOT yet watermark-closed: absent
     assert 22 not in rows
+
+
+def test_stream_stream_full_outer_batch_twin_with_restart(spark, tmp_path):
+    """FULL OUTER time-band join: BOTH sides' unmatched rows are
+    finalized null-padded, each only at its own watermark close, and
+    a checkpointed restart neither loses nor re-emits rows. The total
+    emitted set (across both runs, once everything but the final
+    watermark-pushers is closed) must equal the batch full-outer join
+    of the same data — the batch twin pin."""
+    import pyspark.sql.functions as F
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    ckpt = str(tmp_path / "ckpt")
+
+    # matched pair, one orphan purchase, one orphan click, plus
+    # run-1 watermark pushers (minute 590/600) that stay OPEN in run 1
+    _write(
+        spark,
+        clicks_dir,
+        _rows(
+            (10, 10, 1, "click", 0.0),   # matched by purchase 20
+            (13, 20, 5, "click", 0.0),   # orphan click
+            (12, 600, 3, "click", 0.0),  # run-1 pusher
+        ),
+    )
+    _write(
+        spark,
+        buys_dir,
+        _rows(
+            (20, 40, 1, "purchase", 9.5),   # matches click 10
+            (21, 30, 2, "purchase", 5.0),   # orphan purchase
+            (22, 590, 4, "purchase", 1.0),  # run-1 pusher
+        ),
+    )
+
+    def joined():
+        return click_purchase_stream_join(
+            read_events_stream(spark, clicks_dir),
+            read_events_stream(spark, buys_dir),
+            horizon="1 hour",
+            how="full_outer",
+        )
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: only a fault-tolerant sink supports
+        # restarting from the checkpoint (exactly-once via its
+        # _spark_metadata commit log)
+        q = (
+            joined()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out).collect()
+
+    run1 = run()
+    by_pid = {r.purchase_id: r for r in run1 if r.purchase_id is not None}
+    by_cid = {r.click_id: r for r in run1 if r.click_id is not None}
+    assert by_pid[20].click_id == 10          # matched normally
+    assert by_pid[21].click_id is None        # orphan purchase closed
+    assert by_pid[21].user_id == 2            # user_id from the p side
+    assert by_cid[13].purchase_id is None     # orphan CLICK closed too
+    assert by_cid[13].user_id == 5            # user_id from the c side
+    assert 22 not in by_pid                   # pushers still open:
+    assert 12 not in by_cid                   # watermark hasn't passed
+
+    # "downtime": run-2 pushers land, then restart on the SAME ckpt —
+    # run 1's rows are not re-emitted; 22 and 12 now close null-padded
+    _write(spark, clicks_dir, _rows((14, 2000, 6, "click", 0.0)))
+    _write(spark, buys_dir, _rows((23, 1990, 7, "purchase", 1.0)))
+    both = run()  # restart on the SAME checkpoint; sink accumulates
+    ids1 = {(r.purchase_id, r.click_id) for r in run1}
+    ids_all = [(r.purchase_id, r.click_id) for r in both]
+    assert len(ids_all) == len(set(ids_all))  # nothing re-emitted twice
+    run2 = [r for r in both if (r.purchase_id, r.click_id) not in ids1]
+    ids2 = {(r.purchase_id, r.click_id) for r in run2}
+    assert (22, None) in ids2 and (None, 12) in ids2
+
+    # batch twin: full-outer join of everything except the still-open
+    # run-2 pushers must equal the union of the two runs' outputs
+    c = (
+        spark.read.parquet(clicks_dir)
+        .filter(~F.col("event_id").isin(14))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        spark.read.parquet(buys_dir)
+        .filter(~F.col("event_id").isin(23))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    twin = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )
+    want = {tuple(r) for r in twin.collect()}
+    got = {tuple(r) for r in run1} | {tuple(r) for r in run2}
+    assert got == want

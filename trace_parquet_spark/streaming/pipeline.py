@@ -197,6 +197,14 @@ def click_purchase_stream_join(
     from "match still in flight") — the conversion-failure feed a
     marketing pipeline actually wants, and the state-eviction corner
     the inner join never exercises.
+
+    ``how="full_outer"`` (Spark 3.1+) finalizes BOTH sides: unmatched
+    purchases null-padded on the click columns AND unmatched clicks
+    null-padded on the purchase columns, each emitted only at its
+    watermark close — the shape a training-data join of two
+    late-arriving event feeds needs (neither feed's unmatched rows
+    may be dropped). ``user_id`` is coalesced across sides so it is
+    never null whichever side survives alone.
     """
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
@@ -219,7 +227,8 @@ def click_purchase_stream_join(
         ),
         how,
     ).select(
-        F.col("p_user").alias("user_id"),
+        # full_outer emits click-only rows where p_user is null
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         "purchase_id",
         "purchase_ts",
         "click_id",
