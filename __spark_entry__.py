@@ -80,7 +80,13 @@ def _modules():
         udtf,
         zorder,
     )
-    from trace_parquet_spark.sources import formats, tablelog, tablelog_source, warc
+    from trace_parquet_spark.sources import (
+        formats,
+        jdbc,
+        tablelog,
+        tablelog_source,
+        warc,
+    )
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -165,6 +171,7 @@ def _modules():
         kll,
         pq,
         formats,
+        jdbc,
         tablelog,
         tablelog_source,
         warc,

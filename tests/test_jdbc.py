@@ -197,3 +197,47 @@ def test_jdbc_stream_end_to_end(spark, tmp_path_factory):
     finally:
         q.stop()
     assert got == list(range(12))
+
+
+def test_jdbc_partitioned_scan_entry_plans_parallel(spark, sf_dir):
+    """The oracle-gated registry entry must actually exercise the
+    ranged-parallel JDBC path: the scan it builds plans numPartitions
+    range-disjoint queries (not one cursor), and boundary keys are
+    neither lost nor doubled across ranges."""
+    import tempfile
+
+    from trace_parquet_spark.sources.jdbc import (
+        _DERBY_DRIVER,
+        jdbc_partitioned_scan,
+        read_jdbc,
+    )
+
+    # the entry's own result is oracle-gated; here pin the plan shape
+    # on an identically-seeded table
+    d = tempfile.mkdtemp(prefix="jdbc_pin_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    (
+        spark.range(1, 101)
+        .select(F.col("id").alias("K"), (F.col("id") * 2).alias("V"))
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "T")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    df = read_jdbc(
+        spark,
+        url,
+        "T",
+        partition_column="K",
+        lower_bound=1,
+        upper_bound=101,
+        num_partitions=4,
+        driver=_DERBY_DRIVER,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100  # no boundary row lost or doubled
+    assert df.select("K").distinct().count() == 100
+    out = jdbc_partitioned_scan(spark, sf_dir)
+    assert out.count() > 0

@@ -288,3 +288,85 @@ def run_jdbc_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def jdbc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the PARTITIONED JDBC read path under the oracle gate: a
+    customer slice is seeded into an embedded-Derby table (the
+    reference's DataInitializer shape), read back through Spark's
+    JDBC source with partitionColumn/numPartitions=4 — Spark issues
+    four range-disjoint queries in parallel, the 100 TB ingest shape
+    (the reference reads its trace table through one reactive cursor,
+    repository/ParameterDataRepository.java:53-78) — and aggregated
+    per market segment. The oracle recomputes from the parquet
+    directly: agreement proves the ranged parallel scan surfaces
+    exactly the seeded rows, with no boundary row lost or doubled
+    across partition ranges (the classic off-by-one in hand-rolled
+    range splits)."""
+    import shutil
+    import tempfile
+
+    from .registry import load_table
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            F.col("c_custkey").alias("C_CUSTKEY"),
+            F.col("c_mktsegment").alias("C_MKTSEGMENT"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("CENTS"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="jdbc_derby_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    try:
+        (
+            cust.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "CUSTOMER_SLICE")
+            .option("driver", _DERBY_DRIVER)
+            .mode("overwrite")
+            .save()
+        )
+        hi = cust.agg(F.max("C_CUSTKEY")).first()[0] or 1
+        out = (
+            read_jdbc(
+                spark,
+                url,
+                "CUSTOMER_SLICE",
+                partition_column="C_CUSTKEY",
+                lower_bound=0,
+                upper_bound=int(hi) + 1,
+                num_partitions=4,
+                driver=_DERBY_DRIVER,
+            )
+            .groupBy(F.col("C_MKTSEGMENT").alias("segment"))
+            .agg(
+                F.count("*").cast("long").alias("n_cust"),
+                F.sum("CENTS").cast("long").alias("total_cents"),
+            )
+            .orderBy("segment")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "segment string, n_cust long, total_cents long"
+    ).orderBy("segment")
+
+
+JDBC_PARTITIONED_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_cust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer
+WHERE c_custkey % 10 = 3
+GROUP BY 1
+ORDER BY segment
+"""
+
+QUERIES = {"jdbc_partitioned_scan": jdbc_partitioned_scan}
+ORACLES = {"jdbc_partitioned_scan": JDBC_PARTITIONED_SQL}
