@@ -480,3 +480,139 @@ def test_auto_checkpoint_bounds_replay_over_commit_stream(
     append(one, t)
     append(one, t)
     assert _checkpoints(t) == [5, 10, 15, 20]
+
+
+# --------------------- vacuum/expire under a concurrent slow reader
+
+
+def test_expire_under_planned_reader_fails_loudly_never_partial(
+    spark, tmp_path, monkeypatch
+):
+    """A slow reader that resolved the log at version V while
+    expire_snapshots deleted files referenced only below keep_from
+    must either read V consistently (V kept) or fail LOUDLY at scan
+    time (V expired) — never silently return a subset of V's rows.
+    The expire is injected right after the reader's log resolution,
+    the worst possible interleave."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 10, 1).repartition(2), t)       # v0: files A
+    tl.overwrite(_kv(spark, 20, 25, 2), t)               # v1: replaces A
+
+    real_read_log = tl._read_log
+    fire = {"armed": False}
+
+    def read_log_then_expire(table, as_of):
+        res = real_read_log(table, as_of)
+        if fire["armed"]:
+            fire["armed"] = False
+            tl.expire_snapshots(t, keep_from=1)  # deletes v0-only files
+        return res
+
+    monkeypatch.setattr(tl, "_read_log", read_log_then_expire)
+
+    # reader at an EXPIRED version: its log resolution succeeded (v0
+    # was visible), the files vanish before the scan plans — loud
+    # failure (PATH_NOT_FOUND at analysis or FileNotFound at scan),
+    # zero rows out, NEVER a silent subset
+    fire["armed"] = True
+    with pytest.raises(Exception) as ei:
+        rows = read_table(spark, t, as_of=0).collect()
+        # reaching here means Spark returned a result set: it must be
+        # COMPLETE (10 rows), else rows were silently dropped
+        assert len(rows) == 10, "silent partial read of expired version"
+        pytest.fail("expired-version read returned instead of failing")
+    msg = str(ei.value)
+    assert (
+        "does not exist" in msg
+        or "FileNotFound" in msg
+        or "PATH_NOT_FOUND" in msg
+    )
+
+    # reader at a KEPT version with the same interleave: consistent
+    fire["armed"] = True
+    kept = read_table(spark, t)  # resolves v1, expire fires mid-plan
+    got = sorted((r.k, r.v) for r in kept.collect())
+    assert got == [(k, 2) for k in range(20, 25)]
+
+    # time travel below keep_from now refuses at plan time (retention
+    # contract) rather than planning ghost files
+    monkeypatch.setattr(tl, "_read_log", real_read_log)
+    with pytest.raises(Exception):
+        read_table(spark, t, as_of=0).collect()
+
+
+def test_vacuum_never_touches_files_of_any_logged_version(
+    spark, tmp_path, monkeypatch
+):
+    """Plain vacuum (no expire) with a reader planned at an OLD
+    version: every logged version's files are protected, so the old
+    snapshot still reads completely after vacuum — only true orphans
+    (failed writers' staged files) are deleted."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 10, 1).repartition(2), t)   # v0
+    tl.overwrite(_kv(spark, 20, 25, 2), t)           # v1: v0 files now
+    # referenced only by v0 — still a logged version, still protected
+    old = read_table(spark, t, as_of=0)
+    # orphan a staged file (failed writer) so vacuum has real work
+    import os as _os
+
+    orphan = None
+    for root, _dirs, names in _os.walk(t):
+        for n in names:
+            if n.startswith("part-") and n.endswith(".parquet"):
+                orphan = _os.path.join(root, "part-orphan-test.parquet")
+                import shutil as _sh
+
+                _sh.copyfile(_os.path.join(root, n), orphan)
+                break
+        if orphan:
+            break
+    doomed = tl.vacuum(t)
+    assert [d for d in doomed if "orphan" in d]  # the orphan went
+    got = sorted((r.k, r.v) for r in old.collect())
+    assert got == [(k, 1) for k in range(10)]  # old snapshot complete
+
+
+# ------------------------- exact-anchor scale hints (WindowScaleHint)
+
+
+def test_exact_anchors_hint_at_their_approx_twins(
+    spark, sf_dir, monkeypatch
+):
+    """The three exact anchors keep data-sized rank windows by design;
+    above the row threshold each must emit a WindowScaleHint naming
+    its registered *_approx twin (the silent 100x cliff becomes an
+    operator hint), and below the threshold stay silent."""
+    import warnings as w
+
+    from trace_parquet_spark.operators import scale_hints
+    from trace_parquet_spark.operators.hygiene import ccnet_quality_buckets
+    from trace_parquet_spark.plans.analytics_more import (
+        equi_depth_price_buckets,
+    )
+    from trace_parquet_spark.plans.funnels import lift_table_deciles
+
+    cases = [
+        (ccnet_quality_buckets, "ccnet_quality_buckets_approx"),
+        (equi_depth_price_buckets, "equi_depth_price_buckets_approx"),
+        (lift_table_deciles, "lift_table_deciles_approx"),
+    ]
+    # tiny threshold: every anchor's window is "too big" at test SF
+    monkeypatch.setattr(scale_hints, "SCALE_HINT_ROWS", 1)
+    for fn, twin in cases:
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            fn(spark, sf_dir).collect()
+        hints = [
+            c for c in caught if issubclass(c.category, scale_hints.WindowScaleHint)
+        ]
+        assert hints, f"{fn.__name__} emitted no WindowScaleHint"
+        assert twin in str(hints[0].message)
+    # default threshold: silent at bench SF (no noise in normal runs)
+    monkeypatch.setattr(scale_hints, "SCALE_HINT_ROWS", 5_000_000)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        equi_depth_price_buckets(spark, sf_dir).collect()
+    assert not [
+        c for c in caught if issubclass(c.category, scale_hints.WindowScaleHint)
+    ]

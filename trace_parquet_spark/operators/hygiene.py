@@ -289,7 +289,19 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_surprisal; ranking windows partition by LANGUAGE (never
     global); the cut relation is |langs|×2 rows, broadcast. At 100 TB
     the only heavy stages are the token explode + vocab join — both
-    partial-agg/hash-join shapes."""
+    partial-agg/hash-join shapes. A WindowScaleHint fires when any
+    language's doc count crosses the per-partition cliff, pointing at
+    ccnet_quality_buckets_approx (the registered histogram twin)."""
+    from .scale_hints import warn_if_window_heavy
+
+    # the rank window below partitions by lang at DOC grain: probe
+    # docs-per-language (cheap lang-column agg) before the heavy work
+    warn_if_window_heavy(
+        "ccnet_quality_buckets",
+        "ccnet_quality_buckets_approx",
+        df=load_table(spark, sf_dir, "documents").select("lang"),
+        keys=["lang"],
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens("text").alias("toks")
     )

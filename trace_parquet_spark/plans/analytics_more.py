@@ -130,9 +130,20 @@ def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ESTIMATION on a sample at 100 TB (or swap in approx quantiles);
     pinned exact here to stay oracle-checkable.
     """
+    from trace_parquet_spark.operators.scale_hints import (
+        warn_if_window_heavy,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     # deliberate row-grain global ntile: the oracle ground truth whose
-    # scale swap IS equi_depth_price_buckets_approx below
+    # scale swap IS equi_depth_price_buckets_approx below — the hint
+    # fires when the single sort partition crosses the cliff
+    warn_if_window_heavy(
+        "equi_depth_price_buckets",
+        "equi_depth_price_buckets_approx",
+        df=orders.select("o_orderkey"),
+        keys=[],
+    )
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         orders.select(

@@ -778,6 +778,17 @@ def lift_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("nu"), F.sum("conv").alias("tc")
     ).collect()[0]
     n_users = int(totals.nu)
+    from trace_parquet_spark.operators.scale_hints import (
+        warn_if_window_heavy,
+    )
+
+    # n_users IS the global rank partition's size — already on the
+    # driver, so the hint costs nothing here
+    warn_if_window_heavy(
+        "lift_table_deciles",
+        "lift_table_deciles_approx",
+        known_rows=n_users,
+    )
     ranked = per_user.select(
         "score",
         "conv",
