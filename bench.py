@@ -215,6 +215,8 @@ HEADLINE = [
     "tablelog_datasource_write_roundtrip",
     "tablelog_stream_sink_totals",
     "triangle_count_parts",
+    # round 11: the oracle-gated partitioned JDBC ingest path
+    "jdbc_partitioned_scan",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
