@@ -616,3 +616,163 @@ def test_exact_anchors_hint_at_their_approx_twins(
     assert not [
         c for c in caught if issubclass(c.category, scale_hints.WindowScaleHint)
     ]
+
+
+# ----------------- conflict-matrix model check (no Spark required)
+
+
+def test_rewrite_conflict_matrix_model(tmp_path):
+    """Property-style model check of _interleaved_blocks_rewrite over
+    synthetic commit logs (pure JSON, no Spark session): across many
+    seeded random interleave scenarios the matrix must block EXACTLY
+    when Delta section-5 semantics require — an interleaved remove/dv
+    touching the read set, a metadata commit, a schema-shape change,
+    or (merge mode) an added file overlapping the update-key range or
+    carrying no usable range. Disjoint ranged adds, empty adds, and
+    remove/dv outside the read set must commute."""
+    import json as _json
+    import random
+
+    SCHEMA = (
+        '{"type":"struct","fields":[{"name":"k","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    SCHEMA2 = (
+        '{"type":"struct","fields":[{"name":"k","type":"string",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    rng = random.Random(411)
+    read_files = {"data/a.parquet", "data/b.parquet"}
+    key_range = (100, 200)
+
+    for case in range(300):
+        t = str(tmp_path / f"m{case}")
+        # base commit the rewrite snapshotted at (v0)
+        tl._commit(
+            t, 0, {"add": sorted(read_files), "remove": [], "schema": SCHEMA}
+        )
+        kinds = [
+            rng.choice(
+                [
+                    "add_disjoint",
+                    "add_overlap",
+                    "add_unranged",
+                    "add_empty",
+                    "remove_read",
+                    "remove_other",
+                    "dv_read",
+                    "dv_other",
+                    "dv_clear_read",
+                    "col_mapping",
+                    "constraints",
+                    "schema_change",
+                ]
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        must_block = False
+        for i, kind in enumerate(kinds):
+            v = i + 1
+            f = f"data/x{v}.parquet"
+            c: dict = {"add": [], "remove": [], "schema": SCHEMA}
+            if kind == "add_disjoint":
+                c["add"] = [f]
+                c["stats"] = {f: [300 + v, 400 + v]}
+                c["stats_col"] = "k"
+                c["rows"] = {f: 5}
+            elif kind == "add_overlap":
+                c["add"] = [f]
+                c["stats"] = {f: [150, 160]}
+                c["stats_col"] = "k"
+                c["rows"] = {f: 5}
+                must_block = True
+            elif kind == "add_unranged":
+                c["add"] = [f]
+                c["rows"] = {f: 5}
+                must_block = True
+            elif kind == "add_empty":
+                c["add"] = [f]
+                c["rows"] = {f: 0}  # empty part file: carries no keys
+            elif kind == "remove_read":
+                c["remove"] = ["data/a.parquet"]
+                must_block = True
+            elif kind == "remove_other":
+                c["remove"] = [f"data/gone{v}.parquet"]
+            elif kind == "dv_read":
+                c["dv"] = {"data/b.parquet": f"dv/{v}"}
+                must_block = True
+            elif kind == "dv_other":
+                c["dv"] = {f"data/gone{v}.parquet": f"dv/{v}"}
+            elif kind == "dv_clear_read":
+                c["dv_clear"] = ["data/a.parquet"]
+                must_block = True
+            elif kind == "col_mapping":
+                c["col_mapping"] = {"k": "k"}
+                must_block = True
+            elif kind == "constraints":
+                c["constraints"] = {"pos": "k > 0"}
+                must_block = True
+            elif kind == "schema_change":
+                c["schema"] = SCHEMA2
+                must_block = True
+            tl._commit(t, v, c)
+        blocker = tl._interleaved_blocks_rewrite(
+            t,
+            0,
+            len(kinds),
+            SCHEMA,
+            read_files=read_files,
+            key="k",
+            key_range=key_range,
+        )
+        assert (blocker is not None) == must_block, (
+            f"case {case}: kinds={kinds} -> blocker={blocker}"
+        )
+        # whole-snapshot mode (OPTIMIZE): ANY remove/dv blocks, adds
+        # always commute, metadata still blocks
+        whole_block = any(
+            k
+            in (
+                "remove_read",
+                "remove_other",
+                "dv_read",
+                "dv_other",
+                "dv_clear_read",
+                "col_mapping",
+                "constraints",
+                "schema_change",
+            )
+            for k in kinds
+        )
+        blocker2 = tl._interleaved_blocks_rewrite(
+            t, 0, len(kinds), SCHEMA, read_files=None
+        )
+        assert (blocker2 is not None) == whole_block, (
+            f"case {case}: kinds={kinds} -> whole-snapshot {blocker2}"
+        )
+    # never-blocked sanity: pure disjoint appends, both modes commute
+    t = str(tmp_path / "clean")
+    tl._commit(t, 0, {"add": ["data/a.parquet"], "remove": [], "schema": SCHEMA})
+    tl._commit(
+        t,
+        1,
+        {
+            "add": ["data/c.parquet"],
+            "remove": [],
+            "schema": SCHEMA,
+            "stats": {"data/c.parquet": [900, 950]},
+            "stats_col": "k",
+            "rows": {"data/c.parquet": 7},
+        },
+    )
+    assert (
+        tl._interleaved_blocks_rewrite(
+            t, 0, 1, SCHEMA, read_files={"data/a.parquet"},
+            key="k", key_range=(0, 10),
+        )
+        is None
+    )
+    assert (
+        tl._interleaved_blocks_rewrite(t, 0, 1, SCHEMA, read_files=None)
+        is None
+    )
