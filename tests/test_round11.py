@@ -776,3 +776,33 @@ def test_rewrite_conflict_matrix_model(tmp_path):
         tl._interleaved_blocks_rewrite(t, 0, 1, SCHEMA, read_files=None)
         is None
     )
+
+
+def test_merge_rebases_across_multiple_interleaved_appends(
+    spark, tmp_path, monkeypatch
+):
+    """THREE disjoint ranged appends land while a merge stages: the
+    merge must rebase across all of them (conflict window re-checked
+    per rebase attempt) and commit at head+1 with every append's rows
+    intact."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 5, 1), t, stats_col="k")
+    orig = tl._stage_files
+    state = {"armed": True}
+
+    def three_appends_mid_merge(df, table):
+        files = orig(df, table)
+        if state["armed"]:
+            state["armed"] = False
+            for lo in (100, 200, 300):
+                tl.append(_kv(spark, lo, lo + 3, 9), table, stats_col="k")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", three_appends_mid_merge)
+    out = merge_upsert(spark, t, _kv(spark, 2, 4, 7), "k")
+    assert out["version"] == 4  # v1..v3 appends, merge rebased to v4
+    rows = {r.k: r.v for r in read_table(spark, t).collect()}
+    want = {0: 1, 1: 1, 2: 7, 3: 7, 4: 1}
+    for lo in (100, 200, 300):
+        want.update({k: 9 for k in range(lo, lo + 3)})
+    assert rows == want

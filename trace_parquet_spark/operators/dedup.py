@@ -952,13 +952,23 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded from the contained side — a 2-shingle fragment would be
     "contained" everywhere.
 
-    Scale: identical join geometry to dedup_ngram_pairs (df-cap bounds
-    per-shingle fan-out); the asymmetric PREFIX-filter variant (prefix
-    of length |A| − ⌈t·|A|⌉ + 1 on the contained side only — the
-    container side must index all shingles, so the index is the big
-    relation and the probe is prefix-small) is the 100 TB refinement
-    of the same candidate-then-verify shape proven by
-    dedup_setsim_prefix."""
+    Scale: identical join geometry to dedup_ngram_pairs — per-shingle
+    fan-out is df², bounded by the df-cap. The round-11 10× soak
+    (PERF.md, BENCH_sf1_r11) measured this superlinear (21.9×) on the
+    synthetic tables: their uniform 31-word vocabulary keeps every
+    shingle BELOW the cap while df grows linearly with corpus size,
+    so Σ df² grows quadratically — a property of that corpus, not of
+    the plan; on Zipf-distributed real crawls the cap truncates the
+    head and sub-cap df is corpus-size-independent. The asymmetric
+    PREFIX-filter refinement (contained-side prefix of the
+    |A| − ⌈t·|A|⌉ + 1 df-rarest shingles joined against the
+    container-side full index, PPJoin-style) was implemented and
+    measured in round 11 and REJECTED on data: on the uniform-df
+    corpus nearly every doc becomes a candidate doc, so the
+    candidate-bounded verification re-pays the full co-shingle join
+    on top of the prefix join — 2.4→7.6 s at sf0.1 and 53→71 s at
+    sf1, slower at BOTH scale factors. dedup_setsim_prefix remains
+    the proven exact prefix path where its symmetric prunes apply."""
     # the capped relation feeds both join sides AND the size agg —
     # cache it once (track_cache releases it when the next query
     # builds) instead of re-deriving shingles + hot-set three times
