@@ -1283,7 +1283,13 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the blocking join shuffles only (chunk, value) membership
     rows — 4 per doc; fan-out concentrates on hot chunk values the
     same way LSH bands do (and the same df-cap treatment applies if a
-    degenerate corpus makes one chunk value hot). Never all-pairs."""
+    degenerate corpus makes one chunk value hot). Never all-pairs —
+    but candidate COUNT grows as d²/256 once doc count passes the
+    8-bit chunk space (measured: the round-11 30× probe, PERF.md).
+    That is inherent to 32-bit SimHash: Manku-Jain-Sarma run 64-bit
+    fingerprints with wider chunk spaces so buckets outnumber
+    documents. SIMHASH_BITS is registry-pinned semantics here; at
+    real corpus scale widen the fingerprint, not the plan."""
     sims = simhash_docs(spark, sf_dir).transform(track_cache)
     chunks = sims.select(
         "doc_id",
