@@ -806,3 +806,44 @@ def test_merge_rebases_across_multiple_interleaved_appends(
     for lo in (100, 200, 300):
         want.update({k: 9 for k in range(lo, lo + 3)})
     assert rows == want
+
+
+def test_concurrent_optimize_and_appends_all_land(spark, tmp_path):
+    """OPTIMIZE racing three blind appenders (real _commit races): the
+    rewrite must rebase across whichever appends land mid-flight and
+    commit exactly once; every append survives (their files stay
+    live, uncompacted) and the compacted content is byte-equal to the
+    snapshot OPTIMIZE read."""
+    t = str(tmp_path / "t")
+    append(_kv(spark, 0, 20, 1).repartition(4), t, stats_col="k")
+    errs: list = []
+
+    def appender(i):
+        try:
+            tl.append(
+                _kv(spark, 1000 + 10 * i, 1000 + 10 * i + 5, 2),
+                t,
+                stats_col="k",
+            )
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    def optimizer():
+        try:
+            tl.optimize_table(spark, t, target_files=1)
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    ths = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    ths.append(threading.Thread(target=optimizer))
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert errs == []
+    assert latest_version(t) == 4  # seed + 3 appends + optimize, no gaps
+    rows = {r.k: r.v for r in read_table(spark, t).collect()}
+    want = {k: 1 for k in range(20)}
+    for i in range(3):
+        want.update({k: 2 for k in range(1000 + 10 * i, 1000 + 10 * i + 5)})
+    assert rows == want
