@@ -330,8 +330,15 @@ class TableLogStreamReader(SimpleDataSourceStreamReader):
             return
         got = _schema_shape(schema_json)
         if got != self.expected_shape:
-            exp = [(n, json.loads(t)) for n, t in self.expected_shape]
-            now = [(n, json.loads(t)) for n, t in got]
+
+            def _pretty(shape):
+                try:
+                    return [(n, json.loads(t)) for n, t in shape]
+                except (ValueError, TypeError):
+                    return shape  # unparseable shape: show it raw
+
+            exp = _pretty(self.expected_shape)
+            now = _pretty(got)
             raise ValueError(
                 "tablelog stream: table schema changed mid-stream — the "
                 f"query expects columns {exp} but the planned commit "
