@@ -2,7 +2,7 @@
 latest-version CDC apply.
 
 The reference engine is read-only over an immutable trace table
-(service/DataExportService.java:31-43 — no update semantics anywhere);
+(repository/ParameterDataRepository.java:53-78 — no update semantics anywhere);
 these are the standard warehouse maintenance operators a pipeline using
 this engine needs next to MERGE (operators/merge.py).
 

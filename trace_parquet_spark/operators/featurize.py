@@ -1,7 +1,7 @@
 """Training-data featurization: hashing-trick term vectors and a
 declarative data-quality constraint checker.
 
-The reference exports raw rows (service/DataExportService.java:31-43);
+The reference exports raw rows (repository/ParameterDataRepository.java:53-78);
 a pipeline feeding a trainer needs the text VECTORIZED and the batch
 VALIDATED before it ships. Both operators are pure JVM-side plans.
 

@@ -15,7 +15,7 @@ table is scanned more than once, and nothing is rewritten. The UNION
 of three one-row aggregates is driver-trivial.
 
 Reference: no counterpart (the reference only ever reads,
-service/DataExportService.java:31-43); extends the warehouse-
+repository/ParameterDataRepository.java:53-78); extends the warehouse-
 maintenance family (MERGE, SCD2, CDC, compaction).
 """
 

@@ -294,13 +294,16 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccnet_quality_buckets_approx (the registered histogram twin)."""
     from .scale_hints import warn_if_window_heavy
 
-    # the rank window below partitions by lang at DOC grain: probe
-    # docs-per-language (cheap lang-column agg) before the heavy work
+    # the rank window below partitions by lang at DOC grain: the
+    # parquet footer row count (driver-side, no Spark job) bounds any
+    # per-language partition, so the exact docs-per-language probe
+    # only runs once the table itself crosses the cliff
     warn_if_window_heavy(
         "ccnet_quality_buckets",
         "ccnet_quality_buckets_approx",
         df=load_table(spark, sf_dir, "documents").select("lang"),
         keys=["lang"],
+        table_path=f"{sf_dir}/documents.parquet",
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens("text").alias("toks")

@@ -2,8 +2,8 @@
 (embedding-training prep), label-balanced sampling (classifier-training
 prep), and pattern redaction (PII-style scrubbing).
 
-The reference exports raw rows only (service/DataExportService.java:
-31-43); these are the standard last-mile transforms between a cleaned
+The reference exports raw rows only (repository/ParameterDataRepository.java:
+53-78); these are the standard last-mile transforms between a cleaned
 corpus and a trainer.
 
 All three are single-pass JVM plans with full DuckDB oracles:

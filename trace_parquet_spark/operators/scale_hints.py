@@ -9,15 +9,23 @@ This module turns that silent cliff into an explicit, testable
 operator hint: a ``WindowScaleHint`` warning naming the twin, emitted
 when the largest window partition exceeds a row threshold.
 
-The size probe is deliberately cheap: callers pass the GRAIN relation
-the window partitions over (docs per language, orders globally, users
-globally), so the probe is a map-side-combined count — never itself a
-data-sized partition — or a count the query already collected.
-Disable with ``SPARK_GRAFT_SCALE_HINT_ROWS=0``.
+The size probe costs nothing in the common case: callers pass either
+``known_rows`` (a count the query already collected) or
+``table_path`` pointing at the source parquet — the footer row count
+(a driver-side pyarrow metadata read, NO Spark job) is an upper bound
+on any window partition, so when it is at or under the threshold the
+probe is skipped entirely. Only when that upper bound crosses the
+threshold does the exact per-key probe run (a map-side-combined
+count over the GRAIN relation the window partitions over — never
+itself a data-sized partition).
+
+Disable with ``SPARK_GRAFT_SCALE_HINT_ROWS=0`` — read at CALL time,
+so it can be set (or unset) mid-session.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import warnings
 
@@ -25,15 +33,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # default cliff: beyond ~5M rows a single sort partition stops being
-# "one task's work" on commodity executors
-SCALE_HINT_ROWS = int(
-    os.environ.get("SPARK_GRAFT_SCALE_HINT_ROWS", str(5_000_000))
-)
+# "one task's work" on commodity executors. Module-level DEFAULT only
+# (tests may monkeypatch it); the env var is re-read on every call.
+SCALE_HINT_ROWS = 5_000_000
 
 
 class WindowScaleHint(UserWarning):
     """The largest window partition of an exact anchor crossed the
     size threshold; the registered approx twin is the scale path."""
+
+
+def _current_limit(threshold: int | None) -> int:
+    """Explicit threshold > env var (read now, not at import) >
+    module default."""
+    if threshold is not None:
+        return threshold
+    env = os.environ.get("SPARK_GRAFT_SCALE_HINT_ROWS")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            warnings.warn(
+                f"SPARK_GRAFT_SCALE_HINT_ROWS={env!r} is not an int; "
+                f"using default {SCALE_HINT_ROWS:,}",
+                UserWarning,
+                stacklevel=3,
+            )
+    return SCALE_HINT_ROWS
+
+
+def parquet_num_rows(path: str) -> int | None:
+    """Total row count of a parquet file/directory from footer
+    metadata only — a driver-side pyarrow read, no Spark job.
+    Returns None when the path isn't readable parquet."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+        else:
+            files = [path]
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 def warn_if_window_heavy(
@@ -43,30 +89,60 @@ def warn_if_window_heavy(
     df: DataFrame | None = None,
     keys: list[str] | None = None,
     known_rows: int | None = None,
+    table_path: str | None = None,
     threshold: int | None = None,
 ) -> int | None:
     """Emit a WindowScaleHint when the largest window partition
-    exceeds ``threshold`` rows (default SCALE_HINT_ROWS; <= 0 skips
-    the probe entirely).
+    exceeds the threshold (param > SPARK_GRAFT_SCALE_HINT_ROWS env,
+    re-read per call > SCALE_HINT_ROWS default; <= 0 skips the probe
+    entirely).
 
-    Either pass ``known_rows`` (a count the query already has — zero
-    extra cost) or ``df`` + ``keys``: the probe computes
-    max(count per keys-group), or count(*) for a global window
-    (keys=[]). Returns the measured size (None when skipped)."""
-    limit = SCALE_HINT_ROWS if threshold is None else threshold
+    Sizing sources, cheapest first:
+    - ``known_rows``: a count the query already has — zero cost.
+    - ``table_path``: parquet footer row count (driver-side metadata,
+      no Spark job) as an UPPER bound; at or under the limit the
+      probe is skipped without touching Spark. Above it, the exact
+      ``df``+``keys`` probe runs (or, for a global window with no
+      ``df``, the footer count itself is used — callers must then
+      pass the unfiltered grain table).
+    - ``df`` + ``keys``: max(count per keys-group), or count(*) for a
+      global window (keys=[]).
+
+    Returns the measured size (None when skipped)."""
+    if known_rows is None and df is None and table_path is None:
+        raise ValueError(
+            "warn_if_window_heavy needs a sizing source: pass "
+            "known_rows, df (+keys), or table_path"
+        )
+    limit = _current_limit(threshold)
     if limit <= 0:
         return None
     if known_rows is not None:
         mx = known_rows
-    elif keys:
-        mx = (
-            df.groupBy(*keys)
-            .agg(F.count("*").alias("n"))
-            .agg(F.max("n"))
-            .first()[0]
-        )
     else:
-        mx = df.count()
+        upper = parquet_num_rows(table_path) if table_path else None
+        if upper is not None and upper <= limit:
+            # footer bound proves no partition can cross the cliff —
+            # skip the Spark probe entirely (the common bench case)
+            return None
+        if df is not None:
+            if keys:
+                mx = (
+                    df.groupBy(*keys)
+                    .agg(F.count("*").alias("n"))
+                    .agg(F.max("n"))
+                    .first()[0]
+                )
+            else:
+                mx = df.count()
+        elif upper is not None:
+            mx = upper
+        else:
+            raise ValueError(
+                f"warn_if_window_heavy({operator!r}): table_path "
+                f"{table_path!r} is not readable parquet and no df "
+                "was given — pass df (+keys) or known_rows"
+            )
     if mx and mx > limit:
         warnings.warn(
             f"{operator}: largest window partition holds {mx:,} rows "

@@ -137,12 +137,15 @@ def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     # deliberate row-grain global ntile: the oracle ground truth whose
     # scale swap IS equi_depth_price_buckets_approx below — the hint
-    # fires when the single sort partition crosses the cliff
+    # fires when the single sort partition crosses the cliff. The
+    # footer row count (no Spark job) short-circuits the probe at
+    # bench scale; the global window's size IS the table's row count.
     warn_if_window_heavy(
         "equi_depth_price_buckets",
         "equi_depth_price_buckets_approx",
         df=orders.select("o_orderkey"),
         keys=[],
+        table_path=f"{sf_dir}/orders.parquet",
     )
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (

@@ -3,7 +3,7 @@ array/vector math via higher-order functions (transform / zip_with /
 aggregate / map_from_entries / map_filter).
 
 The reference engine has no collection types at all (its one query is
-flat columns — service/DataExportService.java:31-43); SURVEY §2.8 lists
+flat columns — repository/ParameterDataRepository.java:53-78); SURVEY §2.8 lists
 array/map scalar functions as part of the completeness target. Maps are
 unordered in both engines, so every driver-facing output serializes
 entries in sorted key order ('k:v|k:v') — the same rule the round-1

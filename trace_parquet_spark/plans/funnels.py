@@ -2,7 +2,7 @@
 funnel conversion and weekly cohort retention.
 
 The reference has no event analytics (single filter+sort query,
-service/DataExportService.java:31-43); these extend SURVEY §2.4/§2.5
+repository/ParameterDataRepository.java:53-78); these extend SURVEY §2.4/§2.5
 with the two queries every events warehouse gets asked first.
 
 - ``funnel_conversion``: how many users progress through the ordered

@@ -7,7 +7,7 @@ Graph: one directed edge supplier-nation -> customer-nation per
 distinct trading pair, weighted by lineitem count (lineitem joined to
 supplier for the source nation and through orders/customer for the
 destination). The reference engine has nothing iterative
-(service/DataExportService.java:31-43); this extends the dedup-graph
+(repository/ParameterDataRepository.java:53-78); this extends the dedup-graph
 family (triangle_list, dedup_clusters) with a link-analysis rank, the
 shape used to weight crawl frontiers when prioritizing training-data
 acquisition.

@@ -3,7 +3,7 @@ and time-hierarchy rollups — the patterns that keep a 100 TB rollup
 cheap to maintain (re-aggregate deltas, never recompute history).
 
 The reference recomputes its single query from scratch per request
-(service/DataExportService.java:31-43 — stateless read); these cover
+(repository/ParameterDataRepository.java:53-78 — stateless read); these cover
 SURVEY §2.4's aggregation checklist from the maintenance side.
 
 - ``incremental_agg_merge`` proves the algebraic-aggregate contract:

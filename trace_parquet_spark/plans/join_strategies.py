@@ -22,7 +22,7 @@ collisions instead of the full fact table. No repartition of the big
 side, no second scan.
 
 Reference: no counterpart (the reference's one query is a single-table
-scan, service/DataExportService.java:31-43); north-star
+scan, repository/ParameterDataRepository.java:53-78); north-star
 infrastructure.
 """
 

@@ -3,7 +3,7 @@ moments (variance / stddev / correlation), rolling-window anomaly
 detection, and ratio-to-report shares.
 
 The reference engine computes no statistics at all (one filter+sort
-query — service/DataExportService.java:31-43); SURVEY §2.4-§2.5 lists
+query — repository/ParameterDataRepository.java:53-78); SURVEY §2.4-§2.5 lists
 the aggregate/window surface these extend.
 
 Why not stddev_samp/corr built-ins on both engines: those sum doubles

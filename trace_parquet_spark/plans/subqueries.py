@@ -4,7 +4,7 @@ and null-aware NOT IN (compiles to a null-aware anti join) — the two
 subquery shapes that trip naive engines.
 
 The reference's one query has no subqueries (single-table SELECT,
-service/DataExportService.java:31-43); SURVEY §2.3 lists the join
+repository/ParameterDataRepository.java:53-78); SURVEY §2.3 lists the join
 forms these decorrelate into. Both run the IDENTICAL SQL text on
 DuckDB — cross-engine SQL-semantics parity, not just value parity.
 

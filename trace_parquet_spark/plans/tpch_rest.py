@@ -11,7 +11,7 @@ inequality join (Q12), left-outer count distribution (Q13),
 count-distinct with NOT-IN exclusion (Q16), correlated-aggregate
 threshold semi-join chain (Q20), and EXISTS/NOT-EXISTS self-joins
 (Q21). Reference parity: the reference engine's single query
-(service/DataExportService.java:31-43) has none of these shapes;
+(repository/ParameterDataRepository.java:53-78) has none of these shapes;
 SURVEY §2.3-§2.4 lists them as the relational completeness target.
 
 Conventions as in plans/relational.py: grid_sum/exact_avg for

@@ -85,6 +85,23 @@ def _jdbc_exec(spark: SparkSession, url: str, sql: str) -> None:
         conn.close()
 
 
+def _derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Shut a per-scan embedded Derby database down before its
+    directory is deleted: without this the booted database's page
+    cache and lock bookkeeping stay alive in the driver JVM for the
+    life of the session (one leak per bench invocation). Derby
+    signals a SUCCESSFUL single-database shutdown by throwing
+    SQLException 08006 from the shutdown connection — expected,
+    swallowed; anything else is best-effort too (the scratch dir is
+    removed regardless)."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:  # noqa: BLE001 - 08006 IS the success path
+        pass
+
+
 def _jdbc_scalar(spark: SparkSession, url: str, sql: str):
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -351,6 +368,7 @@ def jdbc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
     finally:
+        _derby_shutdown(spark, f"{d}/db")
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(
         rows, "segment string, n_cust long, total_cents long"

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -197,8 +198,19 @@ def _commit(table: str, version: int, actions: dict) -> None:
     if every and version and version % every == 0:
         try:
             write_checkpoint(table, version)
-        except Exception:  # noqa: BLE001 - replay from JSON still works
-            pass
+        except Exception as exc:  # noqa: BLE001 - replay from JSON still works
+            # best-effort stays best-effort, but SILENT failure would
+            # let replay cost grow unbounded with no operator signal
+            # (disk full / permissions / a real checkpoint bug all
+            # look identical to "working") — surface it and continue
+            warnings.warn(
+                f"tablelog auto-checkpoint at {table} v{version} "
+                f"failed ({type(exc).__name__}: {exc}); commits stay "
+                "durable but log replay will lengthen until a "
+                "checkpoint succeeds",
+                UserWarning,
+                stacklevel=2,
+            )
 
 
 # every Nth commit publishes a checkpoint automatically (0 disables);
