@@ -32,6 +32,8 @@ from ..functions.hashing import (
     fingerprint_md5_sql,
     stable_hash32,
     stable_hash32_sql,
+    stable_hash32_x4,
+    stable_hash32_x4_sql,
 )
 from ..functions.text import (
     norm_text,
@@ -1288,8 +1290,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit chunk space (measured: the round-11 30× probe, PERF.md).
     That is inherent to 32-bit SimHash: Manku-Jain-Sarma run 64-bit
     fingerprints with wider chunk spaces so buckets outnumber
-    documents. SIMHASH_BITS is registry-pinned semantics here; at
-    real corpus scale widen the fingerprint, not the plan."""
+    documents. SIMHASH_BITS is registry-pinned semantics here; the
+    registered scale twin is simhash64_hamming_pairs below (4×16-bit
+    chunks, 65,536 bucket values) — a ChunkSpaceHint fires when the
+    corpus outgrows this entry's 256-value chunk space."""
+    from .scale_hints import warn_if_chunk_space_saturated
+
+    warn_if_chunk_space_saturated(
+        "simhash_hamming_pairs",
+        "simhash64_hamming_pairs",
+        chunk_space=2**8,
+        table_path=f"{sf_dir}/documents.parquet",
+    )
     sims = simhash_docs(spark, sf_dir).transform(track_cache)
     chunks = sims.select(
         "doc_id",
@@ -1353,3 +1365,185 @@ QUERIES["simhash_hamming_pairs"] = simhash_hamming_pairs
 # oracle = the INDEPENDENT all-pairs derivation: hash-matching it
 # proves the pigeonhole blocking lost nothing
 ORACLES["simhash_hamming_pairs"] = SIMHASH_HAMMING_SQL
+
+
+# --------------------------------------------------------------------------
+# 64-bit SimHash — the chunk-space scale twin (Manku-Jain-Sarma 2007)
+# --------------------------------------------------------------------------
+#
+# The round-11 30× probe measured simhash_hamming_pairs going 9.6×
+# superlinear: 4×8-bit chunks give only 256 bucket values per chunk,
+# so pigeonhole candidates grow as d²/256 once doc count passes the
+# bucket count. Manku-Jain-Sarma run 64-bit fingerprints for exactly
+# this reason. This twin is the scale path: 64-bit signatures split
+# into 4×16-bit chunks — 65,536 bucket values per chunk, so buckets
+# outnumber documents until ~2M docs per partition-domain and the
+# same ≤3-bit Hamming radius keeps 100% pigeonhole recall (3 flips
+# touch ≤ 3 of 4 chunks; one chunk always matches exactly).
+#
+# (Reference scope: the reference exports rows only,
+# repository/ParameterDataRepository.java:53-78 — the dedup family is
+# north-star surface, SURVEY §2 LLM-pipeline rows.)
+
+SIMHASH64_BITS = 64
+HAM64_MAX = 3      # same near-dup radius as the 32-bit anchor
+HAM64_CHUNKS = 4   # 64 bits -> 4 x 16-bit chunks, 65,536 values each
+_SIMHASH64_SEED = 64  # decorrelates the 64-bit family from the plain-md5 32-bit one
+
+
+def simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash per document (token-frequency weighted).
+
+    Bits 0-31 come from the first 32-bit word of md5('64:'||token),
+    bits 32-63 from the second — ONE digest evaluation per token
+    (stable_hash32_x4), both engines bit-identical. Bit 63 recombines
+    as the BIGINT sign bit (-2^63), so the signature is a single
+    signed 64-bit column on which xor/bit_count operate exactly.
+
+    Scale: same shape as simhash_docs — explode to token grain
+    (hash-repartitioned on doc_id), 64 conditional sums with map-side
+    partial aggregation, no shuffle beyond the doc_id groupBy."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    hs = stable_hash32_x4(F.col("t"), _SIMHASH64_SEED)
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", hs[0].alias("h0"), hs[1].alias("h1"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(
+                        F.col("h0" if j < 32 else "h1"), j % 32
+                    ).bitwiseAND(1)
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH64_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH64_BITS):
+        mag = -(2**63) if j == 63 else 2**j
+        term = F.when(F.col(f"b{j}") > 0, F.lit(mag).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(
+        "doc_id", sim.alias("simhash64")
+    ).orderBy("doc_id")
+
+
+def _simhash64_sql() -> str:
+    h0, h1 = stable_hash32_x4_sql("t", _SIMHASH64_SEED)[:2]
+    bit_aggs = ",\n         ".join(
+        f"sum(CASE WHEN (h{0 if j < 32 else 1} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH64_BITS)
+    )
+    terms = []
+    for j in range(SIMHASH64_BITS):
+        mag = -(2**63) if j == 63 else 2**j
+        terms.append(
+            f"CASE WHEN b{j} > 0 THEN CAST({mag} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    recombine = " + ".join(terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h0} AS h0, {h1} AS h1
+  FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS t FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_aggs}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {recombine} AS simhash64
+FROM bits
+ORDER BY doc_id
+"""
+
+
+SIMHASH64_SQL = _simhash64_sql()
+
+
+def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance — the scale
+    twin closing the round-11 finding on simhash_hamming_pairs.
+    Identical join shape (pigeonhole chunk blocking, popcount-xor
+    verify, 100% recall at radius HAM64_MAX = CHUNKS − 1) but with
+    16-bit chunks: candidate fan-out per chunk is d²/65,536 instead
+    of d²/256, so the blocking stays linear-with-margin until the
+    corpus passes ~2M docs (at which point widen again — 8×8-bit
+    multi-probe or 96-bit fingerprints — or shard the chunk join by a
+    corpus partition key).
+
+    Chunk extraction masks after the arithmetic shift
+    ((sig >> 16i) & 0xFFFF), so the sign bit of the BIGINT-carried
+    signature never leaks into bucket values."""
+    sims = simhash64_docs(spark, sf_dir).transform(track_cache)
+    chunks = sims.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash64"), 16 * i)
+                        .bitwiseAND(65535)
+                        .alias("cv"),
+                    )
+                    for i in range(HAM64_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash64", "c.ci", "c.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash64").alias("sa"),
+            F.col("b.simhash64").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= HAM64_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH64_HAMMING_SQL = f"""
+WITH sims AS MATERIALIZED (
+{SIMHASH64_SQL.replace("ORDER BY doc_id", "")}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {HAM64_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["simhash64_docs"] = simhash64_docs
+ORACLES["simhash64_docs"] = SIMHASH64_SQL
+QUERIES["simhash64_hamming_pairs"] = simhash64_hamming_pairs
+# oracle = the INDEPENDENT all-pairs derivation over the 64-bit
+# signatures: hash-matching proves the 16-bit pigeonhole lost nothing
+ORACLES["simhash64_hamming_pairs"] = SIMHASH64_HAMMING_SQL

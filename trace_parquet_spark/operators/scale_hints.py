@@ -43,6 +43,67 @@ class WindowScaleHint(UserWarning):
     size threshold; the registered approx twin is the scale path."""
 
 
+class ChunkSpaceHint(UserWarning):
+    """A pigeonhole-blocked join's corpus outgrew its chunk/bucket
+    space (candidates grow as d²/space past it — the round-11 30×
+    probe measured exactly this on 32-bit SimHash); the registered
+    wider-fingerprint twin is the scale path."""
+
+
+# fire the chunk-space hint once doc count exceeds factor × space;
+# at factor 32 the average bucket holds ≥ 32 docs, so candidate
+# verification work is ≥ 32× the corpus — past "linear with margin"
+CHUNK_HINT_FACTOR = 32
+
+
+def warn_if_chunk_space_saturated(
+    operator: str,
+    twin: str,
+    *,
+    chunk_space: int,
+    n_docs: int | None = None,
+    table_path: str | None = None,
+    factor: int | None = None,
+) -> int | None:
+    """Emit a ChunkSpaceHint when the corpus is more than ``factor``
+    docs per pigeonhole bucket (factor: param >
+    SPARK_GRAFT_CHUNK_HINT_FACTOR env, re-read per call >
+    CHUNK_HINT_FACTOR default; <= 0 disables). Doc count comes from
+    ``n_docs`` or the parquet footer of ``table_path`` (driver-side
+    metadata, no Spark job). Returns the doc count used (None when
+    skipped)."""
+    if n_docs is None and table_path is None:
+        raise ValueError(
+            "warn_if_chunk_space_saturated needs n_docs or table_path"
+        )
+    if factor is None:
+        env = os.environ.get("SPARK_GRAFT_CHUNK_HINT_FACTOR")
+        if env is not None:
+            try:
+                factor = int(env)
+            except ValueError:
+                factor = CHUNK_HINT_FACTOR
+        else:
+            factor = CHUNK_HINT_FACTOR
+    if factor <= 0:
+        return None
+    if n_docs is None:
+        n_docs = parquet_num_rows(table_path)
+        if n_docs is None:
+            return None
+    if n_docs > factor * chunk_space:
+        warnings.warn(
+            f"{operator}: {n_docs:,} docs over a {chunk_space:,}-value "
+            f"chunk space (> {factor}×) — pigeonhole candidates grow "
+            f"as d²/space past this point; use the registered twin "
+            f"'{twin}' (wider fingerprint, buckets outnumber "
+            "documents)",
+            ChunkSpaceHint,
+            stacklevel=3,
+        )
+    return n_docs
+
+
 def _current_limit(threshold: int | None) -> int:
     """Explicit threshold > env var (read now, not at import) >
     module default."""
