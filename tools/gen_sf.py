@@ -44,7 +44,25 @@ def _ts_array(base_us: int, offsets_us) -> pa.Array:
     )
 
 
-def generate(out: str, mult: float, seed: int = 7) -> None:
+# Zipf document-vocabulary mode (round-12, VERDICT task 2): the
+# uniform 31-word vocabulary makes every shingle's document frequency
+# grow linearly with corpus size — the exact distribution that pushes
+# Σ df² dedup verification superlinear while staying under the df-cap.
+# Real crawls are Zipfian: a fat head of stopword-like shingles (which
+# the df-cap truncates) and a long tail of rare shingles (whose df
+# stays O(1) as the corpus grows). --zipf draws tokens from a
+# ZIPF_V-word vocabulary with p(k) ∝ 1/k^ZIPF_S, the distribution the
+# round-11 containment waiver invokes.
+ZIPF_V = 30_000
+ZIPF_S = 1.1
+
+
+def _zipf_probs(v: int = ZIPF_V, s: float = ZIPF_S) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, v + 1, dtype="float64"), s)
+    return p / p.sum()
+
+
+def generate(out: str, mult: float, seed: int = 7, zipf: bool = False) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -164,7 +182,27 @@ def generate(out: str, mult: float, seed: int = 7) -> None:
     # documents: vocab sentences; ~0.2% exact dups of earlier docs and
     # ~2% near dups (two tokens swapped) so the dedup family sees the
     # same candidate shape as the driver fixtures
-    vocab = np.array(VOCAB)
+    if zipf:
+        vocab = np.array([f"w{k}" for k in range(ZIPF_V)])
+        zp = _zipf_probs()
+        # buffered draws: one vectorized choice() per ~1M tokens
+        # instead of one 30k-cdf setup per document
+        _buf = {"a": vocab[rng.choice(ZIPF_V, 1_000_000, p=zp)], "i": 0}
+
+        def draw(n: int) -> np.ndarray:
+            if _buf["i"] + n > len(_buf["a"]):
+                _buf["a"] = vocab[rng.choice(ZIPF_V, 1_000_000, p=zp)]
+                _buf["i"] = 0
+            out = _buf["a"][_buf["i"] : _buf["i"] + n]
+            _buf["i"] += n
+            return out
+
+    else:
+        vocab = np.array(VOCAB)
+
+        def draw(n: int) -> np.ndarray:
+            return vocab[rng.integers(0, len(vocab), n)]
+
     texts: list[str] = []
     for i in range(n_doc):
         r = rng.random()
@@ -172,14 +210,13 @@ def generate(out: str, mult: float, seed: int = 7) -> None:
             texts.append(texts[rng.integers(0, i)])
             continue
         n_tok = int(rng.integers(10, 101))
-        toks = vocab[rng.integers(0, len(vocab), n_tok)]
+        toks = draw(n_tok)
         if i > 10 and r < 0.022:
             src = texts[rng.integers(0, i)].split(" ")
             toks = np.array(src)
-            for _ in range(2):
-                toks[rng.integers(0, len(toks))] = vocab[
-                    rng.integers(0, len(vocab))
-                ]
+            repl = draw(2)
+            for j in range(2):
+                toks[rng.integers(0, len(toks))] = repl[j]
         texts.append(" ".join(toks))
     w(
         "documents",
@@ -212,6 +249,13 @@ if __name__ == "__main__":
     ap.add_argument("out")
     ap.add_argument("--mult", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--zipf",
+        action="store_true",
+        help="Zipfian document vocabulary (30k words, s=1.1) instead "
+        "of the uniform 31-word fixture vocabulary",
+    )
     a = ap.parse_args()
-    generate(a.out, a.mult, a.seed)
-    print(f"wrote mult={a.mult} tables to {a.out}")
+    generate(a.out, a.mult, a.seed, zipf=a.zipf)
+    mode = "zipf" if a.zipf else "uniform"
+    print(f"wrote mult={a.mult} ({mode} vocab) tables to {a.out}")

@@ -77,6 +77,18 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_sf1_r11.json")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--only", default=None, help="comma-sep entry subset")
+    ap.add_argument(
+        "--bar",
+        type=float,
+        default=RATIO_BAR,
+        help="ratio bar (default 12 fits a 10x step; pass e.g. 36 for "
+        "a 30x step, 120 for 100x)",
+    )
+    ap.add_argument(
+        "--metric",
+        default="scale_soak_10x",
+        help="metric label recorded in the report",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -98,10 +110,10 @@ def main() -> None:
     t01 = _run(spark, qs, names, args.sf01, args.reps)
     t1 = _run(spark, qs, names, args.sf1, args.reps)
     report = {
-        "metric": "scale_soak_10x",
+        "metric": args.metric,
         "unit": "sec",
         "reps": args.reps,
-        "ratio_bar": RATIO_BAR,
+        "ratio_bar": args.bar,
         "entries": {
             n: {
                 "sf0.1": t01[n],
@@ -114,7 +126,7 @@ def main() -> None:
     over = {
         n: e["ratio"]
         for n, e in report["entries"].items()
-        if e["ratio"] and e["ratio"] > RATIO_BAR
+        if e["ratio"] and e["ratio"] > args.bar
     }
     report["over_bar"] = over
     with open(args.out, "w") as fh:

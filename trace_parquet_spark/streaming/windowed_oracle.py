@@ -1,0 +1,177 @@
+"""Oracle-gated streaming windowed aggregation (round-12, VERDICT
+task 6): a watermarked tumbling-window count pipeline run as a REAL
+Structured Streaming query — file source, maxFilesPerTrigger=1 micro-
+batches, append output mode, foreachBatch exactly-once sink into the
+tablelog format — whose final batch-visible table is re-derived by
+the DuckDB oracle from the same input rows.
+
+The drop schedule is DETERMINISTIC by construction. The input slice
+is split into four TIME-ORDERED files (quartile cuts over epoch-
+microseconds), picked up one per micro-batch in mtime+path order:
+
+- no row ever arrives below the watermark (each file is strictly
+  newer than everything before it), so every EMITTED window carries
+  its complete count — append mode's partial-emit hazard (measured in
+  prototyping: randomly-split files emit PARTIAL counts, because a
+  window finalizes before later files' contributions arrive and those
+  rows are then dropped as late) is structurally excluded;
+- availableNow runs a final flush batch after the last file advances
+  the watermark (measured), so the emitted set is precisely
+  { window : window_end <= max_ts(slice) - 1h } at millisecond grain
+  (Spark tracks event-time stats in ms); the windows of the trailing
+  hour stay in state — the deterministic drop set. A replayed
+  availableNow run against the same checkpoint must add NOTHING
+  (asserted) — the txn-marker sink makes each micro-batch idempotent.
+
+The DuckDB oracle replicates the threshold arithmetic exactly
+(integer epoch-microsecond math), so a double-landed batch, a
+partial-count emit, a lost file, or a watermark off-by-one all
+surface as a value-hash mismatch.
+
+Reference scope: the reference is a stateless row exporter
+(repository/ParameterDataRepository.java:53-78); streaming is
+north-star surface (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from ..sources.tablelog import append_stream_batch, latest_version
+from ..sources.tablelog_source import register
+
+WM_DELAY_MS = 3_600_000  # 1 hour watermark delay
+WIN_MS = 3_600_000       # 1 hour tumbling windows
+N_FILES = 4
+
+
+def stream_window_finalize_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Final tablelog contents of the watermarked windowed-count
+    stream over the view/click events slice (see module docstring for
+    the determinism argument)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        # parquet µs timestamps load as TIMESTAMP_NTZ; the session TZ
+        # is pinned UTC, so the LTZ cast is value-preserving and gives
+        # unix_micros/window their expected input type
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    mn, mx = int(b.mn), int(b.mx)
+    cuts = [mn + (mx - mn) * k // N_FILES for k in range(1, N_FILES)]
+    work = tempfile.mkdtemp(prefix="swft_")
+    src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
+    os.makedirs(src)
+    try:
+        us = F.unix_micros("ts")
+        bounds = [
+            (None, cuts[0]),
+            (cuts[0], cuts[1]),
+            (cuts[1], cuts[2]),
+            (cuts[2], None),
+        ]
+        for k, (lo, hi) in enumerate(bounds):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (us >= lo)
+            if hi is not None:
+                cond = cond & (us < hi)
+            tmp = f"{work}/part{k}"
+            ev.filter(cond).coalesce(1).write.parquet(tmp)
+            parts = _glob.glob(f"{tmp}/part-*.parquet")
+            if not parts:  # empty quartile (degenerate tiny slice)
+                continue
+            dst = f"{src}/{k:02d}.parquet"
+            os.rename(parts[0], dst)
+            # mtime ascending pins the FileStreamSource pickup order
+            # (path order agrees as a tiebreak)
+            os.utime(dst, (1_000_000_000 + 100 * k,) * 2)
+
+        register(spark)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            append_stream_batch(batch_df, t, app="swft", batch_id=batch_id)
+
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n"
+            )
+        )
+
+        def run() -> None:
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        lv = latest_version(t)
+        run()  # replay against the same checkpoint: exactly-once
+        assert latest_version(t) == lv, "replayed run added a commit"
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .orderBy("window_start", "event_type")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, n long"
+    ).orderBy("window_start", "event_type")
+
+
+# Threshold arithmetic, mirrored exactly: Spark's event-time stats are
+# millisecond-grain, so the final watermark (after availableNow's
+# flush batch) is (max_us(slice) // 1000 - 3_600_000) ms; hour-aligned
+# window ends compare against it at ms grain.
+STREAM_WINDOW_FINALIZE_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+thr AS (
+  SELECT (max(us) // 1000 - {WM_DELAY_MS}) AS wm_ms FROM ev
+),
+w AS (
+  SELECT (us // {WIN_MS * 1000}) * {WIN_MS * 1000} AS ws_us,
+         event_type,
+         count(*) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT make_timestamp(ws_us) AS window_start,
+       event_type,
+       CAST(n AS BIGINT) AS n
+FROM w, thr
+WHERE (ws_us + {WIN_MS * 1000}) // 1000 <= wm_ms
+ORDER BY window_start, event_type
+"""
+
+QUERIES = {"stream_window_finalize_totals": stream_window_finalize_totals}
+ORACLES = {
+    "stream_window_finalize_totals": STREAM_WINDOW_FINALIZE_SQL
+}
