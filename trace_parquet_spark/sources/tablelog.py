@@ -484,11 +484,33 @@ def _stage_files(df: DataFrame, table: str) -> list[str]:
                     for n, k in sorted(bad.items())
                 )
             )
-    return [
+    parts = [
         os.path.join(stage, f)
         for f in os.listdir(os.path.join(table, stage))
         if f.startswith("part-") and f.endswith(".parquet")
     ]
+    # Drop zero-row parts (a multi-partition writer with few rows
+    # leaves empty shards): they carry no keys but no stats either, so
+    # merge pruning would conservatively classify them "unknown" and
+    # every MERGE would rewrite every empty shard — which made two
+    # key-disjoint merges' read sets overlap and conflict under
+    # contention (round-12 sustained-contention pin caught this).
+    # When EVERY part is empty, keep one: an intentionally-empty write
+    # still commits its schema.
+    if len(parts) > 1:
+        import pyarrow.parquet as pq
+
+        nonempty = [
+            p
+            for p in parts
+            if pq.ParquetFile(os.path.join(table, p)).metadata.num_rows > 0
+        ]
+        keep = nonempty or parts[:1]
+        for p in parts:
+            if p not in keep:
+                os.unlink(os.path.join(table, p))
+        parts = keep
+    return parts
 
 
 def _footer_stats(table: str, files: list[str], column: str) -> dict[str, list]:
@@ -900,7 +922,15 @@ def merge_upsert(
         for f in files
         if f in stats and stats[f][0] is not None
     ]
-    unknown = [f for f in files if f not in stats or stats[f][0] is None]
+    # stat-less files are conservatively rewritten — EXCEPT committed
+    # zero-row files, which provably contain no matched key (same
+    # exemption the conflict matrix applies to empty added parts);
+    # touching them made key-disjoint merges' read sets overlap
+    unknown = [
+        f
+        for f in files
+        if (f not in stats or stats[f][0] is None) and _rows.get(f) != 0
+    ]
     touched = set(unknown)
     if ranged:
         manifest = spark.createDataFrame(
