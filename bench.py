@@ -193,6 +193,7 @@ HEADLINE = [
     "naive_bayes_source_confusion",
     "postings_compression_stats",
     "simhash_hamming_pairs",
+    "simhash64_hamming_pairs",
     "winnowing_fingerprints",
     # round-8 additions
     "bpe_train_merges",
@@ -217,6 +218,8 @@ HEADLINE = [
     "triangle_count_parts",
     # round 11: the oracle-gated partitioned JDBC ingest path
     "jdbc_partitioned_scan",
+    # round 12: the oracle-gated streaming windowed pipeline
+    "stream_window_finalize_totals",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round
