@@ -468,6 +468,102 @@ QUERIES["zipf_fit_tokens"] = zipf_fit_tokens
 ORACLES["zipf_fit_tokens"] = ZIPF_SQL
 
 
+# --------------------------------------------------------------------------
+# token head mass — the integer-exact df-cap diagnostic (round 12)
+# --------------------------------------------------------------------------
+
+HEAD_MASS_KS = [1, 10, 100, 1000]
+
+
+def token_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of total token mass carried by the top-k ranked tokens
+    (k ∈ 1/10/100/1000), in exact integer ppm. This is the quantity
+    the dedup family's SHINGLE_DF_CAP truncates: a fat head (Zipf
+    crawls: top-1000 ≈ most of the mass) is exactly what the cap
+    drops, so this one scan PREDICTS whether the Σdf² pairing regime
+    of dedup_containment_pairs / dedup_setsim_prefix applies to a
+    corpus — the round-12 probes (PERF.md) measured both regimes.
+
+    Scale: counts reduce by vocab grain with map-side combine; the
+    ranked relation is post-limit CONSTANT-bounded (top max(k) via
+    TakeOrderedAndProject, never a global data sort); total mass is a
+    1-row agg broadcast. All ratios are integer DIV on the ppm grid —
+    bit-equal cross-engine, no doubles anywhere.
+
+    (Reference scope: the reference exports raw rows only,
+    repository/ParameterDataRepository.java:53-78 — corpus analytics
+    are north-star surface.)"""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens")
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(
+        max(HEAD_MASS_KS)
+    )
+    # global window is post-limit bounded: <= max(HEAD_MASS_KS) rows
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = head.select(
+        F.row_number().over(w).cast("long").alias("r"), "cnt"
+    )
+    ks = spark.createDataFrame([(k,) for k in HEAD_MASS_KS], "k long")
+    return (
+        ranked.join(F.broadcast(ks), F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("head_tokens"),
+            F.sum("cnt").cast("long").alias("head_token_mass"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "k",
+            "head_tokens",
+            "head_token_mass",
+            F.expr(
+                "CAST((head_token_mass * 1000000) DIV total_tokens "
+                "AS BIGINT)"
+            ).alias("head_mass_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+HEAD_MASS_SQL = f"""
+WITH counts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest({tokens_sql("text")}) AS word FROM documents
+  ) WHERE word <> ''
+  GROUP BY word
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS r,
+         cnt
+  FROM counts
+  ORDER BY cnt DESC, word
+  LIMIT {max(HEAD_MASS_KS)}
+), ks AS (
+  SELECT unnest({HEAD_MASS_KS}) AS k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS head_tokens,
+       CAST(sum(cnt) AS BIGINT) AS head_token_mass,
+       CAST(sum(cnt) * 1000000 // total_tokens AS BIGINT) AS head_mass_ppm
+FROM ranked JOIN ks ON r <= k, total
+GROUP BY k, total_tokens
+ORDER BY k
+"""
+
+QUERIES["token_head_mass"] = token_head_mass
+ORACLES["token_head_mass"] = HEAD_MASS_SQL
+
+
 def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the n-gram language-ID heuristic against
     the table's stored `lang` labels — the eval lang_id_counts lacks:
