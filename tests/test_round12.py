@@ -276,3 +276,89 @@ def test_sustained_contention_all_land_bounded_retries(spark, tmp_path):
         f"\nsustained-contention: {n_commits} commits in {wall:.1f}s "
         f"({n_commits / wall:.2f} commits/s), {races['n']} lost races"
     )
+
+
+# ------------------------- unigram-LM trainer replay (round 12)
+
+
+def test_unigram_lm_train_matches_pure_python_replay(spark, sf_dir):
+    """Independent pure-Python replay of the Viterbi hard-EM trainer
+    (seed substring counts -> micro-nat costs -> per-word DP with the
+    (cost, backpointer) tie-break -> backtrace -> Laplace recount,
+    ULM_EM_ROUNDS times) must reproduce unigram_lm_train's model
+    EXACTLY — the same discipline bpe_train_merges is pinned with."""
+    import math
+    import re
+    from collections import Counter
+
+    from trace_parquet_spark.operators.packing import (
+        ULM_EM_ROUNDS,
+        ULM_MAX_PIECE,
+        ULM_MAX_WORD,
+        unigram_lm_train,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wf = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            if 1 <= len(w) <= ULM_MAX_WORD:
+                wf[w] += 1
+
+    def costs_from(counts):
+        tot = sum(counts.values())
+        return {
+            p: math.floor(math.log(float(tot) / float(n)) * 1e6 + 0.5)
+            for p, n in counts.items()
+        }
+
+    seed = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for l in range(1, min(ULM_MAX_PIECE, len(w) - i) + 1):
+                seed[w[i : i + l]] += f
+    cost = costs_from(seed)
+    counts = dict(seed)
+    chars = {c for w in wf for c in w}
+
+    for _ in range(ULM_EM_ROUNDS):
+        usage = Counter()
+        for w, f in wf.items():
+            L = len(w)
+            best = {0: (0, None, None)}  # pos -> (cost, j, piece)
+            for i in range(1, L + 1):
+                cands = []
+                for l in range(1, ULM_MAX_PIECE + 1):
+                    j = i - l
+                    if j < 0 or j not in best:
+                        continue
+                    p = w[j:i]
+                    if p in cost:
+                        cands.append((best[j][0] + cost[p], j, p))
+                if cands:
+                    best[i] = min(cands)  # (cost, j) lexicographic min
+            pos = L
+            while pos > 0:
+                _, j, p = best[pos]
+                usage[p] += f
+                pos = j
+        counts = {c: usage.get(c, 0) + 1 for c in chars}
+        counts.update(
+            {p: n for p, n in usage.items() if len(p) >= 2 and n > 0}
+        )
+        cost = costs_from(counts)
+
+    want = sorted(
+        ((p, counts[p], cost[p]) for p in counts),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [
+        (r.piece, r.usage, r.cost_micro)
+        for r in unigram_lm_train(spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
-from ..session import collect_model_sized, track_cache
+from ..session import (
+    collect_model_sized,
+    track_cache,
+    tracked_local_checkpoint,
+)
 from ..sources.registry import load_table_parallel
 from .text_analysis import BPE_PIECE_RE, BPE_PIECE_RE_DUCK
 
@@ -659,3 +663,366 @@ ORACLES = {
     "epoch_shuffle_microbatches": EPOCH_SHUFFLE_SQL,
     "length_bucket_padding": LENGTH_BUCKET_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, Viterbi hard-EM) — round 12
+# --------------------------------------------------------------------------
+#
+# Completes the tokenizer-training family next to the BPE trainer
+# above: SentencePiece's unigram model trained by hard EM. Seed
+# vocabulary = every substring (length 1..ULM_MAX_PIECE) of the
+# corpus word relation, scored by occurrence mass; each EM round
+# (1) E-step: Viterbi-segments every word under the current piece
+# costs (exact micro-nat integers, deterministic tie-break: lowest
+# cost, then longest last piece), (2) M-step: recounts piece usage
+# from the chosen segmentations and re-derives costs. Usage counts
+# CHANGE between rounds (a piece that wins segmentations gets
+# cheaper, crowding out its substrings) — the same
+# iterate-and-recount property bpe_train_merges pins for BPE.
+#
+# Cross-engine exactness: the DP state is (cost_micro BIGINT,
+# backpointer j) minimized by row_number over (c, j) in BOTH engines;
+# costs are floor(ln(total/n)*1e6+0.5) on the micro-nat grid
+# (doc_surprisal precedent). Single-character pieces get +1 Laplace
+# mass in the M-step so coverage never collapses (Kudo keeps base
+# characters unconditionally); multi-char pieces with zero usage
+# drop out of the model.
+#
+# Scale: everything after the one corpus scan is VOCAB-grain — the
+# DP relation is (distinct words × ≤ ULM_MAX_WORD positions), the
+# model is piece-grain; at 100 TB the corpus cost stays the single
+# word-count scan, exactly like the BPE trainer.
+# (Reference scope: repository/ParameterDataRepository.java:53-78 —
+# tokenizer training is north-star surface.)
+
+ULM_MAX_PIECE = 3
+ULM_MAX_WORD = 8
+ULM_EM_ROUNDS = 2
+
+
+def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).filter(
+        (F.length("w") >= 1) & (F.length("w") <= ULM_MAX_WORD)
+    )
+    return words.groupBy("w").agg(
+        F.count("*").cast("long").alias("f")
+    ).withColumn("L", F.length("w"))
+
+
+def _ulm_cost(counts: DataFrame) -> DataFrame:
+    """(p, n) -> (p, n, c): micro-nat cost floor(ln(total/n)*1e6+.5)
+    against the relation's own total mass (1-row agg, broadcast)."""
+    total = counts.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "p",
+            "n",
+            F.floor(
+                F.log(
+                    F.col("tot").cast("double") / F.col("n").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+
+
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final unigram-LM piece model after ULM_EM_ROUNDS hard-EM
+    rounds: (piece, usage, cost_micro), ordered by usage desc, piece.
+    See the section comment for the algorithm and determinism
+    contract; the oracle unrolls the identical DP/backtrace/recount
+    into materialized CTE stages, and a pure-Python replay pins the
+    trainer in pytest."""
+    words = _ulm_words(spark, sf_dir).transform(track_cache)
+
+    # seed counts: every substring of length 1..ULM_MAX_PIECE,
+    # weighted by word frequency
+    seed = (
+        words.select(
+            "w",
+            "f",
+            "L",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"),
+        )
+        .select(
+            "w",
+            "f",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(ULM_MAX_PIECE), F.col("L") - F.col("i") + 1),
+                )
+            ).alias("l"),
+            "i",
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.col("l")).alias("p"), "f"
+        )
+        .groupBy("p")
+        .agg(F.sum("f").cast("long").alias("n"))
+    )
+    # model-sized; checkpointed so each round's 12 DP joins see a
+    # leaf relation, not the previous round's whole plan
+    cost = tracked_local_checkpoint(_ulm_cost(seed))
+
+    # all single characters of the word relation — the coverage floor
+    chars = (
+        words.select(
+            F.explode(F.split("w", "")).alias("p")
+        )
+        .filter(F.col("p") != "")
+        .distinct()
+        .transform(track_cache)
+    )
+
+    from pyspark.sql import Window as _W
+
+    for _round in range(ULM_EM_ROUNDS):
+        # ---- E-step: Viterbi DP, unrolled over positions 1..MAX_WORD
+        d = {
+            0: words.select(
+                "w", "L", F.lit(0).cast("long").alias("c")
+            ).transform(track_cache)
+        }
+        steps = []  # (i, frame with w, L, c, j, p)
+        for i in range(1, ULM_MAX_WORD + 1):
+            cands = []
+            for l in range(1, ULM_MAX_PIECE + 1):
+                j = i - l
+                if j < 0 or j not in d:
+                    continue
+                piece = F.col("w").substr(F.lit(j + 1), F.lit(l))
+                cand = (
+                    d[j]
+                    .filter(F.col("L") >= i)
+                    .select(
+                        "w",
+                        "L",
+                        F.col("c").alias("cp"),
+                        piece.alias("p"),
+                        F.lit(j).cast("long").alias("j"),
+                    )
+                    .join(
+                        F.broadcast(cost.select("p", F.col("c").alias("pc"))),
+                        "p",
+                    )
+                    .select(
+                        "w",
+                        "L",
+                        (F.col("cp") + F.col("pc")).alias("c"),
+                        "j",
+                        "p",
+                    )
+                )
+                cands.append(cand)
+            if not cands:
+                break
+            allc = cands[0]
+            for extra in cands[1:]:
+                allc = allc.unionByName(extra)
+            w_rn = _W.partitionBy("w").orderBy("c", "j")
+            # checkpoint each DP frontier: d[i] references d[i-1..3]
+            # as full subtrees, so cached-but-lineage-preserving plans
+            # grow tribonacci-fast (measured: a 2 GB plan string by
+            # round 2) — severing per step keeps plans O(1)
+            best = tracked_local_checkpoint(
+                allc.withColumn("rn", F.row_number().over(w_rn))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            d[i] = best
+            steps.append((i, best))
+
+        alld = None
+        for i, frame in steps:
+            part = frame.select(
+                "w", F.lit(i).cast("long").alias("i"), "j", "p"
+            )
+            alld = part if alld is None else alld.unionByName(part)
+        # sever the 12-stage DP lineage before the 12-step backtrace
+        # self-joins against it (vocab-grain materialization: distinct
+        # words × reached positions — model-adjacent, never corpus)
+        alld = tracked_local_checkpoint(alld)
+
+        # ---- backtrace: collect the chosen pieces per word
+        bt = words.select("w", F.col("L").cast("long").alias("pos"))
+        used = None
+        for _step in range(ULM_MAX_WORD):
+            a = alld.alias("a")
+            b = bt.filter(F.col("pos") > 0).alias("b")
+            hit = (
+                b.join(
+                    a,
+                    (F.col("b.w") == F.col("a.w"))
+                    & (F.col("b.pos") == F.col("a.i")),
+                )
+                .select(
+                    F.col("b.w").alias("w"),
+                    F.col("a.p").alias("p"),
+                    F.col("a.j").alias("j"),
+                )
+            )
+            part = hit.select("w", "p")
+            used = part if used is None else used.unionByName(part)
+            bt = hit.select("w", F.col("j").alias("pos"))
+
+        usage = (
+            used.join(words.select("w", "f"), "w")
+            .groupBy("p")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        # ---- M-step: Laplace floor on single chars, prune dead
+        # multi-char pieces, re-derive costs
+        char_mass = (
+            chars.join(usage, "p", "left")
+            .select("p", (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n"))
+        )
+        multi = usage.filter(F.length("p") >= 2)
+        cost = tracked_local_checkpoint(
+            _ulm_cost(char_mass.unionByName(multi))
+        )
+
+    return cost.select(
+        F.col("p").alias("piece"),
+        F.col("n").alias("usage"),
+        F.col("c").alias("cost_micro"),
+    ).orderBy(F.desc("usage"), "piece")
+
+
+def _ulm_train_sql(
+    rounds: int = ULM_EM_ROUNDS,
+    max_word: int = ULM_MAX_WORD,
+    max_piece: int = ULM_MAX_PIECE,
+) -> str:
+    """Unrolled MATERIALIZED-CTE twin of unigram_lm_train: per EM
+    round, positions 1..max_word of the Viterbi DP (row_number over
+    (c, j) — identical argmin), the backtrace walk, the Laplace
+    re-count, and the micro-nat cost rebuild."""
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS f, length(w) AS wlen
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  )
+  WHERE length(w) BETWEEN 1 AND {max_word}
+  GROUP BY w
+)""",
+        f"""seed AS MATERIALIZED (
+  SELECT substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS p,
+         CAST(sum(f) AS BIGINT) AS n
+  FROM words, unnest(range(1, wlen + 1)) AS t(i),
+       unnest(range(1, least({max_piece}, wlen - CAST(i AS INTEGER) + 1) + 1))
+         AS u(l)
+  GROUP BY 1
+)""",
+        """cost0 AS MATERIALIZED (
+  SELECT p, n,
+         CAST(floor(ln(CAST((SELECT sum(n) FROM seed) AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c
+  FROM seed
+)""",
+        """chars AS MATERIALIZED (
+  SELECT DISTINCT substring(w, CAST(i AS INTEGER), 1) AS p
+  FROM words, unnest(range(1, wlen + 1)) AS t(i)
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r}_0 AS (SELECT w, wlen, CAST(0 AS BIGINT) AS c FROM words)"
+        )
+        for i in range(1, max_word + 1):
+            branches = []
+            for l in range(1, max_piece + 1):
+                j = i - l
+                if j < 0:
+                    continue
+                branches.append(
+                    f"""SELECT d.w, d.wlen, d.c + k.c AS c,
+       CAST({j} AS BIGINT) AS j,
+       substring(d.w, {j + 1}, {l}) AS p
+FROM d{r}_{j} d JOIN cost{r} k ON k.p = substring(d.w, {j + 1}, {l})
+WHERE d.wlen >= {i}"""
+                )
+            union = "\nUNION ALL\n".join(branches)
+            ctes.append(
+                f"""d{r}_{i} AS MATERIALIZED (
+  SELECT w, wlen, c, j, p FROM (
+    SELECT w, wlen, c, j, p,
+           row_number() OVER (PARTITION BY w ORDER BY c, j) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)"""
+            )
+        alls = "\nUNION ALL\n".join(
+            f"SELECT w, CAST({i} AS BIGINT) AS i, j, p FROM d{r}_{i}"
+            for i in range(1, max_word + 1)
+        )
+        ctes.append(f"all{r} AS MATERIALIZED (\n{alls}\n)")
+        ctes.append(
+            f"bt{r}_0 AS (SELECT w, CAST(wlen AS BIGINT) AS pos, "
+            f"CAST(NULL AS VARCHAR) AS p FROM words)"
+        )
+        for k in range(1, max_word + 1):
+            ctes.append(
+                f"""bt{r}_{k} AS MATERIALIZED (
+  SELECT b.w, a.j AS pos, a.p
+  FROM bt{r}_{k - 1} b JOIN all{r} a ON a.w = b.w AND a.i = b.pos
+  WHERE b.pos > 0
+)"""
+            )
+        useds = "\nUNION ALL\n".join(
+            f"SELECT w, p FROM bt{r}_{k}" for k in range(1, max_word + 1)
+        )
+        ctes.append(f"used{r} AS (\n{useds}\n)")
+        ctes.append(
+            f"""usage{r} AS MATERIALIZED (
+  SELECT u.p, CAST(sum(wo.f) AS BIGINT) AS n
+  FROM used{r} u JOIN words wo ON wo.w = u.w
+  GROUP BY u.p
+)"""
+        )
+        ctes.append(
+            f"""cnt{r} AS MATERIALIZED (
+  SELECT c.p, CAST(coalesce(u.n, 0) + 1 AS BIGINT) AS n
+  FROM chars c LEFT JOIN usage{r} u ON u.p = c.p
+  UNION ALL
+  SELECT p, n FROM usage{r} WHERE length(p) >= 2
+)"""
+        )
+        ctes.append(
+            f"""cost{r + 1} AS MATERIALIZED (
+  SELECT p, n,
+         CAST(floor(ln(CAST((SELECT sum(n) FROM cnt{r}) AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c
+  FROM cnt{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p AS piece, n AS usage, c AS cost_micro
+FROM cost{rounds}
+ORDER BY usage DESC, piece
+"""
+    )
+
+
+ULM_TRAIN_SQL = _ulm_train_sql()
+
+QUERIES["unigram_lm_train"] = unigram_lm_train
+ORACLES["unigram_lm_train"] = ULM_TRAIN_SQL
