@@ -220,6 +220,11 @@ HEADLINE = [
     "jdbc_partitioned_scan",
     # round 12: the oracle-gated streaming windowed pipeline
     "stream_window_finalize_totals",
+    # round 13: the two r12 entries that missed the r12 headline cut
+    # (judge r12 "what's wrong" #1 — without a committed wall-time a
+    # regression in the EM trainer's unrolled-DP plan is invisible)
+    "token_head_mass",
+    "unigram_lm_train",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -82,6 +82,15 @@ def warn_if_chunk_space_saturated(
             try:
                 factor = int(env)
             except ValueError:
+                # same loud fallback as _current_limit gives a
+                # malformed SPARK_GRAFT_SCALE_HINT_ROWS (round-12
+                # advice: consistent operator feedback)
+                warnings.warn(
+                    f"SPARK_GRAFT_CHUNK_HINT_FACTOR={env!r} is not an "
+                    f"int; using default {CHUNK_HINT_FACTOR}",
+                    UserWarning,
+                    stacklevel=3,
+                )
                 factor = CHUNK_HINT_FACTOR
         else:
             factor = CHUNK_HINT_FACTOR

@@ -70,6 +70,13 @@ def stream_window_finalize_totals(
         F.min(F.unix_micros("ts")).alias("mn"),
         F.max(F.unix_micros("ts")).alias("mx"),
     ).first()
+    if b.mn is None or b.mx is None:
+        # empty slice: no windows can ever finalize — return the empty
+        # result explicitly instead of letting int(None) raise deep in
+        # the quartile-cut arithmetic (round-12 advice)
+        return spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n long"
+        )
     mn, mx = int(b.mn), int(b.mx)
     cuts = [mn + (mx - mn) * k // N_FILES for k in range(1, N_FILES)]
     work = tempfile.mkdtemp(prefix="swft_")
@@ -125,12 +132,28 @@ def stream_window_finalize_totals(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
+            # awaitTermination returns False on timeout with the query
+            # still running — stop it and fail loudly rather than let
+            # the replay run / table read race the live checkpoint
+            # (round-12 advice)
+            if not q.awaitTermination(180):
+                q.stop()
+                raise RuntimeError(
+                    "stream_window_finalize_totals: availableNow run "
+                    "did not terminate within 180s"
+                )
 
         run()
         lv = latest_version(t)
         run()  # replay against the same checkpoint: exactly-once
-        assert latest_version(t) == lv, "replayed run added a commit"
+        if latest_version(t) != lv:
+            # explicit raise, not assert: must survive `python -O`
+            # (round-12 advice)
+            raise RuntimeError(
+                "stream_window_finalize_totals: replayed availableNow "
+                f"run added a commit (v{lv} -> v{latest_version(t)}); "
+                "the txn-marker sink failed exactly-once"
+            )
         out = (
             spark.read.format("tablelog")
             .option("path", t)
