@@ -1,0 +1,180 @@
+"""Round-13 pins: the 128-bit SimHash combined-block rung (implements
+the widening target the round-12 verdict found documented-but-absent),
+the ChunkSpaceHint chaining simhash64 -> simhash128, and the round-12
+advice fixes (empty-slice guard in the streaming windowed oracle, loud
+warning on a malformed SPARK_GRAFT_CHUNK_HINT_FACTOR)."""
+
+from __future__ import annotations
+
+import warnings as w
+
+import pytest
+from pyspark.sql import functions as F
+
+from trace_parquet_spark.operators import scale_hints
+from trace_parquet_spark.operators.dedup import (
+    _PAIRS128,
+    HAM128_CHUNKS,
+    HAM128_MAX,
+    simhash64_hamming_pairs,
+    simhash128_docs,
+    simhash128_hamming_pairs,
+)
+
+
+# ------------------------- 128-bit SimHash combined-block rung
+
+
+def test_simhash128_signature_uses_both_words(spark, sf_dir):
+    """Both BIGINT words must actually carry 64 populated bits each
+    (including the sign bits) — a rung that silently recomputed the
+    64-bit signature in sim_lo and left sim_hi degenerate would pass
+    a pairs oracle while keeping the chunk space it exists to
+    escape."""
+    sims = simhash128_docs(spark, sf_dir)
+    stats = sims.agg(
+        F.count("*").alias("n"),
+        # sign bits (bits 127 and 63) exercised in both directions —
+        # SimHash bits are corpus-correlated (shared vocabulary skews
+        # each bit's doc-fraction), so no 50/50 split is expected,
+        # just non-degeneracy
+        F.sum(F.when(F.col("sim_hi") < 0, 1).otherwise(0)).alias("hi_neg"),
+        F.sum(F.when(F.col("sim_lo") < 0, 1).otherwise(0)).alias("lo_neg"),
+        F.count_distinct("sim_hi").alias("hi_distinct"),
+        F.count_distinct("sim_lo").alias("lo_distinct"),
+        F.sum(
+            F.when(
+                F.shiftright(F.col("sim_hi"), 32).bitwiseAND((1 << 32) - 1)
+                != 0,
+                1,
+            ).otherwise(0)
+        ).alias("hi_upper"),
+    ).first()
+    assert stats.n > 0
+    assert 0 < stats.hi_neg < stats.n
+    assert 0 < stats.lo_neg < stats.n
+    # near-dup corpus: ~2% duplicate docs collapse a few signatures
+    assert stats.hi_distinct > stats.n * 0.9
+    assert stats.lo_distinct > stats.n * 0.9
+    assert stats.hi_upper > stats.n * 0.9
+
+
+def test_simhash128_combined_block_recall_is_exact(spark, sf_dir):
+    """The 28 chunk-pair keys must find EXACTLY the all-pairs
+    ≤HAM128_MAX set (pigeonhole: 3 flips touch ≤3 of 8 chunks, so ≥5
+    untouched chunks give ≥C(5,2)=10 matching pair keys). The driver
+    oracle proves this vs DuckDB; this pin proves it in-engine
+    against a Spark all-pairs derivation, so a blocking bug cannot
+    hide behind a matching oracle bug."""
+    sims = simhash128_docs(spark, sf_dir).collect()
+    mask = (1 << 64) - 1
+    expected = set()
+    for i, ra in enumerate(sims):
+        for rb in sims[i + 1 :]:
+            x_hi = (ra.sim_hi ^ rb.sim_hi) & mask
+            x_lo = (ra.sim_lo ^ rb.sim_lo) & mask
+            if bin(x_hi).count("1") + bin(x_lo).count("1") <= HAM128_MAX:
+                expected.add(
+                    (min(ra.doc_id, rb.doc_id), max(ra.doc_id, rb.doc_id))
+                )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash128_hamming_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_simhash128_key_geometry_supports_the_radius():
+    """8 × 16 must cover all 128 bits, and pair keys only guarantee
+    recall while at least TWO chunks survive the worst-case flips:
+    HAM128_MAX ≤ CHUNKS − 2 (the single-chunk rungs only need −1)."""
+    assert HAM128_CHUNKS * 16 == 128
+    assert HAM128_MAX <= HAM128_CHUNKS - 2
+    assert len(_PAIRS128) == HAM128_CHUNKS * (HAM128_CHUNKS - 1) // 2
+    assert all(i < j for i, j in _PAIRS128)
+
+
+def test_simhash64_hints_at_128bit_twin(spark, sf_dir, monkeypatch):
+    """Past the chunk-space factor the 64-bit rung must emit a
+    ChunkSpaceHint naming simhash128_hamming_pairs; at the default
+    factor it stays silent at test SF (500 docs ≪ 32×65,536)."""
+    monkeypatch.setenv("SPARK_GRAFT_CHUNK_HINT_FACTOR", "0")
+    # factor 0 disables entirely — also silent
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        simhash64_hamming_pairs(spark, sf_dir).take(1)
+    assert not [
+        c for c in caught if issubclass(c.category, scale_hints.ChunkSpaceHint)
+    ]
+    # 16-bit chunk space: 500 docs can't exceed factor×65,536 for any
+    # factor ≥ 1, so drive the threshold under the corpus via a
+    # negative... factors ≤0 disable; instead shrink with factor=1 on
+    # a synthetic n_docs through the helper directly
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        scale_hints.warn_if_chunk_space_saturated(
+            "simhash64_hamming_pairs",
+            "simhash128_hamming_pairs",
+            chunk_space=2**16,
+            n_docs=2**16 * 32 + 1,
+            factor=32,
+        )
+    hints = [
+        c for c in caught if issubclass(c.category, scale_hints.ChunkSpaceHint)
+    ]
+    assert hints, "64-bit rung's threshold emitted no ChunkSpaceHint"
+    assert "simhash128_hamming_pairs" in str(hints[0].message)
+    monkeypatch.delenv("SPARK_GRAFT_CHUNK_HINT_FACTOR")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        simhash64_hamming_pairs(spark, sf_dir).take(1)
+    assert not [
+        c for c in caught if issubclass(c.category, scale_hints.ChunkSpaceHint)
+    ]
+
+
+# ------------------------- round-12 advice fixes
+
+
+def test_malformed_chunk_hint_factor_warns(monkeypatch):
+    """A non-integer SPARK_GRAFT_CHUNK_HINT_FACTOR must produce the
+    same UserWarning _current_limit gives a malformed
+    SPARK_GRAFT_SCALE_HINT_ROWS — not a silent default fallback."""
+    monkeypatch.setenv("SPARK_GRAFT_CHUNK_HINT_FACTOR", "not-an-int")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        scale_hints.warn_if_chunk_space_saturated(
+            "op", "twin", chunk_space=256, n_docs=1
+        )
+    msgs = [
+        c
+        for c in caught
+        if issubclass(c.category, UserWarning)
+        and "SPARK_GRAFT_CHUNK_HINT_FACTOR" in str(c.message)
+    ]
+    assert msgs, "malformed factor fell back silently"
+
+
+def test_stream_window_finalize_empty_slice_returns_empty(
+    spark, sf_dir, tmp_path
+):
+    """An events slice with zero view/click rows must yield an empty
+    result with the contract schema — not int(None) deep in the
+    quartile-cut arithmetic (round-12 advice)."""
+    from trace_parquet_spark.sources.registry import load_table
+    from trace_parquet_spark.streaming.windowed_oracle import (
+        stream_window_finalize_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "no-such-type"
+    )
+    out_dir = str(tmp_path / "empty_sf")
+    ev.coalesce(1).write.parquet(f"{out_dir}/events.parquet")
+    res = stream_window_finalize_totals(spark, out_dir)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "window_start",
+        "event_type",
+        "n",
+    ]

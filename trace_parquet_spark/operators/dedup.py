@@ -1475,13 +1475,23 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify, 100% recall at radius HAM64_MAX = CHUNKS − 1) but with
     16-bit chunks: candidate fan-out per chunk is d²/65,536 instead
     of d²/256, so the blocking stays linear-with-margin until the
-    corpus passes ~2M docs (at which point widen again — 8×8-bit
-    multi-probe or 96-bit fingerprints — or shard the chunk join by a
-    corpus partition key).
+    corpus passes ~2M docs. The next rung is now IMPLEMENTED (round-13,
+    closing r12 residual #4): simhash128_hamming_pairs below widens to
+    a 128-bit fingerprint with Manku-Jain-Sarma combined-block keys
+    (chunk PAIRS, 2³² bucket values) — a ChunkSpaceHint fires when the
+    corpus outgrows this entry's 65,536-value chunk space.
 
     Chunk extraction masks after the arithmetic shift
     ((sig >> 16i) & 0xFFFF), so the sign bit of the BIGINT-carried
     signature never leaks into bucket values."""
+    from .scale_hints import warn_if_chunk_space_saturated
+
+    warn_if_chunk_space_saturated(
+        "simhash64_hamming_pairs",
+        "simhash128_hamming_pairs",
+        chunk_space=2**16,
+        table_path=f"{sf_dir}/documents.parquet",
+    )
     sims = simhash64_docs(spark, sf_dir).transform(track_cache)
     chunks = sims.select(
         "doc_id",
@@ -1547,3 +1557,221 @@ QUERIES["simhash64_hamming_pairs"] = simhash64_hamming_pairs
 # oracle = the INDEPENDENT all-pairs derivation over the 64-bit
 # signatures: hash-matching proves the 16-bit pigeonhole lost nothing
 ORACLES["simhash64_hamming_pairs"] = SIMHASH64_HAMMING_SQL
+
+
+# --------------------------------------------------------------------------
+# 128-bit SimHash with combined-block keys — the rung past simhash64
+# (round 13, closing round-12 residual #4 / VERDICT task 6)
+# --------------------------------------------------------------------------
+#
+# simhash64's single-chunk pigeonhole keys saturate once documents
+# outnumber the 65,536-value chunk space (~2M docs per partition
+# domain at the hinted 32× factor). Manku-Jain-Sarma 2007 §3 names
+# the fix: probe on COMBINATIONS of blocks. With 8×16-bit chunks over
+# a 128-bit fingerprint and radius 3, at most 3 chunks differ, so at
+# least 5 of 8 chunks match exactly — hence at least C(5,2)=10 of the
+# C(8,2)=28 chunk PAIRS match. Keying candidates on (pair_id,
+# chunk_i·2¹⁶ + chunk_j) gives 32-bit bucket values: buckets
+# outnumber documents until ~4B docs per partition domain, a ~65,000×
+# ceiling raise over simhash64 for a 7× key fan-out (28 vs 4 rows per
+# doc). The rung after THIS one is chunk TRIPLES (C(8,3)=56 48-bit
+# keys, radius ≤ 4 with 8 chunks would break recall — triples hold
+# radius 3 since 5 untouched chunks still give C(5,3)=10 matching
+# triples) or sharding the key join by a corpus partition key.
+#
+# (Reference scope: the reference exports rows only,
+# repository/ParameterDataRepository.java:53-78 — the dedup family is
+# north-star surface, SURVEY §2 LLM-pipeline rows.)
+
+SIMHASH128_BITS = 128
+HAM128_MAX = 3      # same near-dup radius as the 32/64-bit rungs
+HAM128_CHUNKS = 8   # 128 bits -> 8 x 16-bit chunks
+_SIMHASH128_SEED = 128  # decorrelates from the 32-bit (plain) and 64-bit (seed 64) families
+_PAIRS128 = [
+    (i, j)
+    for i in range(HAM128_CHUNKS)
+    for j in range(HAM128_CHUNKS)
+    if i < j
+]  # 28 combined-block keys
+
+
+def simhash128_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit simhash per document, carried as two signed BIGINTs
+    (sim_hi = bits 64..127, sim_lo = bits 0..63; bit 63 of each word
+    recombines as the sign bit, so xor/bit_count stay exact).
+
+    All 128 bit-hashes come from ONE md5 digest per token
+    (stable_hash32_x4: the full 128-bit digest split into four 32-bit
+    words), both engines bit-identical. Same plan shape as
+    simhash_docs/simhash64_docs: explode to token grain
+    (hash-repartitioned on doc_id), 128 conditional sums with
+    map-side partial aggregation, no shuffle beyond the doc_id
+    groupBy — the extra width is pure map-side CPU, not shuffle."""
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    hs = stable_hash32_x4(F.col("t"), _SIMHASH128_SEED)
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select(
+        "doc_id", *[hs[w].alias(f"h{w}") for w in range(4)]
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{j // 32}"), j % 32)
+                    .bitwiseAND(1)
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH128_BITS)
+        ]
+    )
+
+    def word(base: int) -> "F.Column":
+        sig = None
+        for k in range(64):
+            mag = -(2**63) if k == 63 else 2**k
+            term = F.when(
+                F.col(f"b{base + k}") > 0, F.lit(mag).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
+        return sig
+
+    return bit_sums.select(
+        "doc_id", word(64).alias("sim_hi"), word(0).alias("sim_lo")
+    ).orderBy("doc_id")
+
+
+def _simhash128_sql() -> str:
+    hws = stable_hash32_x4_sql("t", _SIMHASH128_SEED)
+    bit_aggs = ",\n         ".join(
+        f"sum(CASE WHEN (h{j // 32} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH128_BITS)
+    )
+
+    def word(base: int) -> str:
+        terms = []
+        for k in range(64):
+            mag = -(2**63) if k == 63 else 2**k
+            terms.append(
+                f"CASE WHEN b{base + k} > 0 THEN CAST({mag} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        return " + ".join(terms)
+
+    h_sel = ", ".join(f"{hws[w]} AS h{w}" for w in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h_sel}
+  FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS t FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_aggs}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {word(64)} AS sim_hi, {word(0)} AS sim_lo
+FROM bits
+ORDER BY doc_id
+"""
+
+
+SIMHASH128_SQL = _simhash128_sql()
+
+
+def _chunk128(hi: "F.Column", lo: "F.Column", i: int) -> "F.Column":
+    """16-bit chunk i (0..7) of the (hi, lo) signature, masked after
+    the arithmetic shift so sign bits never leak into bucket values."""
+    src = lo if i < 4 else hi
+    return F.shiftright(src, 16 * (i % 4)).bitwiseAND(65535)
+
+
+def simhash128_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 128-bit SimHash Hamming distance — the
+    combined-block rung past simhash64_hamming_pairs (see section
+    comment for the recall proof and the ceiling arithmetic).
+
+    Join shape is identical to the narrower rungs — explode to key
+    grain, equi-join on (key_id, key_value), popcount-xor verify on
+    candidates only — but the key value is a chunk PAIR
+    (cv_i·65536 + cv_j): 2³² bucket values, so candidate fan-out per
+    key is d²/2³². Fan-out is 28 rows/doc (vs 4); at 100 TB that is a
+    constant-factor shuffle-width increase for a quadratic candidate
+    reduction. distinct() before the verify dedups the ≥10 key
+    collisions every true pair produces."""
+    sims = simhash128_docs(spark, sf_dir).transform(track_cache)
+    hi, lo = F.col("sim_hi"), F.col("sim_lo")
+    keys = sims.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("ci"),
+                        (
+                            _chunk128(hi, lo, i) * 65536
+                            + _chunk128(hi, lo, j)
+                        ).alias("cv"),
+                    )
+                    for k, (i, j) in enumerate(_PAIRS128)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sim_hi", "sim_lo", "c.ci", "c.cv")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim_hi").alias("ha"),
+            F.col("a.sim_lo").alias("la"),
+            F.col("b.sim_hi").alias("hb"),
+            F.col("b.sim_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= HAM128_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH128_HAMMING_SQL = f"""
+WITH sims AS MATERIALIZED (
+{SIMHASH128_SQL.replace("ORDER BY doc_id", "")}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= {HAM128_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["simhash128_docs"] = simhash128_docs
+ORACLES["simhash128_docs"] = SIMHASH128_SQL
+QUERIES["simhash128_hamming_pairs"] = simhash128_hamming_pairs
+# oracle = the INDEPENDENT all-pairs derivation over the 128-bit
+# signatures: hash-matching proves the combined-block pigeonhole
+# lost nothing
+ORACLES["simhash128_hamming_pairs"] = SIMHASH128_HAMMING_SQL
