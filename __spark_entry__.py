@@ -87,7 +87,7 @@ def _modules():
         tablelog_source,
         warc,
     )
-    from trace_parquet_spark.streaming import windowed_oracle
+    from trace_parquet_spark.streaming import band_join_oracle, windowed_oracle
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -176,6 +176,7 @@ def _modules():
         tablelog,
         tablelog_source,
         warc,
+        band_join_oracle,
         windowed_oracle,
     )
 

@@ -225,6 +225,10 @@ HEADLINE = [
     # regression in the EM trainer's unrolled-DP plan is invisible)
     "token_head_mass",
     "unigram_lm_train",
+    # round 13: the oracle-gated stream-stream band join (left-outer
+    # watermark finalization) and the 128-bit SimHash rung
+    "stream_band_join_finalize",
+    "simhash128_hamming_pairs",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

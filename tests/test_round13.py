@@ -178,3 +178,33 @@ def test_stream_window_finalize_empty_slice_returns_empty(
         "event_type",
         "n",
     ]
+
+
+# ------------------------- stream-stream band join under the oracle
+
+
+def test_stream_band_join_finalize_shape_and_band(spark, sf_dir):
+    """The oracle proves value parity (check_oracle, all three SFs);
+    this pin proves the STRUCTURAL contract in-engine: both matched
+    and watermark-finalized null-padded rows exist, every matched row
+    respects the band, and null-padding is all-or-nothing per row."""
+    from trace_parquet_spark.streaming.band_join_oracle import (
+        HORIZON_MS,
+        stream_band_join_finalize,
+    )
+
+    rows = stream_band_join_finalize(spark, sf_dir).collect()
+    assert rows, "empty result at test SF"
+    matched = [r for r in rows if r.click_id is not None]
+    padded = [r for r in rows if r.click_id is None]
+    assert matched, "no matched pairs at test SF"
+    assert padded, "no watermark-finalized null-padded purchases"
+    for r in matched:
+        assert r.click_ts is not None
+        delta_ms = (
+            r.purchase_ts - r.click_ts
+        ).total_seconds() * 1000
+        assert 0 <= delta_ms <= HORIZON_MS
+    for r in padded:
+        assert r.click_ts is None
+        assert r.purchase_id is not None and r.purchase_ts is not None

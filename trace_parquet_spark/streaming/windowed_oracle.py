@@ -52,6 +52,64 @@ WIN_MS = 3_600_000       # 1 hour tumbling windows
 N_FILES = 4
 
 
+def split_time_ordered(
+    ev: DataFrame, src: str, n_files: int = N_FILES
+) -> bool:
+    """Write ``ev`` into ``src`` as ``n_files`` TIME-ORDERED parquet
+    files (quartile cuts over unix_micros(ts), mtime ascending so the
+    FileStreamSource picks them up oldest-first, path order agreeing
+    as a tiebreak) — the construction that makes a watermarked
+    streaming run's drop schedule deterministic (module docstring).
+    Returns False when the slice is empty (no files written).
+
+    Shared by every oracle-gated streaming entry (round-12's windowed
+    counts, round-13's stream-stream band join)."""
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    if b.mn is None or b.mx is None:
+        return False
+    mn, mx = int(b.mn), int(b.mx)
+    cuts = [mn + (mx - mn) * k // n_files for k in range(1, n_files)]
+    us = F.unix_micros("ts")
+    bounds = (
+        [(None, cuts[0])]
+        + list(zip(cuts, cuts[1:]))
+        + [(cuts[-1], None)]
+    )
+    work = os.path.dirname(src)
+    for k, (lo, hi) in enumerate(bounds):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (us >= lo)
+        if hi is not None:
+            cond = cond & (us < hi)
+        tmp = f"{work}/part{k}"
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        parts = _glob.glob(f"{tmp}/part-*.parquet")
+        if not parts:  # empty quartile (degenerate tiny slice)
+            continue
+        dst = f"{src}/{k:02d}.parquet"
+        os.rename(parts[0], dst)
+        # mtime ascending pins the FileStreamSource pickup order
+        # (path order agrees as a tiebreak)
+        os.utime(dst, (1_000_000_000 + 100 * k,) * 2)
+    return True
+
+
+def run_available_now(stream_writer_start, name: str) -> None:
+    """Start an availableNow streaming query and wait for it; a
+    timeout raises instead of leaving the query racing the caller's
+    replay run / table read (round-12 advice)."""
+    q = stream_writer_start()
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: availableNow run did not terminate within 180s"
+        )
+
+
 def stream_window_finalize_totals(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -66,46 +124,18 @@ def stream_window_finalize_totals(
         # unix_micros/window their expected input type
         .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
     )
-    b = ev.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
-    ).first()
-    if b.mn is None or b.mx is None:
-        # empty slice: no windows can ever finalize — return the empty
-        # result explicitly instead of letting int(None) raise deep in
-        # the quartile-cut arithmetic (round-12 advice)
-        return spark.createDataFrame(
-            [], "window_start timestamp, event_type string, n long"
-        )
-    mn, mx = int(b.mn), int(b.mx)
-    cuts = [mn + (mx - mn) * k // N_FILES for k in range(1, N_FILES)]
     work = tempfile.mkdtemp(prefix="swft_")
     src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
     os.makedirs(src)
     try:
-        us = F.unix_micros("ts")
-        bounds = [
-            (None, cuts[0]),
-            (cuts[0], cuts[1]),
-            (cuts[1], cuts[2]),
-            (cuts[2], None),
-        ]
-        for k, (lo, hi) in enumerate(bounds):
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (us >= lo)
-            if hi is not None:
-                cond = cond & (us < hi)
-            tmp = f"{work}/part{k}"
-            ev.filter(cond).coalesce(1).write.parquet(tmp)
-            parts = _glob.glob(f"{tmp}/part-*.parquet")
-            if not parts:  # empty quartile (degenerate tiny slice)
-                continue
-            dst = f"{src}/{k:02d}.parquet"
-            os.rename(parts[0], dst)
-            # mtime ascending pins the FileStreamSource pickup order
-            # (path order agrees as a tiebreak)
-            os.utime(dst, (1_000_000_000 + 100 * k,) * 2)
+        if not split_time_ordered(ev, src):
+            # empty slice: no windows can ever finalize — return the
+            # empty result explicitly instead of letting int(None)
+            # raise deep in the quartile-cut arithmetic (round-12
+            # advice)
+            return spark.createDataFrame(
+                [], "window_start timestamp, event_type string, n long"
+            )
 
         register(spark)
 
@@ -125,23 +155,16 @@ def stream_window_finalize_totals(
         )
 
         def run() -> None:
-            q = (
-                stream.writeStream.outputMode("append")
-                .foreachBatch(sink)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
+            run_available_now(
+                lambda: (
+                    stream.writeStream.outputMode("append")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                ),
+                "stream_window_finalize_totals",
             )
-            # awaitTermination returns False on timeout with the query
-            # still running — stop it and fail loudly rather than let
-            # the replay run / table read race the live checkpoint
-            # (round-12 advice)
-            if not q.awaitTermination(180):
-                q.stop()
-                raise RuntimeError(
-                    "stream_window_finalize_totals: availableNow run "
-                    "did not terminate within 180s"
-                )
 
         run()
         lv = latest_version(t)
