@@ -208,3 +208,124 @@ def test_stream_band_join_finalize_shape_and_band(spark, sf_dir):
     for r in padded:
         assert r.click_ts is None
         assert r.purchase_id is not None and r.purchase_ts is not None
+
+
+# ------------------------- 16-writer contention + mid-race checkpoints
+# (round-13 VERDICT task 5: scale the r12 liveness pin toward the
+# Delta story and prove a checkpoint landing mid-contention cannot
+# orphan rebases)
+
+
+def test_contention_16_writers_with_mid_race_checkpoints(
+    spark, tmp_path, monkeypatch
+):
+    """16 writer threads x 5 commits (10 blind appenders on fresh key
+    ranges + 6 mergers on disjoint file sets) racing on one table,
+    with AUTO_CHECKPOINT_EVERY forced to 3 so auto-checkpoints land
+    repeatedly DURING the race. Every commit must land exactly once,
+    no writer may exhaust its rebase budget, lost version races stay
+    under the fair-progress ceiling, checkpoints actually landed in
+    the contended version range, and the checkpoint-based replay
+    (read_table) agrees with both the expected contents and a
+    time-travel read below the newest checkpoint (a checkpoint that
+    orphaned a rebase or snapshotted a half-applied merge would break
+    one of these)."""
+    import threading
+    import time
+
+    import trace_parquet_spark.sources.tablelog as tl
+    from pyspark.sql import functions as F
+
+    def _kv(lo, hi, v):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(v).alias("v")
+        )
+
+    t = str(tmp_path / "t16")
+    seed_los = (0, 100, 200, 300, 400, 500)
+    for lo in seed_los:
+        tl.append(_kv(lo, lo + 10, 1).coalesce(1), t, stats_col="k")
+    seed_v = tl.latest_version(t)
+
+    monkeypatch.setattr(tl, "AUTO_CHECKPOINT_EVERY", 3)
+
+    M = 5
+    N_APP, N_MERGE = 10, 6
+    races = {"n": 0}
+    race_lock = threading.Lock()
+    real_commit = tl._commit
+
+    def counting_commit(table, version, actions):
+        try:
+            return real_commit(table, version, actions)
+        except tl.ConcurrentWriteError:
+            with race_lock:
+                races["n"] += 1
+            raise
+
+    monkeypatch.setattr(tl, "_commit", counting_commit)
+    errs: list = []
+
+    def appender(i):
+        try:
+            for j in range(M):
+                base = 10_000 + 1_000 * i + 10 * j
+                tl.append(_kv(base, base + 5, 2), t, stats_col="k")
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    def merger(lo):
+        try:
+            for j in range(M):
+                tl.merge_upsert(spark, t, _kv(lo + 2, lo + 6, 100 + j), "k")
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    ths = [threading.Thread(target=appender, args=(i,)) for i in range(N_APP)]
+    ths += [
+        threading.Thread(target=merger, args=(lo,)) for lo in seed_los
+    ]
+    t0 = time.perf_counter()
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    wall = time.perf_counter() - t0
+
+    n_threads = N_APP + N_MERGE
+    n_commits = n_threads * M
+    assert errs == [], f"writers failed under contention: {errs[:3]}"
+    assert tl.latest_version(t) == seed_v + n_commits  # no gaps, none lost
+    assert races["n"] <= (n_threads - 1) * n_commits, (
+        f"{races['n']} lost version races for {n_commits} commits"
+    )
+    assert wall < 480, f"contention run took {wall:.0f}s"
+
+    # checkpoints landed DURING the race (not only at the seed edge)
+    cps = tl._checkpoints(t)
+    mid = [v for v in cps if seed_v < v <= seed_v + n_commits]
+    assert mid, f"no auto-checkpoint landed in the contended range {cps}"
+
+    # contents via the checkpoint-accelerated replay: last-writer-wins
+    # within each merger's own sequence, appended rows all present
+    rows = {r.k: r.v for r in tl.read_table(spark, t).collect()}
+    for lo in seed_los:
+        for k in range(lo + 2, lo + 6):
+            assert rows[k] == 100 + M - 1
+    for i in range(N_APP):
+        for j in range(M):
+            base = 10_000 + 1_000 * i + 10 * j
+            for k in range(base, base + 5):
+                assert rows[k] == 2
+
+    # time-travel below the newest checkpoint still replays cleanly
+    # (checkpoints are a pure optimization; a mid-race one must not
+    # make earlier versions unreadable)
+    early = tl.read_table(spark, t, as_of=seed_v).count()
+    assert early == len(seed_los) * 10
+
+    print(
+        f"\n16-writer contention: {n_commits} commits in {wall:.1f}s "
+        f"({n_commits / wall:.2f} commits/s), {races['n']} lost races, "
+        f"checkpoints at {mid}"
+    )

@@ -750,13 +750,17 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     model — but this is NOT full-vocab SentencePiece coverage. The
     caps exist because the Viterbi DP is UNROLLED into the plan:
     each EM round builds O(MAX_WORD × MAX_PIECE) self-joins plus a
-    MAX_WORD-step backtrace, so plan build time (Catalyst analysis,
-    driver-side) grows quadratically with MAX_WORD — measured in
-    PERF.md §"unigram plan-build probe" (MAX_WORD=16 roughly
-    quadruples the unrolled join count; raise the caps only with a
-    per-round checkpoint cadence that truncates lineage). At 100 TB
-    the caps do NOT bound corpus size — the corpus cost stays the
-    single word-count scan; they bound the vocab-grain DP width.
+    MAX_WORD-step backtrace. MEASURED (tools/probe_ulm_width.py,
+    PERF.md round-13): MAX_WORD=16 is not "2× slower" — it OOMs a
+    24 GiB driver heap during Catalyst plan canonicalization (fresh
+    JVM, extra frames provably EMPTY at the probe corpus), because
+    the backtrace's unioned join conditions canonicalize
+    super-linearly in the step count. Raising the cap therefore
+    requires restructuring (localCheckpoint the backtrace frontier
+    per step, as the DP frontier already is), not just a constant
+    bump. At 100 TB the caps do NOT bound corpus size — the corpus
+    cost stays the single word-count scan; they bound the
+    vocab-grain DP width.
 
     See the section comment for the algorithm and determinism
     contract; the oracle unrolls the identical DP/backtrace/recount
