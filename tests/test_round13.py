@@ -329,3 +329,192 @@ def test_contention_16_writers_with_mid_race_checkpoints(
         f"({n_commits / wall:.2f} commits/s), {races['n']} lost races, "
         f"checkpoints at {mid}"
     )
+
+
+# ------------------------- unigram-LM apply + backtrace-sever pins
+#
+# Round-13: unigram_lm_apply is the tokenizer family's "apply" half
+# (BPE already has train+apply), and the per-step localCheckpoint of
+# the backtrace frontier is the structural fix the width probe
+# prescribed (chained bt joins OOMed a 24 GiB driver at MAX_WORD=16
+# during Catalyst canonicalization). These pins use a tiny handmade
+# corpus so three full EM trainings stay test-cheap.
+
+
+def _tiny_corpus(spark, tmp_path, texts):
+    rows = [
+        (i, t, "en", ["web", "books"][i % 2], len(t))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "ulm")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _replay_ulm(texts, rounds, max_word, max_piece, final_viterbi=False):
+    """Pure-Python hard-EM replay (round-12 discipline), optionally
+    returning the final-model segmentation piece counts per word."""
+    import math
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            if 1 <= len(w) <= max_word:
+                wf[w] += 1
+
+    def costs_from(counts):
+        tot = sum(counts.values())
+        return {
+            p: math.floor(math.log(float(tot) / float(n)) * 1e6 + 0.5)
+            for p, n in counts.items()
+        }
+
+    seed = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece, len(w) - i) + 1):
+                seed[w[i : i + l]] += f
+    cost = costs_from(seed)
+    counts = dict(seed)
+    chars = {c for w in wf for c in w}
+
+    def viterbi_pieces(w):
+        L = len(w)
+        best = {0: (0, None, None)}
+        for i in range(1, L + 1):
+            cands = []
+            for l in range(1, max_piece + 1):
+                j = i - l
+                if j < 0 or j not in best:
+                    continue
+                p = w[j:i]
+                if p in cost:
+                    cands.append((best[j][0] + cost[p], j, p))
+            if cands:
+                best[i] = min(cands)
+        out = []
+        pos = L
+        while pos > 0:
+            _, j, p = best[pos]
+            out.append(p)
+            pos = j
+        return out
+
+    for _ in range(rounds):
+        usage = Counter()
+        for w, f in wf.items():
+            for p in viterbi_pieces(w):
+                usage[p] += f
+        counts = {c: usage.get(c, 0) + 1 for c in chars}
+        counts.update(
+            {p: n for p, n in usage.items() if len(p) >= 2 and n > 0}
+        )
+        cost = costs_from(counts)
+
+    if not final_viterbi:
+        return counts, cost, wf
+    return counts, cost, wf, {w: len(viterbi_pieces(w)) for w in wf}
+
+
+TINY_TEXTS = [
+    "the data table holds the data rows",
+    "a fast scan beats a slow scan",
+    "big data joins big data",
+    "the window sorts the stream",
+    "a hash join beats a sort merge join",
+    "slow rows slow the fast scan",
+]
+
+
+def test_unigram_apply_matches_pure_python_replay(spark, tmp_path):
+    """unigram_lm_apply's per-source fertility must match an
+    independent pure-Python replay (train -> final Viterbi -> piece
+    counts -> per-source DIV-ppm aggregation) EXACTLY."""
+    import re
+
+    from trace_parquet_spark.operators.packing import (
+        ULM_EM_ROUNDS,
+        ULM_MAX_PIECE,
+        ULM_MAX_WORD,
+        unigram_lm_apply,
+    )
+
+    d = _tiny_corpus(spark, tmp_path, TINY_TEXTS)
+    _, _, _, wpieces = _replay_ulm(
+        TINY_TEXTS, ULM_EM_ROUNDS, ULM_MAX_WORD, ULM_MAX_PIECE,
+        final_viterbi=True,
+    )
+
+    want = {}
+    for i, t in enumerate(TINY_TEXTS):
+        src = ["web", "books"][i % 2]
+        for w in re.findall("[a-z]+", t.lower()):
+            if 1 <= len(w) <= ULM_MAX_WORD:
+                nw, np = want.get(src, (0, 0))
+                want[src] = (nw + 1, np + wpieces[w])
+    expect = sorted(
+        (s, nw, np, (np * 1_000_000) // nw)
+        for s, (nw, np) in want.items()
+    )
+
+    got = [
+        (r.source, r.n_words, r.n_pieces, r.fert_ppm)
+        for r in unigram_lm_apply(spark, d).collect()
+    ]
+    assert got == expect
+
+
+def test_unigram_width_beyond_longest_word_is_invariant(
+    spark, tmp_path, monkeypatch
+):
+    """With every corpus word ≤ 8 chars, MAX_WORD=14 must train the
+    IDENTICAL model (the DP and backtrace early-break on the first
+    empty frontier, so the extra frames are never even planned —
+    this is the regression pin for the per-step backtrace sever)."""
+    from trace_parquet_spark.operators import packing
+
+    d = _tiny_corpus(spark, tmp_path, TINY_TEXTS)
+    base = [
+        (r.piece, r.usage, r.cost_micro)
+        for r in packing.unigram_lm_train(spark, d).collect()
+    ]
+    monkeypatch.setattr(packing, "ULM_MAX_WORD", 14)
+    wide = [
+        (r.piece, r.usage, r.cost_micro)
+        for r in packing.unigram_lm_train(spark, d).collect()
+    ]
+    assert wide == base
+
+
+def test_unigram_train_handles_long_words_at_width_12(
+    spark, tmp_path, monkeypatch
+):
+    """The regime the old backtrace could not reach: words LONGER
+    than 8 chars actually trained (MAX_WORD=12, non-empty deep
+    frames). The plan must build and the model must match the
+    pure-Python replay at the same width."""
+    from trace_parquet_spark.operators import packing
+
+    texts = TINY_TEXTS + [
+        "partitioning partitioning checkpointed",
+        "watermarked micropatches checkpointed",
+    ]
+    d = _tiny_corpus(spark, tmp_path, texts)
+    monkeypatch.setattr(packing, "ULM_MAX_WORD", 12)
+    counts, cost, _ = _replay_ulm(
+        texts, packing.ULM_EM_ROUNDS, 12, packing.ULM_MAX_PIECE
+    )
+    want = sorted(
+        ((p, counts[p], cost[p]) for p in counts),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [
+        (r.piece, r.usage, r.cost_micro)
+        for r in packing.unigram_lm_train(spark, d).collect()
+    ]
+    assert got == want

@@ -766,6 +766,22 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract; the oracle unrolls the identical DP/backtrace/recount
     into materialized CTE stages, and a pure-Python replay pins the
     trainer in pytest."""
+    _words, _chars, cost, _used = _ulm_em(spark, sf_dir)
+    return cost.select(
+        F.col("p").alias("piece"),
+        F.col("n").alias("usage"),
+        F.col("c").alias("cost_micro"),
+    ).orderBy(F.desc("usage"), "piece")
+
+
+def _ulm_em(spark: SparkSession, sf_dir: str, final_viterbi: bool = False):
+    """Shared hard-EM driver behind unigram_lm_train and
+    unigram_lm_apply: returns (words, chars, cost, used) where
+    `cost` is the piece model after ULM_EM_ROUNDS rounds. With
+    ``final_viterbi`` one EXTRA E-step (Viterbi DP + backtrace) runs
+    under the FINAL model and its chosen-piece relation is returned
+    as ``used`` (one row per piece occurrence per distinct word) with
+    no M-step after it; otherwise ``used`` is None."""
     words = _ulm_words(spark, sf_dir).transform(track_cache)
 
     # seed counts: every substring of length 1..ULM_MAX_PIECE,
@@ -810,7 +826,8 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as _W
 
-    for _round in range(ULM_EM_ROUNDS):
+    n_rounds = ULM_EM_ROUNDS + (1 if final_viterbi else 0)
+    for _round in range(n_rounds):
         # ---- E-step: Viterbi DP, unrolled over positions 1..MAX_WORD
         d = {
             0: words.select(
@@ -865,6 +882,14 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             d[i] = best
             steps.append((i, best))
+            # d[i] empty ⟺ no word reaches position i (single-char
+            # pieces are always in the model, so every position of a
+            # word with L ≥ i IS reached) ⟹ every later frame is
+            # empty too; stop unrolling plan for them. Together with
+            # the backtrace break below this makes MAX_WORD wider
+            # than the longest in-cap word cost nothing.
+            if best.isEmpty():
+                break
 
         alld = None
         for i, frame in steps:
@@ -897,7 +922,31 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             part = hit.select("w", "p")
             used = part if used is None else used.unionByName(part)
-            bt = hit.select("w", F.col("j").alias("pos"))
+            # sever the backtrace frontier per step, matching the DP
+            # frontier's discipline above. This is the structural fix
+            # the round-13 width probe prescribed: chained bt joins
+            # made `used`'s unioned join conditions canonicalize
+            # super-linearly in step count (MAX_WORD=16 OOMed a
+            # 24 GiB driver in CommutativeExpression canonicalization
+            # before touching any data); with the per-step sever every
+            # hit is a leaf-join-leaf and the union stays O(steps).
+            # bt is vocab-grain (distinct words still mid-walk), so
+            # the materialization is model-adjacent, never corpus.
+            bt = tracked_local_checkpoint(
+                hit.select("w", F.col("j").alias("pos")).filter(
+                    F.col("pos") > 0
+                )
+            )
+            # all remaining walks hit pos 0 ⇒ every later step's frame
+            # is empty; stop building plan for them (this is what makes
+            # a width larger than the longest surviving word free)
+            if bt.isEmpty():
+                break
+
+        if final_viterbi and _round == ULM_EM_ROUNDS:
+            # the extra pass segmented under the FINAL model — hand
+            # the chosen pieces back without recounting the model
+            return words, chars, cost, used
 
         usage = (
             used.join(words.select("w", "f"), "w")
@@ -915,11 +964,57 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ulm_cost(char_mass.unionByName(multi))
         )
 
-    return cost.select(
-        F.col("p").alias("piece"),
-        F.col("n").alias("usage"),
-        F.col("c").alias("cost_micro"),
-    ).orderBy(F.desc("usage"), "piece")
+    return words, chars, cost, None
+
+
+def unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM model back to the corpus — the
+    tokenizer family's missing "apply" half (BPE has
+    bpe_train_merges AND bpe_apply_merges; this pairs with
+    unigram_lm_train). Trains the same capped model (ULM_MAX_WORD=8 /
+    ULM_MAX_PIECE=3 / 2 hard-EM rounds — see unigram_lm_train's
+    scope-caps note), then runs ONE more Viterbi pass under the FINAL
+    piece costs to segment every distinct in-cap word, and reports
+    per-source tokenizer fertility over the document stream:
+    (source, n_words, n_pieces, fert_ppm) where fert_ppm is exact
+    integer DIV(n_pieces*1e6, n_words) — pieces per word on the ppm
+    grid (token_head_mass precedent: no float in the gate).
+
+    Scale: the EM + final Viterbi are vocab-grain (distinct ≤8-char
+    words); the only corpus-grain work is the word explode and the
+    (corpus × vocab) join, which shuffles on `w` — no broadcast of
+    the word-grain relation (at 100 TB distinct words are tens of
+    millions; AQE decides the join strategy). Output is
+    source-grain (bounded).
+    (Reference scope: repository/ParameterDataRepository.java:53-78 —
+    tokenizer application is north-star surface.)"""
+    words, _chars, _cost, used = _ulm_em(spark, sf_dir, final_viterbi=True)
+    # pieces per distinct word under the final model
+    wp = used.groupBy("w").agg(F.count("*").cast("long").alias("np"))
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    docw = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    ).filter((F.length("w") >= 1) & (F.length("w") <= ULM_MAX_WORD))
+    return (
+        docw.join(wp, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "CAST((n_pieces * 1000000) DIV n_words AS BIGINT)"
+            ).alias("fert_ppm"),
+        )
+        .orderBy("source")
+    )
 
 
 def _ulm_train_sql(
@@ -931,7 +1026,25 @@ def _ulm_train_sql(
     round, positions 1..max_word of the Viterbi DP (row_number over
     (c, j) — identical argmin), the backtrace walk, the Laplace
     re-count, and the micro-nat cost rebuild."""
-    ctes = [
+    ctes = _ulm_sql_prologue(max_word, max_piece)
+    for r in range(rounds):
+        ctes += _ulm_sql_dp(r, max_word, max_piece)
+        ctes += _ulm_sql_mstep(r)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p AS piece, n AS usage, c AS cost_micro
+FROM cost{rounds}
+ORDER BY usage DESC, piece
+"""
+    )
+
+
+def _ulm_sql_prologue(max_word: int, max_piece: int) -> list[str]:
+    """Shared CTE prologue: word relation, seed substring counts,
+    round-0 costs, and the single-character coverage floor."""
+    return [
         f"""words AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS f, length(w) AS wlen
   FROM (
@@ -960,26 +1073,31 @@ def _ulm_train_sql(
   FROM words, unnest(range(1, wlen + 1)) AS t(i)
 )""",
     ]
-    for r in range(rounds):
-        ctes.append(
-            f"d{r}_0 AS (SELECT w, wlen, CAST(0 AS BIGINT) AS c FROM words)"
-        )
-        for i in range(1, max_word + 1):
-            branches = []
-            for l in range(1, max_piece + 1):
-                j = i - l
-                if j < 0:
-                    continue
-                branches.append(
-                    f"""SELECT d.w, d.wlen, d.c + k.c AS c,
+
+
+def _ulm_sql_dp(r: int, max_word: int, max_piece: int) -> list[str]:
+    """One unrolled Viterbi DP + backtrace under cost{r}: emits
+    d{r}_0..d{r}_max_word, all{r}, bt{r}_0..bt{r}_max_word, and
+    used{r} (one row per chosen piece occurrence per word)."""
+    ctes = [
+        f"d{r}_0 AS (SELECT w, wlen, CAST(0 AS BIGINT) AS c FROM words)"
+    ]
+    for i in range(1, max_word + 1):
+        branches = []
+        for l in range(1, max_piece + 1):
+            j = i - l
+            if j < 0:
+                continue
+            branches.append(
+                f"""SELECT d.w, d.wlen, d.c + k.c AS c,
        CAST({j} AS BIGINT) AS j,
        substring(d.w, {j + 1}, {l}) AS p
 FROM d{r}_{j} d JOIN cost{r} k ON k.p = substring(d.w, {j + 1}, {l})
 WHERE d.wlen >= {i}"""
-                )
-            union = "\nUNION ALL\n".join(branches)
-            ctes.append(
-                f"""d{r}_{i} AS MATERIALIZED (
+            )
+        union = "\nUNION ALL\n".join(branches)
+        ctes.append(
+            f"""d{r}_{i} AS MATERIALIZED (
   SELECT w, wlen, c, j, p FROM (
     SELECT w, wlen, c, j, p,
            row_number() OVER (PARTITION BY w ORDER BY c, j) AS rn
@@ -988,63 +1106,108 @@ WHERE d.wlen >= {i}"""
     )
   ) WHERE rn = 1
 )"""
-            )
-        alls = "\nUNION ALL\n".join(
-            f"SELECT w, CAST({i} AS BIGINT) AS i, j, p FROM d{r}_{i}"
-            for i in range(1, max_word + 1)
         )
-        ctes.append(f"all{r} AS MATERIALIZED (\n{alls}\n)")
+    alls = "\nUNION ALL\n".join(
+        f"SELECT w, CAST({i} AS BIGINT) AS i, j, p FROM d{r}_{i}"
+        for i in range(1, max_word + 1)
+    )
+    ctes.append(f"all{r} AS MATERIALIZED (\n{alls}\n)")
+    ctes.append(
+        f"bt{r}_0 AS (SELECT w, CAST(wlen AS BIGINT) AS pos, "
+        f"CAST(NULL AS VARCHAR) AS p FROM words)"
+    )
+    for k in range(1, max_word + 1):
         ctes.append(
-            f"bt{r}_0 AS (SELECT w, CAST(wlen AS BIGINT) AS pos, "
-            f"CAST(NULL AS VARCHAR) AS p FROM words)"
-        )
-        for k in range(1, max_word + 1):
-            ctes.append(
-                f"""bt{r}_{k} AS MATERIALIZED (
+            f"""bt{r}_{k} AS MATERIALIZED (
   SELECT b.w, a.j AS pos, a.p
   FROM bt{r}_{k - 1} b JOIN all{r} a ON a.w = b.w AND a.i = b.pos
   WHERE b.pos > 0
 )"""
-            )
-        useds = "\nUNION ALL\n".join(
-            f"SELECT w, p FROM bt{r}_{k}" for k in range(1, max_word + 1)
         )
-        ctes.append(f"used{r} AS (\n{useds}\n)")
-        ctes.append(
-            f"""usage{r} AS MATERIALIZED (
+    useds = "\nUNION ALL\n".join(
+        f"SELECT w, p FROM bt{r}_{k}" for k in range(1, max_word + 1)
+    )
+    ctes.append(f"used{r} AS (\n{useds}\n)")
+    return ctes
+
+
+def _ulm_sql_mstep(r: int) -> list[str]:
+    """M-step under round r's segmentation: occurrence-weighted piece
+    usage, Laplace-floored single-char mass + surviving multi-char
+    pieces, and the rebuilt cost{r+1}."""
+    return [
+        f"""usage{r} AS MATERIALIZED (
   SELECT u.p, CAST(sum(wo.f) AS BIGINT) AS n
   FROM used{r} u JOIN words wo ON wo.w = u.w
   GROUP BY u.p
-)"""
-        )
-        ctes.append(
-            f"""cnt{r} AS MATERIALIZED (
+)""",
+        f"""cnt{r} AS MATERIALIZED (
   SELECT c.p, CAST(coalesce(u.n, 0) + 1 AS BIGINT) AS n
   FROM chars c LEFT JOIN usage{r} u ON u.p = c.p
   UNION ALL
   SELECT p, n FROM usage{r} WHERE length(p) >= 2
-)"""
-        )
-        ctes.append(
-            f"""cost{r + 1} AS MATERIALIZED (
+)""",
+        f"""cost{r + 1} AS MATERIALIZED (
   SELECT p, n,
          CAST(floor(ln(CAST((SELECT sum(n) FROM cnt{r}) AS DOUBLE)
                        / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c
   FROM cnt{r}
+)""",
+    ]
+
+
+def _ulm_apply_sql(
+    rounds: int = ULM_EM_ROUNDS,
+    max_word: int = ULM_MAX_WORD,
+    max_piece: int = ULM_MAX_PIECE,
+) -> str:
+    """Unrolled twin of unigram_lm_apply: the full training CTEs,
+    one EXTRA Viterbi DP + backtrace under the FINAL cost{rounds}
+    (same emission as every training round — identical argmin), then
+    per-word piece counts and the per-source fertility aggregation
+    on the exact integer-ppm grid."""
+    ctes = _ulm_sql_prologue(max_word, max_piece)
+    for r in range(rounds):
+        ctes += _ulm_sql_dp(r, max_word, max_piece)
+        ctes += _ulm_sql_mstep(r)
+    ctes += _ulm_sql_dp(rounds, max_word, max_piece)
+    ctes.append(
+        f"""wp AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS np
+  FROM used{rounds}
+  GROUP BY w
 )"""
-        )
+    )
+    ctes.append(
+        f"""docw AS MATERIALIZED (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  )
+  WHERE length(w) BETWEEN 1 AND {max_word}
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"""
-SELECT p AS piece, n AS usage, c AS cost_micro
-FROM cost{rounds}
-ORDER BY usage DESC, piece
+        + """
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wp.np) AS BIGINT) AS n_pieces,
+       CAST(CAST(sum(wp.np) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS fert_ppm
+FROM docw d JOIN wp ON wp.w = d.w
+GROUP BY d.source
+ORDER BY source
 """
     )
 
 
 ULM_TRAIN_SQL = _ulm_train_sql()
+ULM_APPLY_SQL = _ulm_apply_sql()
 
 QUERIES["unigram_lm_train"] = unigram_lm_train
 ORACLES["unigram_lm_train"] = ULM_TRAIN_SQL
+QUERIES["unigram_lm_apply"] = unigram_lm_apply
+ORACLES["unigram_lm_apply"] = ULM_APPLY_SQL
