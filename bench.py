@@ -229,6 +229,10 @@ HEADLINE = [
     # watermark finalization) and the 128-bit SimHash rung
     "stream_band_join_finalize",
     "simhash128_hamming_pairs",
+    # round 13: unigram_lm_apply (segmentation under the trained
+    # model) and the WordPiece trainer complete the tokenizer family
+    "unigram_lm_apply",
+    "wordpiece_train_merges",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

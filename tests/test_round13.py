@@ -518,3 +518,90 @@ def test_unigram_train_handles_long_words_at_width_12(
         for r in packing.unigram_lm_train(spark, d).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (round 13): pure-Python replay + criterion pin
+# ---------------------------------------------------------------------------
+
+
+def _python_wordpiece_train(word_freqs, rounds):
+    """Reference WordPiece trainer (Schuster & Nakajima 2012):
+    per round, merge the adjacent pair maximizing the exact integer
+    likelihood score (n_pair * 1e18) // (n_left * n_right); ties ->
+    higher raw count, then smallest pair. Sentinel rewriting matches
+    the engine's greedy left-to-right str.replace exactly."""
+    import collections
+
+    base = 0xE000
+    scale = 10**18
+    vocab = dict(word_freqs)
+    expansions: list[str] = []
+    merges: list[tuple[int, str, int, int]] = []
+    for r in range(rounds):
+        pair_n: collections.Counter[str] = collections.Counter()
+        sym_n: collections.Counter[str] = collections.Counter()
+        for s, f in vocab.items():
+            for c in s:
+                sym_n[c] += f
+            for i in range(len(s) - 1):
+                pair_n[s[i : i + 2]] += f
+        if not pair_n:
+            break
+        scored = {
+            p: (n * scale) // (sym_n[p[0]] * sym_n[p[1]])
+            for p, n in pair_n.items()
+        }
+        best = min(
+            pair_n, key=lambda p: (-scored[p], -pair_n[p], p)
+        )
+        expanded = "".join(
+            expansions[ord(c) - base] if ord(c) >= base else c for c in best
+        )
+        expansions.append(expanded)
+        merges.append((r + 1, expanded, int(pair_n[best]), int(scored[best])))
+        sent = chr(base + r)
+        nxt: dict[str, int] = {}
+        for s, f in vocab.items():
+            ns = s.replace(best, sent)
+            nxt[ns] = nxt.get(ns, 0) + f
+        vocab = nxt
+    return merges
+
+
+def test_wordpiece_train_matches_python_replay(spark, sf_dir):
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from tests.test_round8 import _python_bpe_train
+    from trace_parquet_spark.operators.packing import (
+        WP_TRAIN_ROUNDS,
+        wordpiece_train_merges,
+    )
+
+    con = duckdb.connect()
+    wf = con.execute(
+        f"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        )
+        SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+        """
+    ).fetchall()
+    freqs = {w: f for w, f in wf}
+    expected = _python_wordpiece_train(freqs, WP_TRAIN_ROUNDS)
+
+    got = [
+        (r["rank"], r["pair"], r["n"], r["score_e18"])
+        for r in wordpiece_train_merges(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # the likelihood criterion must bite: the merge SEQUENCE differs
+    # from BPE's raw-count argmax on the same corpus (otherwise the
+    # entry would just re-pin bpe_train_merges)
+    bpe = [p for _, p, _ in _python_bpe_train(freqs, WP_TRAIN_ROUNDS)]
+    assert [p for _, p, _, _ in expected] != bpe
+    # score is a proper probability-ratio bound: n <= min(na, nb)
+    # implies score_e18 <= 1e18
+    assert all(s <= 10**18 for _, _, _, s in got)

@@ -1211,3 +1211,193 @@ QUERIES["unigram_lm_train"] = unigram_lm_train
 ORACLES["unigram_lm_train"] = ULM_TRAIN_SQL
 QUERIES["unigram_lm_apply"] = unigram_lm_apply
 ORACLES["unigram_lm_apply"] = ULM_APPLY_SQL
+
+
+# --------------------------------------------------------------------------
+# WordPiece tokenizer training (Schuster & Nakajima 2012) — round 13
+# --------------------------------------------------------------------------
+#
+# Completes the tokenizer-trainer trio (BPE = bpe_train_merges,
+# unigram = unigram_lm_train, WordPiece = here). WordPiece runs the
+# same merge loop as BPE but picks the pair maximizing the LIKELIHOOD
+# gain of a unigram corpus model, which for count statistics reduces
+# to score(a,b) = count(ab) / (count(a) * count(b)) (Schuster &
+# Nakajima 2012 §III; Wu et al. 2016 §4.1 use the same criterion for
+# GNMT). A rare-but-always-cooccurring pair beats a frequent pair of
+# independently-frequent symbols — the opposite preference from BPE's
+# raw-count argmax, which is exactly what this entry pins.
+#
+# Cross-engine exactness: the score is the exact integer
+#   (count(ab) * 10^18) div (count(a) * count(b))
+# computed in DECIMAL(38,0) on Spark and HUGEINT in DuckDB (both
+# truncate toward zero; verified identical), so the per-round argmax
+# — ORDER BY score DESC, n DESC, pair ASC — is engine-independent
+# with no float anywhere. score <= 10^18 always (count(ab) <=
+# min(count(a), count(b))), so the BIGINT cast cannot overflow.
+#
+# Spark shape: identical to the BPE trainer — the corpus collapses
+# once to the vocabulary-sized word-frequency relation (cached), each
+# round is two explodes + aggregations over it (adjacent pairs AND
+# single symbols, joined on the pair's two halves), the argmax is a
+# 1-row collect (driver state = the merge table), and the merge is a
+# chained F.replace onto a private-use sentinel. At 100 TB the
+# per-round cost is vocab-grain, not corpus-grain.
+# (Reference scope: repository/ParameterDataRepository.java:53-78 —
+# tokenizer training is north-star surface.)
+
+WP_TRAIN_ROUNDS = 10
+_WP_SCALE = 10**18
+
+
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative WordPiece training: per round, merge the adjacent
+    symbol pair with the highest likelihood score
+    count(pair)/(count(left)*count(right)) over the CURRENT
+    segmentation, then recount. Output: one row per learned merge —
+    rank, the pair expanded to plain characters, its raw adjacency
+    count, and the exact integer score (x 1e18, truncated)."""
+    wf = _word_freqs(spark, sf_dir).transform(track_cache)
+    seg = F.col("w")
+    expansions: list[str] = []
+    out_rows: list[tuple[int, str, int, int]] = []
+    for r in range(WP_TRAIN_ROUNDS):
+        cur = wf.select("f", seg.alias("s")).transform(track_cache)
+        syms = (
+            cur.select(
+                "f",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("s"))
+                ).alias("i"),
+                F.col("s").alias("s2"),
+            )
+            .select("f", F.col("s2").substr(F.col("i"), F.lit(1)).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("f").cast("long").alias("ns"))
+        )
+        pairs = (
+            cur.filter(F.length("s") >= 2)
+            .select(
+                "f",
+                F.explode(F.sequence(F.lit(1), F.length("s") - 1)).alias("i"),
+                F.col("s").alias("s2"),
+            )
+            .select("f", F.col("s2").substr(F.col("i"), F.lit(2)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        scored = (
+            pairs
+            .join(
+                F.broadcast(syms.withColumnRenamed("ns", "na")),
+                F.col("sym") == F.col("pair").substr(1, 1),
+            )
+            .drop("sym")
+            .join(
+                F.broadcast(syms.withColumnRenamed("ns", "nb")),
+                F.col("sym") == F.col("pair").substr(2, 1),
+            )
+            .drop("sym")
+            .select(
+                "pair",
+                "n",
+                F.expr(
+                    f"CAST((CAST(n AS DECIMAL(38,0)) * "
+                    f"CAST({_WP_SCALE} AS DECIMAL(38,0))) div "
+                    f"(CAST(na AS DECIMAL(38,0)) * "
+                    f"CAST(nb AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("score"),
+            )
+        )
+        best = scored.orderBy(F.desc("score"), F.desc("n"), "pair").limit(1)
+        rows = collect_model_sized(best, 1, "WordPiece argmax pair (1 row/round)")
+        if not rows:  # vocabulary fully merged — corpus-dependent stop
+            break
+        raw, n, score = rows[0].pair, rows[0].n, rows[0].score
+        expanded = "".join(
+            expansions[ord(c) - _BPE_SENTINEL_BASE]
+            if ord(c) >= _BPE_SENTINEL_BASE
+            else c
+            for c in raw
+        )
+        expansions.append(expanded)
+        out_rows.append((r + 1, expanded, int(n), int(score)))
+        seg = F.replace(seg, F.lit(raw), F.lit(chr(_BPE_SENTINEL_BASE + r)))
+    return spark.createDataFrame(
+        out_rows, "rank bigint, pair string, n bigint, score_e18 bigint"
+    ).orderBy("rank")
+
+
+def _wordpiece_train_sql(rounds: int = WP_TRAIN_ROUNDS) -> str:
+    """Unrolled MATERIALIZED-CTE twin: stage r = (symbol counts sy{r}
+    + pair counts p{r} over wf{r} -> likelihood argmax b{r} ->
+    re-segmented wf{r+1}); e{r} expands sentinels back through the
+    earlier rounds' expansions (same machinery as _bpe_train_sql)."""
+    ctes = [
+        """words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf0 AS MATERIALIZED (
+  SELECT w AS s, CAST(count(*) AS BIGINT) AS f FROM words
+  WHERE length(w) >= 2 GROUP BY w
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""sy{r} AS MATERIALIZED (
+  SELECT substring(s, CAST(t.i AS INTEGER), 1) AS sym,
+         CAST(sum(f) AS BIGINT) AS ns
+  FROM wf{r}, unnest(range(1, length(s) + 1)) AS t(i)
+  GROUP BY sym
+),
+p{r} AS (
+  SELECT substring(s, CAST(t.i AS INTEGER), 2) AS pair, f
+  FROM wf{r}, unnest(range(1, length(s))) AS t(i)
+),
+pn{r} AS (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p{r} GROUP BY pair
+),
+b{r} AS MATERIALIZED (
+  SELECT pn.pair, pn.n,
+         CAST((CAST(pn.n AS HUGEINT) * {_WP_SCALE}) //
+              (CAST(a.ns AS HUGEINT) * CAST(b.ns AS HUGEINT))
+              AS BIGINT) AS score
+  FROM pn{r} pn
+  JOIN sy{r} a ON a.sym = substring(pn.pair, 1, 1)
+  JOIN sy{r} b ON b.sym = substring(pn.pair, 2, 1)
+  ORDER BY score DESC, n DESC, pair LIMIT 1
+)"""
+        )
+        exp = f"(SELECT pair FROM b{r})"
+        for j in range(r):
+            exp = (
+                f"replace({exp}, chr({_BPE_SENTINEL_BASE + j}), "
+                f"(SELECT exp FROM e{j}))"
+            )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT {exp} AS exp, "
+            f"(SELECT n FROM b{r}) AS n, (SELECT score FROM b{r}) AS score)"
+        )
+        if r + 1 < rounds:
+            ctes.append(
+                f"""wf{r + 1} AS MATERIALIZED (
+  SELECT replace(s, (SELECT pair FROM b{r}),
+                 chr({_BPE_SENTINEL_BASE + r})) AS s, f
+  FROM wf{r}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, exp AS pair, n, score AS score_e18 FROM e{r}"
+        for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+WP_TRAIN_SQL = _wordpiece_train_sql()
+
+QUERIES["wordpiece_train_merges"] = wordpiece_train_merges
+ORACLES["wordpiece_train_merges"] = WP_TRAIN_SQL
