@@ -233,6 +233,7 @@ HEADLINE = [
     # model) and the WordPiece trainer complete the tokenizer family
     "unigram_lm_apply",
     "wordpiece_train_merges",
+    "kneser_ney_bigram_topk",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

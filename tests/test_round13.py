@@ -605,3 +605,90 @@ def test_wordpiece_train_matches_python_replay(spark, sf_dir):
     # score is a proper probability-ratio bound: n <= min(na, nb)
     # implies score_e18 <= 1e18
     assert all(s <= 10**18 for _, _, _, s in got)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram smoothing (round 13): exact-rational replay +
+# normalization property
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_bigram_matches_rational_replay(spark, sf_dir):
+    """Replay interpolated KN in exact fractions.Fraction arithmetic
+    from the raw token stream, check the engine's integer-ppm top-k
+    against it, and pin the PROBABILITY-MODEL property that justifies
+    the smoothing: for every history w1, summing P(w2|w1) over the
+    full vocabulary (observed bigrams via the discounted term +
+    continuation backoff for ALL words) is exactly 1."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from trace_parquet_spark.operators.hygiene import (
+        KN_TOPK,
+        kneser_ney_bigram_topk,
+    )
+
+    con = duckdb.connect()
+    toks_per_doc = con.execute(
+        f"""
+        SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id
+        """
+    ).fetchall()
+    import collections
+
+    c_bi: collections.Counter = collections.Counter()
+    for (toks,) in toks_per_doc:
+        toks = [t for t in toks]
+        for a, b in zip(toks, toks[1:]):
+            if a and b:
+                c_bi[(a, b)] += 1
+    c1 = collections.Counter()
+    n1fw = collections.Counter()
+    ncont = collections.Counter()
+    for (a, b), n in c_bi.items():
+        c1[a] += n
+        n1fw[a] += 1
+        ncont[b] += 1
+    t = len(c_bi)
+    d = Fraction(3, 4)
+
+    def pkn(a, b):
+        return (c_bi[(a, b)] - d) / c1[a] + d * n1fw[a] / c1[a] * Fraction(
+            ncont[b], t
+        )
+
+    expected = sorted(
+        (
+            (a, b, c_bi[(a, b)], int(pkn(a, b) * 1_000_000))
+            for (a, b) in c_bi
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:KN_TOPK]
+
+    got = [
+        (r["w1"], r["w2"], r["c12"], r["pkn_ppm"])
+        for r in kneser_ney_bigram_topk(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+    # normalization: sum over the FULL vocab of the interpolated model
+    # is exactly 1 for every observed history
+    vocab = set(ncont)
+    for a in list(c1)[:20]:
+        total = sum(
+            (c_bi[(a, b)] - d) / c1[a] if (a, b) in c_bi else Fraction(0)
+            for b in vocab
+        ) + d * n1fw[a] / c1[a] * sum(Fraction(ncont[b], t) for b in vocab)
+        assert total == 1, (a, total)
+
+    # the continuation distribution must BITE: some top-k row ranks
+    # differently than raw bigram frequency alone would (otherwise
+    # this entry would collapse into top_tokens_exact territory)
+    by_freq = sorted(
+        ((a, b) for (a, b) in c_bi),
+        key=lambda p: (-c_bi[p], p[0], p[1]),
+    )[:KN_TOPK]
+    assert [((a, b)) for a, b, _, _ in expected] != by_freq

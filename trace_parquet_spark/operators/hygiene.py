@@ -689,3 +689,128 @@ ORDER BY doc_id
 
 QUERIES["compression_ratio_docs"] = compression_ratio_docs
 ORACLES["compression_ratio_docs"] = COMPRESSION_RATIO_SQL
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram model (Chen & Goodman 1999) — round 13
+# --------------------------------------------------------------------------
+
+KN_TOPK = 50
+_KN_D_NUM, _KN_D_DEN = 3, 4  # absolute discount d = 3/4 (rational!)
+
+
+def kneser_ney_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the standard LM
+    smoothing (Chen & Goodman 1999 §3; Kneser & Ney 1995), next to
+    the even-interpolation stand-in ``doc_surprisal_bigram`` uses.
+    KN's signature move is the CONTINUATION distribution: the backoff
+    mass for word w2 is proportional to how many distinct contexts w2
+    follows (N1+(.w2)), not its raw frequency — "Francisco" is
+    frequent but only ever follows "San", so its continuation
+    probability is tiny. With absolute discount d:
+
+        P(w2|w1) = (c(w1w2) - d)/c(w1)
+                 + d * N1+(w1.)/c(w1) * N1+(.w2)/N1+(..)
+
+    Cross-engine exactness: d = 3/4 keeps everything RATIONAL.
+    Multiplying through by 4 gives the exact integer form
+
+        pkn_ppm = ((4*c12 - 3)*T + 3*N1fw*Ncont) * 1e6
+                  div (4*c1*T)
+
+    (T = distinct bigram types) — pure BIGINT arithmetic, no float
+    anywhere, so the top-k ranking is engine-independent. Every
+    output bigram is observed (c12 >= 1 > d), so the max(c-d, 0)
+    clamp never binds.
+
+    Plan shape: one bigram explode from the per-doc token arrays,
+    then THREE aggregations of the bigram-type relation (c_ctx and
+    the continuation counts aggregate c_bi, which is already
+    type-grain — vocab-sized, NOT corpus-sized), one broadcast of the
+    1-row type total, and a TakeOrdered top-k. The only corpus-grain
+    shuffle is the first groupBy(w1, w2); everything after is
+    vocab-grain. At 100 TB: linear scan + partial-agg, no skew
+    hazard beyond the stopword head that partial aggregation absorbs
+    map-side. (Reference: no counterpart — north-star LLM-data
+    surface; model quality smoothing for the CCNet-style filters
+    above.)
+
+    Output: the KN_TOPK most probable bigrams — w1, w2, raw count,
+    exact pkn_ppm — ordered by pkn_ppm desc, then (w1, w2).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bi = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    "             element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c_bi = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # history stats are aggregates of the TYPE relation: c1 recovers
+    # the token count as sum(c12), n1fw is the distinct-successor count
+    c_ctx = c_bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1fw"),
+    )
+    cont = c_bi.groupBy("w2").agg(F.count("*").cast("long").alias("ncont"))
+    types = c_bi.agg(F.count("*").cast("long").alias("t"))
+    return (
+        c_bi.join(c_ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                f"CAST(((({_KN_D_DEN}*c12 - {_KN_D_NUM})*t"
+                f" + {_KN_D_NUM}*n1fw*ncont) * 1000000)"
+                f" DIV ({_KN_D_DEN}*c1*t) AS BIGINT)"
+            ).alias("pkn_ppm"),
+        )
+        .orderBy(F.desc("pkn_ppm"), "w1", "w2")
+        .limit(KN_TOPK)
+    )
+
+
+KNESER_NEY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+), c_bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2
+), c_ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1fw
+  FROM c_bi GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c_bi GROUP BY w2
+), types AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM c_bi
+)
+SELECT b.w1, b.w2, b.c12,
+       CAST(((({_KN_D_DEN}*b.c12 - {_KN_D_NUM})*tt.t
+              + {_KN_D_NUM}*x.n1fw*c.ncont) * 1000000)
+            // ({_KN_D_DEN}*x.c1*tt.t) AS BIGINT) AS pkn_ppm
+FROM c_bi b
+JOIN c_ctx x ON b.w1 = x.w1
+JOIN cont c ON b.w2 = c.w2
+CROSS JOIN types tt
+ORDER BY pkn_ppm DESC, b.w1, b.w2
+LIMIT {KN_TOPK}
+"""
+
+QUERIES["kneser_ney_bigram_topk"] = kneser_ney_bigram_topk
+ORACLES["kneser_ney_bigram_topk"] = KNESER_NEY_SQL
