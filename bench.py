@@ -234,6 +234,7 @@ HEADLINE = [
     "unigram_lm_apply",
     "wordpiece_train_merges",
     "kneser_ney_bigram_topk",
+    "perceptron_distill_train",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -692,3 +692,54 @@ def test_kneser_ney_bigram_matches_rational_replay(spark, sf_dir):
         key=lambda p: (-c_bi[p], p[0], p[1]),
     )[:KN_TOPK]
     assert [((a, b)) for a, b, _, _ in expected] != by_freq
+
+
+# ---------------------------------------------------------------------------
+# Perceptron distillation (round 13): pure-Python replay
+# ---------------------------------------------------------------------------
+
+
+def test_perceptron_distill_matches_python_replay(spark, sf_dir):
+    """Replay the batch perceptron in plain Python from the raw
+    feature relation (built via DuckDB with the exact oracle
+    tokenization) and check the engine's mistake/weight trajectory
+    row-for-row. Also pins that the model beats the zero-weight
+    baseline: every post-round-1 mistake count is below round 1's
+    everything-is-a-mistake count."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from trace_parquet_spark.operators.quality_rules import (
+        PERC_ROUNDS,
+        perceptron_distill_train,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    from trace_parquet_spark.operators.quality_rules import _perceptron_sql
+
+    feats_sql = _perceptron_sql(1).split("wt0 AS")[0].rstrip().rstrip(",")
+    rows = con.execute(
+        feats_sql + "\nSELECT y, n_words, sum_wlen, n_sym, n_stop,"
+        " top_bigram, n_bigrams FROM feats"
+    ).fetchall()
+
+    w = [0] * 7
+    expected = []
+    for r in range(PERC_ROUNDS):
+        m, g = 0, [0] * 7
+        for y, *x in rows:
+            if y * (w[0] + sum(wj * xj for wj, xj in zip(w[1:], x))) <= 0:
+                m += 1
+                g[0] += y
+                for j, xj in enumerate(x):
+                    g[j + 1] += y * xj
+        w = [wj + gj for wj, gj in zip(w, g)]
+        expected.append((r + 1, m, *w))
+
+    got = [tuple(r) for r in perceptron_distill_train(spark, sf_dir).collect()]
+    assert got == expected
+    assert all(r[1] < got[0][1] for r in got[1:]), got
