@@ -87,7 +87,11 @@ def _modules():
         tablelog_source,
         warc,
     )
-    from trace_parquet_spark.streaming import band_join_oracle, windowed_oracle
+    from trace_parquet_spark.streaming import (
+        band_join_oracle,
+        dedup_oracle,
+        windowed_oracle,
+    )
     from trace_parquet_spark.plans import (
         analytics_extras,
         analytics_more,
@@ -177,6 +181,7 @@ def _modules():
         tablelog_source,
         warc,
         band_join_oracle,
+        dedup_oracle,
         windowed_oracle,
     )
 

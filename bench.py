@@ -235,6 +235,7 @@ HEADLINE = [
     "wordpiece_train_merges",
     "kneser_ney_bigram_topk",
     "perceptron_distill_train",
+    "stream_dedup_day_users",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -743,3 +743,79 @@ def test_perceptron_distill_matches_python_replay(spark, sf_dir):
     got = [tuple(r) for r in perceptron_distill_train(spark, sf_dir).collect()]
     assert got == expected
     assert all(r[1] < got[0][1] for r in got[1:]), got
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup oracle entry (round 13): bounded-state pin
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dedup_state_is_bounded(spark, sf_dir, tmp_path):
+    """The 25h-watermark eviction must BITE: across the availableNow
+    run, the dedup state operator's numRowsTotal stays well below the
+    total distinct-key count (an unbounded dropDuplicates would end
+    holding every key). Also re-checks the emitted set equals batch
+    DISTINCT on this run's own output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.sources.registry import load_table
+    from trace_parquet_spark.streaming.windowed_oracle import (
+        split_time_ordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    assert split_time_ordered(ev, src)
+
+    out_rows = []
+
+    def sink(bdf, bid):
+        out_rows.extend(
+            (r["user_id"], r["event_type"], r["day"]) for r in bdf.collect()
+        )
+
+    q = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .withWatermark("day", "25 hours")
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow run timed out"
+
+    expected = {
+        (r["user_id"], r["event_type"], r["day"])
+        for r in ev.select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .distinct()
+        .collect()
+    }
+    assert set(out_rows) == expected
+    assert len(out_rows) == len(expected), "a key re-emitted"
+
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+        if op.get("operatorName") == "dedupe"
+    ]
+    assert state_rows, "no dedupe state operator in progress"
+    # eviction bites: peak state is far below the full key count
+    assert max(state_rows) < 0.6 * len(expected), (
+        max(state_rows),
+        len(expected),
+    )
