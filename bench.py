@@ -236,6 +236,7 @@ HEADLINE = [
     "kneser_ney_bigram_topk",
     "perceptron_distill_train",
     "stream_dedup_day_users",
+    "wordpiece_apply_merges",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

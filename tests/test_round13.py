@@ -819,3 +819,72 @@ def test_stream_dedup_state_is_bounded(spark, sf_dir, tmp_path):
         max(state_rows),
         len(expected),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece apply (round 13): greedy longest-match replay
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_apply_matches_greedy_replay(spark, sf_dir):
+    """Replay greedy longest-match segmentation in pure Python under
+    the replayed trainer's vocabulary and check the per-source
+    fertility rows exactly; also pins that the merged pieces BITE
+    (fertility strictly below the all-singles baseline of
+    1e6 ppm * mean word length / 1)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from tests.test_round13 import _python_wordpiece_train
+    from trace_parquet_spark.operators.packing import (
+        WP_APPLY_MAX_WORD,
+        WP_TRAIN_ROUNDS,
+        wordpiece_apply_merges,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM read_parquet('{SF_DIR}/documents.parquet')
+        """
+    ).fetchall()
+    freqs: dict[str, int] = {}
+    for _, w in rows:
+        if len(w) >= 2:
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = [p for _, p, _, _ in _python_wordpiece_train(freqs, WP_TRAIN_ROUNDS)]
+    pieces = set(merges) | {chr(c) for c in range(97, 123)}
+
+    def n_pieces(w: str) -> int:
+        pos, np_ = 0, 0
+        while pos < len(w):
+            ln = max(
+                (k for k in range(1, len(w) - pos + 1) if w[pos : pos + k] in pieces),
+                default=0,
+            )
+            if ln == 0:
+                break
+            pos += ln
+            np_ += 1
+        return np_
+
+    agg: dict[str, list[int]] = {}
+    for src, w in rows:
+        if 1 <= len(w) <= WP_APPLY_MAX_WORD:
+            a = agg.setdefault(src, [0, 0])
+            a[0] += 1
+            a[1] += n_pieces(w)
+    expected = [
+        (src, nw, np_, (np_ * 1_000_000) // nw)
+        for src, (nw, np_) in sorted(agg.items())
+    ]
+
+    got = [tuple(r) for r in wordpiece_apply_merges(spark, sf_dir).collect()]
+    assert got == expected
+    # merges bite: fewer pieces than characters for every source
+    tot_chars = {}
+    for src, w in rows:
+        if 1 <= len(w) <= WP_APPLY_MAX_WORD:
+            tot_chars[src] = tot_chars.get(src, 0) + len(w)
+    assert all(np_ < tot_chars[src] for src, _, np_, _ in got)

@@ -1327,11 +1327,12 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-def _wordpiece_train_sql(rounds: int = WP_TRAIN_ROUNDS) -> str:
-    """Unrolled MATERIALIZED-CTE twin: stage r = (symbol counts sy{r}
-    + pair counts p{r} over wf{r} -> likelihood argmax b{r} ->
-    re-segmented wf{r+1}); e{r} expands sentinels back through the
-    earlier rounds' expansions (same machinery as _bpe_train_sql)."""
+def _wordpiece_train_ctes(rounds: int = WP_TRAIN_ROUNDS) -> list[str]:
+    """Unrolled MATERIALIZED-CTE stages shared by the train and apply
+    oracles: stage r = (symbol counts sy{r} + pair counts p{r} over
+    wf{r} -> likelihood argmax b{r} -> re-segmented wf{r+1}); e{r}
+    expands sentinels back through the earlier rounds' expansions
+    (same machinery as _bpe_train_sql)."""
     ctes = [
         """words AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -1386,6 +1387,11 @@ b{r} AS MATERIALIZED (
   FROM wf{r}
 )"""
             )
+    return ctes
+
+
+def _wordpiece_train_sql(rounds: int = WP_TRAIN_ROUNDS) -> str:
+    ctes = _wordpiece_train_ctes(rounds)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS rank, exp AS pair, n, score AS score_e18 FROM e{r}"
         for r in range(rounds)
@@ -1401,3 +1407,178 @@ WP_TRAIN_SQL = _wordpiece_train_sql()
 
 QUERIES["wordpiece_train_merges"] = wordpiece_train_merges
 ORACLES["wordpiece_train_merges"] = WP_TRAIN_SQL
+
+
+WP_APPLY_MAX_WORD = 12
+
+
+def wordpiece_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained WordPiece vocabulary back to the corpus by
+    GREEDY LONGEST-MATCH (maximal munch) — the actual WordPiece
+    inference algorithm (Wu et al. 2016 §4.1; what BERT's tokenizer
+    runs), and a genuinely third segmentation strategy next to
+    bpe_apply_merges (merge replay) and unigram_lm_apply (Viterbi).
+    Completes apply-side parity: every trainer in the family now has
+    its inference half.
+
+    Vocabulary = the WP_TRAIN_ROUNDS merged pieces (driver-held,
+    model-sized — collected from the trainer) plus the 26 single
+    letters, so every [a-z]+ word segments with no UNK. At each
+    position the LONGEST vocab piece matching the remaining suffix is
+    consumed; the per-word piece count comes from an unrolled
+    WP_APPLY_MAX_WORD-step position fold over the DISTINCT word
+    relation (vocab-grain, like the unigram DP — each step is a
+    literal CASE over the piece set, pure codegen, no join). Scope
+    cap: fertility is reported over words of 1..WP_APPLY_MAX_WORD
+    chars (the oracle mirrors the cut; the trainer itself is uncapped
+    — same discipline as unigram_lm_train's documented caps).
+
+    Output: per-source tokenizer fertility — (source, n_words,
+    n_pieces, fert_ppm) with fert_ppm = DIV(n_pieces*1e6, n_words),
+    the exact-integer grid unigram_lm_apply reports on, so the two
+    tokenizers' fertilities are directly comparable.
+
+    Scale: trainer cost as wordpiece_train_merges; the apply fold is
+    distinct-word-grain; the only corpus-grain work is the word
+    explode and the (corpus x vocab) join on `w` — AQE decides the
+    join strategy (at 100 TB distinct words don't broadcast).
+    """
+    merges = [
+        r.pair for r in wordpiece_train_merges(spark, sf_dir).collect()
+    ]
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    pieces = sorted(set(merges) | set(letters))
+    by_len: dict[int, list[str]] = {}
+    for p in pieces:
+        by_len.setdefault(len(p), []).append(p)
+    lens = sorted(by_len, reverse=True)
+
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    docw = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    ).filter((F.length("w") >= 1) & (F.length("w") <= WP_APPLY_MAX_WORD))
+    wr = docw.select("w").distinct()
+
+    # Runtime fold via the `aggregate` higher-order function: the
+    # greedy position loop executes PER ROW inside codegen, so the
+    # plan stays O(1) regardless of WP_APPLY_MAX_WORD. (The naive
+    # alternative — unrolling the fold into nested column
+    # expressions — re-embeds the whole prior state in every CASE
+    # branch and grows the Catalyst tree exponentially; measured: a
+    # 12-step unroll OOMed a 24 GiB driver at analysis time, the
+    # same cliff the unigram trainer's backtrace hit before its
+    # localCheckpoint sever.)
+    def _ml(pos_ref: str) -> str:
+        branches = "".join(
+            f" WHEN substring(w, {pos_ref}, {L}) IN ("
+            + ", ".join(f"'{p}'" for p in by_len[L])
+            + f") THEN {L}"
+            for L in lens
+        )
+        return (
+            f"(CASE WHEN {pos_ref} <= length(w) THEN"
+            f" (CASE{branches} ELSE 0 END) ELSE 0 END)"
+        )
+
+    fold = f"""
+aggregate(
+  sequence(1, {WP_APPLY_MAX_WORD}),
+  named_struct('pos', 1, 'np', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+    'pos', acc.pos + {_ml("acc.pos")},
+    'np', acc.np + CAST(CASE WHEN {_ml("acc.pos")} > 0
+                        THEN 1 ELSE 0 END AS BIGINT))
+).np
+"""
+    wp = wr.select("w", F.expr(fold).alias("np"))
+
+    return (
+        docw.join(wp, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "CAST((n_pieces * 1000000) DIV n_words AS BIGINT)"
+            ).alias("fert_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _wordpiece_apply_sql(
+    rounds: int = WP_TRAIN_ROUNDS, max_word: int = WP_APPLY_MAX_WORD
+) -> str:
+    """Twin: the trainer CTEs rebuild the merged pieces, the greedy
+    fold is unrolled as seg0..seg{max_word} with the longest-match
+    length as a correlated MAX over the piece relation."""
+    ctes = _wordpiece_train_ctes(rounds)
+    piece_union = "\nUNION ALL\n".join(
+        f"SELECT exp AS piece FROM e{r}" for r in range(rounds)
+    )
+    ctes.append(
+        f"""pieces AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+{piece_union}
+UNION ALL
+SELECT chr(CAST(t.i AS INTEGER)) AS piece
+FROM unnest(range(97, 123)) AS t(i)
+  )
+)"""
+    )
+    ctes.append(
+        f"""docw AS MATERIALIZED (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) BETWEEN 1 AND {max_word}
+),
+wordsrel AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+seg0 AS (SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np FROM wordsrel)"""
+    )
+    for k in range(max_word):
+        ctes.append(
+            f"""seg{k + 1} AS MATERIALIZED (
+  SELECT s.w,
+         s.pos + COALESCE((SELECT max(length(p.piece)) FROM pieces p
+                           WHERE p.piece = substring(s.w, s.pos,
+                                                     length(p.piece))), 0)
+           AS pos,
+         s.np + CASE WHEN COALESCE((SELECT max(length(p.piece))
+                                    FROM pieces p
+                                    WHERE p.piece = substring(s.w, s.pos,
+                                                     length(p.piece))), 0)
+                          > 0
+                THEN 1 ELSE 0 END AS np
+  FROM seg{k} s
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wp.np) AS BIGINT) AS n_pieces,
+       CAST(CAST(sum(wp.np) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS fert_ppm
+FROM docw d JOIN seg{max_word} wp ON wp.w = d.w
+GROUP BY d.source
+ORDER BY source
+"""
+    )
+
+
+WP_APPLY_SQL = _wordpiece_apply_sql()
+
+QUERIES["wordpiece_apply_merges"] = wordpiece_apply_merges
+ORACLES["wordpiece_apply_merges"] = WP_APPLY_SQL
