@@ -90,6 +90,7 @@ def _modules():
     from trace_parquet_spark.streaming import (
         band_join_oracle,
         dedup_oracle,
+        stateful_oracle,
         windowed_oracle,
     )
     from trace_parquet_spark.plans import (
@@ -182,6 +183,7 @@ def _modules():
         warc,
         band_join_oracle,
         dedup_oracle,
+        stateful_oracle,
         windowed_oracle,
     )
 

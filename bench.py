@@ -237,6 +237,7 @@ HEADLINE = [
     "perceptron_distill_train",
     "stream_dedup_day_users",
     "wordpiece_apply_merges",
+    "stream_session_close_stateful",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

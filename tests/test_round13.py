@@ -888,3 +888,41 @@ def test_wordpiece_apply_matches_greedy_replay(spark, sf_dir):
         if 1 <= len(w) <= WP_APPLY_MAX_WORD:
             tot_chars[src] = tot_chars.get(src, 0) + len(w)
     assert all(np_ < tot_chars[src] for src, _, np_, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState session closure (round 13): both close paths fire
+# ---------------------------------------------------------------------------
+
+
+def test_stream_session_close_exercises_both_paths(spark, sf_dir):
+    """The emitted session set must contain BOTH close paths: sessions
+    with a later session for the same user (data-driven close: the
+    successor event landed in some batch) and last-of-user sessions
+    (only a watermark TIMEOUT can have emitted those — if the timeout
+    machinery silently never fired, exactly these rows vanish)."""
+    from trace_parquet_spark.streaming.stateful_oracle import (
+        stream_session_close_stateful,
+    )
+
+    rows = stream_session_close_stateful(spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    last_starts = {u: max(r["start_us"] for r in rs) for u, rs in by_user.items()}
+    timeout_closed = [
+        r for r in rows if r["start_us"] == last_starts[r["user_id"]]
+    ]
+    data_closed = [
+        r for r in rows if r["start_us"] != last_starts[r["user_id"]]
+    ]
+    assert timeout_closed, "no timeout-closed sessions emitted"
+    assert data_closed, "no data-closed sessions emitted"
+    # sessions are internally gap-consistent and non-overlapping
+    for u, rs in by_user.items():
+        rs = sorted(rs, key=lambda r: r["start_us"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["end_us"] < b["start_us"]
+        for r in rs:
+            assert r["start_us"] <= r["end_us"] and r["n_events"] >= 1

@@ -1,0 +1,233 @@
+"""Oracle-gated CUSTOM STATEFUL streaming operator (round 13):
+gap-based per-user session closure implemented with
+``applyInPandasWithState`` + EventTimeTimeout — the arbitrary-state
+API (SURVEY §2.9's "custom stateful operators" row) run as a REAL
+Structured Streaming query under the DuckDB oracle gate, completing
+the oracle-gated streaming family (windowed agg, stream-stream band
+join, dedup, and now arbitrary state).
+
+Semantics: a user's events belong to one session while consecutive
+gaps stay <= GAP (6 hours); a session CLOSES and emits
+(user_id, start_us, end_us, n_events) when either
+
+- a successor event arrives more than GAP later (DATA-driven close —
+  emitted in the batch where the successor lands, deterministic), or
+- the event-time watermark passes session_end + GAP (TIMEOUT close —
+  state.setTimeoutTimestamp(end_ms + GAP_ms); availableNow runs a
+  final flush batch after the last file advances the watermark, which
+  fires the remaining eligible timeouts — same machinery the windowed
+  oracle measured).
+
+Determinism, on top of the time-ordered file construction
+(split_time_ordered — no late rows, watermark monotone over files):
+
+- within a micro-batch the pandas function SORTS the group's rows by
+  event time, so batch boundaries cannot reorder a session;
+- the emitted SET is { session : a later session exists for the user }
+  union { session : (end_us // 1000 + GAP_ms) < final_wm_ms } with
+  final_wm_ms = max_us // 1000 - WM_DELAY_MS — CALIBRATED against the
+  live run at sf0.001/0.01/0.1 (strict <, ms grain: Spark fires an
+  event-time timeout when the watermark moves strictly past the set
+  timestamp). Sessions of the trailing GAP window stay in state: the
+  deterministic drop set.
+- setTimeoutTimestamp is always legal: a new row's event time exceeds
+  every earlier file's max, hence exceeds the current watermark, so
+  end_ms + GAP_ms > wm always holds when state is (re)set.
+- a replayed availableNow run against the same checkpoint must add
+  NOTHING (txn-marker sink, raise-checked) — exactly-once.
+
+The DuckDB oracle is plain gaps-and-islands (lag -> gap break flags ->
+cumulative session ids) plus the finalization threshold — any
+batch-boundary session split, timeout off-by-one, lost timeout, or
+double-landed batch surfaces as a value-hash mismatch.
+
+Reference scope: stateless row exporter
+(repository/ParameterDataRepository.java:53-78); arbitrary-state
+streaming is north-star surface (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.registry import load_table
+from ..sources.tablelog import append_stream_batch, latest_version
+from ..sources.tablelog_source import register
+from .windowed_oracle import (
+    WM_DELAY_MS,
+    run_available_now,
+    split_time_ordered,
+)
+
+GAP_MS = 6 * 3_600_000  # 6-hour session gap
+GAP_US = GAP_MS * 1000
+
+_OUT_SCHEMA = "user_id long, start_us long, end_us long, n_events long"
+_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _close_sessions(key, pdfs, state: GroupState):
+    """Per-user session state machine (module docstring)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "start_us": [start],
+                "end_us": [last],
+                "n_events": [n],
+            }
+        )
+        return
+    ts = sorted(
+        int(v) for pdf in pdfs for v in pdf["us"].tolist()
+    )
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+    out = []
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > GAP_US:
+            out.append((user_id, start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    state.update((start, last, n))
+    state.setTimeoutTimestamp(last // 1000 + GAP_MS)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events"]
+        )
+
+
+def stream_session_close_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Final tablelog contents of the applyInPandasWithState session
+    stream over the events slice (module docstring)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    work = tempfile.mkdtemp(prefix="sscs_")
+    src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
+    os.makedirs(src)
+    try:
+        if not split_time_ordered(ev, src):
+            return spark.createDataFrame([], _OUT_SCHEMA)
+
+        register(spark)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            append_stream_batch(batch_df, t, app="sscs", batch_id=batch_id)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .select("user_id", "ts", F.unix_micros("ts").alias("us"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _close_sessions,
+                _OUT_SCHEMA,
+                _STATE_SCHEMA,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+        def run() -> None:
+            run_available_now(
+                lambda: (
+                    stream.writeStream.outputMode("append")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                ),
+                "stream_session_close_stateful",
+            )
+
+        run()
+        lv = latest_version(t)
+        run()  # replay against the same checkpoint: exactly-once
+        if latest_version(t) != lv:
+            raise RuntimeError(
+                "stream_session_close_stateful: replayed availableNow "
+                f"run added a commit (v{lv} -> v{latest_version(t)}); "
+                "the txn-marker sink failed exactly-once"
+            )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .orderBy("user_id", "start_us")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, _OUT_SCHEMA).orderBy(
+        "user_id", "start_us"
+    )
+
+
+STREAM_SESSION_CLOSE_SQL = f"""
+WITH ev AS (
+  -- the streaming source files are written through the session's
+  -- reference-contract parquet encoder (TIMESTAMP_MILLIS, SURVEY
+  -- S4), so the stream sees ms-truncated event times; mirror that
+  SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS us FROM events
+),
+thr AS (
+  SELECT (max(us) // 1000 - {WM_DELAY_MS}) AS wm_ms FROM ev
+),
+o AS (
+  SELECT user_id, us,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+  FROM ev
+),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN prev IS NULL OR us - prev > {GAP_US} THEN 1 ELSE 0 END
+           AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid,
+         min(us) AS start_us, max(us) AS end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+nxt AS (
+  SELECT *, lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us)
+              AS next_start
+  FROM sess
+)
+SELECT user_id, start_us, end_us, n_events
+FROM nxt, thr
+WHERE next_start IS NOT NULL OR (end_us // 1000 + {GAP_MS}) < wm_ms
+ORDER BY user_id, start_us
+"""
+
+QUERIES = {"stream_session_close_stateful": stream_session_close_stateful}
+ORACLES = {"stream_session_close_stateful": STREAM_SESSION_CLOSE_SQL}
