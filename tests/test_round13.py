@@ -926,3 +926,41 @@ def test_stream_session_close_exercises_both_paths(spark, sf_dir):
             assert a["end_us"] < b["start_us"]
         for r in rs:
             assert r["start_us"] <= r["end_us"] and r["n_events"] >= 1
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState driver worker needs google.protobuf "
+    "(broken in this image; same block as test_streaming_rocksdb)",
+)
+def test_stream_session_close_tws_matches_oracle(spark, sf_dir):
+    """When protobuf works, the Spark-4 TWS implementation must land
+    on the SAME oracle as the applyInPandasWithState entry."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from trace_parquet_spark.streaming.stateful_oracle import (
+        STREAM_SESSION_CLOSE_SQL,
+        stream_session_close_tws,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/events.parquet')"
+    )
+    expected = con.execute(STREAM_SESSION_CLOSE_SQL).fetchall()
+    got = [
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in stream_session_close_tws(spark, sf_dir).collect()
+    ]
+    assert got == [tuple(r) for r in expected]

@@ -231,3 +231,160 @@ ORDER BY user_id, start_us
 
 QUERIES = {"stream_session_close_stateful": stream_session_close_stateful}
 ORACLES = {"stream_session_close_stateful": STREAM_SESSION_CLOSE_SQL}
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session-closure semantics on the Spark 4 arbitrary-
+    state API — ``transformWithStateInPandas`` with a typed ValueState
+    handle, EVENT-TIME TIMERS (registerTimer / handleExpiredTimer:
+    the first timer use in the repo), and the RocksDB state store
+    provider it requires — under the identical DuckDB oracle as
+    stream_session_close_stateful. Running both APIs against ONE
+    oracle pins that the successor API preserves the predecessor's
+    semantics exactly (timer-fire threshold included).
+
+    Timer discipline: each batch re-registers the key's close timer at
+    last_ms + GAP_ms; stale timers from earlier batches are not
+    deleted but GUARDED — handleExpiredTimer only emits when the
+    expired timestamp equals the CURRENT state's close time, so a
+    timer that fired after its session extended is a no-op. A session
+    emits via timer exactly once because the emit clears state.
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._sess = handle.getValueState("sess", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = key[0]
+            ts = sorted(int(v) for pdf in rows for v in pdf["us"].tolist())
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+            else:
+                start = last = None
+                n = 0
+            out = []
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > GAP_US:
+                    out.append((uid, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            self._sess.update((start, last, n))
+            self._h.registerTimer(last // 1000 + GAP_MS)
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "start_us", "end_us", "n_events"]
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+                if expiredTimerInfo.getExpiryTimeInMs() == last // 1000 + GAP_MS:
+                    self._sess.clear()
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "start_us": [start],
+                            "end_us": [last],
+                            "n_events": [n],
+                        }
+                    )
+
+        def close(self) -> None:
+            pass
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    work = tempfile.mkdtemp(prefix="sstw_")
+    src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
+    os.makedirs(src)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    try:
+        if not split_time_ordered(ev, src):
+            return spark.createDataFrame([], _OUT_SCHEMA)
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        register(spark)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            append_stream_batch(batch_df, t, app="sstw", batch_id=batch_id)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .select("user_id", "ts", F.unix_micros("ts").alias("us"))
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=SessionClose(),
+                outputStructType=_OUT_SCHEMA,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+
+        def run() -> None:
+            run_available_now(
+                lambda: (
+                    stream.writeStream.outputMode("append")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                ),
+                "stream_session_close_tws",
+            )
+
+        run()
+        lv = latest_version(t)
+        run()  # replay against the same checkpoint: exactly-once
+        if latest_version(t) != lv:
+            raise RuntimeError(
+                "stream_session_close_tws: replayed availableNow run "
+                f"added a commit (v{lv} -> v{latest_version(t)}); the "
+                "txn-marker sink failed exactly-once"
+            )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .orderBy("user_id", "start_us")
+        )
+        rows = out.collect()
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, _OUT_SCHEMA).orderBy(
+        "user_id", "start_us"
+    )
+
+
+# NOT registered: env-blocked (protobuf) — see the docstring. When the
+# image gains a working protobuf, registering is these two lines:
+# QUERIES["stream_session_close_tws"] = stream_session_close_tws
+# ORACLES["stream_session_close_tws"] = STREAM_SESSION_CLOSE_SQL
