@@ -177,6 +177,12 @@ def stream_session_close_stateful(
             .load()
             .orderBy("user_id", "start_us")
         )
+        # collect = the ORACLE-GATE materialization only: the result
+        # must outlive the scratch tablelog deleted below, and the
+        # gate compares raw session rows (strongest check). Session
+        # count is user-scale — at production scale return the
+        # tablelog-backed DataFrame and skip this hop; the streaming
+        # pipeline itself never funnels through the driver.
         rows = out.collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
