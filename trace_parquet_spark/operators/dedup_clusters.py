@@ -116,10 +116,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_BODY = DEDUP_MINHASH_SQL.rsplit("ORDER BY", 1)[0]
 
 DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {_PAIRS_BODY}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -315,10 +315,10 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
 _hash_rep = stable_hash32_sql("'split:' || CAST(rep AS VARCHAR)")
 
 SPLIT_LEAKAGE_FREE_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {_PAIRS_BODY}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -404,10 +404,10 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..functions.text import tokens_sql as _tokens_sql  # noqa: E402
 
 DEDUP_CANONICAL_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {_PAIRS_BODY}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -501,10 +501,10 @@ def cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLUSTER_CAPPED_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {_PAIRS_BODY}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
