@@ -56,7 +56,8 @@ def _latest_state(ev: DataFrame) -> DataFrame:
             "user_id",
             F.col("event_id").alias("last_event_id"),
             F.col("event_type").alias("last_type"),
-            F.round("value", 2).alias("last_value"),
+            (F.round(F.col("value") * 100).cast("long") / F.lit(100.0))
+            .alias("last_value"),
         )
     )
 
@@ -70,7 +71,7 @@ def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATE_CTE = """
   SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-         round(value, 2) AS last_value
+         (CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100) AS last_value
   FROM (
     SELECT user_id, event_id, event_type, value,
            row_number() OVER (PARTITION BY user_id

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum
+
 from ..functions.hashing import stable_hash32, stable_hash32_sql
 from ..sources.registry import load_table
 
@@ -36,7 +38,7 @@ def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.round(F.sum("value"), 2).alias("sampled_value"),
+            money_sum("value").alias("sampled_value"),
         )
         .orderBy("event_type")
     )
@@ -45,7 +47,7 @@ def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASH_SAMPLE_SQL = f"""
 SELECT event_type,
        count(*) AS n_sampled,
-       round(sum(value), 2) AS sampled_value
+       (CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) AS sampled_value
 FROM events
 WHERE {stable_hash32_sql("CAST(event_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
 GROUP BY event_type

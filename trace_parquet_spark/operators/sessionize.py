@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum
+
 
 def sessionize(
     df: DataFrame,
@@ -53,7 +55,7 @@ def session_stats(
             F.min(ts).alias("session_start"),
             F.max(ts).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .orderBy(key, "session_id")
     )
@@ -80,7 +82,7 @@ SELECT user_id, session_id,
        min(ts)                 AS session_start,
        max(ts)                 AS session_end,
        count(*)                AS n_events,
-       round(sum(value), 2)    AS total_value
+       (CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100)    AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id

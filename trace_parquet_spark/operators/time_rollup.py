@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum
+
 
 def tumbling_window_agg(
     df: DataFrame, ts: str = "ts", width: str = "1 hour"
@@ -22,7 +24,7 @@ def tumbling_window_agg(
         df.groupBy(F.window(F.col(ts), width), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -38,7 +40,7 @@ TUMBLING_SQL = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
        count(*)             AS n_events,
-       round(sum(value), 2) AS total_value
+       (CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type

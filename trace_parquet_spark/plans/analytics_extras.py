@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum
+
 from ..sources.registry import load_table
 
 GAPFILL_USER_MAX = 20
@@ -35,7 +37,7 @@ def gapfill_daily_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum("value").alias("total_value"),
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -64,7 +66,7 @@ def gapfill_daily_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_SQL = f"""
 WITH daily AS (
   SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-         count(*) AS n_events, round(sum(value), 2) AS total_value
+         count(*) AS n_events, (CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) AS total_value
   FROM events WHERE user_id < {GAPFILL_USER_MAX}
   GROUP BY 1, 2
 ),

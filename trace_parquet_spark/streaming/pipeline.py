@@ -21,6 +21,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..functions.money import money_sum
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
@@ -56,7 +58,7 @@ def windowed_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -306,7 +308,7 @@ def enriched_windowed_counts(
         .groupBy(F.window("ts", width), "segment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
