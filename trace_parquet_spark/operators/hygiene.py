@@ -179,7 +179,9 @@ def doc_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    "transform(CASE WHEN size(toks) >= 2"
+                    "           THEN sequence(1, size(toks) - 1)"
+                    "           ELSE array() END,"
                     " i -> struct(element_at(toks, i) AS w1,"
                     "             element_at(toks, i + 1) AS w2))"
                 )
@@ -745,7 +747,9 @@ def kneser_ney_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    "transform(CASE WHEN size(toks) >= 2"
+                    "           THEN sequence(1, size(toks) - 1)"
+                    "           ELSE array() END,"
                     " i -> struct(element_at(toks, i) AS w1,"
                     "             element_at(toks, i + 1) AS w2))"
                 )

@@ -1444,7 +1444,12 @@ def wordpiece_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     join strategy (at 100 TB distinct words don't broadcast).
     """
     merges = [
-        r.pair for r in wordpiece_train_merges(spark, sf_dir).collect()
+        r.pair
+        for r in collect_model_sized(
+            wordpiece_train_merges(spark, sf_dir),
+            WP_TRAIN_ROUNDS,
+            "WordPiece merge list (WP_TRAIN_ROUNDS rows)",
+        )
     ]
     letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
     pieces = sorted(set(merges) | set(letters))
