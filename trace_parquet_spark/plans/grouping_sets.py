@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .relational import grid_sum, grid_sum_sql
 
 
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,18 +46,18 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("c_mktsegment"))
             .alias("segment"),
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            grid_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         )
         .select("region_name", "segment", "n_customers", "total_acctbal")
         .orderBy("region_name", "segment")
     )
 
 
-GROUPING_SETS_SQL = """
+GROUPING_SETS_SQL = f"""
 SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
        CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
        count(*)                 AS n_customers,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       {grid_sum_sql("c_acctbal", 2)} AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -97,8 +97,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            grid_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            grid_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             # emitted at full grid precision: re-rounding to 2 would sit
             # ON the .005 boundary whenever the exact sum ends in x.xx50
             grid_sum(disc_price, 4).alias("sum_disc_price"),
@@ -114,8 +114,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       {grid_sum_sql("l_quantity", 2)}                                  AS sum_qty,
+       {grid_sum_sql("l_extendedprice", 2)}                             AS sum_base_price,
        {grid_sum_sql("l_extendedprice * (1 - l_discount)", 4)}          AS sum_disc_price,
        {grid_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        {exact_avg_sql("l_quantity", 0)}                                 AS avg_qty,
@@ -312,6 +312,10 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running sum + lag per customer order history."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # running sum in exact BIGINT cents (grid_sum discipline over a
+    # window frame): round(sum(double) OVER ...) is order-dependent
+    # inside the frame accumulation, same hazard class as the groupBy
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 100)
@@ -319,7 +323,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round(F.sum("o_totalprice").over(frame), 2).alias("running_total"),
+            (F.sum(cents).over(frame) / F.lit(100.0)).alias("running_total"),
             F.round(
                 F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
             ).alias("prev_price"),
@@ -330,9 +334,10 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total,
        round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey), 0), 2)             AS prev_price
 FROM orders
@@ -371,18 +376,18 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("n_name"))
             .alias("nation_name"),
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            grid_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         )
         .select("region_name", "nation_name", "n_customers", "total_acctbal")
         .orderBy("region_name", "nation_name")
     )
 
 
-ROLLUP_SQL = """
+ROLLUP_SQL = f"""
 SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
        CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation_name,
        count(*)                  AS n_customers,
-       round(sum(c_acctbal), 2)  AS total_acctbal
+       {grid_sum_sql("c_acctbal", 2)}  AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -402,7 +407,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.grouping("l_linestatus") == 1, F.lit("ALL"))
             .otherwise(F.col("l_linestatus"))
             .alias("linestatus"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            grid_sum(F.col("l_quantity"), 2).alias("sum_qty"),
             F.count("*").alias("n_rows"),
         )
         .select("returnflag", "linestatus", "sum_qty", "n_rows")
@@ -410,10 +415,10 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUBE_SQL = """
+CUBE_SQL = f"""
 SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
        CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
+       {grid_sum_sql("l_quantity", 2)} AS sum_qty,
        count(*)                  AS n_rows
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .relational import grid_sum_sql
 
 
 def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +279,8 @@ def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"""
         SELECT n.n_name AS nation_name,
                count(*) AS n_suppliers,
-               round(sum(s.s_acctbal), 2) AS total_bal
+               CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100 AS total_bal
         FROM parquet.`{sf_dir}/supplier.parquet` s
         JOIN parquet.`{sf_dir}/nation.parquet` n
           ON s.s_nationkey = n.n_nationkey
@@ -287,10 +289,10 @@ def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-SQL_ENTRY_SQL = """
+SQL_ENTRY_SQL = f"""
 SELECT n_name AS nation_name,
        count(*) AS n_suppliers,
-       round(sum(s_acctbal), 2) AS total_bal
+       {grid_sum_sql("s_acctbal", 2)} AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY nation_name

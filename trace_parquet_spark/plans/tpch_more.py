@@ -193,7 +193,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(grid_sum(F.col("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 220)
     )
     return (
@@ -211,13 +211,14 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q18_SQL = """
+Q18_SQL = f"""
 SELECT c_custkey, c_name, o_orderkey,
        o_orderdate AS orderdate, o_totalprice AS totalprice, total_qty
 FROM orders
 JOIN (
-  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 220
+  SELECT l_orderkey, {grid_sum_sql("l_quantity", 2)} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {grid_sum_sql("l_quantity", 2)} > 220
 ) big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY totalprice DESC, o_orderkey
@@ -293,7 +294,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            grid_sum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
         .orderBy("nation_name")
     )
@@ -302,7 +303,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = f"""
 SELECT n_name AS nation_name,
        count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS total_bal
+       {grid_sum_sql("c_acctbal", 2)} AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT {exact_avg_sql("c_acctbal", 2)}

@@ -270,7 +270,15 @@ def attributed_revenue_windows(
         joined.groupBy(F.window("purchase_ts", width))
         .agg(
             F.count("*").alias("n_attributed"),
-            F.round(F.sum("purchase_value"), 2).alias("revenue"),
+            # exact BIGINT-cents summation (functions/money.py
+            # discipline): round(sum(double),2) is order-dependent
+            # across micro-batch partial aggregations
+            (
+                F.sum(
+                    F.round(F.col("purchase_value") * 100).cast("long")
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
         .select(
             F.col("window.start").alias("window_start"),
