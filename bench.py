@@ -240,6 +240,21 @@ HEADLINE = [
     "stream_session_close_stateful",
 ]
 
+# Phase isolation (round-13 verdict task 4): the four availableNow
+# streaming entries write real checkpoint/state/tablelog files whose
+# page-cache + heap pressure measurably contaminated NEIGHBORING batch
+# entries' times (r13 idle common-subset ratio drifted to 1.047x, with
+# the late-run >=1.5x flags clustering after the streaming additions).
+# They now run LAST, in their OWN fresh JVM (the batch session is
+# stopped first), so batch-phase numbers are comparable round-over-
+# round regardless of how many streaming entries future rounds add.
+STREAMING_PHASE = [
+    "stream_window_finalize_totals",
+    "stream_band_join_finalize",
+    "stream_dedup_day_users",
+    "stream_session_close_stateful",
+]
+
 # The heaviest queries showed ±50% single-run variance round-over-round
 # (semantic_dedup_clusters 9.5→14.3s with zero code change in r3).
 # min-of-N separates real plan regressions from run noise; N=5 keeps
@@ -417,29 +432,32 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from trace_parquet_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
-    # Silence WindowExec's single-partition WARN: every remaining
-    # global window is cardinality-bounded by construction (day/grid/
-    # vocab grain or post-top-k), and the warning flood was drowning
-    # the driver's stdout tail-capture channel. This suppression is
-    # NOT the safety net: tests/test_window_bounds.py structurally
-    # fails any registry entry whose global window sits over an
-    # unbounded input (tools/window_audit.py walks every optimized
-    # plan), so a regression is caught in pytest regardless of this
-    # log level.
-    spark._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.sql.execution.window.WindowExec",
-        spark._jvm.org.apache.logging.log4j.Level.ERROR,
-    )
-    # Likewise the benign "locally checkpointed ... cannot be
-    # recomputed after unpersisting" WARN that release_caches'
-    # between-queries sweep triggers on every iterative-operator
-    # rebuild — correct by the release contract (the previous result
-    # was already materialized), pure tail noise here.
-    spark._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.rdd.MapPartitionsRDD",
-        spark._jvm.org.apache.logging.log4j.Level.ERROR,
-    )
+    def _quiet(s):
+        # Silence WindowExec's single-partition WARN: every remaining
+        # global window is cardinality-bounded by construction (day/
+        # grid/vocab grain or post-top-k), and the warning flood was
+        # drowning the driver's stdout tail-capture channel. This
+        # suppression is NOT the safety net:
+        # tests/test_window_bounds.py structurally fails any registry
+        # entry whose global window sits over an unbounded input
+        # (tools/window_audit.py walks every optimized plan), so a
+        # regression is caught in pytest regardless of this log level.
+        s._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            s._jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+        # Likewise the benign "locally checkpointed ... cannot be
+        # recomputed after unpersisting" WARN that release_caches'
+        # between-queries sweep triggers on every iterative-operator
+        # rebuild — correct by the release contract (the previous
+        # result was already materialized), pure tail noise here.
+        s._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            s._jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+        return s
+
+    spark = _quiet(get_spark(app_name="bench"))
     qs = entry_mod.queries()
 
     # JVM/codegen warmup on the smallest table so q1 isn't penalized
@@ -466,7 +484,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     window_violations: dict[str, list] = {}
     timings["trace_export_gzip"] = _bench_trace_export(spark, sf_dir, sf)
-    for name in HEADLINE:
+    streaming = [n for n in HEADLINE if n in set(STREAMING_PHASE)]
+    batch = [n for n in HEADLINE if n not in set(STREAMING_PHASE)]
+    for name in batch + ["__phase_break__"] + streaming:
+        if name == "__phase_break__":
+            # end of the batch phase: tear the JVM down and start the
+            # streaming phase in a fresh one (see STREAMING_PHASE note)
+            spark.stop()
+            spark = _quiet(get_spark(app_name="bench-streaming"))
+            continue
         best = float("inf")
         # default 2 passes with min: single-run numbers carried ±25%
         # box noise that made round-over-round per-query deltas

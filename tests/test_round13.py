@@ -632,7 +632,7 @@ def test_kneser_ney_bigram_matches_rational_replay(spark, sf_dir):
 
     con = duckdb.connect()
     toks_per_doc = con.execute(
-        f"""
+        rf"""
         SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
         FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id
         """

@@ -61,7 +61,11 @@ from ..sources.registry import load_table
 from ..sources.tablelog import append_stream_batch, latest_version
 from ..sources.tablelog_source import register
 from .pipeline import click_purchase_stream_join
-from .windowed_oracle import run_available_now, split_time_ordered
+from .windowed_oracle import (
+    materialize_gate_result,
+    run_available_now,
+    split_time_ordered,
+)
 
 WM_DELAY_MS = 3_600_000   # 1 hour watermark delay (both sides)
 HORIZON_MS = 3_600_000    # 1 hour click->purchase attribution band
@@ -147,13 +151,12 @@ def stream_band_join_finalize(
             .load()
             .orderBy("purchase_id", "click_id")
         )
-        rows = out.collect()  # matched pairs + finalized unmatched:
-        # bounded by the band fan-out of the slice, not stream history
+        result = materialize_gate_result(
+            out, _OUT_SCHEMA, "purchase_id", "click_id"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, _OUT_SCHEMA).orderBy(
-        "purchase_id", "click_id"
-    )
+    return result
 
 
 # Watermark arithmetic mirrored exactly: Spark's event-time stats are

@@ -53,7 +53,11 @@ from pyspark.sql import functions as F
 from ..sources.registry import load_table
 from ..sources.tablelog import append_stream_batch, latest_version
 from ..sources.tablelog_source import register
-from .windowed_oracle import run_available_now, split_time_ordered
+from .windowed_oracle import (
+    materialize_gate_result,
+    run_available_now,
+    split_time_ordered,
+)
 
 DEDUP_WM = "25 hours"  # > 24h day span + 1h margin: see module docstring
 
@@ -127,12 +131,15 @@ def stream_dedup_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_users"))
             .orderBy("day", "event_type")
         )
-        rows = out.collect()
+        result = materialize_gate_result(
+            out,
+            "day timestamp, event_type string, n_users long",
+            "day",
+            "event_type",
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "day timestamp, event_type string, n_users long"
-    ).orderBy("day", "event_type")
+    return result
 
 
 # The oracle is a plain DISTINCT + count — the whole point of the

@@ -63,6 +63,7 @@ from ..sources.tablelog import append_stream_batch, latest_version
 from ..sources.tablelog_source import register
 from .windowed_oracle import (
     WM_DELAY_MS,
+    materialize_gate_result,
     run_available_now,
     split_time_ordered,
 )
@@ -177,18 +178,12 @@ def stream_session_close_stateful(
             .load()
             .orderBy("user_id", "start_us")
         )
-        # collect = the ORACLE-GATE materialization only: the result
-        # must outlive the scratch tablelog deleted below, and the
-        # gate compares raw session rows (strongest check). Session
-        # count is user-scale — at production scale return the
-        # tablelog-backed DataFrame and skip this hop; the streaming
-        # pipeline itself never funnels through the driver.
-        rows = out.collect()
+        result = materialize_gate_result(
+            out, _OUT_SCHEMA, "user_id", "start_us"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, _OUT_SCHEMA).orderBy(
-        "user_id", "start_us"
-    )
+    return result
 
 
 STREAM_SESSION_CLOSE_SQL = f"""
@@ -376,7 +371,9 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
             .orderBy("user_id", "start_us")
         )
-        rows = out.collect()
+        result = materialize_gate_result(
+            out, _OUT_SCHEMA, "user_id", "start_us"
+        )
     finally:
         if prev:
             spark.conf.set(
@@ -385,9 +382,7 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, _OUT_SCHEMA).orderBy(
-        "user_id", "start_us"
-    )
+    return result
 
 
 # NOT registered: env-blocked (protobuf) — see the docstring. When the
