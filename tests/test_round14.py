@@ -1,0 +1,126 @@
+"""Round-14 pins: the VACUUM + snapshot-retention lifecycle registry
+entry, the tokenizer-trainer oracle's empty-vocabulary contract (the
+Zipf-corpus parity axis caught the FROM-less scalar-subquery oracle
+emitting phantom NULL rows where the engine loop correctly stops),
+and the alphabetic-Zipf fixture mode that makes the tokenizer family
+non-vacuous under a fat-head distribution."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------- vacuum + retention lifecycle entry
+
+
+def test_tablelog_vacuum_retention_phases(spark, sf_dir):
+    """The four phases agree with direct recomputation, and the
+    entry's internal asserts (vacuum removes exactly the orphan
+    stage, expiry deletes exactly v0+v1's files, expired versions
+    raise) all held — the function raising would fail this test."""
+    from trace_parquet_spark.sources.tablelog import (
+        tablelog_vacuum_retention_totals,
+    )
+
+    rows = tablelog_vacuum_retention_totals(spark, sf_dir).collect()
+    assert [r.phase for r in rows] == [0, 1, 2, 3]
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter((F.col("o_orderkey") % 8).isin(0, 5))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def totals(mods):
+        r = (
+            base.filter((F.col("o_orderkey") % 3).isin(*mods))
+            .agg(F.count("*").cast("long"), F.sum("cents").cast("long"))
+            .collect()[0]
+        )
+        return (r[0], r[1])
+
+    head = totals([2])
+    assert (rows[0].n_orders, rows[0].total_cents) == head
+    assert (rows[1].n_orders, rows[1].total_cents) == totals([0, 1])
+    # retention must not change the head read, and the checkpoint
+    # read of the earliest kept version must equal it too
+    assert (rows[2].n_orders, rows[2].total_cents) == head
+    assert (rows[3].n_orders, rows[3].total_cents) == head
+
+
+def test_vacuum_retention_registered_with_oracle():
+    import __spark_entry__ as e
+
+    assert "tablelog_vacuum_retention_totals" in e.queries()
+    assert "tablelog_vacuum_retention_totals" in e.oracle_sql()
+
+
+# ------------------------- trainer-oracle empty-vocabulary contract
+
+
+def _empty_vocab_duck():
+    """An in-memory documents table whose tokens have NO multi-char
+    [a-z]+ words — the shape the w<digits> Zipf corpus exposes."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'w12 w9 w4431 w0 w1', 'en', 'src0', 18), "
+        "(1, 'w7 w7 w21 w100', 'en', 'src1', 14)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    return con
+
+
+def test_bpe_train_oracle_empty_vocab_emits_zero_rows():
+    """The unrolled BPE train oracle must emit ZERO rows when the
+    corpus has no symbol pairs at all, matching the engine loop's
+    first-round break — not one all-NULL row per round (the
+    CORRECTNESS_zipf_r14 finding)."""
+    from trace_parquet_spark.operators.packing import BPE_TRAIN_SQL
+
+    assert _empty_vocab_duck().execute(BPE_TRAIN_SQL).fetchall() == []
+
+
+def test_wordpiece_train_oracle_empty_vocab_emits_zero_rows():
+    from trace_parquet_spark.operators.packing import WP_TRAIN_SQL
+
+    assert _empty_vocab_duck().execute(WP_TRAIN_SQL).fetchall() == []
+
+
+def test_wordpiece_apply_oracle_empty_vocab_single_letters():
+    """With zero learned merges the apply oracle's vocabulary is the
+    26 single letters: every 1-char token is exactly one piece, so
+    fertility is 1e6 ppm per word."""
+    from trace_parquet_spark.operators.packing import WP_APPLY_SQL
+
+    rows = _empty_vocab_duck().execute(WP_APPLY_SQL).fetchall()
+    # tokens are all single 'w' chars -> every word 1 piece
+    assert rows, "apply oracle must still emit per-source rows"
+    for _source, n_words, n_pieces, fert_ppm in rows:
+        assert n_words == n_pieces
+        assert fert_ppm == 1_000_000
+
+
+# ------------------------- alpha-Zipf fixture mode
+
+
+def test_alpha_word_encoding_is_injective_and_alphabetic():
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "gen_sf",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_sf.py"),
+    )
+    gen_sf = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gen_sf)
+    words = [gen_sf._alpha_word(k) for k in range(30_000)]
+    assert len(set(words)) == len(words)  # collision-free
+    assert all(w.isalpha() and w.islower() and len(w) >= 2 for w in words)

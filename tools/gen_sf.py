@@ -62,7 +62,28 @@ def _zipf_probs(v: int = ZIPF_V, s: float = ZIPF_S) -> np.ndarray:
     return p / p.sum()
 
 
-def generate(out: str, mult: float, seed: int = 7, zipf: bool = False) -> None:
+def _alpha_word(k: int) -> str:
+    """Rank k -> deterministic ALPHABETIC word (base-26 over a..z,
+    ranks <26 padded to length 2 with a leading 'a' — collision-free
+    because a natural base-26 encoding never has a leading 'a' digit).
+    The w<digits> zipf tokens are invisible to every [a-z]+-tokenizing
+    operator (BPE/WordPiece/unigram trainers see an EMPTY vocabulary —
+    CORRECTNESS_zipf_r14 pass vacuously); --alpha gives the tokenizer
+    family a real fat-head corpus with shared prefixes/suffixes."""
+    s = []
+    while True:
+        s.append(chr(97 + k % 26))
+        k //= 26
+        if k == 0:
+            break
+    word = "".join(reversed(s))
+    return word if len(word) >= 2 else "a" + word
+
+
+def generate(
+    out: str, mult: float, seed: int = 7, zipf: bool = False,
+    alpha: bool = False,
+) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -186,7 +207,10 @@ def generate(out: str, mult: float, seed: int = 7, zipf: bool = False) -> None:
     # ~2% near dups (two tokens swapped) so the dedup family sees the
     # same candidate shape as the driver fixtures
     if zipf:
-        vocab = np.array([f"w{k}" for k in range(ZIPF_V)])
+        if alpha:
+            vocab = np.array([_alpha_word(k) for k in range(ZIPF_V)])
+        else:
+            vocab = np.array([f"w{k}" for k in range(ZIPF_V)])
         zp = _zipf_probs()
         # buffered draws: one vectorized choice() per ~1M tokens
         # instead of one 30k-cdf setup per document
@@ -258,7 +282,13 @@ if __name__ == "__main__":
         help="Zipfian document vocabulary (30k words, s=1.1) instead "
         "of the uniform 31-word fixture vocabulary",
     )
+    ap.add_argument(
+        "--alpha",
+        action="store_true",
+        help="with --zipf: alphabetic base-26 words instead of "
+        "w<digits>, so [a-z]+-tokenizing operators see the fat head",
+    )
     a = ap.parse_args()
-    generate(a.out, a.mult, a.seed, zipf=a.zipf)
-    mode = "zipf" if a.zipf else "uniform"
+    generate(a.out, a.mult, a.seed, zipf=a.zipf, alpha=a.alpha)
+    mode = ("zipf-alpha" if a.alpha else "zipf") if a.zipf else "uniform"
     print(f"wrote mult={a.mult} ({mode} vocab) tables to {a.out}")

@@ -401,15 +401,21 @@ b{r} AS MATERIALIZED (
   GROUP BY pair ORDER BY n DESC, pair LIMIT 1
 )"""
         )
-        exp = f"(SELECT pair FROM b{r})"
+        # e{r} selects FROM b{r} (0-or-1 rows) rather than via FROM-less
+        # scalar subqueries: when the vocabulary has no pairs at all
+        # (e.g. a corpus whose tokens are single [a-z] chars — the Zipf
+        # fixture's w<digits> words), b{r} is EMPTY and the round must
+        # emit nothing, exactly like the engine loop's `if not rows:
+        # break`. The scalar-subquery form emitted one all-NULL row per
+        # round instead (caught by CORRECTNESS_zipf_r14).
+        exp = "pair"
         for j in range(r):
             exp = (
                 f"replace({exp}, chr({_BPE_SENTINEL_BASE + j}), "
                 f"(SELECT exp FROM e{j}))"
             )
         ctes.append(
-            f"e{r} AS MATERIALIZED (SELECT {exp} AS exp, "
-            f"(SELECT n FROM b{r}) AS n)"
+            f"e{r} AS MATERIALIZED (SELECT {exp} AS exp, n FROM b{r})"
         )
         if r + 1 < rounds:
             ctes.append(
@@ -1369,15 +1375,18 @@ b{r} AS MATERIALIZED (
   ORDER BY score DESC, n DESC, pair LIMIT 1
 )"""
         )
-        exp = f"(SELECT pair FROM b{r})"
+        # FROM b{r}, not FROM-less scalar subqueries: an empty argmax
+        # (no pairs left/at all) must contribute ZERO rows, matching
+        # the engine loop's break — see _bpe_train_sql's twin comment
+        # (CORRECTNESS_zipf_r14 caught the all-NULL phantom rows).
+        exp = "pair"
         for j in range(r):
             exp = (
                 f"replace({exp}, chr({_BPE_SENTINEL_BASE + j}), "
                 f"(SELECT exp FROM e{j}))"
             )
         ctes.append(
-            f"e{r} AS MATERIALIZED (SELECT {exp} AS exp, "
-            f"(SELECT n FROM b{r}) AS n, (SELECT score FROM b{r}) AS score)"
+            f"e{r} AS MATERIALIZED (SELECT {exp} AS exp, n, score FROM b{r})"
         )
         if r + 1 < rounds:
             ctes.append(

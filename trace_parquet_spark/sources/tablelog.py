@@ -3921,3 +3921,128 @@ ORDER BY parity
 
 QUERIES["tablelog_constraints_totals"] = tablelog_constraints_totals
 ORACLES["tablelog_constraints_totals"] = TABLELOG_CONSTRAINTS_SQL
+
+
+def tablelog_vacuum_retention_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the VACUUM + snapshot-retention lifecycle under the
+    oracle gate — the two physical-cleanup operations every Delta
+    user runs (VACUUM / logRetentionDuration expiry; reference has no
+    table format at all, context `README.md:18-23`), previously
+    library-tested (tests/test_tablelog_model.py, test_round11.py)
+    but not registry-gated end-to-end.
+
+    Build: v0 appends keys ≡ 0 mod 3, v1 appends ≡ 1, a FAILED writer
+    stages ≡ 2 without committing (orphan parquet parts — invisible to
+    readers), then v2 OVERWRITES with ≡ 2. Then:
+
+    - ``vacuum()`` must delete EXACTLY the orphan stage's parts
+      (asserted against the staged list) — never v0/v1's files, which
+      the log still references even though v2's overwrite removed them
+      from the head snapshot: time travel keeps working (phase 1).
+    - ``expire_snapshots(keep_from=2)`` writes a checkpoint at v2,
+      expires both pre-v2 commit JSONs, and deletes the files
+      referenced ONLY below v2 (asserted == |v0.add| + |v1.add|).
+      The head read is BYTE-UNCHANGED by retention (phase 2 == phase
+      0), the checkpoint carries v2's state (phase 3 reads as_of=2
+      with zero commit JSONs below it), and travel below keep_from now
+      RAISES — the documented retention contract, asserted for both
+      expired versions.
+
+    Phases (oracle recomputes each directly from orders): 0 = head
+    after vacuum (≡ 2), 1 = as_of=1 after vacuum (≡ 0,1), 2 = head
+    after expiry (≡ 2), 3 = as_of=2 via checkpoint (≡ 2).
+
+    Scale: vacuum/expiry walk the table directory and the O(versions)
+    log — file-count work, no data reads; the gated aggregates are
+    the usual slice totals. The driver-held rows are 4 fixed phases.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    slice_all = _orders_slice(spark, sf_dir)
+    t = tempfile.mkdtemp(prefix="tablelog_vac_")
+    try:
+        append(slice_all.filter(F.col("o_orderkey") % 3 == 0).repartition(3), t)
+        append(slice_all.filter(F.col("o_orderkey") % 3 == 1).repartition(2), t)
+        # a failed writer's leftovers: staged parts, no commit
+        orphans = _stage_files(
+            slice_all.filter(F.col("o_orderkey") % 3 == 2).repartition(2), t
+        )
+        overwrite(slice_all.filter(F.col("o_orderkey") % 3 == 2).repartition(3), t)
+
+        doomed = vacuum(t)
+        assert doomed == sorted(orphans), (
+            f"vacuum removed {doomed}, expected exactly the orphan "
+            f"stage {sorted(orphans)}"
+        )
+
+        rows = []
+
+        def snap(phase: int, as_of=None):
+            agg = (
+                read_table(spark, t, as_of=as_of)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("c"),
+                )
+                .collect()[0]
+            )
+            rows.append((phase, agg.n, agg.c))
+
+        snap(0)  # head: ≡ 2 (vacuum never touched live files)
+        snap(1, as_of=1)  # ≡ 0,1 — overwritten files survive vacuum
+
+        n_expired_files = len(_load_commit(t, 0)["add"]) + len(
+            _load_commit(t, 1)["add"]
+        )
+        res = expire_snapshots(t, keep_from=2)
+        assert res["checkpoint"] == 2 and res["logs_expired"] == 2, res
+        assert res["files_deleted"] == n_expired_files, (
+            f"expiry deleted {res['files_deleted']} files, expected "
+            f"{n_expired_files} (v0+v1's)"
+        )
+
+        snap(2)  # head unchanged by retention
+        snap(3, as_of=2)  # earliest KEPT version reads via checkpoint
+        for dead in (0, 1):  # travel below keep_from is gone
+            try:
+                read_table(spark, t, as_of=dead)
+                raise AssertionError(
+                    f"time travel to expired version {dead} still works"
+                )
+            except ValueError:
+                pass
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase int, n_orders long, total_cents long"
+    ).orderBy("phase")
+
+
+TABLELOG_VACUUM_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (0, 5)
+)
+SELECT 0 AS phase, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_orderkey % 3 = 2
+UNION ALL
+SELECT 1, count(*), CAST(sum(cents) AS BIGINT)
+FROM o WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, count(*), CAST(sum(cents) AS BIGINT)
+FROM o WHERE o_orderkey % 3 = 2
+UNION ALL
+SELECT 3, count(*), CAST(sum(cents) AS BIGINT)
+FROM o WHERE o_orderkey % 3 = 2
+ORDER BY phase
+"""
+
+QUERIES["tablelog_vacuum_retention_totals"] = tablelog_vacuum_retention_totals
+ORACLES["tablelog_vacuum_retention_totals"] = TABLELOG_VACUUM_SQL
