@@ -238,6 +238,8 @@ HEADLINE = [
     "stream_dedup_day_users",
     "wordpiece_apply_merges",
     "stream_session_close_stateful",
+    "tablelog_vacuum_retention_totals",
+    "stream_static_enrich_totals",
 ]
 
 # Phase isolation (round-13 verdict task 4): the four availableNow
@@ -253,6 +255,7 @@ STREAMING_PHASE = [
     "stream_band_join_finalize",
     "stream_dedup_day_users",
     "stream_session_close_stateful",
+    "stream_static_enrich_totals",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -124,3 +124,34 @@ def test_alpha_word_encoding_is_injective_and_alphabetic():
     words = [gen_sf._alpha_word(k) for k in range(30_000)]
     assert len(set(words)) == len(words)  # collision-free
     assert all(w.isalpha() and w.islower() and len(w) >= 2 for w in words)
+
+
+# ------------------------- stream-static enrichment entry
+
+
+def test_stream_static_enrich_join_holds_zero_state(spark, sf_dir):
+    """The stream-static dimension join must contribute NO state
+    operator — state is exactly the windowed agg's. The entry records
+    per-operator peaks into STATE_PEAKS; a stream-stream join would
+    surface as a second operator (symmetricHashJoin)."""
+    from trace_parquet_spark.streaming import windowed_oracle as wo
+
+    for k in list(wo.STATE_PEAKS):
+        if k.startswith("stream_static_enrich_totals/"):
+            del wo.STATE_PEAKS[k]
+    out = wo.stream_static_enrich_totals(spark, sf_dir)
+    assert out.count() > 0
+    ops = {
+        k.split("/", 1)[1]
+        for k in wo.STATE_PEAKS
+        if k.startswith("stream_static_enrich_totals/")
+    }
+    assert ops, "no state peaks recorded"
+    assert all("join" not in o.lower() for o in ops), ops
+
+
+def test_stream_static_enrich_registered_with_oracle():
+    import __spark_entry__ as e
+
+    assert "stream_static_enrich_totals" in e.queries()
+    assert "stream_static_enrich_totals" in e.oracle_sql()

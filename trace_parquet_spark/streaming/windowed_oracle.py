@@ -264,7 +264,168 @@ WHERE (ws_us + {WIN_MS * 1000}) // 1000 <= wm_ms
 ORDER BY window_start, event_type
 """
 
-QUERIES = {"stream_window_finalize_totals": stream_window_finalize_totals}
+def stream_static_enrich_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked windowed revenue rollup over a STREAM-STATIC
+    dimension join — the remaining streaming operator class next to
+    windowed agg / stream-stream join / dedup / arbitrary state: the
+    enrichment join every event pipeline runs (fact stream x
+    broadcastable dimension).
+
+    Purchases stream from time-ordered files (split_time_ordered's
+    deterministic drop schedule), each micro-batch inner-joins the
+    STATIC customer dimension (user_id = c_custkey -> mktsegment)
+    and feeds the 1h-window x segment aggregate of (count, exact
+    BIGINT-cents revenue); append mode + exactly-once tablelog sink +
+    replay raise-check as in stream_window_finalize_totals.
+
+    Scale: the stream-static join holds ZERO state — the dimension is
+    re-planned per micro-batch (broadcast here; AQE flips to shuffle
+    when the dimension outgrows the driver), so state is exactly the
+    windowed agg's in-horizon grain (segment x open hour windows),
+    constant in stream length. Watermark semantics: the join preserves
+    the event-time column, and unmatched fact rows still advance the
+    watermark (it derives from the SOURCE, pre-join) — the oracle
+    computes its threshold over the pre-join slice for exactly that
+    reason. Money: BIGINT-cents summation end-to-end
+    (functions/money.py discipline), one /100 nowhere — the gate
+    compares cents.
+
+    Reference scope: stateless row exporter; streaming is north-star
+    surface (SURVEY §2.9).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="sset_")
+    src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
+    os.makedirs(src)
+    try:
+        if not split_time_ordered(ev, src):
+            return spark.createDataFrame(
+                [],
+                "window_start timestamp, segment string, n long,"
+                " cents long",
+            )
+
+        register(spark)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            append_stream_batch(batch_df, t, app="sset", batch_id=batch_id)
+
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .join(F.broadcast(dim), "user_id")  # stream-static: stateless
+            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "segment",
+                "n",
+                "cents",
+            )
+        )
+
+        def run() -> None:
+            run_available_now(
+                lambda: (
+                    stream.writeStream.outputMode("append")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                ),
+                "stream_static_enrich_totals",
+            )
+
+        run()
+        lv = latest_version(t)
+        run()  # replay against the same checkpoint: exactly-once
+        if latest_version(t) != lv:
+            raise RuntimeError(
+                "stream_static_enrich_totals: replayed availableNow "
+                f"run added a commit (v{lv} -> v{latest_version(t)}); "
+                "the txn-marker sink failed exactly-once"
+            )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .orderBy("window_start", "segment")
+        )
+        result = materialize_gate_result(
+            out,
+            "window_start timestamp, segment string, n long, cents long",
+            "window_start",
+            "segment",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+# Same ms-grain threshold arithmetic as the windowed oracle; the
+# threshold is computed over the PRE-JOIN purchase slice (unmatched
+# fact rows advance the watermark too), the rollup over the joined
+# rows.
+STREAM_STATIC_ENRICH_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+thr AS (
+  SELECT (max(us) // 1000 - {WM_DELAY_MS}) AS wm_ms FROM ev
+),
+j AS (
+  SELECT (ev.us // {WIN_MS * 1000}) * {WIN_MS * 1000} AS ws_us,
+         c.c_mktsegment AS segment,
+         ev.cents
+  FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+),
+w AS (
+  SELECT ws_us, segment, count(*) AS n, sum(cents) AS cents
+  FROM j GROUP BY 1, 2
+)
+SELECT make_timestamp(ws_us) AS window_start,
+       segment,
+       CAST(n AS BIGINT) AS n,
+       CAST(cents AS BIGINT) AS cents
+FROM w, thr
+WHERE (ws_us + {WIN_MS * 1000}) // 1000 <= wm_ms
+ORDER BY window_start, segment
+"""
+
+
+QUERIES = {
+    "stream_window_finalize_totals": stream_window_finalize_totals,
+    "stream_static_enrich_totals": stream_static_enrich_totals,
+}
 ORACLES = {
-    "stream_window_finalize_totals": STREAM_WINDOW_FINALIZE_SQL
+    "stream_window_finalize_totals": STREAM_WINDOW_FINALIZE_SQL,
+    "stream_static_enrich_totals": STREAM_STATIC_ENRICH_SQL,
 }
