@@ -32,6 +32,7 @@ ENTRIES = [
     "stream_band_join_finalize",
     "stream_dedup_day_users",
     "stream_session_close_stateful",
+    "stream_static_enrich_totals",
 ]
 
 
@@ -40,6 +41,12 @@ def main() -> None:
     ap.add_argument("--sf1", default="/tmp/sf1")
     ap.add_argument("--sf3", default="/tmp/sf3")
     ap.add_argument("--out", default="BENCH_stream_scale_r14.json")
+    ap.add_argument(
+        "--entries",
+        default=None,
+        help="comma-separated subset of ENTRIES; merges into --out "
+        "instead of overwriting other entries' rows",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -53,8 +60,16 @@ def main() -> None:
         ("10x", args.sf1),
         ("30x", args.sf3),
     ]
+    entries = ENTRIES
     report: dict[str, dict] = {}
-    for name in ENTRIES:
+    if args.entries:
+        entries = [e.strip() for e in args.entries.split(",") if e.strip()]
+        try:
+            with open(args.out) as fh:
+                report = json.load(fh)
+        except FileNotFoundError:
+            pass
+    for name in entries:
         report[name] = {}
         for label, sf_dir in scales:
             wo.STATE_PEAKS.clear()
