@@ -239,6 +239,8 @@ HEADLINE = [
     "wordpiece_apply_merges",
     "stream_session_close_stateful",
     "tablelog_vacuum_retention_totals",
+    "domain_reweight_mw",
+    "curriculum_order_docs",
     "stream_static_enrich_totals",
 ]
 

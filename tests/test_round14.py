@@ -155,3 +155,76 @@ def test_stream_static_enrich_registered_with_oracle():
 
     assert "stream_static_enrich_totals" in e.queries()
     assert "stream_static_enrich_totals" in e.oracle_sql()
+
+
+# ------------------------- domain reweighting (DoReMi-lite MW)
+
+
+def test_domain_reweight_trajectory_invariants(spark, sf_dir):
+    from trace_parquet_spark.operators.mixture import (
+        MW_ROUNDS,
+        _MW_W0,
+        domain_reweight_mw,
+    )
+
+    rows = domain_reweight_mw(spark, sf_dir).collect()
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    assert sorted(by_round) == list(range(MW_ROUNDS + 1))
+    n_src = len(by_round[0])
+    # round 0 is exactly uniform on the share-ppm grid
+    assert all(r.weight_ppm == _MW_W0 // n_src for r in by_round[0])
+    for t, rs in by_round.items():
+        assert len(rs) == n_src
+        assert all(r.weight_ppm > 0 for r in rs)
+        total = sum(r.weight_ppm for r in rs)
+        # weights renormalize to the 1e6 ppm grid each round, up to
+        # one unit of truncation per source in each DIV layer
+        assert _MW_W0 - 2 * n_src - 2 <= total <= _MW_W0 + n_src
+    # the max-loss domain's share never falls below uniform: its
+    # excess is >= 0 every round, so its multiplicative factor is
+    # >= every other domain's
+    max_loss_src = max(by_round[0], key=lambda r: (r.loss_micro, r.source)).source
+    final = {r.source: r.weight_ppm for r in by_round[MW_ROUNDS]}
+    assert final[max_loss_src] >= _MW_W0 // n_src - n_src
+
+
+# ------------------------- curriculum ordering
+
+
+def test_curriculum_phase_structure(spark, sf_dir):
+    import importlib.util as ilu
+
+    from trace_parquet_spark.operators.quality_rules import (
+        curriculum_order_docs,
+    )
+
+    df = curriculum_order_docs(spark, sf_dir)
+    rows = df.collect()
+    n_docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    )
+    assert len(rows) == n_docs  # every doc is scheduled exactly once
+    # higher score => earlier (lower-or-equal) phase; best band = 0
+    by_score = {}
+    for r in rows:
+        by_score.setdefault(r.score, set()).add(r.phase)
+    for s, phases in by_score.items():
+        assert len(phases) == 1  # ties share a phase by construction
+    ordered = sorted(by_score.items(), key=lambda kv: -kv[0])
+    assert next(iter(ordered[0][1])) == 0
+    ph = [next(iter(p)) for _, p in ordered]
+    assert ph == sorted(ph)  # monotone: lower score never earlier
+
+    # the only global window rides the bounded score grid — the
+    # structural audit must agree
+    spec = ilu.spec_from_file_location(
+        "window_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "window_audit.py"
+        ),
+    )
+    wa = ilu.module_from_spec(spec)
+    spec.loader.exec_module(wa)
+    assert wa.global_window_violations(df) == []

@@ -467,3 +467,191 @@ ORDER BY source
 
 QUERIES["nucleus_select_by_source"] = nucleus_select_by_source
 ORACLES["nucleus_select_by_source"] = NUCLEUS_SQL
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain reweighting: multiplicative weights over
+# per-source excess loss
+# --------------------------------------------------------------------------
+
+MW_ROUNDS = 8
+_MW_W0 = 1_000_000          # weights live on an integer ppm grid
+_MW_ETA_DEN = 10_000_000    # factor = 1 + excess/1e7  (eta = 0.1/nat)
+
+
+def domain_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting by MULTIPLICATIVE WEIGHTS over
+    per-domain excess loss — the Group-DRO / DoReMi update (Sagawa et
+    al. 2020 eq. 4; Xie et al. 2023 §3 step 2) with the per-domain
+    loss proxied by mean unigram surprisal (micro-nat-exact, the
+    doc_surprisal arithmetic aggregated per source instead of per
+    doc).
+
+    Update, all exact BIGINT (shared with the unrolled oracle):
+      loss(s)   = Σ micro(s) DIV n_tokens(s)           [micro-nats]
+      wmean_t   = Σ w_t·loss DIV Σ w_t
+      raw_t(s)  = w_t(s) · max(1, 1e7 + (loss(s) − wmean_t))
+      w_{t+1}(s)= raw_t(s) DIV (Σ raw_t DIV 1e6)       [ppm grid]
+    so domains with above-average loss gain weight each round and the
+    weights renormalize to ~1e6. Truncating integer division at every
+    step is part of the pinned spec (both engines' DIV truncate
+    identically on the positive operands used here); the max(1, ·)
+    clamp makes the factor positive for ANY loss spread.
+
+    Output: (round, source, loss_micro, weight_ppm) for rounds
+    0..MW_ROUNDS — the whole trajectory gates, not just the fixed
+    point, so a single-round arithmetic slip cannot hide.
+
+    Scale: ONE corpus-grain pass (tokenize + vocab join) computes the
+    per-source loss; every MW round is arithmetic on the
+    sources-sized relation (broadcast-small at any corpus size — 20
+    rows here, hundreds in a real crawl), exactly the
+    IVF-centroid/BPE-argmax driver-state pattern but without even a
+    collect: the trajectory stays distributed end-to-end.
+
+    Reference: no counterpart (single-query exporter;
+    repository/ParameterDataRepository.java:53-78); north-star
+    LLM-data mixing surface beside mixture_sample_docs.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("toks")
+    )
+    tok = docs.select(
+        "source", F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    micro = F.floor(
+        F.log(F.col("n_total").cast("double") / F.col("n_tok").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    loss = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        .select(
+            "source",
+            F.expr("sum_micro div n_tokens").cast("long").alias("loss"),
+        )
+        .transform(track_cache)
+    )
+    n_src = loss.agg(F.count("*").cast("long").alias("n_src"))
+    # uniform init ON THE SHARE GRID (1e6 // n_sources each), so round
+    # 0 lives on the same ppm-of-total scale every later round's
+    # renormalization produces
+    w = loss.crossJoin(F.broadcast(n_src)).select(
+        "source", "loss",
+        F.expr(f"CAST({_MW_W0} AS BIGINT) div n_src").alias("w"),
+    )
+    snaps = [
+        w.select(
+            F.lit(0).cast("int").alias("round"),
+            "source",
+            F.col("loss").alias("loss_micro"),
+            F.col("w").alias("weight_ppm"),
+        )
+    ]
+    for t in range(1, MW_ROUNDS + 1):
+        m = w.agg(
+            F.expr("sum(w * loss) div sum(w)").cast("long").alias("wmean")
+        )
+        r = w.crossJoin(F.broadcast(m)).select(
+            "source",
+            "loss",
+            F.expr(
+                f"w * greatest(CAST(1 AS BIGINT),"
+                f" {_MW_ETA_DEN} + (loss - wmean))"
+            ).cast("long").alias("raw"),
+        )
+        s = r.agg(F.sum("raw").cast("long").alias("sraw"))
+        # per-round localCheckpoint (the PERF.md iteration rule): w_t
+        # references w_{t-1} FOUR times (m via agg, r directly, s via
+        # r, w via r+s), so an unsevered lineage grows ~4^t — Catalyst
+        # ground for minutes at t=8. The checkpointed relation is 20
+        # rows; severing is O(sources) per round.
+        w = (
+            r.crossJoin(F.broadcast(s))
+            .select(
+                "source",
+                "loss",
+                F.expr(f"raw div (sraw div {_MW_W0})").cast("long").alias("w"),
+            )
+            .localCheckpoint()
+        )
+        snaps.append(
+            w.select(
+                F.lit(t).cast("int").alias("round"),
+                "source",
+                F.col("loss").alias("loss_micro"),
+                F.col("w").alias("weight_ppm"),
+            )
+        )
+    out = snaps[0]
+    for s_df in snaps[1:]:
+        out = out.unionByName(s_df)
+    return out.orderBy("round", "source")
+
+
+def _domain_reweight_sql(rounds: int = MW_ROUNDS) -> str:
+    ctes = [
+        f"""tok AS (
+  SELECT source, unnest({tokens_sql("text")}) AS token FROM documents
+),
+tok_f AS (SELECT * FROM tok WHERE token <> ''),
+vocab AS (SELECT token, count(*) AS n_tok FROM tok_f GROUP BY token),
+total AS (SELECT count(*) AS n_total FROM tok_f),
+loss AS MATERIALIZED (
+  SELECT t.source,
+         CAST(sum(CAST(floor(ln(CAST(tt.n_total AS DOUBLE)
+                                / CAST(v.n_tok AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT)) // count(*) AS BIGINT) AS loss
+  FROM tok_f t JOIN vocab v ON t.token = v.token CROSS JOIN total tt
+  GROUP BY t.source
+),
+w0 AS (SELECT source, loss,
+             CAST({_MW_W0} // (SELECT count(*) FROM loss) AS BIGINT) AS w
+      FROM loss)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"""m{t} AS (
+  SELECT CAST(sum(w * loss) // sum(w) AS BIGINT) AS wmean FROM w{p}
+),
+r{t} AS (
+  SELECT source, loss,
+         CAST(w * greatest(CAST(1 AS BIGINT),
+                           {_MW_ETA_DEN} + (loss - (SELECT wmean FROM m{t})))
+              AS BIGINT) AS raw
+  FROM w{p}
+),
+s{t} AS (SELECT CAST(sum(raw) AS BIGINT) AS sraw FROM r{t}),
+w{t} AS MATERIALIZED (
+  SELECT source, loss,
+         CAST(raw // ((SELECT sraw FROM s{t}) // {_MW_W0}) AS BIGINT) AS w
+  FROM r{t}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS round, source,"
+        f" loss AS loss_micro, w AS weight_ppm FROM w{t}"
+        for t in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({union}) ORDER BY round, source"
+    )
+
+
+DOMAIN_REWEIGHT_SQL = _domain_reweight_sql()
+
+QUERIES["domain_reweight_mw"] = domain_reweight_mw
+ORACLES["domain_reweight_mw"] = DOMAIN_REWEIGHT_SQL

@@ -381,3 +381,143 @@ PERCEPTRON_SQL = _perceptron_sql()
 
 QUERIES["perceptron_distill_train"] = perceptron_distill_train
 ORACLES["perceptron_distill_train"] = PERCEPTRON_SQL
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering from the rule battery
+# --------------------------------------------------------------------------
+
+
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order (curriculum learning for LLM
+    pretraining: highest-quality documents scheduled first, random
+    within a quality band): score = the number of Gopher rules passed
+    (0..5), phase = the score's cumulative-decile band, shuffle_key =
+    the repo's deterministic md5-family hash for the within-phase
+    shuffle. The TRAINING ORDER is (phase, shuffle_key, doc_id) —
+    emitted as sort KEYS, never as a materialized global row_number:
+    at 100 TB a total order exists only as a range-partitioned sort,
+    and any doc-grain global window here would be the exact
+    anti-pattern tools/window_audit.py exists to reject.
+
+    Phase assignment is grid-scalable: the only window runs over the
+    SCORE GRID (<= 6 rows — an aggregate, so the global-window audit
+    passes structurally), phase(s) = floor(10 * |docs with strictly
+    higher score| / total), i.e. the band's starting decile; ties
+    share a phase by construction, and every division is integer.
+
+    Reference: no counterpart (single-query exporter); north-star
+    LLM-data scheduling surface beside epoch_shuffle_microbatches
+    (which shuffles WITHIN a fixed epoch; this entry orders ACROSS
+    quality bands).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_hash32
+    from ..session import track_cache
+
+    flags = gopher_quality_flags(spark, sf_dir)
+    scored = flags.select(
+        "doc_id",
+        (
+            F.col("wc_ok").cast("int")
+            + F.col("mwl_ok").cast("int")
+            + F.col("sym_ok").cast("int")
+            + F.col("stop_ok").cast("int")
+            + F.col("rep_ok").cast("int")
+        ).cast("long").alias("score"),
+    ).transform(track_cache)
+    grid = scored.groupBy("score").agg(F.count("*").alias("n"))
+    better = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ph = grid.select(
+        "score",
+        F.coalesce(F.sum("n").over(better), F.lit(0)).alias("cum_better"),
+    )
+    tot = grid.agg(F.sum("n").alias("total"))
+    phase = ph.crossJoin(F.broadcast(tot)).select(
+        "score",
+        F.expr("(cum_better * 10) div total").cast("long").alias("phase"),
+    )
+    return (
+        scored.join(F.broadcast(phase), "score")
+        .select(
+            "doc_id",
+            "score",
+            "phase",
+            stable_hash32(
+                F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
+            ).alias("shuffle_key"),
+        )
+        .orderBy("phase", "shuffle_key", "doc_id")
+    )
+
+
+def _curriculum_sql() -> str:
+    from ..functions.hashing import stable_hash32_sql
+
+    flag_exprs = f"""
+  SELECT b.doc_id,
+         CAST((CASE WHEN b.n_words >= {MIN_WORDS}
+                     AND b.n_words <= {MAX_WORDS} THEN 1 ELSE 0 END)
+            + (CASE WHEN b.sum_wlen >= {MIN_MWL} * b.n_words
+                     AND b.sum_wlen <= {MAX_MWL} * b.n_words
+               THEN 1 ELSE 0 END)
+            + (CASE WHEN (b.n_chars - b.n_plain) * 1000
+                         <= {MAX_SYMBOL_MILLE} * b.n_chars
+               THEN 1 ELSE 0 END)
+            + (CASE WHEN b.n_stop >= {MIN_STOPWORDS} THEN 1 ELSE 0 END)
+            + (CASE WHEN r.top_bigram * 1000
+                         <= {MAX_TOP_BIGRAM_MILLE} * r.n_bigrams
+               THEN 1 ELSE 0 END) AS BIGINT) AS score
+  FROM base b JOIN rep r ON b.doc_id = r.doc_id"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {tokens_sql("text")} AS t FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+           AS sum_wlen,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+              AS BIGINT) AS n_plain,
+         CAST(len(list_intersect(list_distinct(t),
+                                 [{_STOP_LIST_SQL}])) AS BIGINT) AS n_stop
+  FROM toks
+), bigrams AS (
+  SELECT doc_id, unnest({shingles_sql("text", 2)}) AS g FROM documents
+), rep AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g)
+  GROUP BY doc_id
+), scored AS ({flag_exprs}
+), grid AS (
+  SELECT score, count(*) AS n FROM scored GROUP BY score
+), ph AS (
+  SELECT score,
+         COALESCE(SUM(n) OVER (ORDER BY score DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+           AS cum_better
+  FROM grid
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM grid
+), phase AS (
+  SELECT score, CAST((cum_better * 10) // total AS BIGINT) AS phase
+  FROM ph CROSS JOIN tot
+)
+SELECT s.doc_id, s.score, p.phase,
+       {stable_hash32_sql("'cur:' || CAST(s.doc_id AS VARCHAR)")}
+         AS shuffle_key
+FROM scored s JOIN phase p ON s.score = p.score
+ORDER BY p.phase, shuffle_key, s.doc_id
+"""
+
+
+CURRICULUM_SQL = _curriculum_sql()
+
+QUERIES["curriculum_order_docs"] = curriculum_order_docs
+ORACLES["curriculum_order_docs"] = CURRICULUM_SQL
