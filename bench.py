@@ -242,6 +242,7 @@ HEADLINE = [
     "domain_reweight_mw",
     "curriculum_order_docs",
     "stream_static_enrich_totals",
+    "tablelog_stream_merge_totals",
 ]
 
 # Phase isolation (round-13 verdict task 4): the four availableNow
@@ -258,6 +259,7 @@ STREAMING_PHASE = [
     "stream_dedup_day_users",
     "stream_session_close_stateful",
     "stream_static_enrich_totals",
+    "tablelog_stream_merge_totals",
 ]
 
 # The heaviest queries showed ±50% single-run variance round-over-round

@@ -228,3 +228,37 @@ def test_curriculum_phase_structure(spark, sf_dir):
     wa = ilu.module_from_spec(spec)
     spec.loader.exec_module(wa)
     assert wa.global_window_violations(df) == []
+
+
+# ------------------------- streaming CDC merge entry
+
+
+def test_stream_merge_latest_version_wins(spark, sf_dir):
+    """Final table = global max-version row per key (files ascend in
+    version; order_col collapses within-batch duplicates), and the
+    replay raise-check inside the entry pins exactly-once."""
+    from trace_parquet_spark.sources.tablelog_source import (
+        tablelog_stream_merge_totals,
+    )
+
+    rows = tablelog_stream_merge_totals(spark, sf_dir).collect()
+    assert rows
+    ks = [r.k for r in rows]
+    assert len(ks) == len(set(ks))  # exactly one surviving row per key
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter((F.col("o_orderkey") % 8).isin(1, 4))
+        .groupBy((F.col("o_orderkey") % 500).alias("k"))
+        .agg(F.max("o_orderkey").alias("version"))
+        .collect()
+    )
+    expect = {r.k: r.version for r in base}
+    got = {r.k: r.version for r in rows}
+    assert got == expect
+
+
+def test_stream_merge_registered_with_oracle():
+    import __spark_entry__ as e
+
+    assert "tablelog_stream_merge_totals" in e.queries()
+    assert "tablelog_stream_merge_totals" in e.oracle_sql()

@@ -1381,6 +1381,138 @@ ORDER BY parity
 QUERIES["tablelog_stream_sink_totals"] = tablelog_stream_sink_totals
 ORACLES["tablelog_stream_sink_totals"] = TABLELOG_SS_SQL
 
+
+def tablelog_stream_merge_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MERGE (CDC upsert) seam under the oracle gate —
+    the non-append half of the streaming write story
+    (tablelog_stream_sink_totals gates append; re-running a MERGE is
+    NOT naturally idempotent, which is exactly why the txn-marker
+    machinery exists — tablelog.merge_stream_batch docstring).
+
+    An updates stream (key = o_orderkey % 500, version = o_orderkey
+    strictly increasing, value = exact cents) arrives as FOUR
+    version-quartile files picked up one per micro-batch in
+    mtime+path order, each foreachBatch landing as an exactly-once
+    MERGE (order_col collapses multi-update batches to
+    latest-version-per-key). Files ascend in version, so the final
+    table is deterministically the GLOBAL max-version row per key —
+    which is what the oracle recomputes from orders alone. A second
+    availableNow run replays against the same checkpoint and must
+    commit NOTHING (the non-idempotent-rerun hazard the txn markers
+    close). Read back through spark.read.format("tablelog").
+
+    Scale: per batch, merge_upsert rewrites only key-overlapping
+    files (stats-pruned); state is the log, not executor memory.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import load_table
+    from .tablelog import latest_version, merge_stream_batch
+
+    register(spark)
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8).isin(1, 4))
+        .select(
+            (F.col("o_orderkey") % 500).cast("long").alias("k"),
+            F.col("o_orderkey").alias("version"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="tablelog_sm_")
+    src, t, ckpt = f"{work}/src", f"{work}/t", f"{work}/ckpt"
+    _os.makedirs(src)
+    try:
+        b = updates.agg(
+            F.min("version").alias("mn"), F.max("version").alias("mx")
+        ).first()
+        cuts = [int(b.mn) + (int(b.mx) - int(b.mn)) * q // 4 for q in (1, 2, 3)]
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+        import glob as _glob
+
+        for i, (lo, hi) in enumerate(bounds):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("version") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("version") < hi)
+            tmp = f"{work}/part{i}"
+            updates.filter(cond).coalesce(1).write.parquet(tmp)
+            parts = _glob.glob(f"{tmp}/part-*.parquet")
+            if not parts:
+                continue
+            dst = f"{src}/{i:02d}.parquet"
+            _os.rename(parts[0], dst)
+            _os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            merge_stream_batch(
+                spark, batch_df, t, "k", "tsm", batch_id, order_col="version"
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema("k long, version long, cents long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(180):
+                q.stop()
+                raise RuntimeError(
+                    "tablelog_stream_merge_totals: availableNow run "
+                    "did not terminate within 180s"
+                )
+
+        run()
+        lv = latest_version(t)
+        run()  # replay: every batch's (app, batch_id) marker short-circuits
+        if latest_version(t) != lv:
+            raise RuntimeError(
+                "tablelog_stream_merge_totals: replayed availableNow run "
+                f"added a commit (v{lv} -> v{latest_version(t)}); the MERGE "
+                "txn markers failed exactly-once"
+            )
+        out = (
+            spark.read.format("tablelog")
+            .option("path", t)
+            .load()
+            .select("k", "version", "cents")
+            .orderBy("k")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "k long, version long, cents long"
+    ).orderBy("k")
+
+
+TABLELOG_SM_SQL = """
+WITH u AS (
+  SELECT CAST(o_orderkey % 500 AS BIGINT) AS k,
+         o_orderkey AS version,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 8 IN (1, 4)
+),
+win AS (SELECT k, max(version) AS version FROM u GROUP BY k)
+SELECT u.k, u.version, u.cents
+FROM u JOIN win ON u.k = win.k AND u.version = win.version
+ORDER BY u.k
+"""
+
+QUERIES["tablelog_stream_merge_totals"] = tablelog_stream_merge_totals
+ORACLES["tablelog_stream_merge_totals"] = TABLELOG_SM_SQL
+
 def tablelog_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter point-lookup pruning THROUGH Catalyst: orders
     slices appended with per-file bloom filters on o_orderkey
