@@ -262,3 +262,21 @@ def test_stream_merge_registered_with_oracle():
 
     assert "tablelog_stream_merge_totals" in e.queries()
     assert "tablelog_stream_merge_totals" in e.oracle_sql()
+
+
+# ------------------------- recursion backstop sizing (sf3 finding)
+
+
+def test_dup_chain_closure_sizes_recursion_backstop(spark, sf_dir):
+    """The 30x parity run caught Spark's 1M recursive-CTE row backstop
+    tripping on a LINEAR closure (docs x K rows crosses 1M above
+    ~10x). The entry must size the backstop from its own scale
+    contract, materialize under the raised limit, and RESTORE the
+    session conf afterwards."""
+    from trace_parquet_spark.plans.recursive import dup_chain_closure
+
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key)
+    out = dup_chain_closure(spark, sf_dir)
+    assert spark.conf.get(key) == before  # conf restored
+    assert out.count() > 0  # materialized result survives the restore
