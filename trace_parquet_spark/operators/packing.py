@@ -753,20 +753,15 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_ulm_words filter), candidate pieces cap at ULM_MAX_PIECE=3
     chars, and exactly ULM_EM_ROUNDS=2 hard-EM rounds run. The oracle
     mirrors the same cuts, so the gate is honest about the capped
-    model — but this is NOT full-vocab SentencePiece coverage. The
-    caps exist because the Viterbi DP is UNROLLED into the plan:
-    each EM round builds O(MAX_WORD × MAX_PIECE) self-joins plus a
-    MAX_WORD-step backtrace. MEASURED (tools/probe_ulm_width.py,
-    PERF.md round-13): MAX_WORD=16 is not "2× slower" — it OOMs a
-    24 GiB driver heap during Catalyst plan canonicalization (fresh
-    JVM, extra frames provably EMPTY at the probe corpus), because
-    the backtrace's unioned join conditions canonicalize
-    super-linearly in the step count. Raising the cap therefore
-    requires restructuring (localCheckpoint the backtrace frontier
-    per step, as the DP frontier already is), not just a constant
-    bump. At 100 TB the caps do NOT bound corpus size — the corpus
-    cost stays the single word-count scan; they bound the
-    vocab-grain DP width.
+    model — but this is NOT full-vocab SentencePiece coverage. Since
+    round 14 the Viterbi DP is no longer position-unrolled into the
+    plan: the whole DP + backtrace runs PER ROW inside `aggregate`
+    folds over a per-word candidate array (_ulm_viterbi_segments), so
+    plan size is O(1) in MAX_WORD — the round-13 width-16 Catalyst
+    canonicalization OOM class is gone structurally, and the caps are
+    purely semantic (which words train, how long pieces may be). At
+    100 TB the caps do NOT bound corpus size — the corpus cost stays
+    the single word-count scan; everything after is vocab-grain.
 
     See the section comment for the algorithm and determinism
     contract; the oracle unrolls the identical DP/backtrace/recount
@@ -778,6 +773,85 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("usage"),
         F.col("c").alias("cost_micro"),
     ).orderBy(F.desc("usage"), "piece")
+
+
+def _ulm_viterbi_segments(words: DataFrame, cand_base: DataFrame, cost: DataFrame) -> DataFrame:
+    """One Viterbi E-step as a SINGLE vocab-grain relation: for every
+    distinct word, the min-cost segmentation under the current piece
+    model, computed PER ROW with higher-order functions (the repo's
+    per-row-state-machine rule, PERF.md) instead of the round-13
+    position-unrolled join/window/localCheckpoint ladder.
+
+    Round-14 optimization (guide §1.2/§2.4): the unrolled DP ran
+    ~2 shuffles + 2 actions PER POSITION PER ROUND (8 window shuffles,
+    16 localCheckpoints, 16 isEmpty probes each EM round) — ~100 tiny
+    Spark jobs per training on a VOCAB-grain relation, pure scheduler
+    overhead locally and 8 extra vocab shuffles per round at scale.
+    Now: candidate piece slots (word, end i, len l, piece) explode
+    once (≤ MAX_WORD×MAX_PIECE per word, cost-independent, cached
+    across rounds), one broadcast join attaches the model cost (the
+    model is piece-grain, ≤ Σ26^l for l ≤ ULM_MAX_PIECE — bounded by
+    construction, hence broadcastable at ANY corpus size), one
+    groupBy(w) reassembles the per-word candidate array, and the DP +
+    backtrace run inside `aggregate` folds. Arithmetic and tie-breaks
+    are IDENTICAL to the unrolled form: candidates ending at i are
+    ranked by struct(c, j) ascending — array_min's lexicographic
+    struct order == the old row_number over (c, j); (c, j) pairs are
+    unique per i because j determines the piece. Candidates whose
+    piece is not in the model drop out in the join (old: inner join
+    per step); an unreachable position propagates NULL exactly like
+    the old missing frame.
+
+    Output: (w, L, f, pieces array<string>) — pieces in backtrace
+    (right-to-left) order, a multiset identical to the old per-step
+    hit relation."""
+    scored = cand_base.join(
+        F.broadcast(cost.select("p", F.col("c").alias("pc"))), "p"
+    )
+    cands = scored.groupBy("w", "L", "f").agg(
+        F.collect_list(
+            F.struct(
+                F.col("i").cast("int").alias("i"),
+                F.col("pl").cast("int").alias("pl"),
+                F.col("pc").cast("long").alias("pc"),
+            )
+        ).alias("cands")
+    )
+    dp = (
+        "aggregate("
+        "  sequence(1, L),"
+        "  array(named_struct('c', CAST(0 AS BIGINT), 'j', CAST(-1 AS INT))),"
+        "  (acc, i) -> concat(acc, array(coalesce("
+        "    array_min(filter("
+        "      transform("
+        "        filter(cands, x -> x.i = i),"
+        "        x -> named_struct("
+        "          'c', element_at(acc, i - x.pl + 1).c + x.pc,"
+        "          'j', CAST(i - x.pl AS INT))),"
+        "      y -> y.c IS NOT NULL)),"
+        "    named_struct('c', CAST(NULL AS BIGINT), 'j', CAST(NULL AS INT))"
+        "  )))"
+        ") AS dp"
+    )
+    bt = (
+        "aggregate("
+        "  sequence(1, L),"
+        "  named_struct('pos', CAST(L AS INT),"
+        "               'ps', CAST(array() AS ARRAY<STRING>)),"
+        "  (st, _x) -> IF(st.pos > 0,"
+        "    named_struct("
+        "      'pos', element_at(dp, st.pos + 1).j,"
+        "      'ps', concat(st.ps, array(substr("
+        "        w,"
+        "        element_at(dp, st.pos + 1).j + 1,"
+        "        st.pos - element_at(dp, st.pos + 1).j)))),"
+        "    st),"
+        "  st -> st.ps"
+        ") AS pieces"
+    )
+    return cands.selectExpr("w", "L", "f", "cands", dp).selectExpr(
+        "w", "L", "f", bt
+    )
 
 
 def _ulm_em(spark: SparkSession, sf_dir: str, final_viterbi: bool = False):
@@ -830,132 +904,56 @@ def _ulm_em(spark: SparkSession, sf_dir: str, final_viterbi: bool = False):
         .transform(track_cache)
     )
 
-    from pyspark.sql import Window as _W
+    # Candidate piece slots (w, L, f, end position i, length l, piece)
+    # are COST-INDEPENDENT: build once, cache, reuse across every EM
+    # round (≤ ULM_MAX_WORD × ULM_MAX_PIECE rows per distinct word —
+    # vocab-grain, never corpus-grain).
+    cand_base = (
+        words.select(
+            "w",
+            "L",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"),
+        )
+        .select(
+            "w",
+            "L",
+            "f",
+            "i",
+            # "pl", not "l": Spark resolves names case-insensitively,
+            # so an "l" column would collide with the length column L
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(ULM_MAX_PIECE), F.col("i")))
+            ).alias("pl"),
+        )
+        .select(
+            "w",
+            "L",
+            "f",
+            "i",
+            "pl",
+            F.col("w").substr(
+                F.col("i") - F.col("pl") + F.lit(1), F.col("pl")
+            ).alias("p"),
+        )
+        .transform(track_cache)
+    )
 
     n_rounds = ULM_EM_ROUNDS + (1 if final_viterbi else 0)
     for _round in range(n_rounds):
-        # ---- E-step: Viterbi DP, unrolled over positions 1..MAX_WORD
-        d = {
-            0: words.select(
-                "w", "L", F.lit(0).cast("long").alias("c")
-            ).transform(track_cache)
-        }
-        steps = []  # (i, frame with w, L, c, j, p)
-        for i in range(1, ULM_MAX_WORD + 1):
-            cands = []
-            for l in range(1, ULM_MAX_PIECE + 1):
-                j = i - l
-                if j < 0 or j not in d:
-                    continue
-                piece = F.col("w").substr(F.lit(j + 1), F.lit(l))
-                cand = (
-                    d[j]
-                    .filter(F.col("L") >= i)
-                    .select(
-                        "w",
-                        "L",
-                        F.col("c").alias("cp"),
-                        piece.alias("p"),
-                        F.lit(j).cast("long").alias("j"),
-                    )
-                    .join(
-                        F.broadcast(cost.select("p", F.col("c").alias("pc"))),
-                        "p",
-                    )
-                    .select(
-                        "w",
-                        "L",
-                        (F.col("cp") + F.col("pc")).alias("c"),
-                        "j",
-                        "p",
-                    )
-                )
-                cands.append(cand)
-            if not cands:
-                break
-            allc = cands[0]
-            for extra in cands[1:]:
-                allc = allc.unionByName(extra)
-            w_rn = _W.partitionBy("w").orderBy("c", "j")
-            # checkpoint each DP frontier: d[i] references d[i-1..3]
-            # as full subtrees, so cached-but-lineage-preserving plans
-            # grow tribonacci-fast (measured: a 2 GB plan string by
-            # round 2) — severing per step keeps plans O(1)
-            best = tracked_local_checkpoint(
-                allc.withColumn("rn", F.row_number().over(w_rn))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-            d[i] = best
-            steps.append((i, best))
-            # d[i] empty ⟺ no word reaches position i (single-char
-            # pieces are always in the model, so every position of a
-            # word with L ≥ i IS reached) ⟹ every later frame is
-            # empty too; stop unrolling plan for them. Together with
-            # the backtrace break below this makes MAX_WORD wider
-            # than the longest in-cap word cost nothing.
-            if best.isEmpty():
-                break
-
-        alld = None
-        for i, frame in steps:
-            part = frame.select(
-                "w", F.lit(i).cast("long").alias("i"), "j", "p"
-            )
-            alld = part if alld is None else alld.unionByName(part)
-        # sever the 12-stage DP lineage before the 12-step backtrace
-        # self-joins against it (vocab-grain materialization: distinct
-        # words × reached positions — model-adjacent, never corpus)
-        alld = tracked_local_checkpoint(alld)
-
-        # ---- backtrace: collect the chosen pieces per word
-        bt = words.select("w", F.col("L").cast("long").alias("pos"))
-        used = None
-        for _step in range(ULM_MAX_WORD):
-            a = alld.alias("a")
-            b = bt.filter(F.col("pos") > 0).alias("b")
-            hit = (
-                b.join(
-                    a,
-                    (F.col("b.w") == F.col("a.w"))
-                    & (F.col("b.pos") == F.col("a.i")),
-                )
-                .select(
-                    F.col("b.w").alias("w"),
-                    F.col("a.p").alias("p"),
-                    F.col("a.j").alias("j"),
-                )
-            )
-            part = hit.select("w", "p")
-            used = part if used is None else used.unionByName(part)
-            # sever the backtrace frontier per step, matching the DP
-            # frontier's discipline above. This is the structural fix
-            # the round-13 width probe prescribed: chained bt joins
-            # made `used`'s unioned join conditions canonicalize
-            # super-linearly in step count (MAX_WORD=16 OOMed a
-            # 24 GiB driver in CommutativeExpression canonicalization
-            # before touching any data); with the per-step sever every
-            # hit is a leaf-join-leaf and the union stays O(steps).
-            # bt is vocab-grain (distinct words still mid-walk), so
-            # the materialization is model-adjacent, never corpus.
-            bt = tracked_local_checkpoint(
-                hit.select("w", F.col("j").alias("pos")).filter(
-                    F.col("pos") > 0
-                )
-            )
-            # all remaining walks hit pos 0 ⇒ every later step's frame
-            # is empty; stop building plan for them (this is what makes
-            # a width larger than the longest surviving word free)
-            if bt.isEmpty():
-                break
+        # ---- E-step: per-row Viterbi DP + backtrace under the
+        # current model (see _ulm_viterbi_segments for the
+        # equivalence + optimization note)
+        segs = _ulm_viterbi_segments(words, cand_base, cost)
 
         if final_viterbi and _round == ULM_EM_ROUNDS:
             # the extra pass segmented under the FINAL model — hand
             # the chosen pieces back without recounting the model
+            used = segs.select("w", F.explode("pieces").alias("p"))
             return words, chars, cost, used
 
         usage = (
-            used.join(words.select("w", "f"), "w")
+            segs.select("f", F.explode("pieces").alias("p"))
             .groupBy("p")
             .agg(F.sum("f").cast("long").alias("n"))
         )
@@ -1291,18 +1289,33 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("f").cast("long").alias("n"))
         )
+        # Round-14 optimization (guide §1.2/§3.1): the two broadcast
+        # joins against `syms` each rebuilt the symbol-count aggregate
+        # as its own broadcast-exchange job every round. The symbol
+        # alphabet is MODEL-SIZED BY CONSTRUCTION (≤ 26 base [a-z]
+        # chars + one private-use sentinel per completed round), so
+        # collect it once per round under the bounded-collect contract
+        # and attach na/nb as literal-map lookups — byte-identical
+        # DECIMAL(38,0) score arithmetic, two broadcast exchanges and
+        # one duplicate aggregation removed per round.
+        sym_rows = collect_model_sized(
+            syms, 26 + WP_TRAIN_ROUNDS, "WordPiece symbol counts"
+        )
+        if not sym_rows:
+            # empty alphabet ⟹ empty segmentation ⟹ no pairs: the
+            # old shape reached the same break via an empty argmax
+            break
+        sym_ks = [row.sym for row in sym_rows]
+        sym_vs = [row.ns for row in sym_rows]
+        sym_map = F.map_from_arrays(F.lit(sym_ks), F.lit(sym_vs))
         scored = (
             pairs
-            .join(
-                F.broadcast(syms.withColumnRenamed("ns", "na")),
-                F.col("sym") == F.col("pair").substr(1, 1),
+            .withColumn(
+                "na", F.element_at(sym_map, F.col("pair").substr(1, 1))
             )
-            .drop("sym")
-            .join(
-                F.broadcast(syms.withColumnRenamed("ns", "nb")),
-                F.col("sym") == F.col("pair").substr(2, 1),
+            .withColumn(
+                "nb", F.element_at(sym_map, F.col("pair").substr(2, 1))
             )
-            .drop("sym")
             .select(
                 "pair",
                 "n",

@@ -73,21 +73,31 @@ def split_time_ordered(
     mn, mx = int(b.mn), int(b.mx)
     cuts = [mn + (mx - mn) * k // n_files for k in range(1, n_files)]
     us = F.unix_micros("ts")
-    bounds = (
-        [(None, cuts[0])]
-        + list(zip(cuts, cuts[1:]))
-        + [(cuts[-1], None)]
-    )
+    # Round-14 optimization (guide §1.1/§2.4): the old shape ran one
+    # FULL filtered scan + coalesce(1) write PER QUARTILE (n_files
+    # passes over the slice, n_files+1 jobs). The quartile index is a
+    # row-local expression (count of cuts ≤ ts — identical boundary
+    # arithmetic: file k = {us : cuts[k-1] ≤ us < cuts[k]}), so ONE
+    # shuffle-partitioned write produces every file in a single pass;
+    # each quartile value lives in exactly one shuffle partition,
+    # hence exactly one part-file per quartile, as before. Row sets
+    # per file are identical; every gated streaming consumer is
+    # order-insensitive within a micro-batch (windowed agg, band
+    # join, dedup — and the stateful sessions entry sorts within
+    # batch), so the drop-schedule determinism argument is unchanged.
+    kcol = F.lit(0)
+    for c in cuts:
+        kcol = kcol + F.when(us >= c, 1).otherwise(0)
     work = os.path.dirname(src)
-    for k, (lo, hi) in enumerate(bounds):
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (us >= lo)
-        if hi is not None:
-            cond = cond & (us < hi)
-        tmp = f"{work}/part{k}"
-        ev.filter(cond).coalesce(1).write.parquet(tmp)
-        parts = _glob.glob(f"{tmp}/part-*.parquet")
+    tmp = f"{work}/parts"
+    (
+        ev.withColumn("k", kcol)
+        .repartition(n_files, "k")
+        .write.partitionBy("k")
+        .parquet(tmp)
+    )
+    for k in range(n_files):
+        parts = _glob.glob(f"{tmp}/k={k}/part-*.parquet")
         if not parts:  # empty quartile (degenerate tiny slice)
             continue
         dst = f"{src}/{k:02d}.parquet"
