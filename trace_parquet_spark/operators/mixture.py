@@ -503,11 +503,20 @@ def domain_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, so a single-round arithmetic slip cannot hide.
 
     Scale: ONE corpus-grain pass (tokenize + vocab join) computes the
-    per-source loss; every MW round is arithmetic on the
-    sources-sized relation (broadcast-small at any corpus size — 20
-    rows here, hundreds in a real crawl), exactly the
-    IVF-centroid/BPE-argmax driver-state pattern but without even a
-    collect: the trajectory stays distributed end-to-end.
+    per-source loss; the trajectory is arithmetic on the SOURCES-sized
+    relation (20 rows here, hundreds in a real crawl), so it runs
+    driver-side on the bounded-collect contract — the IVF-centroid /
+    BPE-argmax driver-state pattern. Round-14 optimization (guide
+    §1.2, §5.1): the previous shape kept the trajectory distributed,
+    which cost 3 Spark jobs per MW round (weighted-mean broadcast,
+    renorm-sum broadcast, localCheckpoint sever) × 8 rounds ≈ 24 tiny
+    jobs on a 20-row relation — pure scheduler overhead at every
+    scale, since the relation is sources-grain BY CONSTRUCTION. Now:
+    one guarded collect of the per-source loss, the exact-integer MW
+    recurrence in plain Python (BIGINT `div` on the all-positive
+    operands here truncates exactly like Python `//`), and one
+    createDataFrame of the full trajectory. The corpus-grain work is
+    untouched and still dominates at scale.
 
     Reference: no counterpart (single-query exporter;
     repository/ParameterDataRepository.java:53-78); north-star
@@ -521,82 +530,61 @@ def domain_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode("toks").alias("token")
     ).filter(F.col("token") != "")
-    vocab = tok.groupBy("token").agg(F.count("*").alias("n_tok"))
-    total = tok.agg(F.count("*").alias("n_total"))
+    # Round-14 (guide §2.2, §3.4): pre-aggregate to (source, token)
+    # grain BEFORE any join — the corpus is tokenized once instead of
+    # three times (vocab agg, total agg, join probe side all re-read
+    # `tok` otherwise), and the vocab join runs at (source x token)
+    # grain instead of token-INSTANCE grain. Arithmetic is exact and
+    # unchanged: micro(token) is constant per token, so
+    # Σ_instances micro = Σ_tokens n_{s,token} · micro(token), and
+    # n_tokens / n_tok / n_total are the same sums regrouped.
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .transform(track_cache)
+    )
+    vocab = st.groupBy("token").agg(F.sum("n").alias("n_tok"))
+    total = st.agg(F.sum("n").alias("n_total"))
     micro = F.floor(
         F.log(F.col("n_total").cast("double") / F.col("n_tok").cast("double"))
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
     loss = (
-        tok.join(vocab, "token")
+        st.join(vocab, "token")
         .join(F.broadcast(total))
         .groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(micro).alias("sum_micro"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(micro * F.col("n")).alias("sum_micro"),
         )
         .select(
             "source",
             F.expr("sum_micro div n_tokens").cast("long").alias("loss"),
         )
-        .transform(track_cache)
     )
-    n_src = loss.agg(F.count("*").cast("long").alias("n_src"))
+    from ..session import collect_model_sized
+
+    rows = collect_model_sized(
+        loss, 100_000, "domain_reweight_mw per-source loss"
+    )
+    schema = "round int, source string, loss_micro long, weight_ppm long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    srcs = sorted((r["source"], int(r["loss"])) for r in rows)
+    n_src = len(srcs)
     # uniform init ON THE SHARE GRID (1e6 // n_sources each), so round
     # 0 lives on the same ppm-of-total scale every later round's
     # renormalization produces
-    w = loss.crossJoin(F.broadcast(n_src)).select(
-        "source", "loss",
-        F.expr(f"CAST({_MW_W0} AS BIGINT) div n_src").alias("w"),
-    )
-    snaps = [
-        w.select(
-            F.lit(0).cast("int").alias("round"),
-            "source",
-            F.col("loss").alias("loss_micro"),
-            F.col("w").alias("weight_ppm"),
-        )
-    ]
+    w = {s: _MW_W0 // n_src for s, _ in srcs}
+    traj = [(0, s, ls, w[s]) for s, ls in srcs]
     for t in range(1, MW_ROUNDS + 1):
-        m = w.agg(
-            F.expr("sum(w * loss) div sum(w)").cast("long").alias("wmean")
-        )
-        r = w.crossJoin(F.broadcast(m)).select(
-            "source",
-            "loss",
-            F.expr(
-                f"w * greatest(CAST(1 AS BIGINT),"
-                f" {_MW_ETA_DEN} + (loss - wmean))"
-            ).cast("long").alias("raw"),
-        )
-        s = r.agg(F.sum("raw").cast("long").alias("sraw"))
-        # per-round localCheckpoint (the PERF.md iteration rule): w_t
-        # references w_{t-1} FOUR times (m via agg, r directly, s via
-        # r, w via r+s), so an unsevered lineage grows ~4^t — Catalyst
-        # ground for minutes at t=8. The checkpointed relation is 20
-        # rows; severing is O(sources) per round.
-        w = (
-            r.crossJoin(F.broadcast(s))
-            .select(
-                "source",
-                "loss",
-                F.expr(f"raw div (sraw div {_MW_W0})").cast("long").alias("w"),
-            )
-            .localCheckpoint()
-        )
-        snaps.append(
-            w.select(
-                F.lit(t).cast("int").alias("round"),
-                "source",
-                F.col("loss").alias("loss_micro"),
-                F.col("w").alias("weight_ppm"),
-            )
-        )
-    out = snaps[0]
-    for s_df in snaps[1:]:
-        out = out.unionByName(s_df)
-    return out.orderBy("round", "source")
+        wmean = sum(w[s] * ls for s, ls in srcs) // sum(w.values())
+        raw = {s: w[s] * max(1, _MW_ETA_DEN + (ls - wmean)) for s, ls in srcs}
+        sraw = sum(raw.values())
+        w = {s: raw[s] // (sraw // _MW_W0) for s, _ in srcs}
+        traj.extend((t, s, ls, w[s]) for s, ls in srcs)
+    return spark.createDataFrame(traj, schema).orderBy("round", "source")
 
 
 def _domain_reweight_sql(rounds: int = MW_ROUNDS) -> str:
