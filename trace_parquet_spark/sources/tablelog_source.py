@@ -1429,27 +1429,25 @@ def tablelog_stream_merge_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, t, ckpt = f"{work}/src", f"{work}/t", f"{work}/ckpt"
     _os.makedirs(src)
     try:
-        b = updates.agg(
-            F.min("version").alias("mn"), F.max("version").alias("mx")
-        ).first()
-        cuts = [int(b.mn) + (int(b.mx) - int(b.mn)) * q // 4 for q in (1, 2, 3)]
-        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
-        import glob as _glob
+        # Round-14 optimization (guide §1.1): the version-quartile
+        # fixture files were written as 4 filtered scans +
+        # coalesce(1) each (the pre-r14 split_time_ordered shape);
+        # split_value_ordered emits all four in ONE partitioned pass
+        # with identical boundary arithmetic (file k =
+        # [cuts[k-1], cuts[k])). Row order within a file may differ,
+        # which the consumer is insensitive to: each micro-batch is
+        # collapsed to latest-version-per-key (order_col="version",
+        # versions distinct) before the MERGE.
+        from ..streaming.windowed_oracle import (
+            scaled_stream_conf,
+            split_value_ordered,
+        )
 
-        for i, (lo, hi) in enumerate(bounds):
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col("version") >= lo)
-            if hi is not None:
-                cond = cond & (F.col("version") < hi)
-            tmp = f"{work}/part{i}"
-            updates.filter(cond).coalesce(1).write.parquet(tmp)
-            parts = _glob.glob(f"{tmp}/part-*.parquet")
-            if not parts:
-                continue
-            dst = f"{src}/{i:02d}.parquet"
-            _os.rename(parts[0], dst)
-            _os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
+        n_rows = split_value_ordered(updates, src, F.col("version"))
+        if not n_rows:
+            return spark.createDataFrame(
+                [], "k long, version long, cents long"
+            )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             merge_stream_batch(
@@ -1473,9 +1471,10 @@ def tablelog_stream_merge_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "did not terminate within 180s"
                 )
 
-        run()
-        lv = latest_version(t)
-        run()  # replay: every batch's (app, batch_id) marker short-circuits
+        with scaled_stream_conf(spark, n_rows):
+            run()
+            lv = latest_version(t)
+            run()  # replay: every batch's (app, batch_id) marker short-circuits
         if latest_version(t) != lv:
             raise RuntimeError(
                 "tablelog_stream_merge_totals: replayed availableNow run "

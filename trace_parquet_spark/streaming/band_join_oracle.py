@@ -64,6 +64,7 @@ from .pipeline import click_purchase_stream_join
 from .windowed_oracle import (
     materialize_gate_result,
     run_available_now,
+    scaled_stream_conf,
     split_time_ordered,
 )
 
@@ -99,7 +100,8 @@ def stream_band_join_finalize(
     src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
     os.makedirs(src)
     try:
-        if not split_time_ordered(ev, src):
+        n_rows = split_time_ordered(ev, src)
+        if not n_rows:
             return spark.createDataFrame([], _OUT_SCHEMA)
 
         register(spark)
@@ -135,9 +137,10 @@ def stream_band_join_finalize(
                 "stream_band_join_finalize",
             )
 
-        run()
-        lv = latest_version(t)
-        run()  # replay against the same checkpoint: exactly-once
+        with scaled_stream_conf(spark, n_rows):
+            run()
+            lv = latest_version(t)
+            run()  # replay against the same checkpoint: exactly-once
         if latest_version(t) != lv:
             # explicit raise, not assert: must survive `python -O`
             raise RuntimeError(

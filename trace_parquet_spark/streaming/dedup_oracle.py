@@ -56,6 +56,7 @@ from ..sources.tablelog_source import register
 from .windowed_oracle import (
     materialize_gate_result,
     run_available_now,
+    scaled_stream_conf,
     split_time_ordered,
 )
 
@@ -74,7 +75,8 @@ def stream_dedup_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
     os.makedirs(src)
     try:
-        if not split_time_ordered(ev, src):
+        n_rows = split_time_ordered(ev, src)
+        if not n_rows:
             return spark.createDataFrame(
                 [], "day timestamp, event_type string, n_users long"
             )
@@ -111,9 +113,10 @@ def stream_dedup_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stream_dedup_day_users",
             )
 
-        run()
-        lv = latest_version(t)
-        run()  # replay against the same checkpoint: exactly-once
+        with scaled_stream_conf(spark, n_rows):
+            run()
+            lv = latest_version(t)
+            run()  # replay against the same checkpoint: exactly-once
         if latest_version(t) != lv:
             raise RuntimeError(
                 "stream_dedup_day_users: replayed availableNow run "

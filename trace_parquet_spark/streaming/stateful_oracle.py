@@ -65,6 +65,7 @@ from .windowed_oracle import (
     WM_DELAY_MS,
     materialize_gate_result,
     run_available_now,
+    scaled_stream_conf,
     split_time_ordered,
 )
 
@@ -127,7 +128,8 @@ def stream_session_close_stateful(
     src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
     os.makedirs(src)
     try:
-        if not split_time_ordered(ev, src):
+        n_rows = split_time_ordered(ev, src)
+        if not n_rows:
             return spark.createDataFrame([], _OUT_SCHEMA)
 
         register(spark)
@@ -163,6 +165,14 @@ def stream_session_close_stateful(
                 "stream_session_close_stateful",
             )
 
+        # NOT wrapped in scaled_stream_conf (unlike the JVM-stateful
+        # gate entries): this operator's per-batch cost is per-group
+        # PYTHON compute behind the Arrow boundary (guide §4), which
+        # needs the session's full parallelism — measured solo
+        # fresh-JVM min-of-3, slice-derived 1-partition state made it
+        # 14.2 -> 23.2 s while the JVM-stateful entries sped up 2-4x.
+        # For a compute-bound Python stateful op the right partition
+        # count is the session conf at EVERY scale.
         run()
         lv = latest_version(t)
         run()  # replay against the same checkpoint: exactly-once
@@ -318,7 +328,8 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass", ""
     )
     try:
-        if not split_time_ordered(ev, src):
+        n_rows = split_time_ordered(ev, src)
+        if not n_rows:
             return spark.createDataFrame([], _OUT_SCHEMA)
 
         spark.conf.set(
@@ -356,6 +367,14 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stream_session_close_tws",
             )
 
+        # NOT wrapped in scaled_stream_conf (unlike the JVM-stateful
+        # gate entries): this operator's per-batch cost is per-group
+        # PYTHON compute behind the Arrow boundary (guide §4), which
+        # needs the session's full parallelism — measured solo
+        # fresh-JVM min-of-3, slice-derived 1-partition state made it
+        # 14.2 -> 23.2 s while the JVM-stateful entries sped up 2-4x.
+        # For a compute-bound Python stateful op the right partition
+        # count is the session conf at EVERY scale.
         run()
         lv = latest_version(t)
         run()  # replay against the same checkpoint: exactly-once

@@ -35,6 +35,7 @@ north-star surface (SURVEY §2.9).
 
 from __future__ import annotations
 
+import contextlib
 import glob as _glob
 import os
 import shutil
@@ -51,28 +52,83 @@ WM_DELAY_MS = 3_600_000  # 1 hour watermark delay
 WIN_MS = 3_600_000       # 1 hour tumbling windows
 N_FILES = 4
 
+# Round-14 optimization (guide §2.2/§2.5): a streaming query freezes
+# its state/shuffle partition count from spark.sql.shuffle.partitions
+# at first start and AQE never coalesces it, so every gated
+# availableNow run paid cores× tasks + state-store delta files per
+# micro-batch per stateful operator REGARDLESS of slice size. The
+# partition count is instead derived from the measured row count of
+# the input slice (split_time_ordered already aggregates over it, so
+# the count is free), targeting STREAM_ROWS_PER_PARTITION rows per
+# state partition, and CAPPED at the session's configured value: on
+# a cluster-scale input the rule resolves to the session conf (full
+# parallelism, sized 2-3x total cores there — session.py), while the
+# local gate runs at the data's natural width instead of the box's
+# core count. This is the streaming analogue of AQE partition
+# coalescing, which does not apply to stateful streaming exchanges.
+STREAM_ROWS_PER_PARTITION = 2_000_000
+
+
+@contextlib.contextmanager
+def scaled_stream_conf(spark: SparkSession, n_rows: int):
+    """Temporarily size spark.sql.shuffle.partitions (the state
+    partition count of any streaming query STARTED inside the block)
+    from the input slice's row count; always restored on exit so
+    neighboring batch queries see the session default. Both the
+    first availableNow run and its exactly-once replay must start
+    inside ONE block: the checkpoint pins the state partition count
+    at first start, and a mismatched conf on restart would fail."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    want = max(
+        1,
+        min(
+            int(old),
+            -(-int(n_rows) // STREAM_ROWS_PER_PARTITION),  # ceil div
+        ),
+    )
+    spark.conf.set(key, str(want))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
 
 def split_time_ordered(
     ev: DataFrame, src: str, n_files: int = N_FILES
-) -> bool:
+) -> int:
     """Write ``ev`` into ``src`` as ``n_files`` TIME-ORDERED parquet
     files (quartile cuts over unix_micros(ts), mtime ascending so the
     FileStreamSource picks them up oldest-first, path order agreeing
     as a tiebreak) — the construction that makes a watermarked
     streaming run's drop schedule deterministic (module docstring).
-    Returns False when the slice is empty (no files written).
+    Returns the slice's ROW COUNT (0 when empty, no files written) —
+    truthiness is unchanged for existing callers, and the count feeds
+    scaled_stream_conf without a second pass over the slice.
 
     Shared by every oracle-gated streaming entry (round-12's windowed
     counts, round-13's stream-stream band join)."""
+    return split_value_ordered(ev, src, F.unix_micros("ts"), n_files)
+
+
+def split_value_ordered(
+    ev: DataFrame, src: str, val, n_files: int = N_FILES
+) -> int:
+    """split_time_ordered generalized to ANY long-valued order
+    expression ``val`` (the CDC merge fixture orders by a version
+    column, not event time): quartile cuts over ``val``, one
+    shuffle-partitioned write, mtime-ascending renames. Returns the
+    slice's row count (0 when empty)."""
     b = ev.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
+        F.min(val).alias("mn"),
+        F.max(val).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     if b.mn is None or b.mx is None:
-        return False
+        return 0
     mn, mx = int(b.mn), int(b.mx)
     cuts = [mn + (mx - mn) * k // n_files for k in range(1, n_files)]
-    us = F.unix_micros("ts")
+    us = val
     # Round-14 optimization (guide §1.1/§2.4): the old shape ran one
     # FULL filtered scan + coalesce(1) write PER QUARTILE (n_files
     # passes over the slice, n_files+1 jobs). The quartile index is a
@@ -90,14 +146,22 @@ def split_time_ordered(
         kcol = kcol + F.when(us >= c, 1).otherwise(0)
     work = os.path.dirname(src)
     tmp = f"{work}/parts"
+    # "__split_k" not "k": the partition column must not collide with
+    # a payload column (the CDC merge fixture's key IS named k)
     (
-        ev.withColumn("k", kcol)
-        .repartition(n_files, "k")
-        .write.partitionBy("k")
+        ev.withColumn("__split_k", kcol)
+        .repartition(n_files, "__split_k")
+        # order-value sort within each quartile file: the old
+        # per-quartile scans emitted near-sorted rows and the Python-
+        # stateful consumer measurably prefers them (better parquet
+        # encoding + contiguous per-key Arrow groups); costs one
+        # in-partition sort inside the same single pass
+        .sortWithinPartitions(val)
+        .write.partitionBy("__split_k")
         .parquet(tmp)
     )
     for k in range(n_files):
-        parts = _glob.glob(f"{tmp}/k={k}/part-*.parquet")
+        parts = _glob.glob(f"{tmp}/__split_k={k}/part-*.parquet")
         if not parts:  # empty quartile (degenerate tiny slice)
             continue
         dst = f"{src}/{k:02d}.parquet"
@@ -105,7 +169,7 @@ def split_time_ordered(
         # mtime ascending pins the FileStreamSource pickup order
         # (path order agrees as a tiebreak)
         os.utime(dst, (1_000_000_000 + 100 * k,) * 2)
-    return True
+    return int(b.n)
 
 
 # Peak stateful-operator rows observed by run_available_now, keyed
@@ -182,7 +246,8 @@ def stream_window_finalize_totals(
     src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
     os.makedirs(src)
     try:
-        if not split_time_ordered(ev, src):
+        n_rows = split_time_ordered(ev, src)
+        if not n_rows:
             # empty slice: no windows can ever finalize — return the
             # empty result explicitly instead of letting int(None)
             # raise deep in the quartile-cut arithmetic (round-12
@@ -220,9 +285,10 @@ def stream_window_finalize_totals(
                 "stream_window_finalize_totals",
             )
 
-        run()
-        lv = latest_version(t)
-        run()  # replay against the same checkpoint: exactly-once
+        with scaled_stream_conf(spark, n_rows):
+            run()
+            lv = latest_version(t)
+            run()  # replay against the same checkpoint: exactly-once
         if latest_version(t) != lv:
             # explicit raise, not assert: must survive `python -O`
             # (round-12 advice)
@@ -327,7 +393,8 @@ def stream_static_enrich_totals(
     src, ckpt, t = f"{work}/src", f"{work}/ckpt", f"{work}/t"
     os.makedirs(src)
     try:
-        if not split_time_ordered(ev, src):
+        n_rows = split_time_ordered(ev, src)
+        if not n_rows:
             return spark.createDataFrame(
                 [],
                 "window_start timestamp, segment string, n long,"
@@ -372,9 +439,10 @@ def stream_static_enrich_totals(
                 "stream_static_enrich_totals",
             )
 
-        run()
-        lv = latest_version(t)
-        run()  # replay against the same checkpoint: exactly-once
+        with scaled_stream_conf(spark, n_rows):
+            run()
+            lv = latest_version(t)
+            run()  # replay against the same checkpoint: exactly-once
         if latest_version(t) != lv:
             raise RuntimeError(
                 "stream_static_enrich_totals: replayed availableNow "
