@@ -441,9 +441,10 @@ def _minhash_pairs(
     cached full-corpus shingle relation: at 100 TB the full (doc_id,
     shingle) relation is itself corpus-sized and cannot be cached,
     while the candidate subset is bounded by bucket collisions. Only
-    two tiny relations persist: the hot-shingle (df-cap) set — which
-    MUST be computed once and shared so signatures and verification
-    agree on the capped universe — and the candidate pairs. Measured
+    collision-bounded relations persist: the hot-shingle (df-cap) set
+    — which MUST be computed once and shared so signatures and
+    verification agree on the capped universe — the candidate pairs,
+    and the candidate-doc shingles (three consumers). Measured
     at sf0.1 this also beats the cached variant warm (4.7s vs 5.2s):
     cache materialization of 260k shingle rows costs more than one
     extra candidate-only shingle pass.
@@ -498,7 +499,14 @@ def _minhash_pairs(
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
         cand_docs, "doc_id", "left_semi"
     )
-    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
+    # candidate shingles feed THREE consumers (both self-join sides
+    # and the size aggregation); unlike the corpus-sized full shingle
+    # relation (docstring above), this subset is bounded by bucket
+    # collisions, so caching it is scale-safe and saves two
+    # re-shingling passes (round-14, guide §1.2)
+    sh_c = track_cache(
+        _shingles_of(docs_c).join(hot, "s", "left_anti")
+    )
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     # semi-join the co-shingle pair keys against candidates BEFORE the

@@ -174,37 +174,58 @@ def connected_components_star(
         )
         return both.filter(F.col("u") != F.col("v")).distinct()
 
-    def min_nbr(df: DataFrame) -> DataFrame:
-        return df.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+    # m(u) = min(N(u) ∪ {u}) as a WINDOW over the edge relation
+    # instead of the old groupBy + join-back (round-14, guide §2.1/
+    # §3): the aggregate+join shape costs three exchanges at scale
+    # (partial/final agg of e, then e and m re-shuffled for a
+    # sort-merge join — m has one row per NODE, never broadcastable
+    # on a real graph), where the window is ONE shuffle of e by u.
+    # Locally that is one stage per star instead of agg+broadcast+
+    # join (~1.5-2 s per CC call, measured paired across the four
+    # benched consumers). Skew note: a hot node's edges land in one
+    # window partition, but per-node degree in a near-dup pair graph
+    # is bounded by cluster size − 1, and corpus-scale exact dedup
+    # runs first (corpus_clean) precisely so no giant identical
+    # cluster survives into the pair graph; the old join shape put
+    # the same key in one reducer anyway.
+    w_u = Window.partitionBy("u")
+
+    def with_m(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "m", F.least(F.min("v").over(w_u), F.col("u"))
         )
 
     e = sym(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     ).transform(tracked_local_checkpoint)
     for _ in range(max_iters):
-        m = min_nbr(e)
+        em = with_m(e)
         large = sym(
-            e.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
+            em.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         ).transform(tracked_local_checkpoint)
-        m2 = min_nbr(large)
+        lm = with_m(large)
         small = sym(
-            large.join(m2, "u")
-            .filter(F.col("v") < F.col("u"))
+            lm.filter(F.col("v") < F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select("u", F.col("m").alias("v")))
+            # "u itself links to m(u)": per-edge duplicates of (u, m)
+            # are collapsed by sym's distinct, same relation as the
+            # old one-row-per-u aggregate
+            .union(lm.select("u", F.col("m").alias("v")))
         ).transform(tracked_local_checkpoint)
-        # fixpoint: the symmetric edge sets are equal. Both exceptAll
-        # directions ride ONE union under a single limit(1), so the
-        # probe is one Spark job per round instead of two (both sides
-        # read checkpointed data; the empty-difference scan is cheap,
-        # the per-job fixed overhead was not)
+        # fixpoint: the symmetric edge sets are equal. Both relations
+        # are DISTINCT by construction (sym ends in distinct), so set
+        # difference via left_anti — broadcast-friendly, no hash
+        # re-aggregation — replaces bag-semantics exceptAll; both
+        # directions ride one union under a single limit(1) count, one
+        # Spark job per round.
         done = (
-            small.exceptAll(e)
+            small.join(e, ["u", "v"], "left_anti")
             .select(F.lit(1).alias("d"))
-            .union(e.exceptAll(small).select(F.lit(1).alias("d")))
+            .union(
+                e.join(small, ["u", "v"], "left_anti")
+                .select(F.lit(1).alias("d"))
+            )
             .limit(1)
             .count()
             == 0
