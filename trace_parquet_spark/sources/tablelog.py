@@ -2305,27 +2305,46 @@ def delete_where(
     )
     from ..session import track_cache
 
-    matched = track_cache(matched)  # feeds count, mapping, and the sidecar
-    n_new = matched.count()
+    matched = track_cache(matched)  # feeds the file stats and the sidecar
+    # ONE aggregation pass yields the deleted-row count, the affected
+    # file list AND the per-file cardinalities (round-14, guide §1.2:
+    # the old shape ran a count() job, a distinct().collect() job and
+    # a full RE-READ of the sidecar it had just written — three extra
+    # jobs over data the cached `matched` already holds). The collect
+    # is file-grain metadata, the same class as the footer-stats pulls.
+    per_file = {
+        r.file: r.n
+        for r in matched.groupBy("file")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_new = sum(per_file.values())
     if n_new == 0:
         raise ValueError("DELETE matched no rows — nothing to commit")
-    affected = [r.file for r in matched.select("file").distinct().collect()]
+    affected = sorted(per_file)
     # cumulative: fold the previous positions of affected files in
     new_positions = matched
     prior = {f: s for f, s in dv_state.items() if f in set(affected)}
     if prior:
         old_rows = _dv_positions(spark, table, prior)
-        new_positions = new_positions.unionByName(old_rows).distinct()
+        # disjoint by construction — `tagged` anti-joined the prior
+        # positions away before matching, and both sides are
+        # internally duplicate-free (one row per scan position;
+        # _dv_positions ends in distinct) — so the union needs no
+        # dedup pass before the write
+        new_positions = new_positions.unionByName(old_rows)
     sidecar = f"dv-{uuid.uuid4().hex}"
     new_positions.write.mode("overwrite").parquet(
         os.path.join(table, sidecar)
     )
+    # cumulative per-file cardinality = new matches + the replayed
+    # log counts for the files whose old positions were folded in
+    # (exactly old_rows' contribution; the log's dv_counts is the
+    # same source of truth every snapshot read already trusts)
+    prior_counts = _dv_counts(table, None) if prior else {}
     counts = {
-        r.file: r.n
-        for r in spark.read.parquet(os.path.join(table, sidecar))
-        .groupBy("file")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        f: n + (prior_counts.get(f, 0) if f in prior else 0)
+        for f, n in per_file.items()
     }
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
