@@ -268,12 +268,17 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # tiny; prefixes and verification must agree on the capped universe
     sh = sh_full.join(hot, "s", "left_anti")
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # |d| rides the SAME doc_id window shuffle as the prefix position
+    # (round-14, guide §2.1): the old shape aggregated sizes
+    # separately and joined them back — one more full pass over the
+    # capped shingle relation plus a join exchange, for a value the
+    # window partition already holds
+    w_sz = Window.partitionBy("doc_id")
     prefix = (
         sh.join(dfreq, "s")
         .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn("n_sh", F.count("*").over(w_sz))
         .filter(
             F.col("pos")
             <= F.col("n_sh")
@@ -316,7 +321,12 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_c = load_table_parallel(spark, sf_dir, "documents", "doc_id").join(
         cand_docs, "doc_id", "left_semi"
     )
-    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
+    # candidate shingles feed three consumers (both self-join sides
+    # and the size aggregation) and are bounded by prefix-collision
+    # count — cached, same rule as _minhash_pairs (round-14, §1.2)
+    sh_c = track_cache(
+        _shingles_of(docs_c).join(hot, "s", "left_anti")
+    )
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     # restrict the co-shingle pairs to CANDIDATE pairs before the
