@@ -97,7 +97,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs_c = docs.join(cand_docs, "doc_id", "left_semi")
-    sh_c = _shingles_of(docs_c).join(hot, "s", "left_anti")
+    # candidate shingles feed three consumers (both verification join
+    # sides and the size aggregation) and are bounded by collision
+    # count — cached, same rule as _minhash_pairs (round-14, §1.2)
+    sh_c = track_cache(_shingles_of(docs_c).join(hot, "s", "left_anti"))
     ca = sh_c.alias("ca")
     cb = sh_c.alias("cb")
     # candidate-pair restriction BEFORE the aggregation — verification
