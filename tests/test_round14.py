@@ -280,3 +280,16 @@ def test_dup_chain_closure_sizes_recursion_backstop(spark, sf_dir):
     out = dup_chain_closure(spark, sf_dir)
     assert spark.conf.get(key) == before  # conf restored
     assert out.count() > 0  # materialized result survives the restore
+
+
+# ------------------------- codegen class cache sizing (session 4)
+
+
+def test_codegen_cache_sized_for_heavy_queries(spark):
+    """A single heavy registry query generates 140-170 codegen units,
+    so Spark's default 100-entry codegen class cache evicts EVERYTHING
+    between repetitions (measured via CodegenMetrics: ~150 Janino
+    compiles per rep at the default vs 14-18 once warm at 5000). The
+    engine session must size the cache above one query's working set;
+    this pins the conf so a session.py regression is caught."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 5000

@@ -61,6 +61,23 @@ def get_spark(
         # late-order iterative queries, reproduced fresh-JVM at 1×).
         # A 2min periodic GC bounds the backlog.
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # Codegen class cache (static conf, default 100 entries): a
+        # single heavy registry query generates 140-170 codegen units,
+        # so at the default EVERY unit is evicted before it can be
+        # reused and every repetition re-runs Janino from scratch —
+        # measured round-14 session-4 via CodegenMetrics: ~150 compiles
+        # PER REP at the default vs 14-18 once warm at 5000 (~90%
+        # eliminated, plus cross-query reuse: entries sharing operator
+        # shapes start at ~50 instead of ~165). Stack samples showed 32
+        # executor threads parked on CodeGenerator.compile's KeyLock
+        # while one thread Janino-compiled a cached-relation column
+        # accessor — compile latency sits on the task critical path, so
+        # this is wall-clock, not just CPU. Cache reuse also returns
+        # the SAME loaded class, preserving its JIT-compiled state
+        # across repetitions. Long-lived production executors serving
+        # many queries benefit identically; ~5k classes ≈ low hundreds
+        # of MB driver metaspace+source, bounded.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     # Spark's 1g default heap OOMs on the heaviest sf0.1 checks
     # (32 executor threads share the driver JVM in local mode, and a
