@@ -328,6 +328,71 @@ REPEATS = {
 }
 
 
+def _steal_s() -> float:
+    """Cumulative hypervisor CPU-steal seconds (/proc/stat field 8).
+
+    Round-14 session-4 root-caused the repo's long-standing
+    "box drift" (untouched entries swinging 1.2-4x between runs,
+    load 8-9 with idle CPU): this guest VM shares a host, and
+    during storms the hypervisor steals up to 30 of 32 vCPUs for
+    tens of seconds (measured: user 0.2c / steal 30.8c sustained
+    20+ s). Recording per-query steal makes every flagged entry
+    adjudicable from the artifact itself instead of needing a
+    separate solo re-run."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        return int(f[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:  # non-Linux / sandboxed — steal just unrecorded
+        return 0.0
+
+
+# Steal-gated min-of-N (round-14 verdict task 3): a rep whose bracketed
+# hypervisor steal exceeds STEAL_GATE_S cannot be the winner — its wall
+# time measures the host, not the plan (r14's closing run carried 254.7
+# steal-seconds inside winning reps, flagging six untouched entries).
+# Each contaminated rep grants one bounded replacement attempt; if every
+# rep is contaminated the best contaminated rep is kept WITH its steal
+# recorded, so the artifact stays honest instead of spinning forever.
+STEAL_GATE_S = 1.0
+STEAL_MAX_EXTRA_REPS = 3
+
+
+def _timed_min_of(n_planned: int, run_once, post_first_rep=None):
+    """min-of-N wall time with steal gating.
+
+    ``run_once()`` is EXACTLY the timed region per rep (build + noop
+    write — unchanged methodology since round 1). ``post_first_rep``
+    receives run_once's return value after rep 0, outside both the
+    perf_counter window and the steal bracket (the window audit).
+    Returns ``(best_s, steal_in_winning_rep_s, discarded_reps)``.
+    """
+    best_clean = best_dirty = float("inf")
+    steal_clean = steal_dirty = 0.0
+    discarded = 0
+    rep, budget = 0, n_planned
+    while rep < budget:
+        st0 = _steal_s()
+        t0 = time.perf_counter()
+        out = run_once()
+        elapsed = time.perf_counter() - t0
+        st = round(_steal_s() - st0, 2)
+        if rep == 0 and post_first_rep is not None:
+            post_first_rep(out)
+        if st > STEAL_GATE_S:
+            discarded += 1
+            if budget < n_planned + STEAL_MAX_EXTRA_REPS:
+                budget += 1  # replacement attempt for the spoiled rep
+            if elapsed < best_dirty:
+                best_dirty, steal_dirty = elapsed, st
+        elif elapsed < best_clean:
+            best_clean, steal_clean = elapsed, st
+        rep += 1
+    if best_clean < float("inf"):
+        return best_clean, steal_clean, discarded
+    return best_dirty, steal_dirty, discarded
+
+
 def _trace_fixture(spark, sf_dir: str, sf: str) -> str:
     """Build (once per sf) a trace_param table from documents texts,
     gzipped by the engine's own compress UDF — then the timed query is
@@ -362,21 +427,25 @@ def _trace_fixture(spark, sf_dir: str, sf: str) -> str:
     return path
 
 
-def _bench_trace_export(spark, sf_dir: str, sf: str) -> float:
+def _bench_trace_export(spark, sf_dir: str, sf: str):
     from trace_parquet_spark.operators.trace_export import export_trace
 
     path = _trace_fixture(spark, sf_dir, sf)
     df = spark.read.parquet(path)
+
     # min-of-3: the reference-comparable workload swung 2.3-4.5s
-    # across identical-code rounds; min-of-n makes it comparable
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # across identical-code rounds; min-of-n makes it comparable.
+    # Steal-bracketed like every other entry (round-14 ADVICE: this was
+    # the one entry with no host_steal_s record, exactly the one the
+    # session-4 notes flagged as a suspected steal/cold outlier).
+    def run_once():
         export_trace(
             df, list(range(0, 200)), "2024-01-01 00:00:00", "2026-01-01 00:00:00"
         ).write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+
+    floor = int(os.environ.get("SPARK_GRAFT_MIN_OF", "0"))
+    best, st, discarded = _timed_min_of(max(3, floor), run_once)
+    return round(best, 3), st, discarded
 
 
 def _verify_snapshot_coverage() -> None:
@@ -488,28 +557,15 @@ def main() -> None:
     window_audit = _ilu.module_from_spec(_spec)
     _spec.loader.exec_module(window_audit)
 
-    def _steal_s() -> float:
-        """Cumulative hypervisor CPU-steal seconds (/proc/stat field 8).
-
-        Round-14 session-4 root-caused the repo's long-standing
-        "box drift" (untouched entries swinging 1.2-4x between runs,
-        load 8-9 with idle CPU): this guest VM shares a host, and
-        during storms the hypervisor steals up to 30 of 32 vCPUs for
-        tens of seconds (measured: user 0.2c / steal 30.8c sustained
-        20+ s). Recording per-query steal makes every flagged entry
-        adjudicable from the artifact itself instead of needing a
-        separate solo re-run."""
-        try:
-            with open("/proc/stat") as fh:
-                f = fh.readline().split()
-            return int(f[8]) / os.sysconf("SC_CLK_TCK")
-        except Exception:  # non-Linux / sandboxed — steal just unrecorded
-            return 0.0
-
     timings: dict[str, float] = {}
     steal: dict[str, float] = {}
+    steal_discarded: dict[str, int] = {}
     window_violations: dict[str, list] = {}
-    timings["trace_export_gzip"] = _bench_trace_export(spark, sf_dir, sf)
+    te_best, te_steal, te_disc = _bench_trace_export(spark, sf_dir, sf)
+    timings["trace_export_gzip"] = te_best
+    steal["trace_export_gzip"] = te_steal
+    if te_disc:
+        steal_discarded["trace_export_gzip"] = te_disc
     streaming = [n for n in HEADLINE if n in set(STREAMING_PHASE)]
     batch = [n for n in HEADLINE if n not in set(STREAMING_PHASE)]
     for name in batch + ["__phase_break__"] + streaming:
@@ -519,7 +575,6 @@ def main() -> None:
             spark.stop()
             spark = _quiet(get_spark(app_name="bench-streaming"))
             continue
-        best = float("inf")
         # default 2 passes with min: single-run numbers carried ±25%
         # box noise that made round-over-round per-query deltas
         # meaningless (judge round 5, What's wrong #5)
@@ -527,25 +582,29 @@ def main() -> None:
         # committed idle min-of-3 run (round-8 verdict task #2) uses
         # SPARK_GRAFT_MIN_OF=3 to adjudicate machine-load inflation
         floor = int(os.environ.get("SPARK_GRAFT_MIN_OF", "0"))
-        for rep in range(max(REPEATS.get(name, 2), floor)):
-            st0 = _steal_s()
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
+
+        def run_once(_name=name):
+            df = qs[_name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            elapsed = time.perf_counter() - t0
-            if elapsed < best:
-                best = elapsed
-                # steal seconds DURING the winning rep: >~1s here means
-                # the reported time is host-noise-inflated even at
-                # min-of-N and the entry needs no code-level explanation
-                steal[name] = round(_steal_s() - st0, 2)
-            if rep == 0:
-                try:
-                    v = window_audit.global_window_violations(df)
-                except Exception as exc:  # noqa: BLE001 - audit must not kill the bench
-                    v = [f"audit-error: {type(exc).__name__}"]
-                if v:
-                    window_violations[name] = v
+            return df
+
+        def audit(df, _name=name):
+            try:
+                v = window_audit.global_window_violations(df)
+            except Exception as exc:  # noqa: BLE001 - audit must not kill the bench
+                v = [f"audit-error: {type(exc).__name__}"]
+            if v:
+                window_violations[_name] = v
+
+        best, st, discarded = _timed_min_of(
+            max(REPEATS.get(name, 2), floor), run_once, post_first_rep=audit
+        )
+        # steal seconds DURING the winning rep: nonzero only when every
+        # rep (planned + replacements) was contaminated — the reported
+        # time is then host-noise-inflated and adjudicable as such
+        steal[name] = st
+        if discarded:
+            steal_discarded[name] = discarded
         timings[name] = round(best, 3)
         # Between-query sweep, OUTSIDE the timed window: force a JVM GC
         # so ContextCleaner drains its weak-ref queue (shuffle dirs,
@@ -565,36 +624,52 @@ def main() -> None:
             pass
 
     total = round(sum(timings.values()), 3)
+    from trace_parquet_spark.session import default_parallelism
+
+    cpus = default_parallelism()
     full = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "cpus": cpus,
         "queries": timings,
         "sf": float(sf),
         "window_violations": window_violations,
         # steal seconds inside each entry's WINNING rep (see _steal_s):
-        # the artifact-level record of host-noise contamination
+        # the artifact-level record of host-noise contamination. With
+        # steal-gated min-of-N a nonzero value means every rep incl.
+        # replacements was contaminated; host_steal_discarded_reps
+        # counts the reps the gate rejected per entry.
         "host_steal_s": steal,
         "host_steal_total_s": round(sum(steal.values()), 2),
+        "host_steal_discarded_reps": steal_discarded,
     }
     # The per-query map at 120+ entries exceeds the driver's stdout
     # tail-capture window (BENCH_r05 came back parsed:null because the
     # line's START — the headline fields — was truncated away). So:
     # commit the full map to a repo file for humans/the judge, and make
     # the LAST stdout line a compact headline that always fits the tail.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
-    with open(detail_path, "w") as fh:
-        json.dump(full, fh, indent=1)
-        fh.write("\n")
+    # Per-cpus file names (round-14 verdict task 2): the driver's 8-core
+    # scaling run used to clobber the 32-core detail, leaving PERF's
+    # per_query and scaling blocks empty. The stdout pointer names the
+    # file this run actually wrote; BENCH_detail.json stays as a copy of
+    # the latest run for older tooling.
+    root = os.path.dirname(os.path.abspath(__file__))
+    detail_name = f"BENCH_detail_c{cpus}.json"
+    for p in (os.path.join(root, detail_name), os.path.join(root, "BENCH_detail.json")):
+        with open(p, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {"detail": "BENCH_detail.json"},
+                "queries": {"detail": detail_name},
                 "n_queries": len(timings),
                 "sf": float(sf),
+                "cpus": cpus,
                 "window_violations": len(window_violations),
             }
         )
