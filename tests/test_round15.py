@@ -88,6 +88,59 @@ def test_clean_run_is_plain_min_of_n(bench_mod):
     assert seen == ["df"]
 
 
+def test_packed_simhash_equals_per_bit_conditional_sums(spark, sf_dir):
+    """The round-15 packed-lane SimHash aggregation (_packed_bit_ones:
+    two 32-bit counters per BIGINT lane, majority = 2*ones > n) must be
+    bit-identical to the retired per-bit ±1 conditional-sum shape. The
+    old shape is reconstructed inline and both are compared row-for-row
+    on the 64-bit variant (sign-bit recombination included)."""
+    from pyspark.sql import functions as F
+
+    from trace_parquet_spark.functions.hashing import stable_hash32_x4
+    from trace_parquet_spark.functions.text import tokens
+    from trace_parquet_spark.operators.dedup import (
+        _SIMHASH64_SEED,
+        SIMHASH64_BITS,
+        simhash64_docs,
+    )
+    from trace_parquet_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = stable_hash32_x4(F.col("t"), _SIMHASH64_SEED)
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", hs[0].alias("h0"), hs[1].alias("h1"))
+    old_bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(
+                        F.col("h0" if j < 32 else "h1"), j % 32
+                    ).bitwiseAND(1)
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH64_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH64_BITS):
+        mag = -(2**63) if j == 63 else 2**j
+        term = F.when(
+            F.col(f"b{j}") > 0, F.lit(mag).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    old = {
+        r.doc_id: r.simhash64
+        for r in old_bits.select("doc_id", sim.alias("simhash64")).collect()
+    }
+    new = {
+        r.doc_id: r.simhash64 for r in simhash64_docs(spark, sf_dir).collect()
+    }
+    assert old == new and len(new) > 0
+
+
 def test_detail_artifact_is_per_cpus(bench_mod):
     # the emit site writes BENCH_detail_c{cpus}.json and points the
     # stdout line at that name (round-14 verdict task 2)

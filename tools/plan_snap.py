@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Snapshot `.explain("formatted")` for a named subset of registry
-entries into plans/r14/<name>_<tag>.txt — the optimization round's
+entries into plans/r15/<name>_<tag>.txt — the optimization round's
 before/after plan evidence (round-14 deliverable).
 
 Usage: python tools/plan_snap.py <tag> name [name ...]
@@ -24,7 +24,7 @@ def main() -> None:
 
     spark = get_spark(app_name="plan_snap", cpus=8, shuffle_partitions=8)
     qs = entry_mod.queries()
-    os.makedirs("/root/repo/plans/r14", exist_ok=True)
+    os.makedirs("/root/repo/plans/r15", exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
@@ -32,7 +32,7 @@ def main() -> None:
                 "formatted"
             )
         )
-        path = f"/root/repo/plans/r14/{name}_{tag}.txt"
+        path = f"/root/repo/plans/r15/{name}_{tag}.txt"
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} bytes)")
