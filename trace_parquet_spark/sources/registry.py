@@ -93,6 +93,29 @@ def ts_bounds_nanos(start: datetime | str, end: datetime | str) -> tuple[int, in
     return lo, hi
 
 
+# Per-path parquet schema memo (round 15, guide §1.2). Every
+# ``spark.read.parquet(path)`` pays schema inference — a driver-side
+# footer read plus plan round-trips measured at ~70-120 ms per call at
+# sf0.1, vs ~25 ms with an explicit schema — and a full bench run
+# issues hundreds of load_table calls. The schema is METADATA derived
+# from the parquet input itself: the first call per path infers it
+# (from the file, every process run — nothing persists across runs),
+# later calls supply it explicitly. This is the in-process analogue of
+# the metastore/catalog lookup the module docstring already maps
+# load_table to at scale. Keyed on the resolved path; registry fixture
+# files are immutable for the life of a process (driver testdata and
+# gen_sf outputs are written once per directory).
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def _read_registry_parquet(spark: SparkSession, path: str) -> DataFrame:
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(
     spark: SparkSession,
     base_dir: str,
@@ -105,9 +128,11 @@ def load_table(
         raise ValueError("ts_between is only meaningful for the events table")
     path = f"{base_dir}/{name}.parquet"
     if name == "events":
-        # Runtime-settable; required before planning the scan.
+        # Runtime-settable; required before planning the scan (and
+        # before the memo's one-time inference, so a nanos fixture
+        # infers ts as bigint exactly as before).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_registry_parquet(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             if ts_between is not None:
                 # Filter the raw bigint BEFORE the rederivation so the
@@ -137,7 +162,7 @@ def load_table(
                 )
             )
         return df
-    return spark.read.parquet(path)
+    return _read_registry_parquet(spark, path)
 
 
 def load_table_parallel(
