@@ -513,42 +513,50 @@ def _stage_files(df: DataFrame, table: str) -> list[str]:
     return parts
 
 
-def _footer_stats(table: str, files: list[str], column: str) -> dict[str, list]:
-    """Per-file [min, max] for ``column`` from parquet FOOTER metadata
-    (no data read) — the same stats source as sources/zonemap, recorded
-    into the commit so later planners prune from the log alone. A file
-    whose footer lacks min/max maps to [None, None] (never prunable)."""
+def _footer_meta(
+    table: str, files: list[str], cols: tuple[str, ...] = ()
+) -> tuple[dict[str, int], dict[str, dict[str, list]]]:
+    """Per-file row counts AND per-column [min, max] from parquet
+    FOOTER metadata in ONE footer open per file (round 15: every
+    commit site used to open each footer once per metadata kind —
+    rows, stats, each zorder col_stats column — 2-4 opens per file
+    per commit). No data is read; a file whose footer lacks min/max
+    for a column maps to [None, None] (never prunable)."""
     import pyarrow.parquet as pq
 
     mapping = _col_mapping(table, None)
-    if mapping:
-        column = mapping.get(column, column)  # footers hold PHYSICAL names
-    out: dict[str, list] = {}
+    # footers hold PHYSICAL names
+    phys = {c: (mapping.get(c, c) if mapping else c) for c in cols}
+    rows: dict[str, int] = {}
+    stats: dict[str, dict[str, list]] = {c: {} for c in cols}
     for rel in files:
         md = pq.ParquetFile(os.path.join(table, rel)).metadata
-        idx = md.schema.names.index(column)
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                lo = hi = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        out[rel] = [lo, hi]
-    return out
+        rows[rel] = md.num_rows
+        for c in cols:
+            idx = md.schema.names.index(phys[c])
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            stats[c][rel] = [lo, hi]
+    return rows, stats
+
+
+def _footer_stats(table: str, files: list[str], column: str) -> dict[str, list]:
+    """Per-file [min, max] for ``column`` — single-column convenience
+    over _footer_meta (the same stats source as sources/zonemap)."""
+    return _footer_meta(table, files, (column,))[1][column]
 
 
 def _footer_rows(table: str, files: list[str]) -> dict[str, int]:
     """Per-file row counts from parquet FOOTER metadata (no data
     read), recorded into every commit so COUNT(*) is answerable from
     the log alone — Delta's metadata-only aggregation move."""
-    import pyarrow.parquet as pq
-
-    return {
-        rel: pq.ParquetFile(os.path.join(table, rel)).metadata.num_rows
-        for rel in files
-    }
+    return _footer_meta(table, files)[0]
 
 
 _APPEND_REBASE_LIMIT = 20
@@ -761,14 +769,17 @@ def append(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
     schema_json = df.schema.json()
+    rows, fstats = _footer_meta(
+        table, files, (stats_col,) if stats_col is not None else ()
+    )
     actions = {
         "add": files,
         "remove": [],
         "schema": schema_json,
-        "rows": _footer_rows(table, files),
+        "rows": rows,
     }
     if stats_col is not None:
-        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats"] = fstats[stats_col]
         actions["stats_col"] = stats_col
     _guard_staging_window(table, snap, version - 1, "append", schema_json)
     for _ in range(_APPEND_REBASE_LIMIT):
@@ -864,14 +875,17 @@ def overwrite(df: DataFrame, table: str, stats_col: str | None = None) -> int:
     # here — but interleaved rename/constraint commits still invalidate
     # the staged bytes exactly as they do for append
     _guard_staging_window(table, snap, version - 1, "overwrite")
+    rows, fstats = _footer_meta(
+        table, files, (stats_col,) if stats_col is not None else ()
+    )
     actions = {
         "add": files,
         "remove": old,
         "schema": df.schema.json(),
-        "rows": _footer_rows(table, files),
+        "rows": rows,
     }
     if stats_col is not None:
-        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats"] = fstats[stats_col]
         actions["stats_col"] = stats_col
     _commit(table, version, actions)
     return version
@@ -974,12 +988,13 @@ def merge_upsert(
     # two values come back to the driver, nothing data-sized)
     krow = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     key_range = None if krow.lo is None else (krow.lo, krow.hi)
+    _mu_rows, _mu_stats = _footer_meta(table, new_files, (key,))
     actions = {
         "add": new_files,
         "remove": sorted(touched),
         "schema": schema_json,
-        "rows": _footer_rows(table, new_files),
-        "stats": _footer_stats(table, new_files, key),
+        "rows": _mu_rows,
+        "stats": _mu_stats[key],
         "stats_col": key,
     }
     if txn is not None:
@@ -1063,14 +1078,18 @@ def optimize_table(
     else:
         df = df.coalesce(target_files)
     new_files = _stage_files(df, table)
+
+    rows, fstats = _footer_meta(
+        table, new_files, (stats_col,) if stats_col is not None else ()
+    )
     actions = {
         "add": new_files,
         "remove": files,
         "schema": schema_json,
-        "rows": _footer_rows(table, new_files),
+        "rows": rows,
     }
     if stats_col is not None:
-        actions["stats"] = _footer_stats(table, new_files, stats_col)
+        actions["stats"] = fstats[stats_col]
         actions["stats_col"] = stats_col
     # interleaved plain appends commute (their files stay live, just
     # uncompacted — rebase and retry); an interleaved remove/dv/
@@ -1206,6 +1225,8 @@ def optimize_table_zorder(
         .select(*schema.fieldNames())
     )
     new_files = _stage_files(clustered, table)
+
+    _z_rows, _z_stats = _footer_meta(table, new_files, (c1, c2))
     version = _commit_rewrite(
         table,
         snap,
@@ -1213,12 +1234,12 @@ def optimize_table_zorder(
             "add": new_files,
             "remove": files,
             "schema": schema_json,
-            "rows": _footer_rows(table, new_files),
-            "stats": _footer_stats(table, new_files, c1),
+            "rows": _z_rows,
+            "stats": _z_stats[c1],
             "stats_col": c1,
             "col_stats": {
-                c1: _footer_stats(table, new_files, c1),
-                c2: _footer_stats(table, new_files, c2),
+                c1: _z_stats[c1],
+                c2: _z_stats[c2],
             },
             "zorder_by": [c1, c2],
         },
@@ -1686,15 +1707,19 @@ def append_stream_batch(
     lv = latest_version(table)
     version = 0 if lv is None else lv + 1
     schema_json = df.schema.json()
+
+    rows, fstats = _footer_meta(
+        table, files, (stats_col,) if stats_col is not None else ()
+    )
     actions = {
         "add": files,
         "remove": [],
         "schema": schema_json,
-        "rows": _footer_rows(table, files),
+        "rows": rows,
         "txn": {"app": app, "batch_id": batch_id},
     }
     if stats_col is not None:
-        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats"] = fstats[stats_col]
         actions["stats_col"] = stats_col
     _guard_staging_window(
         table, snap, version - 1, "append_stream_batch", schema_json
@@ -2964,16 +2989,20 @@ def append_with_bloom(
     _guard_staging_window(
         table, snap, version - 1, "append_with_bloom", schema_json
     )
+
+    rows, fstats = _footer_meta(
+        table, files, (stats_col,) if stats_col is not None else ()
+    )
     actions = {
         "add": files,
         "remove": [],
         "schema": schema_json,
-        "rows": _footer_rows(table, files),
+        "rows": rows,
         "bloom": {rel: _file_bloom(table, rel, bloom_col) for rel in files},
         "bloom_col": bloom_col,
     }
     if stats_col is not None:
-        actions["stats"] = _footer_stats(table, files, stats_col)
+        actions["stats"] = fstats[stats_col]
         actions["stats_col"] = stats_col
     _commit(table, version, actions)
     return version
