@@ -654,6 +654,49 @@ def _packed_bit_ones(tok, nbits: int, bit_expr):
     return packed, ones
 
 
+def _ones_sql(i: int, nbits: int) -> str:
+    """SQL twin of _packed_bit_ones' unpack (for _recombine_sql)."""
+    half = nbits // 2
+    if i < half:
+        return f"(p{i} & 4294967295)"
+    return f"shiftright(p{i - half}, 32)"
+
+
+def _balanced_sum_sql(terms: list[str]) -> str:
+    """Pairwise-parenthesized sum — integer addition is associative so
+    the value is identical to the left-deep chain, but the parsed tree
+    is depth ceil(log2(n)) instead of n. Catalyst analysis and
+    canonicalization walk (and re-walk, per consumer) the whole tree;
+    at 128 terms the left-deep chain measurably dominates the entry's
+    BUILD time (round-15 floor probe: simhash128_hamming_pairs spent
+    3.6 s of a 5.4 s rep driver-side)."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _recombine_sql(bits: list[int], nbits: int) -> "F.Column":
+    """Signature word from packed majority counters as ONE server-side
+    parsed expression. The old shape chained F.when(...) per bit — one
+    py4j round-trip per Column call (hundreds per signature) and a
+    left-deep CaseWhen/Add tree whose analysis cost scaled with width
+    (the round-14 'map-side CPU by width' claim was actually mostly
+    DRIVER time, re-measured round 15). Semantics per bit are
+    unchanged: majority ⟺ 2*ones > n, ties → 0, bit 63 of a word
+    recombines as the BIGINT sign bit."""
+    terms = []
+    for k, j in enumerate(bits):
+        mag = -(2**63) if k == 63 else 2**k
+        terms.append(
+            f"(CASE WHEN 2 * {_ones_sql(j, nbits)} > n "
+            f"THEN CAST({mag} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(_balanced_sum_sql(terms))
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit simhash per document (token-frequency weighted).
 
@@ -669,13 +712,8 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bit(j: int) -> "F.Column":
         return F.shiftright(F.col("h"), j).bitwiseAND(1)
 
-    bit_sums, ones = _packed_bit_ones(tok, SIMHASH_BITS, bit)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(
-            ones(j) * 2 > F.col("n"), F.lit(2**j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+    bit_sums, _ones = _packed_bit_ones(tok, SIMHASH_BITS, bit)
+    sim = _recombine_sql(list(range(SIMHASH_BITS)), SIMHASH_BITS)
     return bit_sums.select(
         "doc_id", sim.alias("simhash")
     ).orderBy("doc_id")
@@ -1476,14 +1514,8 @@ def simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # packed lane counters (see _packed_bit_ones): 32 branch-free sums
     # instead of 64 conditional ones; recombination is bit-identical
-    bit_sums, ones = _packed_bit_ones(tok, SIMHASH64_BITS, bit)
-    sim = None
-    for j in range(SIMHASH64_BITS):
-        mag = -(2**63) if j == 63 else 2**j
-        term = F.when(
-            ones(j) * 2 > F.col("n"), F.lit(mag).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+    bit_sums, _ones = _packed_bit_ones(tok, SIMHASH64_BITS, bit)
+    sim = _recombine_sql(list(range(SIMHASH64_BITS)), SIMHASH64_BITS)
     return bit_sums.select(
         "doc_id", sim.alias("simhash64")
     ).orderBy("doc_id")
@@ -1676,17 +1708,12 @@ def simhash128_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # packed lane counters (see _packed_bit_ones): 64 branch-free sums
     # instead of 128 conditional ones; recombination is bit-identical
-    bit_sums, ones = _packed_bit_ones(tok, SIMHASH128_BITS, bit)
+    bit_sums, _ones = _packed_bit_ones(tok, SIMHASH128_BITS, bit)
 
     def word(base: int) -> "F.Column":
-        sig = None
-        for k in range(64):
-            mag = -(2**63) if k == 63 else 2**k
-            term = F.when(
-                ones(base + k) * 2 > F.col("n"), F.lit(mag).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            sig = term if sig is None else sig + term
-        return sig
+        return _recombine_sql(
+            [base + k for k in range(64)], SIMHASH128_BITS
+        )
 
     return bit_sums.select(
         "doc_id", word(64).alias("sim_hi"), word(0).alias("sim_lo")
