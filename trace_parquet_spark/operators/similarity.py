@@ -119,22 +119,30 @@ ORDER BY vec_a, vec_b
 
 
 def _table_bucket_col(vec_col: str, table: int) -> F.Column:
-    """Bucket id within one LSH table: sign bit per plane, packed."""
-    sig = F.lit(0).cast("long")
+    """Bucket id within one LSH table: sign bit per plane, packed.
+
+    Built as ONE server-parsed expression (round 15): the old shape
+    issued a py4j round-trip per plane weight (DIM × BITS_PER_TABLE
+    F.lit calls per table, ~1k per LSH entry) plus python-lambda
+    conversion per zip_with/aggregate — all driver-side build time.
+    The arithmetic is unchanged term for term: dot via
+    zip_with/aggregate left fold over doubles, sign test per plane,
+    power-of-two packing (repr() round-trips every IEEE double
+    exactly through Spark's correctly-rounded literal parse)."""
+    terms = []
     for b in range(BITS_PER_TABLE):
         plane = PLANES[table * BITS_PER_TABLE + b]
-        arr = F.array(*[F.lit(w) for w in plane])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), arr, lambda x, wgt: x.cast("double") * wgt
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        lit = "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_col}, {lit}, "
+            "(x, wgt) -> CAST(x AS DOUBLE) * wgt), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        sig = sig + F.when(d >= 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"(CASE WHEN ({d}) >= 0 THEN CAST({2**b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
         )
-    return sig
+    return F.expr(" + ".join(terms))
 
 
 def _with_table_buckets(df: DataFrame, vec_col: str) -> DataFrame:
