@@ -946,22 +946,35 @@ def merge_upsert(
         if (f not in stats or stats[f][0] is None) and _rows.get(f) != 0
     ]
     touched = set(unknown)
+    key_range = None
     if ranged:
         manifest = spark.createDataFrame(
             ranged, ["file", "lo", "hi"]
         )
+        # ONE job yields both the touched-file set and the merge's
+        # update-key envelope (round 15): left_outer keeps keys no
+        # file range covers, so min/max over _k equal the envelope the
+        # old separate updates.agg() recomputed from scratch; distinct
+        # preserves min/max exactly; collect_set dedups the file hits
+        # like the old .distinct().collect(). Nothing data-sized comes
+        # back — the set is bounded by the file manifest.
         hit = (
             updates.select(F.col(key).alias("_k"))
             .distinct()
             .join(
                 F.broadcast(manifest),
                 (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+                "left_outer",
             )
-            .select("file")
-            .distinct()
-            .collect()
+            .agg(
+                F.collect_set("file").alias("files"),
+                F.min("_k").alias("klo"),
+                F.max("_k").alias("khi"),
+            )
+            .first()
         )
-        touched |= {r.file for r in hit}
+        touched |= set(hit.files)
+        key_range = None if hit.klo is None else (hit.klo, hit.khi)
     kept = [f for f in files if f not in touched]
     from pyspark.sql.types import StructType
 
@@ -983,11 +996,13 @@ def merge_upsert(
     else:
         merged = updates.select(*schema.fieldNames())
     new_files = _stage_files(merged, table)
-    # the merge's update-key envelope, used by the conflict matrix to
-    # decide whether an interleaved APPEND commutes (one scalar agg —
-    # two values come back to the driver, nothing data-sized)
-    krow = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    key_range = None if krow.lo is None else (krow.lo, krow.hi)
+    if not ranged:
+        # no ranged manifest → the envelope did not ride the touch
+        # probe; one scalar agg (two values back to the driver)
+        krow = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        key_range = None if krow.lo is None else (krow.lo, krow.hi)
     _mu_rows, _mu_stats = _footer_meta(table, new_files, (key,))
     actions = {
         "add": new_files,
